@@ -1,0 +1,56 @@
+"""Table loaders over the driver-generated parquet testdata.
+
+Reading parquet with the schema left to the footer (not inferSchema-style
+guessing) keeps column pruning + predicate pushdown intact: Catalyst
+prunes ``ReadSchema`` to referenced columns and pushes comparison
+filters into the scan. ``load_table`` is the single entry point so every
+operator/query reads through the same code path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .schemas import TABLE_NAMES, TESTDATA_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # The testdata parquet stores timestamps as TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong they arrive as int64 ns.
+    # Convert to TimestampType via integer DIV 1000 — the same floor-to-
+    # micros truncation DuckDB applies, so oracle comparison is exact.
+    for field in TESTDATA_SCHEMAS[name].fields:
+        if isinstance(field.dataType, T.TimestampType) and isinstance(
+            df.schema[field.name].dataType, T.LongType
+        ):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"{field.name} DIV 1000"))
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> None:
+    """Register each table as a temp view for the SQL entry points."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

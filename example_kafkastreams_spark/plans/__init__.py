@@ -1,0 +1,3 @@
+from .checks import count_exchanges, explain_str, pushed_filters
+
+__all__ = ["count_exchanges", "explain_str", "pushed_filters"]

@@ -1,0 +1,136 @@
+"""Declared query registry — the driver-facing surface.
+
+Every implemented operator from SURVEY.md §2 registers here as
+  name -> callable(spark, sf_dir) -> DataFrame     (QUERIES)
+  name -> DuckDB-equivalent ANSI SQL               (ORACLE_SQL)
+Non-SQL-expressible ops register without oracle SQL (rows-only check).
+
+Naming: q0x reference parity, q1x relational breadth, q2x analytic/
+scalar, q3x streaming-derived batch analogs, q4x LLM-pipeline
+extensions. Aliases match between Spark and SQL exactly (driver hashes
+by sorted column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load_table
+from .operators import (
+    dedup_emission_anchored,
+    dedup_tumbling_window,
+    enrich_clickstream,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+DAY_MS = 86_400_000
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return deco
+
+
+def _day_window_sql(ts: str = "ts") -> str:
+    """DuckDB expression equal to Spark ``window(ts, '1 day').start``
+    (epoch-aligned tumbling bucket, UTC)."""
+    return (
+        f"TIMESTAMP '1970-01-01' + to_milliseconds("
+        f"CAST(floor(epoch_ms({ts}) / {DAY_MS}.0) * {DAY_MS} AS BIGINT))"
+    )
+
+
+# --- q01: A1 windowed dedup (ClickstreamJoinExample.scala:243-257) --------
+
+@query(
+    "q01_dedup_window",
+    oracle=f"""
+    SELECT {_day_window_sql('ts')} AS window_start,
+           event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type, {_day_window_sql('ts')}
+                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q01_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: first event per (user_id, event_type, 1-day tumbling window)."""
+    events = load_table(spark, sf_dir, "events")
+    return dedup_tumbling_window(
+        events,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        window_duration="1 day",
+        order_cols=["event_id"],
+    )
+
+
+# --- q02: flagship clickstream enrichment (J2+P6+A1+P4) -------------------
+
+_ENRICH_LOOKBACK_S = 24 * 3600
+
+@query(
+    "q02_clickstream_enrich",
+    oracle=f"""
+    WITH pv AS (
+      SELECT user_id, event_id AS pv_event_id, value AS pv_value, ts AS pv_ts
+      FROM events WHERE event_type = 'view'
+    ), ev AS (
+      SELECT user_id, event_id, event_type, value, ts, props
+      FROM events WHERE event_type <> 'view'
+    ), matched AS (
+      SELECT ev.user_id, ev.event_id, ev.event_type, ev.value, ev.ts,
+             pv.pv_event_id, pv.pv_value, pv.pv_ts,
+             row_number() OVER (PARTITION BY ev.event_id
+                                ORDER BY pv.pv_ts DESC, pv.pv_event_id DESC) AS rn
+      FROM ev LEFT JOIN pv
+        ON ev.user_id = pv.user_id
+       AND pv.pv_ts >= ev.ts - INTERVAL {_ENRICH_LOOKBACK_S} SECOND
+       AND pv.pv_ts <= ev.ts
+    ), asof_picked AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             pv_event_id, pv_value, pv_ts
+      FROM matched WHERE rn = 1
+    ), dedup AS (
+      SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type, pv_event_id,
+                             {_day_window_sql('ts')}
+                ORDER BY ts, event_id) AS rn
+      FROM asof_picked
+    )
+    SELECT user_id, event_id, event_type, value AS ev_value, ts,
+           pv_event_id, pv_value, pv_ts
+    FROM dedup WHERE rn = 1
+    """,
+)
+def q02_clickstream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: as-of enrichment join + windowed dedup (SURVEY.md §7 ph.2)."""
+    events = load_table(spark, sf_dir, "events")
+    return enrich_clickstream(
+        events, lookback_seconds=_ENRICH_LOOKBACK_S, dedup_window="1 day"
+    )
+
+
+# --- q03: A2 emission-anchored dedup (DeduplicationExample.scala:126-142) -
+# Not SQL-expressible (state anchored at prior emissions) → rows-only.
+
+@query("q03_dedup_emission_anchored")
+def q03_dedup_emission_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return dedup_emission_anchored(
+        events,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        window_seconds=24 * 3600.0,
+    )
