@@ -13,9 +13,7 @@ by sorted column name).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import load_table
 from .operators import (
@@ -24,29 +22,7 @@ from .operators import (
     enrich_clickstream,
 )
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE_SQL: dict[str, str] = {}
-
-DAY_MS = 86_400_000
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLE_SQL[name] = oracle
-        return fn
-
-    return deco
-
-
-def _day_window_sql(ts: str = "ts") -> str:
-    """DuckDB expression equal to Spark ``window(ts, '1 day').start``
-    (epoch-aligned tumbling bucket, UTC)."""
-    return (
-        f"TIMESTAMP '1970-01-01' + to_milliseconds("
-        f"CAST(floor(epoch_ms({ts}) / {DAY_MS}.0) * {DAY_MS} AS BIGINT))"
-    )
+from .registry import ORACLE_SQL, QUERIES, query, window_start_sql as _day_window_sql
 
 
 # --- q01: A1 windowed dedup (ClickstreamJoinExample.scala:243-257) --------
@@ -134,3 +110,7 @@ def q03_dedup_emission_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         window_seconds=24 * 3600.0,
     )
+
+
+# Register the rest of the surface (imports populate the registry).
+from . import queries_relational  # noqa: E402,F401

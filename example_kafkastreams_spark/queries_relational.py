@@ -1,0 +1,496 @@
+"""Relational breadth (SURVEY.md §7 phase 3; §2.3/§2.4/§2.6 "exposed
+because the oracle corpus exercises them").
+
+The reference itself has no filters/aggregates/sorts beyond its two
+topologies — these operators come free from Spark and are declared so
+the engine covers everything a relational user runs: filter/project,
+the full join menu (inner/left/semi/anti/broadcast), aggregation
+(incl. distinct, rollup, cube), sort/limit top-k, set ops, scalar
+string/date/math/JSON functions, analytic windows, sessionization.
+
+Determinism rules from .registry apply throughout (decimal-exact
+float aggregation, unique tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .catalog import load_table
+from .registry import davg, davg_sql, dsum, dsum_sql, query
+
+
+# --- q10: filter + projection (pushdown-visible scan shape) ---------------
+
+@query(
+    "q10_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+      AND l_discount > 0.05 AND l_quantity < 24
+    """,
+)
+def q10_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + column pruning: predicates and the 4-column ReadSchema
+    must reach the parquet scan (asserted in tests via PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+
+
+# --- q11: TPC-H Q1-style pricing summary ----------------------------------
+
+@query(
+    "q11_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 2)} AS sum_qty,
+           {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {dsum_sql('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 6)} AS sum_charge,
+           {davg_sql('l_quantity', 2)} AS avg_qty,
+           {davg_sql('l_extendedprice', 2)} AS avg_price,
+           {davg_sql('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide hash aggregation with partial (map-side) combine — the agg
+    every scan-heavy 100 TB report reduces to."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg(F.col("l_quantity"), 2).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            davg(F.col("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- q12: multi-way inner join (join reordering + broadcast dims) ---------
+
+@query(
+    "q12_join_multiway",
+    oracle=f"""
+    SELECT n_name, r_name,
+           {dsum_sql('o_totalprice', 2)} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name, r_name
+    """,
+)
+def q12_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈customer⋈nation⋈region: Catalyst broadcast-joins the dim
+    tables (nation/region always; customer under the 64 MB threshold at
+    test SF — at 100 TB it shuffles while dims stay broadcast)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --- q13: left outer join + conditional count -----------------------------
+
+@query(
+    "q13_join_left_count",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q13_join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving zero-order customers (COUNT skips NULLs)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --- q14/q15: semi + anti joins -------------------------------------------
+
+@query(
+    "q14_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def q14_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "q15_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q15_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --- q16: fact ⋈ broadcast dims with per-part agg -------------------------
+
+@query(
+    "q16_join_broadcast_parts",
+    oracle=f"""
+    SELECT p_brand, p_type,
+           {dsum_sql('l_quantity', 2)} AS total_qty,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand, p_type
+    """,
+)
+def q16_join_broadcast_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint on the dim side: the 100 TB-fact join
+    must never shuffle lineitem for a part-sized table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("total_qty"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+# --- q17: top-k (sort + limit) --------------------------------------------
+
+@query(
+    "q17_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def q17_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, no full sort (the only sane top-k at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+# --- q18: set operations --------------------------------------------------
+
+@query(
+    "q18_set_ops",
+    oracle="""
+    WITH big_spenders AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    ), urgent AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT 'only_big' AS tag, custkey FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM urgent)
+    """,
+)
+def q18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = big.intersect(urgent).select(F.lit("both").alias("tag"), "custkey")
+    only_big = big.exceptAll(urgent).select(F.lit("only_big").alias("tag"), "custkey")
+    return both.unionAll(only_big)
+
+
+# --- q19: analytic window (rank per group) --------------------------------
+
+@query(
+    "q19_window_topn_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value, rn FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q19_window_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "value", "rn")
+    )
+
+
+# --- q20: lag + sessionization (batch analog of session windows) ----------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+@query(
+    "q20_sessionize",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > {_SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), sessions AS (
+      SELECT user_id, event_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + gap>30min cumsum sessionization (SNIPPETS/guide pattern;
+    the batch analog of streaming session_window)."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        events.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts")
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | ((F.col("ts_us") - F.col("prev_us")) > _SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+    )
+
+
+# --- q21: scalar string/date/math functions -------------------------------
+
+@query(
+    "q21_scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_u,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           concat(o_orderstatus, '/', o_orderpriority) AS status_prio,
+           length(o_orderpriority) AS prio_len,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(dayofweek(o_orderdate) AS INT) + 1 AS dow_sun1,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket,
+           abs(o_totalprice - 100000.0) AS dist_from_100k
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def q21_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar surface (SURVEY.md §2.6). DuckDB's
+    dayofweek is 0=Sunday; Spark's is 1=Sunday — oracle adds 1."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_u"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.floor(F.col("o_totalprice") / 1000).alias("price_bucket"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("dist_from_100k"),
+    )
+
+
+# --- q22: JSON prop extraction (events.props) -----------------------------
+
+@query(
+    "q22_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+    GROUP BY event_type
+    """,
+)
+def q22_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the JSON payload column — mandatory surface
+    per SURVEY.md §2.6 (events.props is JSON text)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# --- q23/q24: rollup & cube -----------------------------------------------
+
+@query(
+    "q23_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {dsum_sql('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q23_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@query(
+    "q24_cube",
+    oracle="""
+    SELECT event_type, CAST(year(ts) AS INT) AS y, COUNT(*) AS n
+    FROM events GROUP BY CUBE (event_type, y)
+    """,
+)
+def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("y", F.year("ts"))
+        .cube("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- q25: distinct aggregation --------------------------------------------
+
+@query(
+    "q25_distinct_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q25_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- q26: symmetric interval join (J1 DSL semantics, batch analog) --------
+
+_J1_WINDOW_S = 3600  # ±1 h proximity on the sparse testdata stream
+
+@query(
+    "q26_interval_join_symmetric",
+    oracle=f"""
+    SELECT ev.event_type, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT ev.event_id) AS n_events_matched
+    FROM (SELECT * FROM events WHERE event_type <> 'view') ev
+    JOIN (SELECT * FROM events WHERE event_type = 'view') pv
+      ON ev.user_id = pv.user_id
+     AND pv.ts >= ev.ts - INTERVAL {_J1_WINDOW_S} SECOND
+     AND pv.ts <= ev.ts + INTERVAL {_J1_WINDOW_S} SECOND
+    GROUP BY ev.event_type
+    """,
+)
+def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: the DSL's symmetric JoinWindows.of(w) proximity join
+    (ClickstreamJoinExample.scala:230-234) — all matching pairs, both
+    directions in time, counted per event type."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_type") != "view").alias("ev")
+    pv = events.filter(F.col("event_type") == "view").alias("pv")
+    cond = (
+        (F.col("ev.user_id") == F.col("pv.user_id"))
+        & (F.col("pv.ts") >= F.col("ev.ts") - F.expr(f"INTERVAL {_J1_WINDOW_S} SECONDS"))
+        & (F.col("pv.ts") <= F.col("ev.ts") + F.expr(f"INTERVAL {_J1_WINDOW_S} SECONDS"))
+    )
+    return (
+        ev.join(pv, cond, "inner")
+        .groupBy(F.col("ev.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("ev.event_id").alias("n_events_matched"),
+        )
+    )

@@ -1,0 +1,45 @@
+"""Relational breadth: every declared q1x/q2x query matches its DuckDB
+oracle at sf0.001, plus physical-plan shape assertions (pushdown,
+broadcast, top-k)."""
+
+from __future__ import annotations
+
+import pytest
+
+from example_kafkastreams_spark.plans import count_exchanges, explain_str, pushed_filters
+from example_kafkastreams_spark.queries import ORACLE_SQL, QUERIES
+from tests.conftest import SMOKE
+from tests.oracle_utils import assert_matches_oracle
+
+RELATIONAL = sorted(n for n in QUERIES if n.startswith(("q1", "q2")))
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_oracle_parity(spark, name):
+    assert name in ORACLE_SQL, f"{name} must declare oracle SQL"
+    assert_matches_oracle(QUERIES[name](spark, SMOKE), ORACLE_SQL[name], SMOKE)
+
+
+def test_q10_pushdown_reaches_scan(spark):
+    df = QUERIES["q10_filter_project"](spark, SMOKE)
+    pushed = pushed_filters(df)
+    assert any("l_discount" in p or "l_quantity" in p for p in pushed), pushed
+    plan = explain_str(df, "formatted")
+    # pruned read schema: only the 5 referenced columns, not all 11
+    assert "l_returnflag" not in plan
+
+
+def test_q16_broadcasts_dim(spark):
+    plan = explain_str(QUERIES["q16_join_broadcast_parts"](spark, SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_is_take_ordered(spark):
+    plan = explain_str(QUERIES["q17_topk_orders"](spark, SMOKE), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q12_single_agg_exchange(spark):
+    # dims broadcast => shuffles only for the orders⋈customer join + agg
+    df = QUERIES["q12_join_multiway"](spark, SMOKE)
+    assert count_exchanges(df) <= 3
