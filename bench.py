@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared query surface at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end through a noop sink (full compute, no
+driver collect). One tiny warmup query first so JVM/codegen startup
+isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from example_kafkastreams_spark.queries import QUERIES  # noqa: E402
+from example_kafkastreams_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    # warmup: JVM + codegen + parquet footer reads
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        run_noop(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "total_declared_query_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

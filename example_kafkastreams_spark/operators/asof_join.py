@@ -36,12 +36,49 @@ def interval_left_join(
     right_ts: str = "ts",
     lookback_seconds: float = 15.0,
     lookahead_seconds: float = 0.0,
+    bucket_seconds: float | None = None,
+    how: str = "left",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """All-matches interval left join (J1 when lookahead==lookback).
+    """All-matches interval join (J1 when lookahead==lookback).
+
+    With ``bucket_seconds`` set (default: window width), the join is
+    *time-bucketized*: each left row is exploded into the 2-3 epoch
+    buckets its window touches and the bucket id joins as an extra
+    equi-key. Without it, a key×key join compares every pair under the
+    same join keys — quadratic for a hot key whose history spans far
+    more than the window; with it, comparisons are confined to
+    adjacent buckets, so cost is window-local density × rows. Each
+    matching pair still appears exactly once (the right row lives in
+    exactly one bucket).
+
+    Under ``how="left"`` an exploded left row emits one all-NULL right
+    row per unmatched bucket — callers collapse per left row (the
+    as-of ``groupBy``/``max_by`` does; ``max_by`` ignores NULL-ordering
+    rows whenever a real match exists).
 
     Returns (joined, left_aliased, right_aliased); columns are accessed
     via aliases ``l`` / ``r``.
     """
+    if bucket_seconds is None:
+        bucket_seconds = lookback_seconds + lookahead_seconds
+    bucket_us = int(bucket_seconds * 1_000_000)
+    lb_us = int(lookback_seconds * 1_000_000)
+    la_us = int(lookahead_seconds * 1_000_000)
+    if bucket_us > 0:
+        lts_us = F.unix_micros(F.col(left_ts))
+        left = left.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor((lts_us - lb_us) / bucket_us),
+                    F.floor((lts_us + la_us) / bucket_us),
+                )
+            ),
+        )
+        right = right.withColumn(
+            "__bucket", F.floor(F.unix_micros(F.col(right_ts)) / bucket_us)
+        )
+        on = [*on, "__bucket"]
     l = left.alias("l")
     r = right.alias("r")
     cond = F.lit(True)
@@ -53,7 +90,7 @@ def interval_left_join(
         & (rts >= lts - F.expr(f"INTERVAL {lookback_seconds} SECONDS"))
         & (rts <= lts + F.expr(f"INTERVAL {lookahead_seconds} SECONDS"))
     )
-    return l.join(r, cond, "left"), l, r
+    return l.join(r, cond, how), l, r
 
 
 def asof_lookback_left_join(

@@ -47,19 +47,37 @@ def window_start_sql(ts: str = "ts", ms: int = DAY_MS) -> str:
 
 
 def dsum(col: Column, scale: int = 6) -> Column:
-    """Exact sum of a double column with ≤``scale`` decimals: decimal
-    accumulation, double result (identical bits in Spark and DuckDB)."""
-    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+    """Exact sum of a double column with ≤``scale`` decimals.
+
+    Scaled-long accumulation: round(value·10^scale) is within 1 ulp of
+    an integer (the row values have bounded decimals), so the long sum
+    is exact and order-independent; the final long→double conversion
+    and division are single IEEE ops — identical bits in Spark and
+    DuckDB. Long path stays inside whole-stage codegen (a DECIMAL(28,_)
+    sum would fall back to the ~10× slower BigDecimal path).
+
+    Overflow bound: |sum·10^scale| must stay < 2^63 — holds through
+    bench SFs with room; beyond ~1e9 rows of 1e5-magnitude values use
+    DECIMAL and accept the slow path.
+    """
+    factor = 10 ** scale
+    return F.sum(F.round(col * factor).cast("long")).cast("double") / F.lit(
+        float(factor)
+    )
 
 
 def dsum_sql(expr: str, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+    factor = 10 ** scale
+    return (
+        f"CAST(CAST(SUM(CAST(round(({expr}) * {factor}) AS BIGINT)) AS BIGINT)"
+        f" AS DOUBLE) / {factor}.0"
+    )
 
 
 def davg(col: Column, scale: int = 6) -> Column:
-    """Deterministic average: exact decimal sum → double, / count."""
+    """Deterministic average: exact scaled sum → double, / count."""
     return dsum(col, scale) / F.count(col)
 
 
 def davg_sql(expr: str, scale: int = 6) -> str:
-    return f"{dsum_sql(expr, scale)} / COUNT({expr})"
+    return f"({dsum_sql(expr, scale)}) / COUNT({expr})"
