@@ -1,0 +1,341 @@
+"""Dual-dialect (Spark SQL / DuckDB SQL) expression builders.
+
+The LLM-pipeline extension queries (MinHash-LSH, SimHash, n-gram
+Jaccard, embedding cosine, fingerprints) hinge on *hash agreement*
+between the engine and the DuckDB oracle. Every such expression is
+therefore written ONCE here and rendered to both dialects — the two
+sides cannot drift because they share a source of truth.
+
+Portability contract (probed against pyspark 4.1 / duckdb 1.0):
+- ``md5`` produces identical lowercase hex in both engines; min over
+  fixed-length hex strings is a binary-collation lexicographic min in
+  both, i.e. a min over the underlying 128-bit values.
+- Lambda syntax ``x -> expr`` and ``(a, b) -> expr`` is shared; only
+  the surrounding function names differ (``transform``/``list_transform``
+  etc.), which is what these builders abstract.
+- Double arithmetic folds are sequenced identically: Spark's
+  ``aggregate(arr, init, f)`` computes ``f(..f(init, x1).., xn)``;
+  DuckDB's ``list_reduce(list_prepend(init, arr), f)`` computes the
+  same left fold — so IEEE results are bitwise equal.
+- Integer arithmetic (`BIGINT` +, *, %) is exact in both.
+
+Nothing here touches a SparkSession: builders return SQL strings. The
+Spark side wraps them in ``F.expr``; the oracle side splices them into
+the DuckDB query text.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duckdb"
+
+HEX = "0123456789abcdef"
+
+
+def _check(d: str) -> None:
+    if d not in (SPARK, DUCK):
+        raise ValueError(f"unknown dialect {d!r}")
+
+
+# --- array / lambda primitives -------------------------------------------
+
+def split_ws(col: str, d: str) -> str:
+    """Whitespace tokenization (testdata text is single-space joined)."""
+    _check(d)
+    return f"split({col}, ' ')" if d == SPARK else f"string_split({col}, ' ')"
+
+
+def transform_(arr: str, var: str, body: str, d: str) -> str:
+    fn = "transform" if d == SPARK else "list_transform"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def filter_(arr: str, var: str, body: str, d: str) -> str:
+    fn = "filter" if d == SPARK else "list_filter"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def size_(arr: str, d: str) -> str:
+    return f"size({arr})" if d == SPARK else f"len({arr})"
+
+
+def arr_min(arr: str, d: str) -> str:
+    return f"array_min({arr})" if d == SPARK else f"list_min({arr})"
+
+
+def distinct_(arr: str, d: str) -> str:
+    return f"array_distinct({arr})" if d == SPARK else f"list_distinct({arr})"
+
+
+def intersect_(a: str, b: str, d: str) -> str:
+    fn = "array_intersect" if d == SPARK else "list_intersect"
+    return f"{fn}({a}, {b})"
+
+
+def union_size(a: str, b: str, d: str) -> str:
+    """|A ∪ B| for arrays that are already distinct."""
+    if d == SPARK:
+        return f"size(array_union({a}, {b}))"
+    return f"len(list_distinct(list_concat({a}, {b})))"
+
+
+def seq_incl(lo: str, hi: str, d: str) -> str:
+    """Integer sequence lo..hi inclusive; empty when hi < lo.
+
+    Spark's ``sequence(a, b)`` runs *backwards* when b < a, so the
+    caller-side guard is baked in here.
+    """
+    if d == SPARK:
+        return f"sequence({lo}, greatest({hi}, ({lo}) - 1))"
+    return f"range({lo}, ({hi}) + 1)"
+
+
+def at(arr: str, i: str, d: str) -> str:
+    """1-based element access."""
+    return f"element_at({arr}, {i})" if d == SPARK else f"{arr}[{i}]"
+
+
+def slice_(arr: str, start: str, n: int, d: str) -> str:
+    """n elements from 1-based ``start``."""
+    if d == SPARK:
+        return f"slice({arr}, {start}, {n})"
+    return f"list_slice({arr}, {start}, ({start}) + {n - 1})"
+
+
+def join_str(arr: str, sep: str, d: str) -> str:
+    if d == SPARK:
+        return f"concat_ws('{sep}', {arr})"
+    return f"array_to_string({arr}, '{sep}')"
+
+
+def fold(arr: str, init: str, acc: str, x: str, body: str, d: str) -> str:
+    """Left fold with explicit init; identical sequencing both dialects.
+
+    DuckDB constraint: ``list_prepend(init, arr)`` needs init's type to
+    match the element type — fold over a list of the accumulator's
+    type (``transform_`` strings to numbers first)."""
+    if d == SPARK:
+        return f"aggregate({arr}, {init}, ({acc}, {x}) -> {body})"
+    return f"list_reduce(list_prepend({init}, {arr}), ({acc}, {x}) -> {body})"
+
+
+def round_dbl(expr: str, digits: int, d: str) -> str:
+    """round() forced onto the DOUBLE path (DuckDB's decimal round
+    would otherwise change the result type)."""
+    _check(d)
+    return f"round(CAST({expr} AS DOUBLE), {digits})"
+
+
+# --- tokenization / shingling --------------------------------------------
+
+def shingles(text_col: str, n: int, d: str) -> str:
+    """Distinct n-token shingles (space-joined) of ``text_col``."""
+    toks = split_ws(text_col, d)
+    idx = seq_incl("1", f"{size_(toks, d)} - {n - 1}", d)
+    sh = transform_(idx, "i", join_str(slice_(toks, "i", n, d), " ", d), d)
+    return distinct_(sh, d)
+
+
+# --- MinHash --------------------------------------------------------------
+
+def minhash_sig(shingles_expr: str, num_hashes: int, d: str) -> str:
+    """Array of ``num_hashes`` MinHash values.
+
+    Hash family j = md5("j:" || shingle): seeding by prefix gives
+    independent permutations of the shingle space; the min over a
+    shingle set under each is the classic MinHash estimator.
+    """
+    mins = ", ".join(
+        arr_min(transform_(shingles_expr, "s", f"md5(concat('{j}:', s))", d), d)
+        for j in range(num_hashes)
+    )
+    return f"array({mins})" if d == SPARK else f"[{mins}]"
+
+
+def band_key(sig: str, band: int, rows_per_band: int, d: str) -> str:
+    """LSH band key: md5 of the band's concatenated signature rows."""
+    parts = ", ".join(
+        at(sig, str(band * rows_per_band + r + 1), d) for r in range(rows_per_band)
+    )
+    return f"md5(concat({parts}))"
+
+
+def sig_agreement(sig_a: str, sig_b: str, num_hashes: int, d: str) -> str:
+    """Estimated Jaccard: fraction of agreeing signature components."""
+    idx = seq_incl("1", str(num_hashes), d)
+    agree = size_(
+        filter_(idx, "i", f"{at(sig_a, 'i', d)} = {at(sig_b, 'i', d)}", d), d
+    )
+    return f"{agree} / {float(num_hashes)}"
+
+
+# --- SimHash --------------------------------------------------------------
+
+def _nibble(h: str, hex_pos: int) -> str:
+    """Value 0..15 of hex digit ``hex_pos`` (1-based) of hex string h —
+    instr/substr arithmetic shared verbatim by both dialects."""
+    return f"(instr('{HEX}', substr({h}, {hex_pos}, 1)) - 1)"
+
+
+def simhash32(text_col: str, d: str) -> str:
+    """32-bit SimHash over whitespace tokens (term-frequency weighted).
+
+    Classic scheme: each token votes ±1 on every bit of its 32-bit
+    hash (here: the first 8 hex digits of md5); bit b of the result is
+    1 iff the weighted vote is positive. Token repeats keep their
+    multiplicity — that IS the tf weighting. Strict majority (ties →
+    0) keeps the expression engine-identical.
+
+    Column-expression formulation: per bit b,
+      set_b = |{tokens whose hash has bit b set}|  (counting repeats)
+      vote_b = 2*set_b - n  >  0   ⇔   bit b = 1.
+    """
+    toks = split_ws(text_col, d)
+    hashes = transform_(toks, "t", "md5(t)", d)
+    n = size_(toks, d)
+    terms = []
+    for b in range(32):
+        hex_pos = b // 4 + 1
+        p = 2 ** (b % 4)
+        bit = f"CAST(floor({_nibble('h', hex_pos)} / {p}) AS INT) % 2 = 1"
+        set_b = size_(filter_(hashes, "h", bit, d), d)
+        terms.append(
+            f"(CASE WHEN 2 * {set_b} > {n} THEN {2 ** b} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# --- token hashing / fingerprints ----------------------------------------
+
+def token_hash32(var: str) -> str:
+    """BIGINT value of the first 8 hex digits of md5(var) — an unrolled
+    base-16 sum, dialect-identical."""
+    terms = [
+        f"CAST({_nibble(f'md5({var})', i + 1)} AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(text_col: str, d: str) -> str:
+    """Order-sensitive document fingerprint: left-fold polynomial hash
+    acc = (acc*31 + hash32(token)) mod 1e9+7 over the token stream.
+
+    Unlike the MinHash/SimHash set sketches this is sensitive to token
+    ORDER — two docs with the same bag of words but different order
+    fingerprint differently. Overflow-safe: acc < 1e9+7, token hash
+    < 2^32, so acc*31 + h < 2^40 « 2^63.
+    """
+    toks = split_ws(text_col, d)
+    hashes = transform_(toks, "t", token_hash32("t"), d)
+    body = f"(acc * 31 + x) % {FINGERPRINT_MOD}"
+    return fold(hashes, "CAST(0 AS BIGINT)", "acc", "x", body, d)
+
+
+# --- vector math ----------------------------------------------------------
+
+def dot(a: str, b: str, d: str) -> str:
+    """Σ aᵢ·bᵢ as an identical left fold in double precision.
+
+    float→double is exact; products and the fold sequence are the same
+    IEEE ops in both engines, so results are bitwise equal (no rounding
+    tolerance needed downstream).
+    """
+    if d == SPARK:
+        prods = (
+            f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+        )
+    else:
+        idx = seq_incl("1", f"len({a})", d)
+        prods = transform_(
+            idx, "i", f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)", d
+        )
+    return fold(prods, "CAST(0 AS DOUBLE)", "acc", "x", "acc + x", d)
+
+
+def cosine(a: str, b: str, d: str) -> str:
+    return f"({dot(a, b, d)}) / sqrt(({dot(a, a, d)}) * ({dot(b, b, d)}))"
+
+
+def vec_literal(values: list[float], d: str) -> str:
+    body = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in values)
+    return f"array({body})" if d == SPARK else f"[{body}]"
+
+
+def hyperplane_bucket(vec: str, planes: list[list[float]], d: str) -> str:
+    """Sign-random-projection LSH bucket id: bit p = (vec · plane_p) > 0.
+
+    Planes are Python-side literals (seeded PRNG), spliced into both
+    dialects — the "randomness" is shared by construction.
+    """
+    terms = [
+        f"(CASE WHEN ({dot(vec, vec_literal(pl, d), d)}) > 0"
+        f" THEN {2 ** p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+# --- text heuristics ------------------------------------------------------
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. On real corpora these separate languages sharply; the
+# synthetic testdata's five "languages" share one English-ish
+# vocabulary, so predictions there collapse to the tie-break order —
+# deterministic, oracle-checkable, and honest about the data.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "es": ("el", "los", "las", "una", "es", "y", "que"),
+    "fr": ("le", "les", "des", "et", "est", "une", "dans"),
+    "zh": (),  # scored by CJK characters instead — see lang_scores
+}
+
+CJK_CLASS = "[一-鿿]"  # literal codepoint range: portable across Java/RE2
+
+
+def lang_scores(text_col: str, d: str) -> dict[str, str]:
+    toks = split_ws(text_col, d)
+    scores: dict[str, str] = {}
+    for lang, markers in LANG_MARKERS.items():
+        if markers:
+            inlist = ", ".join(f"'{m}'" for m in markers)
+            scores[lang] = size_(filter_(toks, "t", f"t IN ({inlist})", d), d)
+        else:
+            scores[lang] = (
+                f"size(regexp_extract_all({text_col}, '{CJK_CLASS}', 0))"
+                if d == SPARK
+                else f"len(regexp_extract_all({text_col}, '{CJK_CLASS}'))"
+            )
+    return scores
+
+
+def lang_predict(score_cols: dict[str, str]) -> str:
+    """CASE chain over per-language score columns; ties resolve to the
+    earlier language in LANG_MARKERS order (dialect-identical)."""
+    langs = list(LANG_MARKERS)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        others = langs[i + 1 :]
+        cond = " AND ".join(
+            f"{score_cols[lang]} >= {score_cols[o]}" for o in others
+        )
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single other
+# non-space glyphs — the shape GPT-style byte-pair pre-splitters use,
+# restricted to constructs Java regex and RE2 share.
+BPE_PATTERN = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def regexp_count(text_col: str, pattern: str, d: str) -> str:
+    if d == SPARK:
+        return f"size(regexp_extract_all({text_col}, '{pattern}', 0))"
+    return f"len(regexp_extract_all({text_col}, '{pattern}'))"

@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (array<float>).
+
+North-star extension (SURVEY.md §2.9): approximate-nearest-neighbor
+over `embeddings.embedding` (64-dim float vectors).
+
+Two tiers, mirroring what a 100 TB pipeline runs:
+
+- ``brute_force_knn`` — exact cosine top-k. The QUERY set is the small
+  side and is broadcast; the corpus streams through scan→(broadcast
+  nested loop)→partial top-k. No shuffle of the corpus: the only
+  exchange is the final per-query k-row aggregation. This is the
+  correctness baseline and is the right physical plan whenever
+  |queries| is small — cost |corpus|·|queries| map work, perfectly
+  parallel.
+- ``lsh_ann`` — sign-random-projection LSH: both sides bucket by the
+  sign pattern of dot products against shared hyperplanes; candidates
+  are an equi-join on the bucket id, so work scales with bucket
+  collision counts. Planes are Python literals from a seeded PRNG and
+  are spliced into both the Spark plan and the DuckDB oracle, so
+  "random" is reproducible across engines.
+
+All vector math is double-precision left folds from
+``functions.portable`` — bitwise identical in Spark and DuckDB, so
+ranking (and therefore top-k membership) matches exactly with ties
+broken on vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..functions import portable as P
+
+ANN_SEED = 42
+
+
+def hyperplanes(num_planes: int = 4, dim: int = 64, seed: int = ANN_SEED) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes, rounded so the SQL literals
+    round-trip exactly through both engines' float parsers."""
+    rs = np.random.RandomState(seed)
+    return [
+        [round(float(v), 6) for v in row]
+        for row in rs.standard_normal((num_planes, dim))
+    ]
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    return P.round_dbl(P.cosine(a, b, P.SPARK), 6, P.SPARK)
+
+
+def brute_force_knn(
+    emb: DataFrame,
+    num_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for query vectors (id < num_queries).
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ordered
+    by raw double cosine desc with neighbor_id tiebreak.
+    """
+    q = emb.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    win = W.partitionBy("query_id").orderBy(
+        F.expr(P.cosine("qv", "cv", P.SPARK)).desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("knn_rank", F.row_number().over(win))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_cosine_expr("qv", "cv")).alias("cosine"),
+            "knn_rank",
+        )
+    )
+
+
+def with_bucket(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(P.hyperplane_bucket(vec_col, planes, P.SPARK)).alias("bucket"),
+    )
+
+
+def lsh_ann(
+    emb: DataFrame,
+    num_queries: int = 8,
+    k: int = 3,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket.
+
+    Recall < 1 by construction (single-probe); at scale one adds
+    multi-probe (flip one plane bit) or more tables — same join shape.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    planes = planes or hyperplanes()
+    b = with_bucket(emb, planes, id_col, vec_col)
+    q = b.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    c = b.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("bucket"),
+    )
+    win = W.partitionBy("query_id").orderBy(
+        F.expr(P.cosine("qv", "cv", P.SPARK)).desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("knn_rank", F.row_number().over(win))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_cosine_expr("qv", "cv")).alias("cosine"),
+            "knn_rank",
+        )
+    )
+
+
+def bucketed_similar_pairs(
+    emb: DataFrame,
+    top_n: int = 20,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: the ``top_n`` most similar
+    same-bucket pairs (vec_a < vec_b).
+
+    The bucket equi-join replaces the |corpus|² comparison — at scale
+    the global top-n is a cheap final reduction over per-bucket
+    partial top-ns (Spark's TakeOrderedAndProject does exactly this).
+    """
+    planes = planes or hyperplanes()
+    b = with_bucket(emb, planes, id_col, vec_col)
+    l = b.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.col("bucket"),
+    )
+    r = b.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    return (
+        l.join(
+            r,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(_cosine_expr("va", "vb")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
+        .limit(top_n)
+    )

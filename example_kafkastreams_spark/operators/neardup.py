@@ -1,0 +1,303 @@
+"""Document deduplication at scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+North-star extensions (SURVEY.md §2.9) — not in the reference (its
+dedup is keyed-event dedup, ClickstreamJoinExample.scala:243-257);
+these are the content-similarity dedup stages an LLM training-data
+pipeline runs over a `documents` corpus.
+
+Scale design (the point — correctness is checked at sf0.01, the shape
+must hold at 100 TB):
+
+- Exact dedup hashes the full text per row map-side and groups on the
+  16-byte digest — the shuffle carries (digest, id), never the text.
+- MinHash+LSH: signatures are computed scan-side (one pass per doc,
+  no shuffle); docs then explode to `bands` rows (small constant) and
+  shuffle on the *band key* — candidate generation is an equi-join on
+  band buckets, so comparisons scale with collisions, not with |docs|².
+  Verification (signature agreement / exact Jaccard) touches only
+  candidate pairs.
+- SimHash is a pure map (one 64-dim-ish bit vote per doc); near-dup
+  pairs again go through band buckets (here: the 4 bytes of the hash)
+  rather than all-pairs.
+- All hashing is md5-based and expressed through
+  ``functions.portable`` so the DuckDB oracle runs the *same* bits.
+
+Every expression stays JVM-side (Catalyst higher-order functions —
+no Python in the per-doc path). A Pandas-UDF fast path exists for
+SimHash (`simhash32_pandas`) as the Arrow-vectorized escape hatch;
+tests pin it equal to the expression version.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
+
+from ..functions import portable as P
+
+# --- exact dedup ----------------------------------------------------------
+
+
+def exact_text_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact content dedup: one survivor (min id) per distinct text.
+
+    GroupBy on md5(text): the exchange carries 32 hex chars + the id
+    per row instead of the document body; partial aggregation collapses
+    duplicate-heavy partitions before the shuffle.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+
+def with_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig) — MinHash signature over distinct n-token shingles."""
+    sh = P.shingles(text_col, shingle_n, P.SPARK)
+    sig = P.minhash_sig(sh, num_hashes, P.SPARK)
+    return docs.select(F.col(id_col), F.expr(sig).alias("sig"))
+
+
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Explode signatures to (id, band_idx, band_key) bucket rows."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(P.band_key("sig", b, rows_per_band, P.SPARK)).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(
+        F.col(id_col), F.explode(entries).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
+
+    candidate generation: equi-self-join on (band_idx, band_key) — a
+    pair is compared iff it collides in ≥1 band (probability
+    1-(1-j^r)^b, the LSH S-curve). Estimated Jaccard = signature
+    agreement fraction, computed only for candidates.
+
+    Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig_df = with_minhash(docs, id_col, text_col, num_hashes, shingle_n)
+    bands_df = lsh_bands(sig_df, id_col, bands, rows_per_band)
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig_df.select(
+        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sb = sig_df.select(
+        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                P.round_dbl(
+                    P.sig_agreement("sig_a", "sig_b", num_hashes, P.SPARK),
+                    6,
+                    P.SPARK,
+                )
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    candidate_threshold: float = 0.25,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard, evaluated only on LSH candidates.
+
+    The two-stage shape is the 100 TB design: LSH prunes |docs|² down
+    to collision pairs, exact set intersection confirms. Output
+    (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    """
+    cand = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes, bands, shingle_n,
+        threshold=candidate_threshold,
+    ).select("doc_a", "doc_b")
+    sh = docs.select(
+        F.col(id_col),
+        F.expr(P.shingles(text_col, shingle_n, P.SPARK)).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        f"{P.size_(P.intersect_('sh_a', 'sh_b', P.SPARK), P.SPARK)}"
+        f" / {P.union_size('sh_a', 'sh_b', P.SPARK)}"
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(P.round_dbl(jac, 6, P.SPARK)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+def with_simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — 32-bit tf-weighted SimHash fingerprint."""
+    return docs.select(
+        F.col(id_col),
+        F.expr(P.simhash32(text_col, P.SPARK)).alias("simhash"),
+    )
+
+
+def simhash32_pandas(text: pd.Series) -> pd.Series:
+    """Arrow-vectorized SimHash — the scale path when the 32×filter
+    expression tree becomes the bottleneck. Bit-identical to
+    ``portable.simhash32`` (tests pin this)."""
+    out = np.empty(len(text), dtype=np.int64)
+    for row, doc in enumerate(text):
+        toks = doc.split(" ")
+        votes = np.zeros(32, dtype=np.int64)
+        for t in toks:
+            h = int.from_bytes(
+                hashlib.md5(t.encode()).digest()[:4], byteorder="big"
+            )
+            # digest[:4] big-endian == first 8 hex digits; bit b of the
+            # expression version reads nibble b//4, bit b%4 (LSB first
+            # within the nibble) — replicate exactly.
+            for b in range(32):
+                nib = (h >> (28 - 4 * (b // 4))) & 0xF
+                votes[b] += 1 if (nib >> (b % 4)) & 1 else -1
+        sh = 0
+        for b in range(32):
+            if votes[b] > 0:
+                sh |= 1 << b
+        out[row] = sh
+    return pd.Series(out)
+
+
+simhash32_udf = F.pandas_udf(simhash32_pandas, T.LongType())
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation via the 4-byte band trick: two 32-bit hashes
+    within Hamming distance 3 share at least one identical byte
+    (pigeonhole over 4 bands); we band on all 4 bytes and verify the
+    true distance with bit_count(xor). For the looser default radius
+    the byte-band is a high-recall prefilter of the same shape used at
+    scale (more/wider bands tighten the guarantee).
+    """
+    sh = with_simhash(docs, id_col, text_col)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(
+                            f"CAST(floor(simhash / {256 ** i}) AS BIGINT) % 256"
+                        ).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(simhash_a ^ simhash_b)"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,453 @@
+"""LLM training-data pipeline extensions (SURVEY.md §2.9) — q4x/q5x.
+
+Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force + LSH ANN), text analysis (lang-ID,
+quality, token stats, fingerprints), multimodal decode plumbing.
+
+Every oracle here is generated from the SAME expression source as the
+Spark plan (``functions.portable`` dual-dialect builders), so hash
+agreement is by construction: md5-based sketches, left-fold double
+vector math, and integer fingerprints are bit-identical across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load_table
+from .functions import portable as P
+from .operators import knn as KNN
+from .operators import multimodal as MM
+from .operators import neardup as ND
+from .registry import query
+
+D = P.DUCK
+
+# Shared sketch parameters (Spark ops defaults must match).
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_N = 3
+
+
+# --- q40: exact dedup (hash-groupBy) --------------------------------------
+
+@query(
+    "q40_dedup_exact_text",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: survivor id + copy count per distinct text."""
+    return ND.exact_text_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --- q41: MinHash + LSH near-dup pairs ------------------------------------
+
+def _sig_cte(d: str) -> str:
+    sh = P.shingles("text", SHINGLE_N, d)
+    return f"SELECT doc_id, {P.minhash_sig(sh, NUM_HASHES, d)} AS sig FROM documents"
+
+
+def _bands_cte(d: str) -> str:
+    parts = [
+        f"SELECT doc_id, {b} AS band_idx,"
+        f" {P.band_key('sig', b, ROWS_PER_BAND, d)} AS band_key FROM sig"
+        for b in range(BANDS)
+    ]
+    return " UNION ALL ".join(parts)
+
+_CAND_SQL = """
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+"""
+
+_PAIRSIG_SQL = """
+  SELECT c.doc_a, c.doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+"""
+
+
+def _minhash_pairs_sql(threshold: float) -> str:
+    est = P.round_dbl(P.sig_agreement("sig_a", "sig_b", NUM_HASHES, D), 6, D)
+    return f"""
+    WITH sig AS ({_sig_cte(D)}),
+    bands AS ({_bands_cte(D)}),
+    cand AS ({_CAND_SQL}),
+    pairsig AS ({_PAIRSIG_SQL})
+    SELECT * FROM (
+      SELECT doc_a, doc_b, {est} AS est_jaccard FROM pairsig
+    ) WHERE est_jaccard >= {threshold}
+    """
+
+
+@query("q41_dedup_minhash_lsh", oracle=_minhash_pairs_sql(0.5))
+def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: 12-hash MinHash, 4-band LSH, est. Jaccard ≥ 0.5."""
+    return ND.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+        threshold=0.5,
+    )
+
+
+# --- q42: SimHash fingerprint ---------------------------------------------
+
+@query(
+    "q42_dedup_simhash",
+    oracle=f"SELECT doc_id, {P.simhash32('text', D)} AS simhash FROM documents",
+)
+def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit tf-weighted SimHash per document (column-expression path)."""
+    return ND.with_simhash(load_table(spark, sf_dir, "documents"))
+
+
+# --- q43: SimHash near-dup pairs (byte-band + Hamming verify) -------------
+
+def _simhash_bands_sql() -> str:
+    parts = [
+        f"SELECT doc_id, simhash, {i} AS band_idx,"
+        f" CAST(floor(simhash / {256 ** i}) AS BIGINT) % 256 AS band_val FROM sh"
+        for i in range(4)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "q43_dedup_simhash_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {P.simhash32('text', D)} AS simhash FROM documents
+    ),
+    bands AS ({_simhash_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS simhash_a, b.simhash AS simhash_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(simhash_a, simhash_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(simhash_a, simhash_b)) <= 3
+    """,
+)
+def q43_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band candidates, Hamming ≤ 3."""
+    return ND.simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+# --- q44: exact n-gram Jaccard on LSH candidates --------------------------
+
+@query(
+    "q44_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sig AS ({_sig_cte(D)}),
+    bands AS ({_bands_cte(D)}),
+    cand0 AS ({_CAND_SQL}),
+    pairsig AS (
+      SELECT c.doc_a, c.doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+      FROM cand0 c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    cand AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               {P.round_dbl(P.sig_agreement('sig_a', 'sig_b', NUM_HASHES, D), 6, D)} AS est
+        FROM pairsig
+      ) WHERE est >= 0.25
+    ),
+    shn AS (
+      SELECT doc_id, {P.shingles('text', SHINGLE_N, D)} AS sh FROM documents
+    )
+    SELECT * FROM (
+      SELECT c.doc_a, c.doc_b,
+             {P.round_dbl(
+                 P.size_(P.intersect_('a.sh', 'b.sh', D), D)
+                 + ' / ' + P.union_size('a.sh', 'b.sh', D), 6, D)} AS jaccard
+      FROM cand c
+      JOIN shn a ON a.doc_id = c.doc_a
+      JOIN shn b ON b.doc_id = c.doc_b
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q44_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.5, evaluated only on LSH candidates —
+    the prune-then-verify shape that survives 100 TB."""
+    return ND.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+        candidate_threshold=0.25, threshold=0.5,
+    )
+
+
+# --- q45/q46/q47: similarity search over embeddings -----------------------
+
+_PLANES = KNN.hyperplanes()
+
+
+@query(
+    "q45_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+    ), j AS (
+      SELECT query_id, neighbor_id, {P.cosine('qv', 'cv', D)} AS cos_raw
+      FROM c, q WHERE neighbor_id <> query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS knn_rank
+      FROM j
+    )
+    SELECT query_id, neighbor_id, {P.round_dbl('cos_raw', 6, D)} AS cosine,
+           knn_rank
+    FROM r WHERE knn_rank <= 5
+    """,
+)
+def q45_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 query vectors (broadcast query side)."""
+    return KNN.brute_force_knn(
+        load_table(spark, sf_dir, "embeddings"), num_queries=8, k=5
+    )
+
+
+def _bucket_cte(d: str) -> str:
+    return (
+        f"SELECT vec_id, embedding,"
+        f" {P.hyperplane_bucket('embedding', _PLANES, d)} AS bucket"
+        f" FROM embeddings"
+    )
+
+
+@query(
+    "q46_ann_lsh",
+    oracle=f"""
+    WITH b AS ({_bucket_cte(D)}),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+      FROM b WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b
+    ), j AS (
+      SELECT query_id, neighbor_id, {P.cosine('qv', 'cv', D)} AS cos_raw
+      FROM c JOIN q ON c.bucket = q.qbucket AND c.neighbor_id <> q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS knn_rank
+      FROM j
+    )
+    SELECT query_id, neighbor_id, {P.round_dbl('cos_raw', 6, D)} AS cosine,
+           knn_rank
+    FROM r WHERE knn_rank <= 3
+    """,
+)
+def q46_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 within the query's sign-projection LSH bucket."""
+    return KNN.lsh_ann(
+        load_table(spark, sf_dir, "embeddings"),
+        num_queries=8, k=3, planes=_PLANES,
+    )
+
+
+@query(
+    "q47_embedding_neardup",
+    oracle=f"""
+    WITH b AS ({_bucket_cte(D)}),
+    p AS (
+      SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+             {P.round_dbl(P.cosine('l.embedding', 'r.embedding', D), 6, D)} AS cosine
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM p
+    ORDER BY cosine DESC, vec_a, vec_b LIMIT 20
+    """,
+)
+def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most cosine-similar same-bucket embedding pairs."""
+    return KNN.bucketed_similar_pairs(
+        load_table(spark, sf_dir, "embeddings"), top_n=20, planes=_PLANES
+    )
+
+
+# --- q48: language identification -----------------------------------------
+
+def _langid_select(d: str) -> str:
+    scores = P.lang_scores("text", d)
+    cols = ", ".join(f"{expr} AS score_{lang}" for lang, expr in scores.items())
+    return f"SELECT doc_id, lang, {cols} FROM documents"
+
+
+@query(
+    "q48_lang_id",
+    oracle=f"""
+    WITH s AS ({_langid_select(D)})
+    SELECT doc_id, lang,
+           {P.lang_predict({l: f'score_{l}' for l in P.LANG_MARKERS})} AS pred_lang
+    FROM s
+    """,
+)
+def q48_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/CJK-marker language ID (n-gram heuristic).
+
+    The synthetic corpus shares one vocabulary across its `lang`
+    labels, so predictions collapse to the tie-break — deterministic
+    and honest; on real text the marker profiles separate languages.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scores = P.lang_scores("text", P.SPARK)
+    with_scores = docs.select(
+        "doc_id", "lang",
+        *[F.expr(e).alias(f"score_{lang}") for lang, e in scores.items()],
+    )
+    pred = P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})
+    return with_scores.select(
+        "doc_id", "lang", F.expr(pred).alias("pred_lang")
+    )
+
+
+# --- q49: quality scoring -------------------------------------------------
+
+def _quality_exprs(d: str) -> dict[str, str]:
+    toks = P.split_ws("text", d)
+    n = P.size_(toks, d)
+    n_dist = P.size_(P.distinct_(toks, d), d)
+    stop_list = ", ".join(f"'{w}'" for w in P.STOPWORDS)
+    n_stop = P.size_(P.filter_(toks, "t", f"t IN ({stop_list})", d), d)
+    len_sum = P.fold(
+        P.transform_(toks, "t", "length(t)", d),
+        "CAST(0 AS BIGINT)", "acc", "x", "acc + x", d,
+    )
+    return {
+        "n_tokens": n,
+        "distinct_ratio": P.round_dbl(f"CAST({n_dist} AS DOUBLE) / {n}", 6, d),
+        "stopword_ratio": P.round_dbl(f"CAST({n_stop} AS DOUBLE) / {n}", 6, d),
+        "avg_token_len": P.round_dbl(f"CAST({len_sum} AS DOUBLE) / {n}", 6, d),
+        "quality_score": P.round_dbl(
+            f"CAST(0.4 AS DOUBLE) * (CAST({n_dist} AS DOUBLE) / {n})"
+            f" + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE)"
+            f"   - CAST({n_stop} AS DOUBLE) / {n})"
+            f" + CAST(0.3 AS DOUBLE) * least(CAST({n} AS DOUBLE)"
+            f"   / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))",
+            6, d,
+        ),
+    }
+
+
+@query(
+    "q49_quality_score",
+    oracle="SELECT doc_id, "
+    + ", ".join(f"{e} AS {name}" for name, e in _quality_exprs(D).items())
+    + " FROM documents",
+)
+def q49_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality heuristics: lexical diversity, stopword ratio,
+    token length, composite score — all JVM-side column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    exprs = _quality_exprs(P.SPARK)
+    return docs.select(
+        "doc_id", *[F.expr(e).alias(name) for name, e in exprs.items()]
+    )
+
+
+# --- q50: token counting (whitespace + BPE-ish regex) ---------------------
+
+def _tokstats_exprs(d: str) -> dict[str, str]:
+    toks = P.split_ws("text", d)
+    return {
+        "ws_tokens": P.size_(toks, d),
+        "bpe_tokens": P.regexp_count("text", P.BPE_PATTERN, d),
+        "chars": "length(text)",
+    }
+
+
+@query(
+    "q50_token_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           SUM(CAST({_tokstats_exprs(D)['ws_tokens']} AS BIGINT)) AS total_ws_tokens,
+           SUM(CAST({_tokstats_exprs(D)['bpe_tokens']} AS BIGINT)) AS total_bpe_tokens,
+           SUM(CAST(length(text) AS BIGINT)) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens vs BPE-ish
+    pre-tokenizer matches vs chars (integer sums — order-exact)."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = _tokstats_exprs(P.SPARK)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr(e["ws_tokens"]).cast("long")).alias("total_ws_tokens"),
+            F.sum(F.expr(e["bpe_tokens"]).cast("long")).alias("total_bpe_tokens"),
+            F.sum(F.expr(e["chars"]).cast("long")).alias("total_chars"),
+        )
+    )
+
+
+# --- q51: document fingerprint (rolling hash) -----------------------------
+
+@query(
+    "q51_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {P.rolling_fingerprint('text', D)} AS fingerprint
+    FROM documents
+    """,
+)
+def q51_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint of the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(P.rolling_fingerprint("text", P.SPARK)).alias("fingerprint"),
+    )
+
+
+# --- q52: multimodal decode plumbing --------------------------------------
+
+@query(
+    "q52_multimodal_decode",
+    oracle=f"""
+    SELECT doc_id,
+           'image/fake' AS mime,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST({P.fold(
+               P.transform_("regexp_extract_all(text, '.')", "c",
+                            "CAST(ord(c) AS BIGINT)", D),
+               "CAST(0 AS BIGINT)", "acc", "x", "acc + x", D)}
+             AS BIGINT) AS byte_sum,
+           CAST(64 + strlen(text) % 577 AS BIGINT) AS width,
+           CAST(64 + (strlen(text) * 31) % 577 AS BIGINT) AS height,
+           CAST(1 + strlen(text) % 7 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def q52_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → Arrow → pandas decode round trip.
+
+    The Spark side REALLY moves bytes through mapInPandas (the
+    byte_sum checksum proves the payload crossed); the codec itself is
+    a deterministic fake (real decode is import-gated, see
+    operators.multimodal). Oracle recomputes the same stats from the
+    text (ASCII ⇒ codepoints == bytes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_images(MM.attach_payload(docs))

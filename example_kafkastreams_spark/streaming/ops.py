@@ -1,0 +1,174 @@
+"""Streaming operators (SURVEY.md §7 phase 4) — the reference's two
+topologies as Structured Streaming dataflows.
+
+| reference                                  | here                          |
+|--------------------------------------------|-------------------------------|
+| windowed dedup DSL (A1)                    | windowed_dedup_stream         |
+| emission-anchored dedup Processor API (A2) | dedup_emission_anchored_stream|
+| retention / store TTL                      | withWatermark                 |
+| windowed stream-stream left join (J1/J2)   | interval_left_join_stream     |
+| approx dedup-within-retention              | dedup_within_watermark        |
+
+State-bound notes (the 100 TB concern): every operator declares a
+watermark, which is exactly the reference's store retention
+(ClickstreamJoinExample.scala:230-231,247-250) — state is evicted when
+event time passes, so steady-state footprint is (distinct keys in the
+retention horizon) × O(1), independent of stream length. The
+stream-stream join keys include the equi-columns, so Spark partitions
+both sides identically — one exchange per side, the same property the
+reference hand-builds with co-partitioned topics (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    window_duration: str = "5 seconds",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """A1 streaming: first record per (keys, tumbling window).
+
+    ``min_by(struct(*), (ts, keys…))`` under a windowed aggregate —
+    identical expression to the batch ``dedup_tumbling_window``, so
+    batch and stream agree record-for-record once windows finalize.
+    Watermark = the reference's 2×window retention.
+    """
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    ordering = F.struct(F.col(ts_col), *[F.col(k) for k in keys])
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        .agg(F.min_by(payload, ordering).alias("first_rec"))
+        .select(F.col("window.start").alias("window_start"), F.col("first_rec.*"))
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "15 seconds",
+) -> DataFrame:
+    """Built-in approximation of A2: drop a record if the same key was
+    seen within the watermark horizon (state = emitted keys, evicted by
+    watermark — the reference's emit-branch-only ``put``,
+    DeduplicationExample.scala:137-140)."""
+    return df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def interval_left_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "pv_ts",
+    lookback_seconds: int = 15,
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """J2 streaming: look-back interval LEFT OUTER stream-stream join.
+
+    right matches left when keys agree and right_ts ∈ [left_ts − w,
+    left_ts]. Unmatched left rows emit with NULL right columns once the
+    watermark passes (Spark holds them exactly as the reference's
+    window store holds candidates until retention expires).
+
+    Note: emits ALL matches in the window (J1 multiplicity). The
+    reference's first-match-wins refinement (J2) is a per-left-row
+    ``min_by`` on top; in streaming that requires a stateful stage —
+    see the batch ``asof_lookback_left_join`` for the canonical
+    semantics the oracle checks.
+    """
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    key_cond = " AND ".join(f"l.{k} = r.{k}" for k in on)
+    cond = F.expr(
+        f"{key_cond} AND r.{right_ts} >= l.{left_ts}"
+        f" - INTERVAL {lookback_seconds} SECONDS"
+        f" AND r.{right_ts} <= l.{left_ts}"
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, "leftOuter")
+
+
+def dedup_emission_anchored_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    window_seconds: float = 15.0,
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """A2 exact semantics (DeduplicationExample.scala:126-142) as a
+    custom stateful operator: per key, emit iff nothing was EMITTED in
+    the trailing window; emitting re-anchors.
+
+    ``applyInPandasWithState``: one shuffle on ``keys``; state per key
+    is a single long (last emission epoch-µs) — the minimal state the
+    reference stores (put only in the emit branch). EVENT-time timeout
+    = the reference's store retention: a key's state is reaped once the
+    watermark passes last_emit + window (timeouts ride the watermark,
+    so no idle micro-batch spinning — a processing-time timeout would
+    keep the query re-triggering forever). Records are processed in
+    event-time order within each micro-batch (the reference processes
+    arrival order; its generator is in-order per key).
+    """
+    out_schema = df.schema
+    state_schema = T.StructType(
+        [T.StructField("last_emit_us", T.LongType())]
+    )
+    win_us = int(window_seconds * 1_000_000)
+    col_order = [f.name for f in df.schema.fields]
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                [ts_col] + [c for c in pdf.columns if c != ts_col],
+                kind="mergesort",
+            )
+            # normalize to µs regardless of pandas datetime unit
+            ts_us = (
+                pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            keep = []
+            for i in range(len(pdf)):
+                if last is None or ts_us[i] - last > win_us:
+                    keep.append(i)
+                    last = int(ts_us[i])
+            if keep:
+                yield pdf.iloc[keep][col_order]
+        if last is not None:
+            state.update((last,))
+            # retention: reap once the watermark passes the window
+            expiry_ms = last // 1000 + win_us // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(expiry_ms, state.getCurrentWatermarkMs() + 1)
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,267 @@
+"""Golden-sequence streaming tests (SURVEY.md §5 strategy item 3).
+
+The reference's only test corpus is its scripted generators with
+documented expected behavior (ClickstreamJoinExample.scala:126-158,
+DeduplicationExample.scala:74-93). Each sequence is re-created as
+timestamped micro-batches through a file-backed stream and asserted
+against the memory sink, covering: windowed dedup (A1), emission-
+anchored dedup exact semantics (A2, applyInPandasWithState), the
+look-back stream-stream left outer join (J2), and Kafka record
+parsing (S1) without a broker.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from example_kafkastreams_spark.streaming.ops import (
+    dedup_emission_anchored_stream,
+    dedup_within_watermark,
+    interval_left_join_stream,
+    windowed_dedup_stream,
+)
+from example_kafkastreams_spark.streaming.sources import (
+    file_stream,
+    parse_kafka_records,
+    start_memory_sink,
+)
+
+EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def at(seconds: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(seconds=seconds)
+
+
+DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+# DeduplicationExample.scala:74-93 — same key at +0/+1/+3/+7/+17 s;
+# 15 s emission-anchored window ⇒ emitted at 0 and 17 only.
+DEDUP_GOLDEN = [
+    ("001", "v0", at(0.0)),
+    ("001", "v1", at(1.0)),
+    ("001", "v3", at(3.0)),
+    ("001", "v7", at(7.0)),
+    ("001", "v17", at(17.0)),
+]
+
+
+def write_batches(spark, path: str, schema, batches) -> None:
+    """One parquet file per micro-batch, mtime-ordered so the file
+    source replays them in sequence."""
+    import glob
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    for i, rows in enumerate(batches):
+        f = os.path.join(path, f"batch_{i:03d}.parquet")
+        tmp_dir = f + ".tmpdir"
+        # Spark writes a directory; the file source wants plain files —
+        # lift the single part file out.
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_dir)
+        [part] = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+        os.rename(part, f)
+        shutil.rmtree(tmp_dir)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+
+
+def run_to_memory(spark, df, name: str, tmp, output_mode="append"):
+    import time
+
+    q = start_memory_sink(df, name, str(tmp / f"ckpt_{name}"), output_mode)
+    q.processAllAvailable()
+    # allow the no-data micro-batch that finalizes watermark-bounded
+    # state (append-mode windows, outer-join NULL emission) to run
+    time.sleep(2)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_parse_kafka_records(spark):
+    value_schema = T.StructType(
+        [
+            T.StructField("pv_id", T.StringType()),
+            T.StructField("ev_id", T.StringType()),
+        ]
+    )
+    raw = spark.createDataFrame(
+        [
+            (b"bob", b'{"pv_id": "pv1", "ev_id": "ev0"}', at(0.1)),
+        ],
+        T.StructType(
+            [
+                T.StructField("key", T.BinaryType()),
+                T.StructField("value", T.BinaryType()),
+                T.StructField("timestamp", T.TimestampType()),
+            ]
+        ),
+    )
+    row = parse_kafka_records(raw, value_schema).collect()[0]
+    assert (row.key, row.pv_id, row.ev_id, row.ts) == (
+        "bob", "pv1", "ev0", at(0.1).replace(tzinfo=None),
+    )
+
+
+def test_emission_anchored_stream_golden(spark, tmp_path):
+    # split across micro-batches: state must carry the 0 s anchor so
+    # +1/+3/+7 stay suppressed in batch 2 and +17 re-emits.
+    src = str(tmp_path / "in_a2")
+    write_batches(
+        spark, src, DEDUP_SCHEMA, [DEDUP_GOLDEN[:2], DEDUP_GOLDEN[2:]]
+    )
+    stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+    out = dedup_emission_anchored_stream(
+        stream, keys=["k"], ts_col="ts", window_seconds=15.0
+    )
+    got = run_to_memory(spark, out, "a2_golden", tmp_path)
+    assert sorted(r.v for r in got.collect()) == ["v0", "v17"]
+
+
+def test_dedup_within_watermark_golden(spark, tmp_path):
+    """The built-in approximation's guarantee differs from A2: keys are
+    suppressed while their state lives, and state is evicted only when
+    the WATERMARK passes first_seen + delay (so v17, only 17 s after
+    v0 while the watermark still trails, stays suppressed — unlike the
+    exact emission-anchored operator). After the watermark moves past
+    the horizon the key re-emits."""
+    src = str(tmp_path / "in_ddww")
+    write_batches(
+        spark,
+        src,
+        DEDUP_SCHEMA,
+        [
+            DEDUP_GOLDEN,  # v0 emits; v1/v3/v7 within 15 s drop; v17 drops too
+            [("zzz", "advance", at(100.0))],  # watermark source event
+            # batch N runs with batch N-1's watermark and cleans state
+            # post-batch — one more advancing batch makes eviction land
+            [("zzz", "advance2", at(101.0))],
+            [("001", "v110", at(110.0))],  # state gone ⇒ re-emitted
+        ],
+    )
+    stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+    out = dedup_within_watermark(
+        stream, keys=["k"], ts_col="ts", watermark_delay="15 seconds"
+    )
+    got = run_to_memory(spark, out, "ddww_golden", tmp_path)
+    assert sorted(r.v for r in got.collect() if r.k == "001") == ["v0", "v110"]
+
+
+def test_windowed_dedup_stream_golden(spark, tmp_path):
+    # A1: 5 s tumbling windows — first record per (key, window).
+    # Windows: [0,5)->v0, [5,10)->v7, [15,20)->v17. Sentinel advances
+    # the watermark so all windows finalize under append mode.
+    sentinel = [("zzz", "sentinel", at(1000.0))]
+    src = str(tmp_path / "in_a1")
+    write_batches(spark, src, DEDUP_SCHEMA, [DEDUP_GOLDEN, sentinel])
+    stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+    out = windowed_dedup_stream(
+        stream, keys=["k"], ts_col="ts",
+        window_duration="5 seconds", watermark_delay="10 seconds",
+    )
+    got = run_to_memory(spark, out, "a1_golden", tmp_path)
+    vals = sorted(r.v for r in got.collect() if r.k == "001")
+    assert vals == ["v0", "v17", "v7"]
+
+
+CLICK_PV_SCHEMA = T.StructType(
+    [
+        T.StructField("client_id", T.StringType()),
+        T.StructField("pv_id", T.StringType()),
+        T.StructField("pv_value", T.StringType()),
+        T.StructField("pv_ts", T.TimestampType()),
+    ]
+)
+CLICK_EV_SCHEMA = T.StructType(
+    [
+        T.StructField("client_id", T.StringType()),
+        T.StructField("pv_id", T.StringType()),
+        T.StructField("ev_id", T.StringType()),
+        T.StructField("ev_value", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+# ClickstreamJoinExample.scala:123-160 (FIXTURES.md §1.4).
+GOLDEN_PVS = [
+    ("bob", "pv1", "/", at(0.0)),
+    ("bob", "pv2", "/offer?id=1234", at(10.2)),
+]
+GOLDEN_EVS = [
+    ("bob", "pv1", "ev0", "show header", at(0.1)),
+    ("bob", "pv1", "ev1", "show ads", at(0.1)),
+    ("bob", "pv1", "ev2", "show recommendation", at(0.1)),
+    ("bob", "pv1", "ev3", "click recommendation", at(10.1)),
+    ("bob", "pv2", "ev0", "show header", at(10.1)),  # out-of-order: before pv2
+    ("bob", "pv1", "ev2", "add to cart", at(30.3)),  # 30 s after pv1: outside
+]
+SENTINEL_PV = [("zzz", "pvx", "x", at(1000.0))]
+SENTINEL_EV = [("zzz", "pvx", "evx", "x", at(1000.0))]
+
+
+def test_interval_join_stream_golden(spark, tmp_path):
+    pv_src = str(tmp_path / "in_pv")
+    ev_src = str(tmp_path / "in_ev")
+    write_batches(spark, pv_src, CLICK_PV_SCHEMA, [GOLDEN_PVS, SENTINEL_PV])
+    write_batches(spark, ev_src, CLICK_EV_SCHEMA, [GOLDEN_EVS, SENTINEL_EV])
+    pv = file_stream(spark, pv_src, CLICK_PV_SCHEMA, max_files_per_trigger=1)
+    ev = file_stream(spark, ev_src, CLICK_EV_SCHEMA, max_files_per_trigger=1)
+    joined = interval_left_join_stream(
+        ev, pv, on=["client_id", "pv_id"],
+        left_ts="ts", right_ts="pv_ts",
+        lookback_seconds=15, watermark_delay="30 seconds",
+    ).select(
+        F.col("l.client_id").alias("client_id"),
+        F.col("l.ev_id").alias("ev_id"),
+        F.col("l.ev_value").alias("ev_value"),
+        F.col("l.ts").alias("ts"),
+        F.col("r.pv_id").alias("matched_pv"),
+        F.col("r.pv_value").alias("pv_value"),
+    )
+    got = run_to_memory(spark, joined, "join_golden", tmp_path)
+    rows = [r for r in got.collect() if r.client_id == "bob"]
+
+    def matches(ev_value):
+        return sorted(
+            (r.matched_pv or "NULL") for r in rows if r.ev_value == ev_value
+        )
+
+    # impressions right after pv1 ⇒ joined (:129-133)
+    assert matches("show header") == ["NULL", "pv1"]  # 2nd is out-of-order pv2 ev
+    assert matches("show ads") == ["pv1"]
+    assert matches("show recommendation") == ["pv1"]
+    # click 10 s later still inside the 15 s look-back (:138-140)
+    assert matches("click recommendation") == ["pv1"]
+    # purchase 20+ s after pv1 ⇒ outside window, unmatched (:155-157)
+    assert matches("add to cart") == ["NULL"]
+
+
+def test_emission_anchored_stream_state_bound(spark, tmp_path):
+    """Many keys in one batch: output stays per-key correct (shuffle on
+    key, O(1) state per key)."""
+    rows = []
+    for k in range(20):
+        for off in (0.0, 1.0, 17.0):
+            rows.append((f"k{k:03d}", f"v{off}", at(off)))
+    src = str(tmp_path / "in_many")
+    write_batches(spark, src, DEDUP_SCHEMA, [rows])
+    stream = file_stream(spark, src, DEDUP_SCHEMA)
+    out = dedup_emission_anchored_stream(
+        stream, keys=["k"], ts_col="ts", window_seconds=15.0
+    )
+    got = run_to_memory(spark, out, "a2_many", tmp_path)
+    assert got.count() == 40  # 2 survivors × 20 keys
