@@ -138,24 +138,54 @@ def shingles(text_col: str, n: int, d: str) -> str:
 
 # --- MinHash --------------------------------------------------------------
 
-def minhash_sig(shingles_expr: str, num_hashes: int, d: str) -> str:
-    """Array of ``num_hashes`` MinHash values.
+HASH_MOD = 1_000_000_007
 
-    Hash family j = md5("j:" || shingle): seeding by prefix gives
-    independent permutations of the shingle space; the min over a
-    shingle set under each is the classic MinHash estimator.
+
+def _affine_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_j(x) = (a_j·x + b_j) mod p — shared literals in both dialects."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**63
+        a = state % (HASH_MOD - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**63
+        b = state % HASH_MOD
+        params.append((a, b))
+    return params
+
+
+def base_hash_array(arr: str, d: str) -> str:
+    """One 32-bit md5-derived integer per element — the expensive hash
+    happens ONCE per element; the k-wise family is derived from it by
+    cheap affine arithmetic (``minhash_sig``)."""
+    return transform_(arr, "s", token_hash32("s"), d)
+
+
+def minhash_sig(base_hashes: str, num_hashes: int, d: str) -> str:
+    """Array of ``num_hashes`` MinHash values over pre-hashed elements.
+
+    Universal-hash family h_j(x) = (a_j·x + b_j) mod 1e9+7 over the
+    32-bit base hash: one md5 per shingle total, then k integer
+    min-reductions. Overflow-safe: a_j < 1e9+7, x < 2^32 ⇒ a_j·x <
+    2^62. ``base_hashes`` should be a materialized column (compute via
+    ``base_hash_array`` in its own projection) so it isn't re-expanded
+    into each of the k reductions.
     """
     mins = ", ".join(
-        arr_min(transform_(shingles_expr, "s", f"md5(concat('{j}:', s))", d), d)
-        for j in range(num_hashes)
+        arr_min(
+            transform_(base_hashes, "h", f"(h * {a} + {b}) % {HASH_MOD}", d), d
+        )
+        for a, b in _affine_params(num_hashes)
     )
     return f"array({mins})" if d == SPARK else f"[{mins}]"
 
 
 def band_key(sig: str, band: int, rows_per_band: int, d: str) -> str:
-    """LSH band key: md5 of the band's concatenated signature rows."""
+    """LSH band key: md5 of the band's ':'-delimited signature rows."""
     parts = ", ".join(
-        at(sig, str(band * rows_per_band + r + 1), d) for r in range(rows_per_band)
+        f"CAST({at(sig, str(band * rows_per_band + r + 1), d)} AS STRING), ':'"
+        for r in range(rows_per_band)
     )
     return f"md5(concat({parts}))"
 
@@ -177,28 +207,30 @@ def _nibble(h: str, hex_pos: int) -> str:
     return f"(instr('{HEX}', substr({h}, {hex_pos}, 1)) - 1)"
 
 
-def simhash32(text_col: str, d: str) -> str:
-    """32-bit SimHash over whitespace tokens (term-frequency weighted).
+def token_hash_array(text_col: str, d: str) -> str:
+    """One 32-bit integer hash per whitespace token (md5 once each);
+    materialize this in its own projection, then feed
+    ``simhash_from_hashes`` so the 32 bit-counts reuse it."""
+    return transform_(split_ws(text_col, d), "t", token_hash32("t"), d)
+
+
+def simhash_from_hashes(hvals: str, d: str) -> str:
+    """32-bit SimHash over pre-hashed tokens (term-frequency weighted).
 
     Classic scheme: each token votes ±1 on every bit of its 32-bit
-    hash (here: the first 8 hex digits of md5); bit b of the result is
-    1 iff the weighted vote is positive. Token repeats keep their
-    multiplicity — that IS the tf weighting. Strict majority (ties →
-    0) keeps the expression engine-identical.
+    hash; bit b of the result is 1 iff the weighted vote is positive.
+    Token repeats keep their multiplicity — that IS the tf weighting.
+    Strict majority (ties → 0) keeps the expression engine-identical.
 
-    Column-expression formulation: per bit b,
-      set_b = |{tokens whose hash has bit b set}|  (counting repeats)
-      vote_b = 2*set_b - n  >  0   ⇔   bit b = 1.
+    Per bit b (pure integer arithmetic, no string ops):
+      set_b = |{h ∈ hvals : floor(h / 2^b) odd}|  (counting repeats)
+      vote_b = 2·set_b − n  >  0   ⇔   bit b = 1.
     """
-    toks = split_ws(text_col, d)
-    hashes = transform_(toks, "t", "md5(t)", d)
-    n = size_(toks, d)
+    n = size_(hvals, d)
     terms = []
     for b in range(32):
-        hex_pos = b // 4 + 1
-        p = 2 ** (b % 4)
-        bit = f"CAST(floor({_nibble('h', hex_pos)} / {p}) AS INT) % 2 = 1"
-        set_b = size_(filter_(hashes, "h", bit, d), d)
+        bit = f"CAST(floor(h / {2 ** b}) AS BIGINT) % 2 = 1"
+        set_b = size_(filter_(hvals, "h", bit, d), d)
         terms.append(
             f"(CASE WHEN 2 * {set_b} > {n} THEN {2 ** b} ELSE 0 END)"
         )

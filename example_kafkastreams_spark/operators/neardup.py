@@ -72,10 +72,21 @@ def with_minhash(
     num_hashes: int = 12,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig) — MinHash signature over distinct n-token shingles."""
+    """(id, sig) — MinHash signature over distinct n-token shingles.
+
+    Two projections: the md5 base-hash array materializes first so the
+    k affine min-reductions reuse it (CollapseProject keeps expensive
+    multiply-referenced expressions un-inlined) — one md5 per shingle
+    total instead of k.
+    """
     sh = P.shingles(text_col, shingle_n, P.SPARK)
-    sig = P.minhash_sig(sh, num_hashes, P.SPARK)
-    return docs.select(F.col(id_col), F.expr(sig).alias("sig"))
+    hv = docs.select(
+        F.col(id_col), F.expr(P.base_hash_array(sh, P.SPARK)).alias("hv")
+    )
+    return hv.select(
+        F.col(id_col),
+        F.expr(P.minhash_sig("hv", num_hashes, P.SPARK)).alias("sig"),
+    )
 
 
 def lsh_bands(
@@ -210,34 +221,40 @@ def ngram_jaccard_pairs(
 def with_simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, simhash) — 32-bit tf-weighted SimHash fingerprint."""
-    return docs.select(
+    """(id, simhash) — 32-bit tf-weighted SimHash fingerprint.
+
+    Token hashes materialize once (one md5 per token); the 32 bit
+    votes are integer arithmetic over the reused array.
+    """
+    hv = docs.select(
         F.col(id_col),
-        F.expr(P.simhash32(text_col, P.SPARK)).alias("simhash"),
+        F.expr(P.token_hash_array(text_col, P.SPARK)).alias("hv"),
+    )
+    return hv.select(
+        F.col(id_col),
+        F.expr(P.simhash_from_hashes("hv", P.SPARK)).alias("simhash"),
     )
 
 
 def simhash32_pandas(text: pd.Series) -> pd.Series:
-    """Arrow-vectorized SimHash — the scale path when the 32×filter
-    expression tree becomes the bottleneck. Bit-identical to
-    ``portable.simhash32`` (tests pin this)."""
+    """Arrow-vectorized SimHash — the scale path when the expression
+    tree becomes the bottleneck. Bit-identical to the
+    ``portable.token_hash_array``+``simhash_from_hashes`` pair (tests
+    pin this): token hash = first 4 md5 bytes big-endian (== first 8
+    hex digits), bit b read directly off the integer."""
     out = np.empty(len(text), dtype=np.int64)
     for row, doc in enumerate(text):
-        toks = doc.split(" ")
-        votes = np.zeros(32, dtype=np.int64)
-        for t in toks:
-            h = int.from_bytes(
-                hashlib.md5(t.encode()).digest()[:4], byteorder="big"
-            )
-            # digest[:4] big-endian == first 8 hex digits; bit b of the
-            # expression version reads nibble b//4, bit b%4 (LSB first
-            # within the nibble) — replicate exactly.
-            for b in range(32):
-                nib = (h >> (28 - 4 * (b // 4))) & 0xF
-                votes[b] += 1 if (nib >> (b % 4)) & 1 else -1
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+                for t in doc.split(" ")
+            ],
+            dtype=np.int64,
+        )
+        n = len(hs)
         sh = 0
         for b in range(32):
-            if votes[b] > 0:
+            if 2 * int(((hs >> b) & 1).sum()) > n:
                 sh |= 1 << b
         out[row] = sh
     return pd.Series(out)

@@ -49,9 +49,15 @@ def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q41: MinHash + LSH near-dup pairs ------------------------------------
 
-def _sig_cte(d: str) -> str:
+def _sig_ctes(d: str) -> str:
+    """Two chained CTEs: base-hash array once, then the k min-reductions."""
     sh = P.shingles("text", SHINGLE_N, d)
-    return f"SELECT doc_id, {P.minhash_sig(sh, NUM_HASHES, d)} AS sig FROM documents"
+    return (
+        f"hv AS (SELECT doc_id, {P.base_hash_array(sh, d)} AS hv"
+        f" FROM documents),\n"
+        f"sig AS (SELECT doc_id, {P.minhash_sig('hv', NUM_HASHES, d)} AS sig"
+        f" FROM hv)"
+    )
 
 
 def _bands_cte(d: str) -> str:
@@ -80,7 +86,7 @@ _PAIRSIG_SQL = """
 def _minhash_pairs_sql(threshold: float) -> str:
     est = P.round_dbl(P.sig_agreement("sig_a", "sig_b", NUM_HASHES, D), 6, D)
     return f"""
-    WITH sig AS ({_sig_cte(D)}),
+    WITH {_sig_ctes(D)},
     bands AS ({_bands_cte(D)}),
     cand AS ({_CAND_SQL}),
     pairsig AS ({_PAIRSIG_SQL})
@@ -104,7 +110,12 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q42_dedup_simhash",
-    oracle=f"SELECT doc_id, {P.simhash32('text', D)} AS simhash FROM documents",
+    oracle=f"""
+    WITH thv AS (
+      SELECT doc_id, {P.token_hash_array('text', D)} AS thv FROM documents
+    )
+    SELECT doc_id, {P.simhash_from_hashes('thv', D)} AS simhash FROM thv
+    """,
 )
 def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit tf-weighted SimHash per document (column-expression path)."""
@@ -125,8 +136,11 @@ def _simhash_bands_sql() -> str:
 @query(
     "q43_dedup_simhash_pairs",
     oracle=f"""
-    WITH sh AS (
-      SELECT doc_id, {P.simhash32('text', D)} AS simhash FROM documents
+    WITH thv AS (
+      SELECT doc_id, {P.token_hash_array('text', D)} AS thv FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {P.simhash_from_hashes('thv', D)} AS simhash FROM thv
     ),
     bands AS ({_simhash_bands_sql()}),
     cand AS (
@@ -153,7 +167,7 @@ def q43_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q44_dedup_ngram_jaccard",
     oracle=f"""
-    WITH sig AS ({_sig_cte(D)}),
+    WITH {_sig_ctes(D)},
     bands AS ({_bands_cte(D)}),
     cand0 AS ({_CAND_SQL}),
     pairsig AS (

@@ -59,14 +59,19 @@ def dedup_within_watermark(
     keys: list[str],
     ts_col: str = "ts",
     watermark_delay: str = "15 seconds",
+    declare_watermark: bool = True,
 ) -> DataFrame:
     """Built-in approximation of A2: drop a record if the same key was
     seen within the watermark horizon (state = emitted keys, evicted by
     watermark — the reference's emit-branch-only ``put``,
-    DeduplicationExample.scala:137-140)."""
-    return df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
-        keys
-    )
+    DeduplicationExample.scala:137-140).
+
+    ``declare_watermark=False`` when ``df`` already carries one
+    (re-declaring downstream of a stateful operator is disallowed).
+    """
+    if declare_watermark:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return df.dropDuplicatesWithinWatermark(keys)
 
 
 def interval_left_join_stream(
@@ -100,6 +105,51 @@ def interval_left_join_stream(
         f" AND r.{right_ts} <= l.{left_ts}"
     )
     return lw.alias("l").join(rw.alias("r"), cond, "leftOuter")
+
+
+def clickstream_enrich_stream(
+    ev: DataFrame,
+    pv: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "pv_ts",
+    lookback_seconds: int = 15,
+    dedup_keys: list[str] | None = None,
+    client_key: str = "client_id",
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """The reference's E2 topology end-to-end as one streaming dataflow
+    (ClickstreamJoinExample.scala:163-197): look-back join (J2) →
+    EvPv shaping with NULLs for unmatched (P6) → dedup within the
+    retention window (A2-approx via dropDuplicatesWithinWatermark) →
+    re-key to the client key (P4).
+
+    Both stateful stages key on supersets of ``on``, so Spark plans one
+    exchange per input — the co-partitioning property the reference
+    hand-builds by keeping both topics keyed by ClientKey (its entire
+    10× optimization, README.md:12).
+    """
+    joined = interval_left_join_stream(
+        ev, pv, on=on, left_ts=left_ts, right_ts=right_ts,
+        lookback_seconds=lookback_seconds, watermark_delay=watermark_delay,
+    )
+    ev_cols = [f"l.{c}" for c in ev.columns]
+    # EvPv shape (ClickstreamJoinExample.scala:60): pv payload WITHOUT
+    # its event-time column — also required so the downstream stateful
+    # dedup sees exactly one watermarked column.
+    pv_payload = [c for c in pv.columns if c not in on and c != right_ts]
+    shaped = joined.select(
+        *[F.col(c).alias(c.split(".", 1)[1]) for c in ev_cols],
+        *[F.col(f"r.{c}").alias(c) for c in pv_payload],
+    )
+    dedup_keys = dedup_keys or [c for c in ev.columns if c != left_ts]
+    deduped = dedup_within_watermark(
+        shaped, keys=dedup_keys, ts_col=left_ts,
+        watermark_delay=watermark_delay, declare_watermark=False,
+    )
+    # P4: client key first, everything else in declared order
+    rest = [c for c in deduped.columns if c != client_key]
+    return deduped.select(client_key, *rest)
 
 
 def dedup_emission_anchored_stream(
@@ -146,11 +196,20 @@ def dedup_emission_anchored_stream(
             ts_us = (
                 pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
             )
+            # jump between sparse emissions via binary search
+            import numpy as np
+
+            n = len(pdf)
+            i = (
+                0
+                if last is None
+                else int(np.searchsorted(ts_us, last + win_us, side="right"))
+            )
             keep = []
-            for i in range(len(pdf)):
-                if last is None or ts_us[i] - last > win_us:
-                    keep.append(i)
-                    last = int(ts_us[i])
+            while i < n:
+                keep.append(i)
+                last = int(ts_us[i])
+                i = int(np.searchsorted(ts_us, last + win_us, side="right"))
             if keep:
                 yield pdf.iloc[keep][col_order]
         if last is not None:

@@ -204,6 +204,7 @@ GOLDEN_PVS = [
 GOLDEN_EVS = [
     ("bob", "pv1", "ev0", "show header", at(0.1)),
     ("bob", "pv1", "ev1", "show ads", at(0.1)),
+    ("bob", "pv1", "ev1", "show ads", at(0.1)),  # duplicate (:135-136)
     ("bob", "pv1", "ev2", "show recommendation", at(0.1)),
     ("bob", "pv1", "ev3", "click recommendation", at(10.1)),
     ("bob", "pv2", "ev0", "show header", at(10.1)),  # out-of-order: before pv2
@@ -242,12 +243,43 @@ def test_interval_join_stream_golden(spark, tmp_path):
 
     # impressions right after pv1 ⇒ joined (:129-133)
     assert matches("show header") == ["NULL", "pv1"]  # 2nd is out-of-order pv2 ev
-    assert matches("show ads") == ["pv1"]
+    # the raw join passes BOTH copies of the duplicate ev1 through —
+    # dedup is the downstream stage's job (composed test below)
+    assert matches("show ads") == ["pv1", "pv1"]
     assert matches("show recommendation") == ["pv1"]
     # click 10 s later still inside the 15 s look-back (:138-140)
     assert matches("click recommendation") == ["pv1"]
     # purchase 20+ s after pv1 ⇒ outside window, unmatched (:155-157)
     assert matches("add to cart") == ["NULL"]
+
+
+def test_clickstream_enrich_stream_golden(spark, tmp_path):
+    """The composed E2 topology: join + EvPv shaping + dedup + re-key.
+    The duplicate ev1 survives the join but is suppressed by the dedup
+    stage (:135-136); output is keyed by client_id first (P4)."""
+    from example_kafkastreams_spark.streaming.ops import (
+        clickstream_enrich_stream,
+    )
+
+    pv_src = str(tmp_path / "en_pv")
+    ev_src = str(tmp_path / "en_ev")
+    write_batches(spark, pv_src, CLICK_PV_SCHEMA, [GOLDEN_PVS, SENTINEL_PV])
+    write_batches(spark, ev_src, CLICK_EV_SCHEMA, [GOLDEN_EVS, SENTINEL_EV])
+    pv = file_stream(spark, pv_src, CLICK_PV_SCHEMA, max_files_per_trigger=1)
+    ev = file_stream(spark, ev_src, CLICK_EV_SCHEMA, max_files_per_trigger=1)
+    out = clickstream_enrich_stream(
+        ev, pv, on=["client_id", "pv_id"],
+        left_ts="ts", right_ts="pv_ts",
+        lookback_seconds=15,
+        dedup_keys=["client_id", "pv_id", "ev_id", "ev_value"],
+        watermark_delay="30 seconds",
+    )
+    assert out.columns[0] == "client_id"  # P4 re-key shape
+    got = run_to_memory(spark, out, "enrich_golden", tmp_path)
+    rows = [r for r in got.collect() if r.client_id == "bob"]
+    ads = [r for r in rows if r.ev_value == "show ads"]
+    assert len(ads) == 1  # duplicate suppressed by the dedup stage
+    assert ads[0].pv_value == "/"
 
 
 def test_emission_anchored_stream_state_bound(spark, tmp_path):
