@@ -49,12 +49,35 @@ def main() -> None:
         run_noop(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Translated 10x claim (BASELINE.md): the declarative co-partitioned
+    # flagship plan vs the reference-DSL-style re-keyed plan with its
+    # forced exchanges. Extra field; not part of the headline total.
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.enrich import (
+        enrich_clickstream,
+        enrich_clickstream_naive,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    compare: dict[str, float] = {}
+    for label, fn in (
+        ("naive_rekeyed", enrich_clickstream_naive),
+        ("flagship_copartitioned", enrich_clickstream),
+    ):
+        best = float("inf")
+        for _ in range(2):  # min of 2: drop one-off codegen warm-up
+            t0 = time.perf_counter()
+            run_noop(fn(events))
+            best = min(best, time.perf_counter() - t0)
+        compare[label] = round(best, 3)
+
     out = {
         "metric": "total_declared_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
+        "plan_compare": compare,
     }
     print(json.dumps(out))
 

@@ -92,3 +92,57 @@ def enrich_clickstream(
         "pv_value",
         "pv_ts",
     )
+
+
+def enrich_clickstream_naive(
+    events: DataFrame,
+    lookback_seconds: float = 24 * 3600.0,
+    dedup_window: str = "1 day",
+) -> DataFrame:
+    """The reference's UNOPTIMIZED topology, deliberately reproduced:
+    the DSL path materializes a repartition topic after every selectKey
+    (ClickstreamJoinExample.scala:208-219,237-241 — three broker
+    round-trips, the thing its Processor API rewrite removes for "up to
+    10 times" the efficiency, README.md:12).
+
+    Spark analog: explicit ``repartition`` on the derived keys before
+    each stateful stage, forcing exchanges Catalyst would otherwise
+    elide or merge. Same result as :func:`enrich_clickstream`; strictly
+    worse plan. Exists so tests/bench can demonstrate the translated
+    claim: the declarative plan carries fewer exchanges and wins.
+    """
+    pv, ev = split_clickstream(events)
+    # P1/P2 "selectKey" repartition topics
+    pv = pv.repartition("user_id", "pv_event_id")
+    ev = ev.repartition("user_id", "event_id")
+    joined = asof_lookback_left_join(
+        ev.withColumnRenamed("ts", "ev_ts"),
+        pv,
+        on=["user_id"],
+        left_id="event_id",
+        right_payload=["pv_event_id", "pv_value", "pv_ts"],
+        left_ts="ev_ts",
+        right_ts="pv_ts",
+        lookback_seconds=lookback_seconds,
+        right_order=["pv_ts", "pv_event_id"],
+        pick="latest",
+    )
+    # P3 "selectKey" repartition topic before the dedup store
+    joined = joined.repartition("user_id", "event_type", "pv_event_id")
+    deduped = dedup_tumbling_window(
+        joined.withColumnRenamed("ev_ts", "ts"),
+        keys=["user_id", "event_type", "pv_event_id"],
+        ts_col="ts",
+        window_duration=dedup_window,
+        order_cols=["event_id"],
+    )
+    return deduped.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").alias("ev_value"),
+        "ts",
+        "pv_event_id",
+        "pv_value",
+        "pv_ts",
+    )

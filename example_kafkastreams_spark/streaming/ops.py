@@ -107,6 +107,61 @@ def interval_left_join_stream(
     return lw.alias("l").join(rw.alias("r"), cond, "leftOuter")
 
 
+def session_window_agg_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    gap: str = "5 seconds",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Per-key session windows (dynamic, gap-closed) — the natural
+    extension of the reference's emission-anchored dedup (SURVEY.md
+    §2.5): a session closes when ``gap`` passes with no event, exactly
+    how A2's window re-anchors on activity. Emits one row per closed
+    session with count and span.
+    """
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def windowed_count_update_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    window_duration: str = "5 seconds",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """A5 analog (``toStream`` on a windowed KTable,
+    ClickstreamJoinExample.scala:257): a windowed aggregate whose sink
+    runs in UPDATE output mode emits the changed (window, key) rows per
+    trigger — the changelog-stream view of the aggregate. Pair with
+    ``start_memory_sink(..., output_mode="update")``.
+    """
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), *keys, "n_events"
+        )
+    )
+
+
 def clickstream_enrich_stream(
     ev: DataFrame,
     pv: DataFrame,

@@ -43,3 +43,19 @@ def test_q12_single_agg_exchange(spark):
     # dims broadcast => shuffles only for the orders⋈customer join + agg
     df = QUERIES["q12_join_multiway"](spark, SMOKE)
     assert count_exchanges(df) <= 3
+
+
+def test_flagship_beats_naive_rekeyed_plan(spark):
+    """The translated 10x claim (BASELINE.md): the co-partitioned
+    declarative flagship must plan strictly fewer exchanges than the
+    reference-DSL-style version with a repartition per selectKey."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.enrich import (
+        enrich_clickstream,
+        enrich_clickstream_naive,
+    )
+
+    events = load_table(spark, SMOKE, "events")
+    opt = count_exchanges(enrich_clickstream(events))
+    naive = count_exchanges(enrich_clickstream_naive(events))
+    assert opt < naive, (opt, naive)

@@ -282,6 +282,65 @@ def test_clickstream_enrich_stream_golden(spark, tmp_path):
     assert ads[0].pv_value == "/"
 
 
+def test_session_window_stream(spark, tmp_path):
+    """Events at +0/+2/+4 chain one session (gap 5 s); +30 opens a
+    second; the sentinel closes both."""
+    from example_kafkastreams_spark.streaming.ops import (
+        session_window_agg_stream,
+    )
+
+    rows = [
+        ("001", "a", at(0.0)),
+        ("001", "b", at(2.0)),
+        ("001", "c", at(4.0)),
+        ("001", "d", at(30.0)),
+    ]
+    src = str(tmp_path / "in_sess")
+    write_batches(
+        spark, src, DEDUP_SCHEMA, [rows, [("zzz", "x", at(1000.0))]]
+    )
+    stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+    out = session_window_agg_stream(
+        stream, keys=["k"], ts_col="ts", gap="5 seconds",
+        watermark_delay="10 seconds",
+    )
+    got = run_to_memory(spark, out, "sess_golden", tmp_path)
+    sess = sorted(
+        ((r.session_start, r.n_events) for r in got.collect() if r.k == "001")
+    )
+    assert [n for _, n in sess] == [3, 1]
+    assert sess[0][0] == at(0.0).replace(tzinfo=None)
+
+
+def test_windowed_count_update_mode(spark, tmp_path):
+    """A5 changelog view: update-mode sink re-emits a (window, key) row
+    each trigger its count changes — batch 1 then batch 2 both touch
+    the same window, so the memory table holds both versions."""
+    from example_kafkastreams_spark.streaming.ops import (
+        windowed_count_update_stream,
+    )
+
+    src = str(tmp_path / "in_upd")
+    write_batches(
+        spark,
+        src,
+        DEDUP_SCHEMA,
+        [
+            [("001", "a", at(0.0)), ("001", "b", at(1.0))],
+            [("001", "c", at(2.0))],
+        ],
+    )
+    stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+    out = windowed_count_update_stream(
+        stream, keys=["k"], ts_col="ts", window_duration="5 seconds",
+    )
+    got = run_to_memory(
+        spark, out, "upd_golden", tmp_path, output_mode="update"
+    )
+    counts = sorted(r.n_events for r in got.collect() if r.k == "001")
+    assert counts == [2, 3]  # the changelog: count 2, then updated to 3
+
+
 def test_emission_anchored_stream_state_bound(spark, tmp_path):
     """Many keys in one batch: output stays per-key correct (shuffle on
     key, O(1) state per key)."""
