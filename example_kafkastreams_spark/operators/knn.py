@@ -81,6 +81,81 @@ def brute_force_knn(
     )
 
 
+def brute_force_knn_vectorized(
+    emb: DataFrame,
+    num_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy scale path for exact cosine top-k.
+
+    The declared query (``brute_force_knn``) stays in Catalyst fold
+    expressions for oracle-exact math; this variant is what you run
+    when |corpus|·|queries| grows: the query matrix ships to every
+    task as a closure (it is the small side — same broadcast reasoning),
+    each Arrow batch scores against it with one float64 matmul, and
+    only per-batch top-k survivors (k·|queries| rows per batch) reach
+    the final global rank — the shuffle carries candidates, not the
+    corpus. Results match the expression path except on cosine ties at
+    ~1e-15 (summation order); tests pin rank-set equality on real data.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rows = (
+        emb.filter(F.col(id_col) < num_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([r[1] for r in rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            sims = Mn @ Qn.T  # (batch, nq)
+            out = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand = np.nonzero(mask)[0]
+                top = cand[np.argsort(-col[cand], kind="stable")[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[top],
+                            "cosine": np.round(col[top], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    win = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("knn_rank", F.row_number().over(win))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "knn_rank")
+    )
+
+
 def with_bucket(
     emb: DataFrame,
     planes: list[list[float]],

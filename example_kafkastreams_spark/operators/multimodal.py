@@ -106,3 +106,49 @@ def decode_image_batches_real(
 def decode_images(media: DataFrame) -> DataFrame:
     """Run the decode kernel over a payload table."""
     return media.mapInPandas(decode_image_batches, schema=DECODED_SCHEMA)
+
+
+# --- frame sampling (video-style 1 → N expansion) -------------------------
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset_bytes", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def sample_frame_batches(
+    it: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel with 1→N output shape: each payload emits one
+    row per sampled "frame" (fixed stride over the byte stream; the
+    checksum proves each frame's bytes were read). The real video
+    decoder drops in here; the Spark-side contract — expansion inside
+    the Arrow batch, no explode of a materialized array — is the part
+    that matters at scale (frames never exist as a driver- or
+    row-level collection)."""
+    stride = 256
+    for pdf in it:
+        recs = []
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload)
+            for idx, off in enumerate(range(0, len(payload), stride)):
+                chunk = payload[off : off + stride]
+                recs.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "frame_idx": idx,
+                        "frame_offset_bytes": off,
+                        "frame_checksum": sum(chunk),
+                    }
+                )
+        yield pd.DataFrame.from_records(
+            recs, columns=[f.name for f in FRAME_SCHEMA.fields]
+        )
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    return media.mapInPandas(sample_frame_batches, schema=FRAME_SCHEMA)

@@ -87,6 +87,86 @@ def test_sketches_stay_jvm_side(spark):
         assert "EvalPython" not in plan, name
 
 
+def test_knn_vectorized_matches_expression(spark):
+    """The numpy-matmul scale path returns the same neighbors/ranks as
+    the Catalyst fold expression path (cosine gaps dwarf the 1e-15
+    summation-order difference)."""
+    from example_kafkastreams_spark.operators.knn import (
+        brute_force_knn,
+        brute_force_knn_vectorized,
+    )
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    expr_rows = {
+        (r.query_id, r.knn_rank): r.neighbor_id
+        for r in brute_force_knn(emb, num_queries=8, k=5).collect()
+    }
+    fast_rows = {
+        (r.query_id, r.knn_rank): r.neighbor_id
+        for r in brute_force_knn_vectorized(emb, num_queries=8, k=5).collect()
+    }
+    assert expr_rows == fast_rows
+
+
+def test_bucketed_join_zero_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT any shuffle —
+    the persistent co-partitioning the reference builds with keyed
+    topics (SURVEY.md §4)."""
+    from example_kafkastreams_spark.plans import count_exchanges
+    from example_kafkastreams_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    import shutil
+
+    events = load_table(spark, SMOKE, "events")
+    pv = events.filter("event_type = 'view'").select(
+        "user_id", "event_id", "value"
+    )
+    ev = events.filter("event_type <> 'view'").select(
+        "user_id", "event_id", "event_type"
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_pv", "bkt_ev"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    write_bucketed(pv, "bkt_pv", ["user_id"], num_buckets=8)
+    write_bucketed(ev, "bkt_ev", ["user_id"], num_buckets=8)
+    joined = read_bucketed(spark, "bkt_ev").join(
+        read_bucketed(spark, "bkt_pv"), "user_id"
+    )
+    # broadcast would trivially have no shuffle — force the shuffle path
+    # off so the bucketed-scan co-location is what's being proven
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert count_exchanges(joined) == 0, joined._jdf.queryExecution()
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_multimodal_frame_sampling(spark):
+    from example_kafkastreams_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, SMOKE, "documents").limit(3)
+    media = attach_payload(docs)
+    frames = sample_frames(media).collect()
+    raw = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for doc_id, b in raw.items():
+        mine = sorted(
+            (r for r in frames if r.doc_id == doc_id),
+            key=lambda r: r.frame_idx,
+        )
+        assert len(mine) == (len(b) + 255) // 256  # stride covers payload
+        assert sum(r.frame_checksum for r in mine) == sum(b)
+
+
 def test_lsh_beats_allpairs_comparisons(spark):
     """The LSH candidate count must be far below |docs|²/2 — the scale
     property the whole design rests on."""
