@@ -236,7 +236,9 @@ def bucketed_similar_pairs(
         F.col(vec_col).alias("va"),
         F.col("bucket"),
     )
-    r = b.select(
+    # shuffle on the bucket id: broadcasting would serialize the bucket
+    # computation into the build, and at scale neither side is small
+    r = b.hint("shuffle_hash").select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
         F.col("bucket").alias("bucket_b"),

@@ -134,8 +134,12 @@ def minhash_lsh_pairs(
     sig_df = with_minhash(docs, id_col, text_col, num_hashes, shingle_n)
     bands_df = lsh_bands(sig_df, id_col, bands, rows_per_band)
 
+    # shuffle_hash, never broadcast: both sides derive from the corpus,
+    # and a broadcast build would re-evaluate the whole signature
+    # pipeline single-threaded (measured 3x slower locally; fatal at
+    # scale where the bands table is |docs|x4)
     a = bands_df.alias("a")
-    b = bands_df.alias("b")
+    b = bands_df.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -149,10 +153,10 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sa = sig_df.select(
+    sa = sig_df.hint("shuffle_hash").select(
         F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a")
     )
-    sb = sig_df.select(
+    sb = sig_df.hint("shuffle_hash").select(
         F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b")
     )
     return (
@@ -197,6 +201,7 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.expr(P.shingles(text_col, shingle_n, P.SPARK)).alias("sh"),
     )
+    sh = sh.hint("shuffle_hash")  # same broadcast-build hazard as above
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = (
@@ -296,7 +301,7 @@ def simhash_neardup_pairs(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_idx", "band.band_val")
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
