@@ -18,11 +18,13 @@ Processor API. This package re-expresses every capability Spark-first:
 - ``streaming``  — Structured Streaming parity: watermarked windowed dedup,
                    stream-stream interval join, emission-anchored dedup via
                    applyInPandasWithState
-- ``extensions`` — LLM-data-pipeline ops at 100 TB design scale: exact +
-                   approximate dedup (MinHash-LSH, SimHash, n-gram Jaccard,
-                   embedding cosine), similarity search, text analysis,
-                   multimodal column plumbing
 - ``plans``      — plan introspection (exchange counting, pushdown checks)
+
+LLM-data-pipeline ops at 100 TB design scale live in ``operators``
+(``neardup``: exact + MinHash-LSH + SimHash + n-gram Jaccard dedup;
+``knn``: similarity search; ``multimodal``: binary column plumbing)
+with the text-analysis expressions in ``functions.portable`` — all
+declared as q4x/q5x in ``queries_llm``.
 
 Design rules (SURVEY.md §1.2, §4): DataFrame/SQL only — no RDDs; all hot
 paths in built-in Column expressions (whole-stage codegen); Arrow-batched

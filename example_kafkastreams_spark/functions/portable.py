@@ -80,13 +80,19 @@ def union_size(a: str, b: str, d: str) -> str:
 
 
 def seq_incl(lo: str, hi: str, d: str) -> str:
-    """Integer sequence lo..hi inclusive; empty when hi < lo.
+    """Integer sequence lo..hi inclusive; EMPTY when hi < lo.
 
-    Spark's ``sequence(a, b)`` runs *backwards* when b < a, so the
-    caller-side guard is baked in here.
+    Spark's ``sequence(a, b)`` runs *backwards* when b < a (sequence(1,
+    0) is [1, 0], not []), so the Spark form clamps to an ascending
+    sequence and slices it to max(hi-lo+1, 0) elements — slice with
+    length 0 is the empty array. DuckDB's ``range`` is ascending-only
+    and naturally empty.
     """
     if d == SPARK:
-        return f"sequence({lo}, greatest({hi}, ({lo}) - 1))"
+        return (
+            f"slice(sequence({lo}, greatest({hi}, {lo})), 1,"
+            f" greatest(({hi}) - ({lo}) + 1, 0))"
+        )
     return f"range({lo}, ({hi}) + 1)"
 
 

@@ -1,0 +1,105 @@
+"""Property-based cross-dialect agreement for functions.portable.
+
+The whole oracle story rests on the dual-dialect builders producing
+bit-identical results in Spark and DuckDB. The corpus tests exercise
+the fixed testdata; these properties feed RANDOM documents (including
+degenerate ones: single tokens, repeated tokens, docs too short to
+shingle) through both engines and require exact equality.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from example_kafkastreams_spark.functions import portable as P
+
+TOKEN = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=8)
+DOC = st.lists(TOKEN, min_size=1, max_size=25).map(" ".join)
+DOCS = st.lists(DOC, min_size=1, max_size=8)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def both_engines(spark, docs: list[str], spark_expr: str, duck_expr: str):
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    sdf = spark.createDataFrame(pdf)
+    got = [
+        r.out
+        for r in sdf.selectExpr(f"{spark_expr} AS out", "doc_id")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    con = duckdb.connect()
+    try:
+        con.register("documents", pdf)
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {duck_expr} AS out FROM documents ORDER BY doc_id"
+            ).fetchall()
+        ]
+    finally:
+        con.close()
+    return got, want
+
+
+@SETTINGS
+@given(docs=DOCS)
+def test_fingerprint_agrees(spark, docs):
+    got, want = both_engines(
+        spark,
+        docs,
+        P.rolling_fingerprint("text", P.SPARK),
+        P.rolling_fingerprint("text", P.DUCK),
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(docs=DOCS)
+def test_simhash_agrees(spark, docs):
+    got, want = both_engines(
+        spark,
+        docs,
+        P.simhash_from_hashes(P.token_hash_array("text", P.SPARK), P.SPARK),
+        P.simhash_from_hashes(P.token_hash_array("text", P.DUCK), P.DUCK),
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(docs=DOCS)
+def test_minhash_signature_agrees(spark, docs):
+    # includes docs with < 3 tokens: empty shingle sets ⇒ NULL minhash
+    # components, which must be NULL in BOTH engines
+    sig_s = P.minhash_sig(
+        P.base_hash_array(P.shingles("text", 3, P.SPARK), P.SPARK), 4, P.SPARK
+    )
+    sig_d = P.minhash_sig(
+        P.base_hash_array(P.shingles("text", 3, P.DUCK), P.DUCK), 4, P.DUCK
+    )
+    got, want = both_engines(spark, docs, sig_s, sig_d)
+    assert got == want
+
+
+@SETTINGS
+@given(docs=DOCS)
+def test_quality_arithmetic_agrees(spark, docs):
+    toks_s, toks_d = P.split_ws("text", P.SPARK), P.split_ws("text", P.DUCK)
+    expr_s = P.round_dbl(
+        f"CAST({P.size_(P.distinct_(toks_s, P.SPARK), P.SPARK)} AS DOUBLE)"
+        f" / {P.size_(toks_s, P.SPARK)}", 6, P.SPARK,
+    )
+    expr_d = P.round_dbl(
+        f"CAST({P.size_(P.distinct_(toks_d, P.DUCK), P.DUCK)} AS DOUBLE)"
+        f" / {P.size_(toks_d, P.DUCK)}", 6, P.DUCK,
+    )
+    got, want = both_engines(spark, docs, expr_s, expr_d)
+    assert got == want
