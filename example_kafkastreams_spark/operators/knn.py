@@ -215,6 +215,76 @@ def lsh_ann(
     )
 
 
+def ivf_ann(
+    emb: DataFrame,
+    num_queries: int = 8,
+    k: int = 3,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer + within-cell search.
+
+    The classic inverted-file index shape: every vector is assigned to
+    its nearest centroid (one small broadcast join — the centroid set
+    is tiny); search touches only the query's cell. Here the coarse
+    quantizer is a deterministic sample (the first ``num_centroids``
+    vectors) instead of k-means — same plan shape and cost model,
+    reproducible in the SQL oracle; swapping in trained centroids is a
+    literal substitution. Single-probe recall < 1, like ``lsh_ann``;
+    production adds nprobe > 1 by taking the top-n centroids per query
+    (same join, rank ≤ nprobe).
+
+    Scale: assignment is |corpus|·|centroids| map work behind a
+    broadcast (no corpus shuffle); the within-cell join shuffles on the
+    cell id — collisions scale with cell population, the IVF promise.
+    """
+    cent = emb.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+    def assign(df: DataFrame, out_prefix: str) -> DataFrame:
+        win = W.partitionBy(f"{out_prefix}_id").orderBy(
+            F.expr(P.cosine("v", "cv", P.SPARK)).desc(), F.col("cid")
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(f"{out_prefix}_id"),
+                F.col(vec_col).alias("v"),
+            )
+            .join(F.broadcast(cent))
+            .withColumn("cent_rank", F.row_number().over(win))
+            .filter(F.col("cent_rank") == 1)
+            .select(
+                f"{out_prefix}_id",
+                F.col("v").alias(f"{out_prefix}_v"),
+                F.col("cid").alias(f"{out_prefix}_cell"),
+            )
+        )
+
+    cells = assign(emb, "vec")
+    qcells = assign(emb.filter(F.col(id_col) < num_queries), "query")
+    win = W.partitionBy("query_id").orderBy(
+        F.expr(P.cosine("query_v", "vec_v", P.SPARK)).desc(), F.col("vec_id")
+    )
+    return (
+        cells.hint("shuffle_hash")
+        .join(
+            qcells,
+            (F.col("vec_cell") == F.col("query_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("knn_rank", F.row_number().over(win))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_cosine_expr("query_v", "vec_v")).alias("cosine"),
+            "knn_rank",
+        )
+    )
+
+
 def bucketed_similar_pairs(
     emb: DataFrame,
     top_n: int = 20,

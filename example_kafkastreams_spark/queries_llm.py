@@ -299,6 +299,47 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q53_ann_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ), ass AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {P.cosine('embedding', 'cv', D)} DESC, cid
+             ) AS cent_rank
+      FROM embeddings, cent
+    ), cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM ass WHERE cent_rank = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
+      FROM cells WHERE vec_id < 8
+    ), j AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {P.cosine('qv', 'c.embedding', D)} AS cos_raw
+      FROM cells c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS knn_rank
+      FROM j
+    )
+    SELECT query_id, neighbor_id, {P.round_dbl('cos_raw', 6, D)} AS cosine,
+           knn_rank
+    FROM r WHERE knn_rank <= 3
+    """,
+)
+def q53_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (first 16 vectors),
+    broadcast centroid assignment, within-cell top-3 search."""
+    return KNN.ivf_ann(
+        load_table(spark, sf_dir, "embeddings"),
+        num_queries=8, k=3, num_centroids=16,
+    )
+
+
 # --- q48: language identification -----------------------------------------
 
 def _langid_select(d: str) -> str:
