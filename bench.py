@@ -58,18 +58,23 @@ def main() -> None:
         enrich_clickstream_naive,
     )
 
+    from example_kafkastreams_spark.plans.checks import count_exchanges
+
     events = load_table(spark, SF_DIR, "events")
-    compare: dict[str, float] = {}
+    compare: dict[str, dict] = {}
     for label, fn in (
         ("naive_rekeyed", enrich_clickstream_naive),
         ("flagship_copartitioned", enrich_clickstream),
     ):
         best = float("inf")
-        for _ in range(2):  # min of 2: drop one-off codegen warm-up
-            t0 = time.perf_counter()
-            run_noop(fn(events))
+        for _ in range(3):  # min of 3: local-scale shuffle deltas are
+            t0 = time.perf_counter()  # near noise — the exchange count
+            run_noop(fn(events))  # is the scale-relevant evidence
             best = min(best, time.perf_counter() - t0)
-        compare[label] = round(best, 3)
+        compare[label] = {
+            "sec": round(best, 3),
+            "exchanges": count_exchanges(fn(events)),
+        }
 
     out = {
         "metric": "total_declared_query_wall_seconds",
