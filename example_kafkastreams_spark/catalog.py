@@ -27,6 +27,12 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    # The testdata parquet stores timestamps as TIMESTAMP(NANOS), which
+    # vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
+    # runtime-settable SQL conf, so set it here rather than relying on the
+    # session factory — load_table must work under ANY caller-provided
+    # session (e.g. the correctness driver's).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     # The testdata parquet stores timestamps as TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong they arrive as int64 ns.

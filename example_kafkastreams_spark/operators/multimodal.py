@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
+from ..shipping import ensure_package_shipped
+
 # Result schema of the (fake) image decode: plumbing-real, codec-fake.
 DECODED_SCHEMA = T.StructType(
     [
@@ -105,6 +107,7 @@ def decode_image_batches_real(
 
 def decode_images(media: DataFrame) -> DataFrame:
     """Run the decode kernel over a payload table."""
+    ensure_package_shipped(media.sparkSession)
     return media.mapInPandas(decode_image_batches, schema=DECODED_SCHEMA)
 
 
@@ -151,4 +154,5 @@ def sample_frame_batches(
 
 
 def sample_frames(media: DataFrame) -> DataFrame:
+    ensure_package_shipped(media.sparkSession)
     return media.mapInPandas(sample_frame_batches, schema=FRAME_SCHEMA)

@@ -436,9 +436,9 @@ def _tokstats_exprs(d: str) -> dict[str, str]:
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           SUM(CAST({_tokstats_exprs(D)['ws_tokens']} AS BIGINT)) AS total_ws_tokens,
-           SUM(CAST({_tokstats_exprs(D)['bpe_tokens']} AS BIGINT)) AS total_bpe_tokens,
-           SUM(CAST(length(text) AS BIGINT)) AS total_chars
+           CAST(SUM(CAST({_tokstats_exprs(D)['ws_tokens']} AS BIGINT)) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(CAST({_tokstats_exprs(D)['bpe_tokens']} AS BIGINT)) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
     FROM documents GROUP BY source
     """,
 )
