@@ -107,15 +107,31 @@ def asof_lookback_left_join(
 ) -> DataFrame:
     """J2: look-back as-of LEFT join, one right match per left row.
 
-    ``left_id`` must uniquely identify left rows (tie-break / regroup
-    key). Output = all left columns + ``right_payload`` columns (NULL
-    when unmatched within the look-back window).
+    "Row" here means *distinct* left row: the regroup after the
+    bucketized join keys on ALL left columns, so fully-duplicate left
+    rows are merged into one output row. (``left_id`` — the caller's
+    record-id column, e.g. ``ev_id`` — need not be globally unique and
+    is NOT sufficient as a regroup key on its own; duplicates are
+    indistinguishable records and the reference pipeline's dedup stage
+    collapses them anyway.) Output = all left columns +
+    ``right_payload`` columns (NULL when unmatched within the look-back
+    window).
     """
     joined, l, r = interval_left_join(
         left, right, on, left_ts, right_ts, lookback_seconds, 0.0
     )
     right_order = right_order or [right_ts]
-    ordering = F.struct(*[F.col(f"r.{c}") for c in right_order])
+    # NULL-guard the ordering: the bucketized left join emits an all-NULL
+    # right row per UNMATCHED bucket, and struct comparison would rank
+    # that NULL-field struct as the minimum — min_by (pick="earliest")
+    # would then return NULL payload even when a real match exists in a
+    # neighboring bucket. A NULL ordering makes min_by/max_by skip the
+    # row entirely; when no bucket matched, the agg returns NULL = the
+    # unmatched left-outer result.
+    ordering = F.when(
+        F.col(f"r.{right_ts}").isNotNull(),
+        F.struct(*[F.col(f"r.{c}") for c in right_order]),
+    )
     payload = F.struct(*[F.col(f"r.{c}").alias(c) for c in right_payload])
     best = F.max_by(payload, ordering) if pick == "latest" else F.min_by(payload, ordering)
     left_cols = [F.col(f"l.{c}") for c in left.columns]

@@ -78,9 +78,13 @@ def dedup_exact(
     ``dropDuplicates`` keeps an *arbitrary* row — fine for streaming, but
     nondeterministic for oracle comparison — so the batch canonical form
     picks the row with the smallest ``order_cols`` tuple via ``min_by``
-    (again: partial-agg before the shuffle, no sort).
+    (again: partial-agg before the shuffle, no sort). Default ordering =
+    ALL non-key columns, making the ordering struct a total order over
+    distinct rows — a single non-key column need not be unique within a
+    key group, which would leave the survivor's remaining columns
+    nondeterministic.
     """
-    order_cols = order_cols or [c for c in df.columns if c not in keys][:1]
+    order_cols = order_cols or [c for c in df.columns if c not in keys]
     payload = F.struct(*[F.col(c) for c in df.columns])
     return (
         df.groupBy(*keys)

@@ -49,6 +49,37 @@ def _cosine_expr(a: str, b: str) -> str:
     return P.round_dbl(P.cosine(a, b, P.SPARK), 6, P.SPARK)
 
 
+def _two_phase_topk(
+    scored: DataFrame,
+    partition_key: str,
+    order_cols: list,
+    k: int,
+    rank_name: str = "knn_rank",
+) -> DataFrame:
+    """Distributed top-k without the per-key funnel.
+
+    A single ``row_number() OVER (PARTITION BY query)`` shuffles the
+    ENTIRE scored set into |queries| partitions and sorts each in one
+    task — fine at sf0.1, a scale-killer at 100× (VERDICT r1). Instead:
+    rank locally per (input partition, key) and keep k — each local
+    top-k is a superset of that partition's contribution to the global
+    top-k because both phases use the same total order — then rank the
+    ≤ |partitions|·k survivors globally. The final window's input is
+    tiny, so no single task ever sorts the corpus. Results are
+    bit-identical to the one-window form.
+    """
+    pre = W.partitionBy("__pid", partition_key).orderBy(*order_cols)
+    fin = W.partitionBy(partition_key).orderBy(*order_cols)
+    return (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(pre))
+        .filter(F.col("__lrank") <= k)
+        .drop("__pid", "__lrank")
+        .withColumn(rank_name, F.row_number().over(fin))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
 def brute_force_knn(
     emb: DataFrame,
     num_queries: int = 8,
@@ -65,19 +96,17 @@ def brute_force_knn(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    win = W.partitionBy("query_id").orderBy(
-        F.expr(P.cosine("qv", "cv", P.SPARK)).desc(), F.col("neighbor_id")
-    )
-    return (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("knn_rank", F.row_number().over(win))
-        .filter(F.col("knn_rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.expr(_cosine_expr("qv", "cv")).alias("cosine"),
-            "knn_rank",
-        )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    return _two_phase_topk(
+        scored,
+        "query_id",
+        [F.expr(P.cosine("qv", "cv", P.SPARK)).desc(), F.col("neighbor_id")],
+        k,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(_cosine_expr("qv", "cv")).alias("cosine"),
+        "knn_rank",
     )
 
 
@@ -139,7 +168,12 @@ def brute_force_knn_vectorized(
                         {
                             "query_id": qid,
                             "neighbor_id": ids[top],
-                            "cosine": np.round(col[top], 6),
+                            # raw float64 — the per-batch cut and the
+                            # global rank must use the SAME ordering;
+                            # rounding only in the final select (a
+                            # pruned candidate could otherwise tie a
+                            # survivor at 1e-6 granularity and win on id)
+                            "cosine": col[top],
                         }
                     )
                 )
@@ -152,7 +186,12 @@ def brute_force_knn_vectorized(
     return (
         partial.withColumn("knn_rank", F.row_number().over(win))
         .filter(F.col("knn_rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "knn_rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+            "knn_rank",
+        )
     )
 
 
@@ -195,23 +234,21 @@ def lsh_ann(
         F.col(vec_col).alias("cv"),
         F.col("bucket"),
     )
-    win = W.partitionBy("query_id").orderBy(
-        F.expr(P.cosine("qv", "cv", P.SPARK)).desc(), F.col("neighbor_id")
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("neighbor_id") != F.col("query_id")),
     )
-    return (
-        c.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("neighbor_id") != F.col("query_id")),
-        )
-        .withColumn("knn_rank", F.row_number().over(win))
-        .filter(F.col("knn_rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.expr(_cosine_expr("qv", "cv")).alias("cosine"),
-            "knn_rank",
-        )
+    return _two_phase_topk(
+        scored,
+        "query_id",
+        [F.expr(P.cosine("qv", "cv", P.SPARK)).desc(), F.col("neighbor_id")],
+        k,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(_cosine_expr("qv", "cv")).alias("cosine"),
+        "knn_rank",
     )
 
 
@@ -244,44 +281,46 @@ def ivf_ann(
     )
 
     def assign(df: DataFrame, out_prefix: str) -> DataFrame:
-        win = W.partitionBy(f"{out_prefix}_id").orderBy(
-            F.expr(P.cosine("v", "cv", P.SPARK)).desc(), F.col("cid")
-        )
+        # Nearest centroid as a hash aggregation, not a window rank:
+        # max_by over (cosine, -cid) == "cosine desc, cid asc" rank 1,
+        # but partial aggregation collapses the |centroids| scored rows
+        # per vector map-side (they are co-located — the centroid set
+        # was broadcast), so the exchange carries ONE row per vector
+        # instead of |centroids| rows into a per-vector sort.
+        cos = F.expr(P.cosine("v", "cv", P.SPARK))
         return (
             df.select(
                 F.col(id_col).alias(f"{out_prefix}_id"),
                 F.col(vec_col).alias("v"),
             )
             .join(F.broadcast(cent))
-            .withColumn("cent_rank", F.row_number().over(win))
-            .filter(F.col("cent_rank") == 1)
-            .select(
-                f"{out_prefix}_id",
-                F.col("v").alias(f"{out_prefix}_v"),
-                F.col("cid").alias(f"{out_prefix}_cell"),
+            .groupBy(f"{out_prefix}_id")
+            .agg(
+                F.max_by(F.col("cid"), F.struct(cos, -F.col("cid"))).alias(
+                    f"{out_prefix}_cell"
+                ),
+                F.any_value(F.col("v")).alias(f"{out_prefix}_v"),
             )
+            .select(f"{out_prefix}_id", f"{out_prefix}_v", f"{out_prefix}_cell")
         )
 
     cells = assign(emb, "vec")
     qcells = assign(emb.filter(F.col(id_col) < num_queries), "query")
-    win = W.partitionBy("query_id").orderBy(
-        F.expr(P.cosine("query_v", "vec_v", P.SPARK)).desc(), F.col("vec_id")
+    scored = cells.hint("shuffle_hash").join(
+        qcells,
+        (F.col("vec_cell") == F.col("query_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
     )
-    return (
-        cells.hint("shuffle_hash")
-        .join(
-            qcells,
-            (F.col("vec_cell") == F.col("query_cell"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .withColumn("knn_rank", F.row_number().over(win))
-        .filter(F.col("knn_rank") <= k)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(_cosine_expr("query_v", "vec_v")).alias("cosine"),
-            "knn_rank",
-        )
+    return _two_phase_topk(
+        scored,
+        "query_id",
+        [F.expr(P.cosine("query_v", "vec_v", P.SPARK)).desc(), F.col("vec_id")],
+        k,
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_cosine_expr("query_v", "vec_v")).alias("cosine"),
+        "knn_rank",
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from .catalog import load_table
+from .operators.asof_join import interval_left_join
 from .registry import davg, davg_sql, dsum, dsum_sql, query
 
 
@@ -479,18 +480,25 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ClickstreamJoinExample.scala:230-234) — all matching pairs, both
     directions in time, counted per event type."""
     events = load_table(spark, sf_dir, "events")
-    ev = events.filter(F.col("event_type") != "view").alias("ev")
-    pv = events.filter(F.col("event_type") == "view").alias("pv")
-    cond = (
-        (F.col("ev.user_id") == F.col("pv.user_id"))
-        & (F.col("pv.ts") >= F.col("ev.ts") - F.expr(f"INTERVAL {_J1_WINDOW_S} SECONDS"))
-        & (F.col("pv.ts") <= F.col("ev.ts") + F.expr(f"INTERVAL {_J1_WINDOW_S} SECONDS"))
+    ev = events.filter(F.col("event_type") != "view")
+    pv = events.filter(F.col("event_type") == "view")
+    # Bucketized interval join (operators/asof_join.py): the time bucket
+    # rides as an extra equi-key, so a hot user whose history spans far
+    # more than ±1 h compares only against window-adjacent buckets
+    # instead of its full key group (the raw theta-join is quadratic per
+    # key). Same pair set — each right row lives in exactly one bucket.
+    joined, l, r = interval_left_join(
+        ev,
+        pv,
+        on=["user_id"],
+        lookback_seconds=_J1_WINDOW_S,
+        lookahead_seconds=_J1_WINDOW_S,
+        how="inner",
     )
     return (
-        ev.join(pv, cond, "inner")
-        .groupBy(F.col("ev.event_type").alias("event_type"))
+        joined.groupBy(F.col("l.event_type").alias("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("ev.event_id").alias("n_events_matched"),
+            F.countDistinct("l.event_id").alias("n_events_matched"),
         )
     )

@@ -36,16 +36,20 @@ def windowed_dedup_stream(
     ts_col: str = "ts",
     window_duration: str = "5 seconds",
     watermark_delay: str = "10 seconds",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """A1 streaming: first record per (keys, tumbling window).
 
-    ``min_by(struct(*), (ts, keys…))`` under a windowed aggregate —
-    identical expression to the batch ``dedup_tumbling_window``, so
-    batch and stream agree record-for-record once windows finalize.
+    ``min_by(struct(*), (ts, *order_cols))`` under a windowed
+    aggregate — the same ordering contract as the batch
+    ``dedup_tumbling_window``, so batch and stream agree
+    record-for-record once windows finalize PROVIDED ``order_cols``
+    includes a unique tie-break column (e.g. ``event_id``); the keys
+    are constant within a group, so they cannot break ``ts`` ties.
     Watermark = the reference's 2×window retention.
     """
     payload = F.struct(*[F.col(c) for c in df.columns])
-    ordering = F.struct(F.col(ts_col), *[F.col(k) for k in keys])
+    ordering = F.struct(F.col(ts_col), *[F.col(c) for c in (order_cols or [])])
     return (
         df.withWatermark(ts_col, watermark_delay)
         .groupBy(F.window(F.col(ts_col), window_duration), *keys)

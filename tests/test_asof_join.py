@@ -98,6 +98,40 @@ def test_asof_picks_latest_match(spark):
     assert len(out) == 1 and out[0].pv_value == "/reload"
 
 
+def test_asof_earliest_pick_with_matchless_bucket(spark):
+    """pick="earliest" regression: a left row whose look-back window
+    spans a matchless time bucket must still return its real match —
+    the bucketized left join emits an all-NULL right row for the empty
+    bucket, and an unguarded min_by would rank that NULL-field struct
+    below the real match."""
+    pv = spark.createDataFrame(
+        [Row(client_id="bob", pv_id="pv1", pv_value="/", ts=_ts(18.0))],
+        schema=PAGE_VIEW,
+    ).withColumnRenamed("ts", "pv_ts")
+    ev = spark.createDataFrame(
+        [Row(client_id="bob", pv_id="pv1", ev_id="ev0", ev_value="click", ts=_ts(20.0))],
+        schema=CLICK_EVENT,
+    )
+    for pick, want in [("earliest", "/"), ("latest", "/")]:
+        out = asof_lookback_left_join(
+            ev, pv, on=["client_id", "pv_id"], left_id="ev_id",
+            right_payload=["pv_value", "pv_ts"], left_ts="ts", right_ts="pv_ts",
+            lookback_seconds=15.0, right_order=["pv_ts"], pick=pick,
+        ).collect()
+        assert len(out) == 1 and out[0].pv_value == want, (pick, out)
+    # and a genuinely matchless left row still yields NULL payload
+    lonely = spark.createDataFrame(
+        [Row(client_id="zoe", pv_id="pvX", ev_id="evX", ev_value="click", ts=_ts(50.0))],
+        schema=CLICK_EVENT,
+    )
+    out = asof_lookback_left_join(
+        lonely, pv, on=["client_id", "pv_id"], left_id="ev_id",
+        right_payload=["pv_value", "pv_ts"], left_ts="ts", right_ts="pv_ts",
+        lookback_seconds=15.0, right_order=["pv_ts"], pick="earliest",
+    ).collect()
+    assert len(out) == 1 and out[0].pv_value is None
+
+
 def test_q02_oracle(spark):
     from example_kafkastreams_spark.queries import ORACLE_SQL, QUERIES
 

@@ -87,6 +87,17 @@ def test_sketches_stay_jvm_side(spark):
         assert "EvalPython" not in plan, name
 
 
+def test_knn_rank_is_two_phase(spark):
+    """q45/q46/q53 must pre-rank per (input partition, query) before the
+    global per-query window: the final window then sees ≤ partitions·k
+    rows, so no single task ever sorts the full scored corpus (the
+    per-query funnel VERDICT r1 flagged as a 100× scale-killer)."""
+    for name in ("q45_knn_bruteforce", "q46_ann_lsh", "q53_ann_ivf"):
+        plan = explain_str(QUERIES[name](spark, SMOKE), "simple")
+        assert "__pid" in plan, name
+        assert "spark_partition_id" in plan.lower(), name
+
+
 def test_knn_vectorized_matches_expression(spark):
     """The numpy-matmul scale path returns the same neighbors/ranks as
     the Catalyst fold expression path (cosine gaps dwarf the 1e-15

@@ -45,6 +45,21 @@ def test_q12_single_agg_exchange(spark):
     assert count_exchanges(df) <= 3
 
 
+def test_q26_joins_on_bucket_equikey(spark):
+    """q26 must run through the bucketized interval join: the time
+    bucket rides as an equi-key (hash join on user_id + __bucket), not
+    a raw key-only join with a time post-filter that goes quadratic on
+    hot keys."""
+    df = QUERIES["q26_interval_join_symmetric"](spark, SMOKE)
+    plan = explain_str(df, "simple")
+    assert "__bucket" in plan, plan
+    # the bucket key must be part of the hash-join keys, not only a filter
+    join_lines = [
+        ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert any("__bucket" in ln for ln in join_lines), join_lines
+
+
 def test_flagship_beats_naive_rekeyed_plan(spark):
     """The translated 10x claim (BASELINE.md): the co-partitioned
     declarative flagship must plan strictly fewer exchanges than the
