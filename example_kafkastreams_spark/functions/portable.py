@@ -165,7 +165,7 @@ def base_hash_array(arr: str, d: str) -> str:
     """One 32-bit md5-derived integer per element — the expensive hash
     happens ONCE per element; the k-wise family is derived from it by
     cheap affine arithmetic (``minhash_sig``)."""
-    return transform_(arr, "s", token_hash32("s"), d)
+    return transform_(arr, "s", token_hash32("s", d), d)
 
 
 def minhash_sig(base_hashes: str, num_hashes: int, d: str) -> str:
@@ -217,7 +217,7 @@ def token_hash_array(text_col: str, d: str) -> str:
     """One 32-bit integer hash per whitespace token (md5 once each);
     materialize this in its own projection, then feed
     ``simhash_from_hashes`` so the 32 bit-counts reuse it."""
-    return transform_(split_ws(text_col, d), "t", token_hash32("t"), d)
+    return transform_(split_ws(text_col, d), "t", token_hash32("t", d), d)
 
 
 def simhash_from_hashes(hvals: str, d: str) -> str:
@@ -245,9 +245,19 @@ def simhash_from_hashes(hvals: str, d: str) -> str:
 
 # --- token hashing / fingerprints ----------------------------------------
 
-def token_hash32(var: str) -> str:
-    """BIGINT value of the first 8 hex digits of md5(var) — an unrolled
-    base-16 sum, dialect-identical."""
+def token_hash32(var: str, d: str = SPARK) -> str:
+    """BIGINT value of the first 8 hex digits of md5(var).
+
+    This is the hot inner loop of every sketch (one evaluation per
+    token/shingle over the whole corpus), so the Spark form uses the
+    single builtin ``conv(hex, 16, 10)`` — measured ~10x cheaper than
+    the 8-nibble ``instr``/``substr`` unroll it replaces, and it keeps
+    the generated code small enough to stay inside one codegen method.
+    DuckDB has no ``conv``; the oracle (only ever run at sf0.01) keeps
+    the unrolled base-16 sum. Both produce the same BIGINT — pinned by
+    the cross-dialect property tests."""
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({var}), 1, 8), 16, 10) AS BIGINT)"
     terms = [
         f"CAST({_nibble(f'md5({var})', i + 1)} AS BIGINT) * {16 ** (7 - i)}"
         for i in range(8)
@@ -268,7 +278,7 @@ def rolling_fingerprint(text_col: str, d: str) -> str:
     < 2^32, so acc*31 + h < 2^40 « 2^63.
     """
     toks = split_ws(text_col, d)
-    hashes = transform_(toks, "t", token_hash32("t"), d)
+    hashes = transform_(toks, "t", token_hash32("t", d), d)
     body = f"(acc * 31 + x) % {FINGERPRINT_MOD}"
     return fold(hashes, "CAST(0 AS BIGINT)", "acc", "x", body, d)
 

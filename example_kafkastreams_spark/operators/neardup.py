@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import portable as P
 
@@ -65,22 +66,58 @@ def exact_text_dedup(
 # --- MinHash + LSH --------------------------------------------------------
 
 
+def _rebalance(docs: DataFrame, id_col: str) -> DataFrame:
+    """Spread the corpus across the cluster before expensive per-doc
+    sketch work. The sketch pipelines are compute-bound (one md5 per
+    shingle/token ≫ the bytes moved), so one hash-partitioned pass of
+    (id, text) over the wire buys full parallelism for the map stage
+    AND de-skews pathological input layouts (our testdata: one parquet
+    row group ⇒ a single scan partition that would serialize the whole
+    sketch computation into one task once the stage is persisted)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, id_col)
+
+
+def with_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) — distinct n-token shingle arrays: the shared base stage
+    of the MinHash / exact-Jaccard pipelines. Callers that need both
+    signatures and exact verification compute this ONCE and persist it
+    (``ngram_jaccard_pairs``) so the tokenize+slice tree runs one pass
+    over the corpus instead of one per downstream reference."""
+    return docs.select(
+        F.col(id_col),
+        F.expr(P.shingles(text_col, shingle_n, P.SPARK)).alias("sh"),
+    )
+
+
 def with_minhash(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 12,
     shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig) — MinHash signature over distinct n-token shingles.
 
     Two projections: the md5 base-hash array materializes first so the
     k affine min-reductions reuse it (CollapseProject keeps expensive
     multiply-referenced expressions un-inlined) — one md5 per shingle
-    total instead of k.
+    total instead of k. Pass ``shingle_df`` (from ``with_shingles``,
+    ideally persisted) to reuse an already-materialized shingle stage.
     """
-    sh = P.shingles(text_col, shingle_n, P.SPARK)
-    hv = docs.select(
+    if shingle_df is None:
+        sh = P.shingles(text_col, shingle_n, P.SPARK)
+        src = docs
+    else:
+        sh = "sh"
+        src = shingle_df
+    hv = src.select(
         F.col(id_col), F.expr(P.base_hash_array(sh, P.SPARK)).alias("hv")
     )
     return hv.select(
@@ -120,6 +157,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
@@ -131,7 +169,19 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sig_df = with_minhash(docs, id_col, text_col, num_hashes, shingle_n)
+    if sig_df is None:
+        # The signature table fans out FOUR ways below (bands build +
+        # probe, sig_a, sig_b). Persist it so the shingle+md5 scan over
+        # the text runs once; signatures are |docs| x (id + k ints) —
+        # tiny next to the corpus. At 100 TB the same stage is a
+        # parquet checkpoint; MEMORY_AND_DISK is the local analog. A
+        # caller-provided sig_df is reused as-is (the caller owns its
+        # materialization — see ngram_jaccard_pairs).
+        sig_df = with_minhash(
+            docs=_rebalance(docs, id_col),
+            id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     bands_df = lsh_bands(sig_df, id_col, bands, rows_per_band)
 
     # shuffle_hash, never broadcast: both sides derive from the corpus,
@@ -193,15 +243,30 @@ def ngram_jaccard_pairs(
     to collision pairs, exact set intersection confirms. Output
     (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
     """
+    # ONE persisted sketch table (id, shingles, signature) feeds both
+    # the LSH candidate pipeline (bands x2, sig x2) and the exact
+    # verify joins (sh x2) — the tokenize+hash scan over the corpus
+    # runs once instead of once per downstream reference. At 100 TB
+    # this stage is a parquet checkpoint; the in-memory persist is the
+    # local analog.
+    base = with_shingles(
+        _rebalance(docs, id_col), id_col, text_col, shingle_n
+    )
+    hv = base.select(
+        id_col, "sh", F.expr(P.base_hash_array("sh", P.SPARK)).alias("hv")
+    )
+    sketch = hv.select(
+        id_col,
+        "sh",
+        F.expr(P.minhash_sig("hv", num_hashes, P.SPARK)).alias("sig"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_pairs(
         docs, id_col, text_col, num_hashes, bands, shingle_n,
         threshold=candidate_threshold,
+        sig_df=sketch.select(id_col, "sig"),
     ).select("doc_a", "doc_b")
-    sh = docs.select(
-        F.col(id_col),
-        F.expr(P.shingles(text_col, shingle_n, P.SPARK)).alias("sh"),
-    )
-    sh = sh.hint("shuffle_hash")  # same broadcast-build hazard as above
+    # same broadcast-build hazard as above
+    sh = sketch.select(id_col, "sh").hint("shuffle_hash")
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = (

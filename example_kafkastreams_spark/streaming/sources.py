@@ -24,6 +24,8 @@ NULL results can be asserted on (fail-fast filter).
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -59,6 +61,22 @@ def parse_kafka_records(raw: DataFrame, value_schema: T.StructType) -> DataFrame
     ).select("key", "v.*", "ts")
 
 
+def kafka_sink_payload(df: DataFrame, key_col: str) -> DataFrame:
+    """The sink's wire shape: (key: string, value: JSON string).
+
+    Factored out of ``kafka_sink`` so the payload contract is testable
+    without a broker: the round-trip
+    ``parse_kafka_records(kafka_sink_payload(df))`` must reproduce df
+    (the contract test pins this, including NULL fields — ``to_json``
+    omits them, ``from_json`` restores them as NULLs).
+    """
+    payload_cols = [c for c in df.columns if c != key_col]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*payload_cols)).alias("value"),
+    )
+
+
 def kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,
@@ -69,11 +87,7 @@ def kafka_sink(
 ):
     """S3: keyed JSON sink; 5 s trigger mirrors the reference's commit
     interval (Kafka.scala:51,85)."""
-    payload_cols = [c for c in df.columns if c != key_col]
-    out = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*payload_cols)).alias("value"),
-    )
+    out = kafka_sink_payload(df, key_col)
     return (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -114,6 +128,111 @@ def rate_events(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
         ).alias("event_type"),
         (F.col("value") % 1000 / 10.0).alias("value"),
     )
+
+
+# --- scripted generators (S6: the reference's designed test fixtures) -----
+
+#: Schema of the deduplication generator's records.
+DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+#: Page-view / event schemas of the clickstream generator.
+CLICK_PV_SCHEMA = T.StructType(
+    [
+        T.StructField("client_id", T.StringType()),
+        T.StructField("pv_id", T.StringType()),
+        T.StructField("pv_value", T.StringType()),
+        T.StructField("pv_ts", T.TimestampType()),
+    ]
+)
+CLICK_EV_SCHEMA = T.StructType(
+    [
+        T.StructField("client_id", T.StringType()),
+        T.StructField("pv_id", T.StringType()),
+        T.StructField("ev_id", T.StringType()),
+        T.StructField("ev_value", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_EPOCH = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _at(epoch: _dt.datetime, seconds: float) -> _dt.datetime:
+    return epoch + _dt.timedelta(seconds=seconds)
+
+
+def scripted_duplicates(epoch: _dt.datetime = _EPOCH):
+    """The reference's deduplication generator as data
+    (DeduplicationExample.scala:70-94): one key sent at +0/+1/+3/+7 s
+    (all within the 15 s window ⇒ only the first emits) and again at
+    +17 s (window anchored at the last emission has expired ⇒ emits).
+    Rows are (k, v, ts) matching ``DEDUP_SCHEMA``.
+    """
+    return [
+        ("001", "v0", _at(epoch, 0.0)),
+        ("001", "v1", _at(epoch, 1.0)),
+        ("001", "v3", _at(epoch, 3.0)),
+        ("001", "v7", _at(epoch, 7.0)),
+        ("001", "v17", _at(epoch, 17.0)),
+    ]
+
+
+def scripted_clickstream(epoch: _dt.datetime = _EPOCH):
+    """The reference's clickstream generator as data
+    (ClickstreamJoinExample.scala:115-161): returns (page_views,
+    events) row lists matching ``CLICK_PV_SCHEMA``/``CLICK_EV_SCHEMA``.
+
+    Designed behaviors (comments at ClickstreamJoinExample.scala:126-158):
+    impressions right after pv1 join; ev1 is double-sent (dedup
+    fodder); a click 10 s later is still inside the 15 s join window;
+    pv2's first event arrives *before* pv2 (out-of-order ⇒ unmatched
+    under look-back semantics); "add to cart" comes 30 s after pv1 —
+    outside the window, unmatched.
+    """
+    pvs = [
+        ("bob", "pv1", "/", _at(epoch, 0.0)),
+        ("bob", "pv2", "/offer?id=1234", _at(epoch, 10.2)),
+    ]
+    evs = [
+        ("bob", "pv1", "ev0", "show header", _at(epoch, 0.1)),
+        ("bob", "pv1", "ev1", "show ads", _at(epoch, 0.1)),
+        ("bob", "pv1", "ev1", "show ads", _at(epoch, 0.1)),  # duplicate
+        ("bob", "pv1", "ev2", "show recommendation", _at(epoch, 0.1)),
+        ("bob", "pv1", "ev3", "click recommendation", _at(epoch, 10.1)),
+        ("bob", "pv2", "ev0", "show header", _at(epoch, 10.1)),  # out-of-order
+        ("bob", "pv1", "ev2", "add to cart", _at(epoch, 30.3)),  # late
+    ]
+    return pvs, evs
+
+
+def stage_replayable_batches(spark: SparkSession, path: str, schema, batches):
+    """Materialize scripted rows as one parquet file per micro-batch,
+    mtime-ordered, so ``file_stream(..., max_files_per_trigger=1)``
+    replays them as a deterministic stream — the brokerless analog of
+    the reference's producer threads (Kafka.scala:89-92)."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    for i, rows in enumerate(batches):
+        f = os.path.join(path, f"batch_{i:03d}.parquet")
+        tmp_dir = f + ".tmpdir"
+        # Spark writes a directory; the file source wants plain files —
+        # lift the single part file out.
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_dir)
+        [part] = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+        os.rename(part, f)
+        shutil.rmtree(tmp_dir)
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
 def start_memory_sink(

@@ -26,8 +26,15 @@ from example_kafkastreams_spark.streaming.ops import (
     windowed_dedup_stream,
 )
 from example_kafkastreams_spark.streaming.sources import (
+    CLICK_EV_SCHEMA,
+    CLICK_PV_SCHEMA,
+    DEDUP_SCHEMA,
     file_stream,
+    kafka_sink_payload,
     parse_kafka_records,
+    scripted_clickstream,
+    scripted_duplicates,
+    stage_replayable_batches,
     start_memory_sink,
 )
 
@@ -38,44 +45,11 @@ def at(seconds: float) -> dt.datetime:
     return EPOCH + dt.timedelta(seconds=seconds)
 
 
-DEDUP_SCHEMA = T.StructType(
-    [
-        T.StructField("k", T.StringType()),
-        T.StructField("v", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
-    ]
-)
-
 # DeduplicationExample.scala:74-93 — same key at +0/+1/+3/+7/+17 s;
 # 15 s emission-anchored window ⇒ emitted at 0 and 17 only.
-DEDUP_GOLDEN = [
-    ("001", "v0", at(0.0)),
-    ("001", "v1", at(1.0)),
-    ("001", "v3", at(3.0)),
-    ("001", "v7", at(7.0)),
-    ("001", "v17", at(17.0)),
-]
+DEDUP_GOLDEN = scripted_duplicates(EPOCH)
 
-
-def write_batches(spark, path: str, schema, batches) -> None:
-    """One parquet file per micro-batch, mtime-ordered so the file
-    source replays them in sequence."""
-    import glob
-    import shutil
-
-    os.makedirs(path, exist_ok=True)
-    for i, rows in enumerate(batches):
-        f = os.path.join(path, f"batch_{i:03d}.parquet")
-        tmp_dir = f + ".tmpdir"
-        # Spark writes a directory; the file source wants plain files —
-        # lift the single part file out.
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp_dir)
-        [part] = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
-        os.rename(part, f)
-        shutil.rmtree(tmp_dir)
-        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
+write_batches = stage_replayable_batches
 
 
 def run_to_memory(spark, df, name: str, tmp, output_mode="append"):
@@ -115,6 +89,47 @@ def test_parse_kafka_records(spark):
     assert (row.key, row.pv_id, row.ev_id, row.ts) == (
         "bob", "pv1", "ev0", at(0.1).replace(tzinfo=None),
     )
+
+
+def test_kafka_sink_roundtrip_contract(spark):
+    """S3/S4 brokerless contract: the sink's wire payload
+    (to_json(struct(payload))) re-parsed through parse_kafka_records
+    reproduces the original rows — schema and values, including the
+    NULL pv fields of an unmatched EvPv record (to_json omits NULLs;
+    from_json must restore them)."""
+    evpv_schema = T.StructType(
+        [
+            T.StructField("client_id", T.StringType()),
+            T.StructField("ev_id", T.StringType()),
+            T.StructField("ev_value", T.StringType()),
+            T.StructField("pv_id", T.StringType()),
+            T.StructField("pv_value", T.StringType()),
+        ]
+    )
+    rows = [
+        ("bob", "ev0", "show header", "pv1", "/"),
+        ("bob", "ev9", "orphan", None, None),  # unmatched: NULL pv side
+    ]
+    df = spark.createDataFrame(rows, evpv_schema)
+    payload = kafka_sink_payload(df, key_col="client_id")
+    assert payload.columns == ["key", "value"]  # the Kafka wire shape
+
+    # what the broker would hand back to a consumer
+    raw = payload.select(
+        F.col("key").cast("binary"),
+        F.col("value").cast("binary"),
+        F.lit(at(5.0)).alias("timestamp"),
+    )
+    value_schema = T.StructType(
+        [f for f in evpv_schema.fields if f.name != "client_id"]
+    )
+    parsed = parse_kafka_records(raw, value_schema)
+    assert parsed.columns == ["key", "ev_id", "ev_value", "pv_id", "pv_value", "ts"]
+    got = {
+        (r.key, r.ev_id, r.ev_value, r.pv_id, r.pv_value)
+        for r in parsed.collect()
+    }
+    assert got == {("bob",) + r[1:] for r in rows}
 
 
 def test_emission_anchored_stream_golden(spark, tmp_path):
