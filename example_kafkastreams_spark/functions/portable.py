@@ -101,6 +101,21 @@ def at(arr: str, i: str, d: str) -> str:
     return f"element_at({arr}, {i})" if d == SPARK else f"{arr}[{i}]"
 
 
+def seq_step(lo: str, hi: str, step: int, d: str) -> str:
+    """Integer sequence lo..hi inclusive with positive ``step``
+    (requires hi >= lo; both dialects include hi when it lands on a
+    step boundary)."""
+    if d == SPARK:
+        return f"sequence({lo}, {hi}, {step})"
+    return f"range({lo}, ({hi}) + 1, {step})"
+
+
+def idiv(a: str, b: str, d: str) -> str:
+    """Integer (floor-toward-zero) division of non-negative operands."""
+    op = "div" if d == SPARK else "//"
+    return f"(({a}) {op} ({b}))"
+
+
 def slice_(arr: str, start: str, n: int, d: str) -> str:
     """n elements from 1-based ``start``."""
     if d == SPARK:

@@ -1,0 +1,102 @@
+"""Document chunking and term weighting (SURVEY.md §2.9 extensions).
+
+An LLM training pipeline slices documents into overlapping token
+windows (context-length packing) and ranks terms for filtering /
+topic heuristics. Both stages are pure column expressions + one
+explode — map-side until the (small) aggregations, so they scale with
+the scan.
+
+Chunking layout: windows of ``chunk_size`` tokens starting every
+``stride`` tokens (overlap = chunk_size - stride); a trailing window
+shorter than the chunk size is kept — every token belongs to ≥1 chunk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..functions import portable as P
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens) — overlapping token windows.
+
+    Tokens materialize in their own projection, the start offsets
+    explode map-side, and each chunk is a slice+join over the shared
+    token array: no shuffle anywhere, output size ≈ |tokens|/stride
+    rows per doc. The 100 TB shape is exactly this (chunking is
+    embarrassingly parallel); downstream repartitioning is the
+    consumer's choice.
+    """
+    S = P.SPARK
+    toks = docs.select(
+        F.col(id_col), F.expr(P.split_ws(text_col, S)).alias("toks")
+    )
+    n = P.size_("toks", S)
+    starts = P.seq_step("1", n, stride, S)
+    ex = toks.select(
+        id_col, "toks", F.explode(F.expr(starts)).alias("start")
+    )
+    chunk_text = P.join_str(P.slice_("toks", "start", chunk_size, S), " ", S)
+    return ex.select(
+        F.col(id_col),
+        (F.expr(P.idiv("start - 1", str(stride), S)) + 1).alias("chunk_idx"),
+        F.expr(chunk_text).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_size), F.expr(n) - F.col("start") + 1
+        ).alias("n_tokens"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, top_term, tf_count, tfidf) — each document's highest-tf-idf
+    term, ties broken lexicographically.
+
+    Shape: token explode → (doc, term) hash agg (tf) → term hash agg
+    (document frequency) → join + per-doc argmax. The tf table is the
+    big intermediate; both aggs partial-combine map-side. The final
+    rank partitions by doc_id — bounded by tokens-per-doc, never by
+    corpus size. idf = ln((N+1)/(df+1)), one IEEE op sequence shared
+    with the oracle.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("term"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_count"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf_raw",
+            F.expr(
+                "CAST(tf_count AS DOUBLE)"
+                " * ln((n_docs + 1.0) / (df_count + 1.0))"
+            ),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.col("tfidf_raw").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("term").alias("top_term"),
+            "tf_count",
+            F.round(F.col("tfidf_raw"), 6).alias("tfidf"),
+        )
+    )

@@ -114,4 +114,6 @@ def q03_dedup_emission_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Register the rest of the surface (imports populate the registry).
 from . import queries_relational  # noqa: E402,F401
+from . import queries_relational_ext  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
+from . import queries_llm_ext  # noqa: E402,F401

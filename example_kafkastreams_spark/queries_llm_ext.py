@@ -1,0 +1,212 @@
+"""LLM pipeline extensions, second wave — q54-q58.
+
+Document chunking (context-window packing), TF-IDF term ranking,
+embedding quantization (int8 index compression), near-dup CONNECTED
+COMPONENTS (pairs → clusters via min-label propagation, oracle-checked
+against a DuckDB recursive CTE), and sign-random-projection bucket
+histograms.
+
+Oracles render the same ``functions.portable`` expressions in DuckDB
+dialect; q57's iterative Spark loop is verified against the exact
+transitive closure a recursive CTE computes — same fixpoint, two very
+different execution strategies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load_table
+from .functions import portable as P
+from .operators import knn as KNN
+from .operators.components import connected_components, with_component_sizes
+from .operators.neardup import simhash_neardup_pairs
+from .operators.text_chunks import chunk_documents, tfidf_top_terms
+from .registry import query
+from . import queries_llm as QL
+
+D = P.DUCK
+
+CHUNK_SIZE = 32
+STRIDE = 24
+
+
+# --- q54: overlapping token-window chunking -------------------------------
+
+def _chunk_sql() -> str:
+    toks = P.split_ws("text", D)
+    n = P.size_("toks", D)
+    starts = P.seq_step("1", n, STRIDE, D)
+    chunk_text = P.join_str(P.slice_("toks", "start", CHUNK_SIZE, D), " ", D)
+    return f"""
+    WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    ex AS (SELECT doc_id, toks, unnest({starts}) AS start FROM tok)
+    SELECT doc_id,
+           {P.idiv('start - 1', str(STRIDE), D)} + 1 AS chunk_idx,
+           {chunk_text} AS chunk_text,
+           least({CHUNK_SIZE}, {n} - start + 1) AS n_tokens
+    FROM ex
+    """
+
+
+@query("q54_chunk_documents", oracle=_chunk_sql())
+def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice each document into 32-token windows every 24 tokens
+    (8-token overlap) — context-length packing, fully map-side."""
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_size=CHUNK_SIZE, stride=STRIDE,
+    )
+
+
+# --- q55: TF-IDF top term per document ------------------------------------
+
+@query(
+    "q55_tfidf_top_term",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({P.split_ws('text', D)}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf_count FROM tok GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS df_count FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf_count,
+             CAST(tf.tf_count AS DOUBLE)
+               * ln((n.n_docs + 1.0) / (dfq.df_count + 1.0)) AS tfidf_raw
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_raw DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term AS top_term, tf_count,
+           round(CAST(tfidf_raw AS DOUBLE), 6) AS tfidf
+    FROM r WHERE rn = 1
+    """,
+)
+def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-tf-idf term per document (tie → lexicographic)."""
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+# --- q56: embedding L2-normalize + int8 quantization ----------------------
+
+@query(
+    "q56_quantize_embeddings",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt({P.dot('embedding', 'embedding', D)}) AS l2_raw
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(CAST(l2_raw AS DOUBLE), 6) AS l2_norm,
+           {P.join_str(
+               P.transform_(
+                   'embedding', 'x',
+                   'CAST(CAST(CASE WHEN l2_raw = 0 THEN 0'
+                   ' ELSE floor(CAST(x AS DOUBLE) * 127 / l2_raw + 0.5)'
+                   ' END AS BIGINT) AS VARCHAR)', D),
+               ',', D)} AS qvec,
+           {P.size_('embedding', D)} AS n_dims
+    FROM base
+    """,
+)
+def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization of L2-normalized embeddings — the index
+    compression pass of a vector store build."""
+    return KNN.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- q57: near-dup connected components -----------------------------------
+
+@query(
+    "q57_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE thv AS (
+      SELECT doc_id, {P.token_hash_array('text', D)} AS thv FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {P.simhash_from_hashes('thv', D)} AS simhash FROM thv
+    ),
+    bands AS ({QL._simhash_bands_sql()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    comp(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.dst, c.lab FROM comp c JOIN und u ON u.src = c.node
+    ),
+    labeled AS (
+      SELECT node AS doc_id, min(lab) AS component_id FROM comp GROUP BY node
+    )
+    SELECT doc_id, component_id,
+           count(*) OVER (PARTITION BY component_id) AS component_size
+    FROM labeled
+    """,
+)
+def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: transitive closure of the SimHash near-dup
+    graph via distributed min-label propagation (see
+    operators.components). The oracle computes the same fixpoint with
+    a recursive CTE — identical labels (min doc_id per component),
+    totally different execution: the CTE materializes full
+    reachability (fine at sf0.01, quadratic-ish in component size);
+    the Spark loop is O(diameter) shuffle-join rounds and is the shape
+    that closes billion-edge dedup graphs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(docs, max_hamming=3).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(
+        pairs, nodes=docs, node_col="doc_id"
+    )
+    return with_component_sizes(comp, "doc_id")
+
+
+# --- q58: sign-random-projection bucket histogram -------------------------
+
+_SRP_PLANES = KNN.hyperplanes(num_planes=8)
+
+
+@query(
+    "q58_srp_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id,
+             {P.hyperplane_bucket('embedding', _SRP_PLANES, D)} AS srp_bucket
+      FROM embeddings
+    )
+    SELECT srp_bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM b GROUP BY srp_bucket
+    """,
+)
+def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-plane sign-random-projection signatures + bucket occupancy —
+    the load-balance diagnostic run before committing to an LSH layout
+    (empty/overfull buckets ⇒ re-seed or add planes). Map-side
+    signature + one small hash agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = P.hyperplane_bucket("embedding", _SRP_PLANES, P.SPARK)
+    return (
+        emb.select("vec_id", F.expr(bucket).alias("srp_bucket"))
+        .groupBy("srp_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )

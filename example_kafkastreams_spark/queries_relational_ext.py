@@ -1,0 +1,323 @@
+"""Relational breadth, second wave (SURVEY.md §2.4/§2.6 "exposed
+because the oracle corpus exercises them" — continued).
+
+Adds the remaining relational surface a user of a general engine
+expects: explicit grouping sets, full outer join, correlated
+EXISTS/NOT EXISTS subqueries (through the SQL entry point, exercising
+Catalyst's subquery decorrelation), pivot, exact percentiles,
+cumulative window frames, array unnest, deterministic hash sampling,
+and conditional/boolean aggregates.
+
+Determinism rules from .registry apply: decimal-exact float
+aggregation (dsum/davg), unique tie-breaks in every ordering, and
+percentiles rounded to 6 decimals so linear-interpolation ulp noise
+cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .catalog import load_table
+from .registry import davg_sql, dsum, dsum_sql, query
+
+
+# --- q27: explicit GROUPING SETS ------------------------------------------
+
+@query(
+    "q27_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity', 2)} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q27_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-chosen aggregation lattice (between rollup q23 and cube
+    q24): one shuffle, Expand feeds all three grouping sets — the
+    shape that replaces three separate scans of a 100 TB fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- q28: full outer join -------------------------------------------------
+
+@query(
+    "q28_join_full_outer",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 13
+    ), ords AS (
+      SELECT o_custkey, COUNT(*) AS n_open
+      FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, o_custkey, n_open
+    FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+    """,
+)
+def q28_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with genuinely unmatched rows on BOTH sides
+    (customers without open orders; open orders whose customer falls
+    outside the nation filter). Full outer cannot broadcast — Spark
+    plans a shuffle join on the key, the correct shape at any scale."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 13)
+        .select("c_custkey", "c_name")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    return cust.join(
+        ords, cust.c_custkey == ords.o_custkey, "full_outer"
+    ).select("c_custkey", "c_name", "o_custkey", "n_open")
+
+
+# --- q29: correlated EXISTS / NOT EXISTS through the SQL surface ----------
+
+_Q29_SQL = """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          )
+"""
+
+
+@query("q29_exists_subquery", oracle=_Q29_SQL)
+def q29_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + NOT EXISTS, deliberately submitted as SQL
+    text: Catalyst decorrelates the subqueries into a left-semi and a
+    left-anti hash join (the same physical shape q14/q15 declare
+    through the DataFrame API) — one statement, two join flavors,
+    zero driver-side logic."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q29_SQL)
+
+
+# --- q30: pivot -----------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q30_pivot_event_types",
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(
+               f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q30_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with an EXPLICIT value list (never inferred: at
+    100 TB value inference is an extra full pass; with the list given,
+    the pivot is a single hash aggregation of |users| x 5 counters)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL where a (user, type) pair never occurred;
+    # COUNT(*) FILTER yields 0 — align on 0 and match oracle names
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# --- q31: exact percentiles / median --------------------------------------
+
+@query(
+    "q31_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS DOUBLE), 6) AS p25,
+           round(CAST(median(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE), 6) AS p50,
+           round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS DOUBLE), 6) AS p75,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q31_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``), rounded to 6 dp so interpolation ulp
+    noise can't flip the hash. Exact percentile sorts per group — fine
+    per bounded group; for a 100 TB global percentile the scale path
+    is ``approx_percentile`` (not oracle-checkable across engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- q32: cumulative window frame -----------------------------------------
+
+@query(
+    "q32_window_cumulative",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                AS DOUBLE) / 100.0 AS running_spend,
+           COUNT(*) OVER w AS running_orders
+    FROM orders
+    WHERE o_custkey < 150
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q32_window_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running totals with an explicit ROWS frame and a
+    unique (date, orderkey) ordering. The cumulative sum uses the
+    scaled-long trick (registry.dsum) inside the frame: exact,
+    order-independent, and stays in whole-stage codegen."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    scaled = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(scaled).over(w).cast("double") / 100.0).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("running_orders"),
+    )
+
+
+# --- q33: array unnest / per-dimension stats ------------------------------
+
+@query(
+    "q33_unnest_dim_stats",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {{'component': CAST(embedding[i] AS DOUBLE), 'dim': i}}),
+                    recursive := true)
+      FROM embeddings
+    )
+    SELECT dim,
+           {davg_sql('component', 6)} AS mean_val,
+           round(CAST(min(component) AS DOUBLE), 6) AS min_val,
+           round(CAST(max(component) AS DOUBLE), 6) AS max_val
+    FROM comp
+    GROUP BY dim
+    """,
+)
+def q33_unnest_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode the embedding column to (vec_id, dim, component) and
+    aggregate per dimension — the array⇄relation bridge (posexplode /
+    unnest) every vector pipeline needs. 64 output rows regardless of
+    corpus size; the explode is map-side, the shuffle carries only
+    (dim, partial agg)."""
+    from .registry import davg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "fcomponent")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.col("fcomponent").cast("double").alias("component"),
+    )
+    return comp.groupBy("dim").agg(
+        davg(F.col("component"), 6).alias("mean_val"),
+        F.round(F.min("component"), 6).alias("min_val"),
+        F.round(F.max("component"), 6).alias("max_val"),
+    )
+
+
+# --- q34: deterministic hash sampling -------------------------------------
+
+from .functions import portable as P  # noqa: E402
+
+
+@query(
+    "q34_hash_sample",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE {P.token_hash32("CAST(o_orderkey AS VARCHAR)", P.DUCK)} % 20 = 0
+    """,
+)
+def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample by key hash — the reproducible
+    subsampling a training-data pipeline uses instead of
+    ``TABLESAMPLE`` (which is seed- and partitioning-dependent and can
+    never be cross-engine verified). Pure map-side filter: no shuffle,
+    re-runnable, stable under repartitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.expr(P.token_hash32("CAST(o_orderkey AS STRING)", P.SPARK))
+    return orders.filter(bucket % 20 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# --- q35: conditional / boolean aggregates --------------------------------
+
+_OPEN_REV = dsum_sql(
+    "CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", 2
+)
+
+
+@query(
+    "q35_conditional_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count_if(o_totalprice > 200000) AS n_big,
+           bool_or(o_totalprice > 400000) AS any_huge,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           {_OPEN_REV} AS open_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q35_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_or / bool_and / conditional sum — the
+    branch-free conditional aggregation idiom (one pass, partial aggs
+    map-side) that replaces per-condition sub-scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_rev = F.when(
+        F.col("o_orderstatus") == "O", F.col("o_totalprice")
+    ).otherwise(F.lit(0.0))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        dsum(open_rev, 2).alias("open_revenue"),
+    )

@@ -1,0 +1,84 @@
+"""Behavioral tests for the second-wave operators: chunking layout,
+connected-components fixpoint, embedding quantization properties.
+(Oracle parity for the q27-q35 / q54-q58 queries is covered by the
+parametrized oracle tests in test_relational.py / test_llm_extensions.)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from example_kafkastreams_spark.operators.components import (
+    connected_components,
+    with_component_sizes,
+)
+from example_kafkastreams_spark.operators.text_chunks import chunk_documents
+
+
+def test_chunking_layout(spark):
+    # 10 tokens, size 4, stride 3 -> starts 1,4,7,10; last chunk 1 token
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_size=4, stride=3).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [r.chunk_idx for r in rows] == [1, 2, 3, 4]
+    assert rows[0].chunk_text == "t1 t2 t3 t4"
+    assert rows[1].chunk_text == "t4 t5 t6 t7"  # 1-token overlap
+    assert rows[3].chunk_text == "t10"
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 1]
+
+
+def test_connected_components_fixpoint(spark):
+    # chain 1-2-3, pair 10-11, isolated 20: three components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    comp = with_component_sizes(
+        connected_components(edges, nodes, node_col="doc_id"), "doc_id"
+    )
+    got = {r.doc_id: (r.component_id, r.component_size) for r in comp.collect()}
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 1),
+    }
+
+
+def test_quantize_embeddings_properties(spark):
+    from example_kafkastreams_spark.operators.knn import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),          # norm 5 -> q = (76, 102)
+            (2, [0.0, 0.0]),          # zero vector -> all-zero lanes
+            (3, [-1.0, 1.0]),         # negative lane, half-up rounding
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    assert rows[1].l2_norm == 5.0
+    assert rows[1].qvec == "76,102"  # floor(127*3/5+.5), floor(127*4/5+.5)
+    assert rows[2].qvec == "0,0"
+    q3 = [int(v) for v in rows[3].qvec.split(",")]
+    # quantized norm ~ 127 for a unit-direction vector
+    assert abs(math.sqrt(sum(v * v for v in q3)) - 127) < 1.5
+    assert rows[3].n_dims == 2
+
+
+def test_components_converges_under_iteration_cap(spark):
+    # a longer chain exercises multiple propagation rounds
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n + 1)], "doc_id long")
+    comp = connected_components(edges, nodes, node_col="doc_id")
+    assert comp.agg(F.countDistinct("component_id")).first()[0] == 1
+    assert comp.agg(F.min("component_id"), F.max("component_id")).first() == (0, 0)

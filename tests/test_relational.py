@@ -11,7 +11,7 @@ from example_kafkastreams_spark.queries import ORACLE_SQL, QUERIES
 from tests.conftest import SMOKE
 from tests.oracle_utils import assert_matches_oracle
 
-RELATIONAL = sorted(n for n in QUERIES if n.startswith(("q1", "q2")))
+RELATIONAL = sorted(n for n in QUERIES if n.startswith(("q1", "q2", "q3")))
 
 
 @pytest.mark.parametrize("name", RELATIONAL)
