@@ -348,7 +348,13 @@ def simhash_neardup_pairs(
     the byte-band is a high-recall prefilter of the same shape used at
     scale (more/wider bands tighten the guarantee).
     """
-    sh = with_simhash(docs, id_col, text_col)
+    # Same persist rationale as the MinHash path: the (id, simhash)
+    # table feeds the band build AND probe sides — one token-hash scan
+    # over the corpus instead of two, and the 12-byte-per-row sketch is
+    # the natural checkpoint at 100 TB.
+    sh = with_simhash(
+        _rebalance(docs, id_col), id_col, text_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),

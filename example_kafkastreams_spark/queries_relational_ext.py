@@ -159,26 +159,27 @@ def q30_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q31_percentiles",
     oracle="""
-    SELECT l_returnflag,
-           round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS DOUBLE), 6) AS p25,
-           round(CAST(median(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE), 6) AS p50,
-           round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS DOUBLE), 6) AS p75,
+    SELECT o_orderpriority,
+           round(CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS DOUBLE), 6) AS p25,
+           round(CAST(median(CAST(o_totalprice AS DOUBLE)) AS DOUBLE), 6) AS p50,
+           round(CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS DOUBLE), 6) AS p75,
            COUNT(*) AS n_rows
-    FROM lineitem
-    GROUP BY l_returnflag
+    FROM orders
+    GROUP BY o_orderpriority
     """,
 )
 def q31_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT linear-interpolation percentiles (Spark ``percentile`` ==
     DuckDB ``quantile_cont``), rounded to 6 dp so interpolation ulp
-    noise can't flip the hash. Exact percentile sorts per group — fine
-    per bounded group; for a 100 TB global percentile the scale path
-    is ``approx_percentile`` (not oracle-checkable across engines)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+    noise can't flip the hash. Exact percentile buffers each group's
+    values — declared over orders (bounded groups); for a 100 TB fact
+    table the scale path is ``approx_percentile`` (t-digest, not
+    oracle-checkable across engines bit-for-bit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("p75"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -289,6 +290,67 @@ def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q35: conditional / boolean aggregates --------------------------------
+
+# --- q36: analytic window function breadth --------------------------------
+
+@query(
+    "q36_window_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER w AS drank,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           ntile(4) OVER w AS quartile,
+           first_value(o_orderkey) OVER w AS first_order
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q36_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / lag / lead / ntile / first_value over one shared
+    window spec — Spark evaluates all five in a single Window physical
+    operator (one sort per partition, not five)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+# --- q37: salted skew join (output == plain join) -------------------------
+
+@query(
+    "q37_salted_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q37_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact⋈dim join: the fact side salts on a hash of
+    event_id, the dim side replicates 8x, and the join key becomes
+    (user_id, salt) — a hot user spreads over 8 tasks instead of one.
+    The oracle is the PLAIN join: salting must be output-invisible."""
+    from .operators.salted import salted_equijoin
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return salted_equijoin(
+        events.select("event_id", "user_id", "event_type"),
+        customer.select("c_custkey", "c_name", "c_mktsegment"),
+        fact_key="user_id",
+        dim_key="c_custkey",
+        salt_source="event_id",
+        salts=8,
+    ).select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+
 
 _OPEN_REV = dsum_sql(
     "CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END", 2
