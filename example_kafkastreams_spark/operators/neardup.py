@@ -285,6 +285,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    candidate_threshold: float = 0.25,
+    max_ratio: float = 0.2,
+) -> DataFrame:
+    """Fuzzy dedup by normalized edit distance, LSH-pruned.
+
+    Levenshtein is O(len²) per pair — unusable all-pairs, fine on LSH
+    candidates (same prune-then-verify shape as ``ngram_jaccard_pairs``;
+    the expensive verifier only ever sees collision pairs). Emits
+    (doc_a, doc_b, edit_ratio) with ratio = lev / max(len) ≤ max_ratio.
+    """
+    cand = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes, bands, shingle_n,
+        threshold=candidate_threshold,
+    ).select("doc_a", "doc_b")
+    t = docs.hint("shuffle_hash")  # corpus-derived: never broadcast
+    a = t.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("t_a"))
+    b = t.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("t_b"))
+    ratio = (
+        "round(CAST(levenshtein(t_a, t_b) AS DOUBLE)"
+        " / greatest(length(t_a), length(t_b)), 6)"
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.expr(ratio).alias("edit_ratio"))
+        .filter(F.col("edit_ratio") <= max_ratio)
+    )
+
+
 # --- SimHash --------------------------------------------------------------
 
 

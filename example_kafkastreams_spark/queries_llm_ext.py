@@ -178,6 +178,51 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_component_sizes(comp, "doc_id")
 
 
+# --- q59: edit-distance fuzzy dedup on LSH candidates ---------------------
+
+@query(
+    "q59_dedup_edit_distance",
+    oracle=f"""
+    WITH {QL._sig_ctes(D)},
+    bands AS ({QL._bands_cte(D)}),
+    cand0 AS ({QL._CAND_SQL}),
+    pairsig AS (
+      SELECT c.doc_a, c.doc_b, sa.sig AS sig_a, sb.sig AS sig_b
+      FROM cand0 c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    cand AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               {P.round_dbl(P.sig_agreement('sig_a', 'sig_b', QL.NUM_HASHES, D), 6, D)} AS est
+        FROM pairsig
+      ) WHERE est >= 0.25
+    )
+    SELECT * FROM (
+      SELECT c.doc_a, c.doc_b,
+             round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                   / greatest(length(a.text), length(b.text)), 6) AS edit_ratio
+      FROM cand c
+      JOIN documents a ON a.doc_id = c.doc_a
+      JOIN documents b ON b.doc_id = c.doc_b
+    ) WHERE edit_ratio <= 0.2
+    """,
+)
+def q59_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized Levenshtein ≤ 0.2 on MinHash-LSH candidates — the
+    character-level fuzzy-dedup modality (catches small in-place edits
+    that shingle sets blur), O(len²) verifier safely gated behind the
+    candidate prune."""
+    from .operators.neardup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=QL.NUM_HASHES, bands=QL.BANDS, shingle_n=QL.SHINGLE_N,
+        candidate_threshold=0.25, max_ratio=0.2,
+    )
+
+
 # --- q58: sign-random-projection bucket histogram -------------------------
 
 _SRP_PLANES = KNN.hyperplanes(num_planes=8)

@@ -72,6 +72,42 @@ def test_quantize_embeddings_properties(spark):
     assert rows[3].n_dims == 2
 
 
+def test_salted_join_salt_is_a_join_key(spark):
+    """q37's point is plan shape: the salt must participate in the
+    hash-join keys (spreading a hot key over `salts` tasks), not be a
+    post-filter."""
+    from example_kafkastreams_spark.plans import explain_str
+    from example_kafkastreams_spark.queries import QUERIES
+    from tests.conftest import SMOKE
+
+    plan = explain_str(QUERIES["q37_salted_join"](spark, SMOKE), "simple")
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert any("__salt" in ln for ln in join_lines), join_lines
+
+
+def test_chunking_is_shuffle_free(spark):
+    """Chunking is embarrassingly parallel — the plan must contain no
+    shuffle exchange (scan → project → explode → project)."""
+    from example_kafkastreams_spark.plans import count_exchanges
+    from example_kafkastreams_spark.queries import QUERIES
+    from tests.conftest import SMOKE
+
+    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 0
+
+
+def test_unnest_stats_single_exchange(spark):
+    """q33's explode is map-side; only the 64-row dim aggregation may
+    shuffle (partial combine first)."""
+    from example_kafkastreams_spark.plans import count_exchanges
+    from example_kafkastreams_spark.queries import QUERIES
+    from tests.conftest import SMOKE
+
+    assert count_exchanges(QUERIES["q33_unnest_dim_stats"](spark, SMOKE)) <= 1
+
+
 def test_components_converges_under_iteration_cap(spark):
     # a longer chain exercises multiple propagation rounds
     n = 12
