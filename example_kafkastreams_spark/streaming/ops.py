@@ -211,6 +211,80 @@ def clickstream_enrich_stream(
     return deduped.select(client_key, *rest)
 
 
+def dedup_emission_anchored_tws(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    window_seconds: float = 15.0,
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """A2 exact semantics on Spark 4's ``transformWithStateInPandas``
+    (the successor Processor-API analog: explicit named state, timers,
+    RocksDB-backed).
+
+    Same contract as ``dedup_emission_anchored_stream`` — per key, emit
+    iff nothing was emitted in the trailing window; state is one long
+    (last emission epoch-µs). Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and a working
+    ``google.protobuf`` for the TWS driver worker — this sandbox ships
+    a broken protobuf, so the operator is exercised by a test that
+    SKIPS when the import fails (same honest gating as the multimodal
+    codecs); the applyInPandasWithState implementation above is the
+    tested-everywhere path.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    win_us = int(window_seconds * 1_000_000)
+    col_order = [f.name for f in df.schema.fields]
+    out_schema = df.schema
+
+    class EmissionAnchoredDedup(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._last = handle.getValueState("last_emit_us", "last_emit_us LONG")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+
+            last = self._last.get()[0] if self._last.exists() else None
+            for pdf in rows:
+                pdf = pdf.sort_values(
+                    [ts_col] + [c for c in pdf.columns if c != ts_col],
+                    kind="mergesort",
+                )
+                ts_us = (
+                    pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+                )
+                n = len(pdf)
+                i = (
+                    0
+                    if last is None
+                    else int(np.searchsorted(ts_us, last + win_us, side="right"))
+                )
+                keep = []
+                while i < n:
+                    keep.append(i)
+                    last = int(ts_us[i])
+                    i = int(np.searchsorted(ts_us, last + win_us, side="right"))
+                if keep:
+                    yield pdf.iloc[keep][col_order]
+            if last is not None:
+                self._last.update((last,))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(*keys)
+        .transformWithStateInPandas(
+            statefulProcessor=EmissionAnchoredDedup(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 def dedup_emission_anchored_stream(
     df: DataFrame,
     keys: list[str],

@@ -147,6 +147,52 @@ def test_emission_anchored_stream_golden(spark, tmp_path):
     assert sorted(r.v for r in got.collect()) == ["v0", "v17"]
 
 
+def _tws_runtime_available() -> bool:
+    """transformWithStateInPandas spawns a protobuf-speaking Python
+    driver worker; this sandbox ships a broken google.protobuf, so the
+    TWS test gates on the import the worker performs."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _tws_runtime_available(),
+    reason="google.protobuf unusable: TWS driver worker cannot start",
+)
+def test_emission_anchored_tws_golden(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas variant must reproduce the
+    exact A2 golden sequence (emitted at +0 and +17 only)."""
+    from example_kafkastreams_spark.streaming.ops import (
+        dedup_emission_anchored_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "in_tws")
+        write_batches(
+            spark, src, DEDUP_SCHEMA, [DEDUP_GOLDEN[:2], DEDUP_GOLDEN[2:]]
+        )
+        stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+        out = dedup_emission_anchored_tws(
+            stream, keys=["k"], ts_col="ts", window_seconds=15.0
+        )
+        got = run_to_memory(spark, out, "tws_golden", tmp_path)
+        assert sorted(r.v for r in got.collect()) == ["v0", "v17"]
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
 def test_dedup_within_watermark_golden(spark, tmp_path):
     """The built-in approximation's guarantee differs from A2: keys are
     suppressed while their state lives, and state is evicted only when
