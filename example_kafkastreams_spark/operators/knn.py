@@ -96,16 +96,21 @@ def brute_force_knn(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    # materialize the cosine ONCE per pair: both rank phases and the
+    # final projection reuse the column instead of re-running the
+    # 3-fold vector expression per reference
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("__cos", F.expr(P.cosine("qv", "cv", P.SPARK)))
     return _two_phase_topk(
         scored,
         "query_id",
-        [F.expr(P.cosine("qv", "cv", P.SPARK)).desc(), F.col("neighbor_id")],
+        [F.col("__cos").desc(), F.col("neighbor_id")],
         k,
     ).select(
         "query_id",
         "neighbor_id",
-        F.expr(_cosine_expr("qv", "cv")).alias("cosine"),
+        F.expr(P.round_dbl("__cos", 6, P.SPARK)).alias("cosine"),
         "knn_rank",
     )
 
@@ -238,16 +243,16 @@ def lsh_ann(
         F.broadcast(q),
         (F.col("bucket") == F.col("qbucket"))
         & (F.col("neighbor_id") != F.col("query_id")),
-    )
+    ).withColumn("__cos", F.expr(P.cosine("qv", "cv", P.SPARK)))
     return _two_phase_topk(
         scored,
         "query_id",
-        [F.expr(P.cosine("qv", "cv", P.SPARK)).desc(), F.col("neighbor_id")],
+        [F.col("__cos").desc(), F.col("neighbor_id")],
         k,
     ).select(
         "query_id",
         "neighbor_id",
-        F.expr(_cosine_expr("qv", "cv")).alias("cosine"),
+        F.expr(P.round_dbl("__cos", 6, P.SPARK)).alias("cosine"),
         "knn_rank",
     )
 
@@ -310,16 +315,16 @@ def ivf_ann(
         qcells,
         (F.col("vec_cell") == F.col("query_cell"))
         & (F.col("vec_id") != F.col("query_id")),
-    )
+    ).withColumn("__cos", F.expr(P.cosine("query_v", "vec_v", P.SPARK)))
     return _two_phase_topk(
         scored,
         "query_id",
-        [F.expr(P.cosine("query_v", "vec_v", P.SPARK)).desc(), F.col("vec_id")],
+        [F.col("__cos").desc(), F.col("vec_id")],
         k,
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.expr(_cosine_expr("query_v", "vec_v")).alias("cosine"),
+        F.expr(P.round_dbl("__cos", 6, P.SPARK)).alias("cosine"),
         "knn_rank",
     )
 
