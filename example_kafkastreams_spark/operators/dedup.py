@@ -112,8 +112,9 @@ def dedup_emission_anchored(
     pandas DataFrame per group (per-group apply overhead dominates when
     groups are small — ~4× faster here). Group state (last emission)
     carries across Arrow chunk boundaries. Emissions are found by
-    binary-search jumps, not a per-row walk. Declared rows-only for
-    the oracle (SQL cannot express emission-anchored state).
+    binary-search jumps, not a per-row walk. Oracle-checked against a
+    recursive-CTE left fold (queries.q03) that walks the same
+    (ts, payload) order with the same strict window boundary.
     """
     import numpy as np
 

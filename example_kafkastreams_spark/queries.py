@@ -99,9 +99,43 @@ def q02_clickstream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- q03: A2 emission-anchored dedup (DeduplicationExample.scala:126-142) -
-# Not SQL-expressible (state anchored at prior emissions) → rows-only.
+# Emission-anchored state is not expressible in one SQL pass, but it IS
+# an exact per-key left fold — which a recursive CTE walks precisely:
+# rank each key's events (ts, then payload columns — mirroring the
+# operator's sortWithinPartitions order), then step rn→rn+1 carrying
+# (emitted, last_emit). Strict '>' on the window boundary matches the
+# operator's searchsorted(side="right") jump. This upgrades q03 from
+# the r1 rows-only check to a full value-hash oracle.
 
-@query("q03_dedup_emission_anchored")
+_A2_WIN_US = 24 * 3600 * 1_000_000
+
+@query(
+    "q03_dedup_emission_anchored",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT event_id, ts, user_id, event_type, value, props,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id, value, props) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT event_id, ts, user_id, event_type, value, props, rn,
+             true AS emitted, epoch_us(ts) AS last_emit
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+             e.rn,
+             epoch_us(e.ts) > w.last_emit + {_A2_WIN_US} AS emitted,
+             CASE WHEN epoch_us(e.ts) > w.last_emit + {_A2_WIN_US}
+                  THEN epoch_us(e.ts) ELSE w.last_emit END AS last_emit
+      FROM walk w
+      JOIN ev e ON e.user_id = w.user_id AND e.event_type = w.event_type
+               AND e.rn = w.rn + 1
+    )
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM walk WHERE emitted
+    """,
+)
 def q03_dedup_emission_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return dedup_emission_anchored(
