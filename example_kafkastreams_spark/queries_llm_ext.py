@@ -178,6 +178,47 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_component_sizes(comp, "doc_id")
 
 
+# --- q60: multimodal frame sampling (1 → N inside the Arrow batch) --------
+
+_FRAME_STRIDE = 256
+
+_FRAME_SUM = P.fold(
+    P.transform_(
+        f"regexp_extract_all(substr(text, frame_idx * {_FRAME_STRIDE} + 1,"
+        f" {_FRAME_STRIDE}), '.')",
+        "c", "CAST(ord(c) AS BIGINT)", D,
+    ),
+    "CAST(0 AS BIGINT)", "acc", "x", "acc + x", D,
+)
+
+
+@query(
+    "q60_multimodal_frames",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(strlen(text) / {_FRAME_STRIDE}.0)
+                                  AS BIGINT))) AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * {_FRAME_STRIDE} AS frame_offset_bytes,
+           CAST({_FRAME_SUM} AS BIGINT) AS frame_checksum
+    FROM f
+    """,
+)
+def q60_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style 1→N frame sampling through mapInPandas: each binary
+    payload emits one row per 256-byte frame, expanded INSIDE the Arrow
+    batch (frames never exist as a row-level array to explode). The
+    checksum proves each frame's bytes were read; the oracle recomputes
+    it from the text (ASCII ⇒ codepoints == bytes, as in q52)."""
+    from .operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.attach_payload(docs))
+
+
 # --- q59: edit-distance fuzzy dedup on LSH candidates ---------------------
 
 @query(

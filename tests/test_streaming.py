@@ -402,6 +402,55 @@ def test_windowed_count_update_mode(spark, tmp_path):
     assert counts == [2, 3]  # the changelog: count 2, then updated to 3
 
 
+def test_checkpoint_restart_recovers_state(spark, tmp_path):
+    """A4 materialization made explicit: stop a stateful query, add
+    batches, restart from the SAME checkpoint — the emission anchor
+    must survive the restart (v3/v7 stay suppressed by run 1's v0
+    anchor; v17 re-emits), and nothing is emitted twice."""
+    from example_kafkastreams_spark.streaming.ops import (
+        dedup_emission_anchored_stream,
+    )
+
+    src = str(tmp_path / "in_restart")
+    ckpt = str(tmp_path / "ckpt_restart")  # ONE checkpoint, two runs
+    sink = str(tmp_path / "out_restart")  # durable sink: recovery-capable
+
+    def run():
+        stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+        out = dedup_emission_anchored_stream(
+            stream, keys=["k"], ts_col="ts", window_seconds=15.0
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        return sorted(r.v for r in spark.read.parquet(sink).collect())
+
+    write_batches(spark, src, DEDUP_SCHEMA, [DEDUP_GOLDEN[:2]])
+    assert run() == ["v0"]
+
+    # extend the source AFTER the stop, then restart from the same
+    # checkpoint into the same sink
+    import glob, os
+
+    n0 = len(glob.glob(os.path.join(src, "*.parquet")))
+    f = os.path.join(src, f"batch_{n0:03d}.parquet")
+    write_batches(spark, src + "_tmp", DEDUP_SCHEMA, [DEDUP_GOLDEN[2:]])
+    os.rename(
+        glob.glob(os.path.join(src + "_tmp", "*.parquet"))[0], f
+    )
+    os.utime(f, (1_700_000_000 + n0, 1_700_000_000 + n0))
+
+    # v3/v7 suppressed by the RECOVERED v0 anchor; v0 not re-emitted
+    assert run() == ["v0", "v17"]
+
+
 def test_emission_anchored_stream_state_bound(spark, tmp_path):
     """Many keys in one batch: output stays per-key correct (shuffle on
     key, O(1) state per key)."""
