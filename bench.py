@@ -115,6 +115,46 @@ def main() -> None:
             "shuffle_write_records": shuffled[0] if shuffled else None,
             "shuffle_write_bytes": shuffled[1] if shuffled else None,
         }
+    # J3 persistent co-partitioning: the same fact⋈agg join once over a
+    # bucketed table (bucket metadata co-locates both sides ⇒ the scan
+    # delivers the partitioning) and once over plain parquet (both
+    # sides shuffle). Same shuffle-join regime as above.
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.sources.bucketed import write_bucketed
+
+    write_bucketed(
+        events.select("event_id", "user_id", "event_type", "value"),
+        "bench_events_bucketed",
+        bucket_cols=["user_id"],
+        num_buckets=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+
+    def fact_agg_join(src):
+        agg = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        return src.join(agg, "user_id")
+
+    for label, src in (
+        ("plain_parquet_join", events.select("event_id", "user_id", "event_type", "value")),
+        ("bucketed_join", spark.table("bench_events_bucketed")),
+    ):
+        best = float("inf")
+        shuffled = None
+        for i in range(3):
+            before = shuffle_totals(spark)
+            t0 = time.perf_counter()
+            run_noop(fact_agg_join(src))
+            best = min(best, time.perf_counter() - t0)
+            after = shuffle_totals(spark)
+            if i == 0 and before is not None and after is not None:
+                shuffled = (after[0] - before[0], after[1] - before[1])
+        compare[label] = {
+            "sec": round(best, 3),
+            "exchanges": count_exchanges(fact_agg_join(src)),
+            "shuffle_write_records": shuffled[0] if shuffled else None,
+            "shuffle_write_bytes": shuffled[1] if shuffled else None,
+        }
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 

@@ -103,3 +103,39 @@ def test_quality_arithmetic_agrees(spark, docs):
     )
     got, want = both_engines(spark, docs, expr_s, expr_d)
     assert got == want
+
+
+@SETTINGS
+@given(docs=DOCS)
+def test_token_hash32_agrees(spark, docs):
+    """The two dialect forms (Spark conv() vs DuckDB nibble unroll)
+    must produce the same BIGINT for arbitrary tokens."""
+    got, want = both_engines(
+        spark,
+        docs,
+        P.transform_(P.split_ws("text", P.SPARK), "t",
+                     P.token_hash32("t", P.SPARK), P.SPARK),
+        P.transform_(P.split_ws("text", P.DUCK), "t",
+                     P.token_hash32("t", P.DUCK), P.DUCK),
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(docs=DOCS, stride=st.integers(min_value=1, max_value=7))
+def test_seq_step_and_idiv_agree(spark, docs, stride):
+    """Chunk-start offsets (stepped sequence) and chunk indices
+    (integer division) agree across dialects for arbitrary doc lengths
+    and strides — the q54 chunking skeleton."""
+    n_s = P.size_(P.split_ws("text", P.SPARK), P.SPARK)
+    n_d = P.size_(P.split_ws("text", P.DUCK), P.DUCK)
+    expr_s = P.transform_(
+        P.seq_step("1", n_s, stride, P.SPARK), "s",
+        P.idiv("s - 1", str(stride), P.SPARK), P.SPARK,
+    )
+    expr_d = P.transform_(
+        P.seq_step("1", n_d, stride, P.DUCK), "s",
+        P.idiv("s - 1", str(stride), P.DUCK), P.DUCK,
+    )
+    got, want = both_engines(spark, docs, expr_s, expr_d)
+    assert got == want
