@@ -118,8 +118,13 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit tf-weighted SimHash per document (column-expression path)."""
-    return ND.with_simhash(load_table(spark, sf_dir, "documents"))
+    """32-bit tf-weighted SimHash per document (column-expression path).
+
+    Rebalanced before the sketch map: the 32 bit-count traversals per
+    doc are CPU-bound, and the testdata's single-row-group layout would
+    otherwise pin the whole corpus into one task (see _rebalance)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ND.with_simhash(ND._rebalance(docs, "doc_id"))
 
 
 # --- q43: SimHash near-dup pairs (byte-band + Hamming verify) -------------
