@@ -85,14 +85,21 @@ def interval_left_join_stream(
     left_ts: str = "ts",
     right_ts: str = "pv_ts",
     lookback_seconds: int = 15,
+    lookahead_seconds: int = 0,
     watermark_delay: str = "30 seconds",
 ) -> DataFrame:
-    """J2 streaming: look-back interval LEFT OUTER stream-stream join.
+    """J1/J2 streaming: interval LEFT OUTER stream-stream join.
 
-    right matches left when keys agree and right_ts ∈ [left_ts − w,
-    left_ts]. Unmatched left rows emit with NULL right columns once the
-    watermark passes (Spark holds them exactly as the reference's
-    window store holds candidates until retention expires).
+    right matches left when keys agree and right_ts ∈ [left_ts −
+    lookback, left_ts + lookahead]. The default (lookahead=0) is the
+    Processor-API look-back semantics (J2); ``lookahead_seconds =
+    lookback_seconds`` gives the DSL's symmetric ``JoinWindows.of``
+    (J1, ClickstreamJoinExample.scala:230-231) — under which the
+    reference's out-of-order event (an ev arriving before its pv,
+    :144-149) DOES match, the documented behavioral difference between
+    the two topologies. Unmatched left rows emit with NULL right
+    columns once the watermark passes (Spark holds them exactly as the
+    reference's window store holds candidates until retention expires).
 
     Note: emits ALL matches in the window (J1 multiplicity). The
     reference's first-match-wins refinement (J2) is a per-left-row
@@ -107,6 +114,7 @@ def interval_left_join_stream(
         f"{key_cond} AND r.{right_ts} >= l.{left_ts}"
         f" - INTERVAL {lookback_seconds} SECONDS"
         f" AND r.{right_ts} <= l.{left_ts}"
+        f" + INTERVAL {lookahead_seconds} SECONDS"
     )
     return lw.alias("l").join(rw.alias("r"), cond, "leftOuter")
 

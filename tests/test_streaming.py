@@ -314,6 +314,46 @@ def test_interval_join_stream_golden(spark, tmp_path):
     assert matches("add to cart") == ["NULL"]
 
 
+def test_symmetric_vs_lookback_out_of_order(spark, tmp_path):
+    """The reference's documented DSL-vs-Processor behavioral split
+    (ClickstreamJoinExample.scala:144-149): pv2's first event arrives
+    BEFORE pv2. Under look-back (Processor, J2) it stays unmatched;
+    under the DSL's symmetric ±15 s window (J1) it matches pv2."""
+    pv_src = str(tmp_path / "sym_pv")
+    ev_src = str(tmp_path / "sym_ev")
+    write_batches(spark, pv_src, CLICK_PV_SCHEMA, [GOLDEN_PVS, SENTINEL_PV])
+    write_batches(spark, ev_src, CLICK_EV_SCHEMA, [GOLDEN_EVS, SENTINEL_EV])
+
+    def run(name, lookahead):
+        pv = file_stream(spark, pv_src, CLICK_PV_SCHEMA, max_files_per_trigger=1)
+        ev = file_stream(spark, ev_src, CLICK_EV_SCHEMA, max_files_per_trigger=1)
+        joined = interval_left_join_stream(
+            ev, pv, on=["client_id", "pv_id"],
+            left_ts="ts", right_ts="pv_ts",
+            lookback_seconds=15, lookahead_seconds=lookahead,
+            watermark_delay="30 seconds",
+        ).select(
+            F.col("l.pv_id").alias("ev_pv"),
+            F.col("l.ev_id").alias("ev_id"),
+            F.col("l.ts").alias("ts"),
+            F.col("r.pv_id").alias("matched_pv"),
+        )
+        return run_to_memory(spark, joined, name, tmp_path)
+
+    # the out-of-order row: ev0 on pv2 at t=10.1, pv2 arrives at t=10.2
+    def ooo_matches(df):
+        return [
+            (r.matched_pv or "NULL")
+            for r in df.collect()
+            if r.ev_pv == "pv2" and r.ev_id == "ev0"
+        ]
+
+    lookback = run("j2_lookback", lookahead=0)
+    symmetric = run("j1_symmetric", lookahead=15)
+    assert ooo_matches(lookback) == ["NULL"]  # Processor semantics
+    assert ooo_matches(symmetric) == ["pv2"]  # DSL semantics
+
+
 def test_clickstream_enrich_stream_golden(spark, tmp_path):
     """The composed E2 topology: join + EvPv shaping + dedup + re-key.
     The duplicate ev1 survives the join but is suppressed by the dedup
