@@ -102,10 +102,14 @@ def asof_lookback_left_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     lookback_seconds: float = 15.0,
+    lookahead_seconds: float = 0.0,
     right_order: list[str] | None = None,
     pick: str = "latest",
 ) -> DataFrame:
     """J2: look-back as-of LEFT join, one right match per left row.
+    With ``lookahead_seconds = lookback_seconds`` the window is the
+    DSL's symmetric ``JoinWindows.of`` (J1) with a deterministic
+    single-match pick layered on top.
 
     "Row" here means *distinct* left row: the regroup after the
     bucketized join keys on ALL left columns, so fully-duplicate left
@@ -118,7 +122,8 @@ def asof_lookback_left_join(
     window).
     """
     joined, l, r = interval_left_join(
-        left, right, on, left_ts, right_ts, lookback_seconds, 0.0
+        left, right, on, left_ts, right_ts, lookback_seconds,
+        lookahead_seconds,
     )
     right_order = right_order or [right_ts]
     # NULL-guard the ordering: the bucketized left join emits an all-NULL

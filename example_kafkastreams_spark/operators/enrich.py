@@ -94,6 +94,54 @@ def enrich_clickstream(
     )
 
 
+def enrich_clickstream_dsl(
+    events: DataFrame,
+    window_seconds: float = 24 * 3600.0,
+    dedup_window: str = "1 day",
+) -> DataFrame:
+    """The DSL topology's semantics (E3): SYMMETRIC ``JoinWindows.of``
+    — a page view within ±window matches, so the reference's
+    out-of-order fixture (ev before its pv) joins here and not in the
+    Processor path (ClickstreamJoinExample.scala:144-149,230-231).
+
+    The DSL keeps the first joined record per dedup key in processing
+    order, which is nondeterministic in the reference; the batch analog
+    makes it deterministic: earliest (pv_ts, pv_event_id) wins. Same
+    plan shapes as :func:`enrich_clickstream` — symmetric bounds only
+    widen the bucket range."""
+    pv, ev = split_clickstream(events)
+    joined = asof_lookback_left_join(
+        ev.withColumnRenamed("ts", "ev_ts"),
+        pv,
+        on=["user_id"],
+        left_id="event_id",
+        right_payload=["pv_event_id", "pv_value", "pv_ts"],
+        left_ts="ev_ts",
+        right_ts="pv_ts",
+        lookback_seconds=window_seconds,
+        lookahead_seconds=window_seconds,
+        right_order=["pv_ts", "pv_event_id"],
+        pick="earliest",
+    )
+    deduped = dedup_tumbling_window(
+        joined.withColumnRenamed("ev_ts", "ts"),
+        keys=["user_id", "event_type", "pv_event_id"],
+        ts_col="ts",
+        window_duration=dedup_window,
+        order_cols=["event_id"],
+    )
+    return deduped.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value").alias("ev_value"),
+        "ts",
+        "pv_event_id",
+        "pv_value",
+        "pv_ts",
+    )
+
+
 def enrich_clickstream_naive(
     events: DataFrame,
     lookback_seconds: float = 24 * 3600.0,

@@ -146,6 +146,55 @@ def q03_dedup_emission_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q05: the DSL topology (E3) — symmetric window + dedup ----------------
+# clickstreamJoinDsl (ClickstreamJoinExample.scala:199-270): symmetric
+# JoinWindows.of, so the out-of-order fixture matches here and not in
+# q02's look-back path. The DSL's processing-order first-wins is made
+# deterministic: earliest (pv_ts, pv_event_id).
+
+@query(
+    "q05_clickstream_enrich_dsl",
+    oracle=f"""
+    WITH pv AS (
+      SELECT user_id, event_id AS pv_event_id, value AS pv_value, ts AS pv_ts
+      FROM events WHERE event_type = 'view'
+    ), ev AS (
+      SELECT user_id, event_id, event_type, value, ts, props
+      FROM events WHERE event_type <> 'view'
+    ), matched AS (
+      SELECT ev.user_id, ev.event_id, ev.event_type, ev.value, ev.ts,
+             pv.pv_event_id, pv.pv_value, pv.pv_ts,
+             row_number() OVER (PARTITION BY ev.event_id
+                                ORDER BY pv.pv_ts ASC, pv.pv_event_id ASC) AS rn
+      FROM ev LEFT JOIN pv
+        ON ev.user_id = pv.user_id
+       AND pv.pv_ts >= ev.ts - INTERVAL {_ENRICH_LOOKBACK_S} SECOND
+       AND pv.pv_ts <= ev.ts + INTERVAL {_ENRICH_LOOKBACK_S} SECOND
+    ), picked AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             pv_event_id, pv_value, pv_ts
+      FROM matched WHERE rn = 1
+    ), dedup AS (
+      SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type, pv_event_id,
+                             {_day_window_sql('ts')}
+                ORDER BY ts, event_id) AS rn
+      FROM picked
+    )
+    SELECT user_id, event_id, event_type, value AS ev_value, ts,
+           pv_event_id, pv_value, pv_ts
+    FROM dedup WHERE rn = 1
+    """,
+)
+def q05_clickstream_enrich_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.enrich import enrich_clickstream_dsl
+
+    events = load_table(spark, sf_dir, "events")
+    return enrich_clickstream_dsl(
+        events, window_seconds=_ENRICH_LOOKBACK_S, dedup_window="1 day"
+    )
+
+
 # --- q04: J2 with the PROCESSOR's literal pick (earliest match) -----------
 # The reference's range scan takes the FIRST hit in [t-w, t] — store
 # iteration is time-ascending, so earliest-in-window wins
