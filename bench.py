@@ -123,6 +123,17 @@ def main() -> None:
 
     from example_kafkastreams_spark.sources.bucketed import write_bucketed
 
+    # the session catalog is in-memory: a previous run's table survives
+    # only as an orphaned warehouse directory, which saveAsTable refuses
+    # to overwrite — drop both forms
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bench_events_bucketed")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if wh:
+        shutil.rmtree(
+            os.path.join(wh, "bench_events_bucketed"), ignore_errors=True
+        )
     write_bucketed(
         events.select("event_id", "user_id", "event_type", "value"),
         "bench_events_bucketed",

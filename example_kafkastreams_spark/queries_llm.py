@@ -369,7 +369,9 @@ def q48_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, so predictions collapse to the tie-break — deterministic
     and honest; on real text the marker profiles separate languages.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # same single-row-group rationale as q42: spread the per-doc
+    # marker/regexp work across cores
+    docs = ND._rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
     scores = P.lang_scores("text", P.SPARK)
     with_scores = docs.select(
         "doc_id", "lang",
@@ -509,5 +511,7 @@ def q52_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.multimodal). Oracle recomputes the same stats from the
     text (ASCII ⇒ codepoints == bytes).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # rebalanced: the Arrow decode batches otherwise ride the single
+    # scan partition (one task for the whole corpus)
+    docs = ND._rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
     return MM.decode_images(MM.attach_payload(docs))
