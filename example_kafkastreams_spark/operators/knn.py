@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions import portable as P
 
@@ -228,7 +229,15 @@ def lsh_ann(
     Output: (query_id, neighbor_id, cosine, rank).
     """
     planes = planes or hyperplanes()
-    b = with_bucket(emb, planes, id_col, vec_col)
+    # bucket signatures feed both join sides: rebalance off the
+    # single-row-group scan partition and persist (same pattern as the
+    # text sketches — the hyperplane dot products are the expensive map)
+    b = with_bucket(
+        emb.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, id_col
+        ),
+        planes, id_col, vec_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     q = b.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -344,7 +353,14 @@ def bucketed_similar_pairs(
     partial top-ns (Spark's TakeOrderedAndProject does exactly this).
     """
     planes = planes or hyperplanes()
-    b = with_bucket(emb, planes, id_col, vec_col)
+    # same rebalance+persist rationale as lsh_ann: the bucket table
+    # feeds both self-join sides
+    b = with_bucket(
+        emb.repartition(
+            emb.sparkSession.sparkContext.defaultParallelism, id_col
+        ),
+        planes, id_col, vec_col,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l = b.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
