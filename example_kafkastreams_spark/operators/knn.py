@@ -293,6 +293,11 @@ def ivf_ann(
     cent = emb.filter(F.col(id_col) < num_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
+    # the |corpus| x |centroids| assignment map is the expensive stage;
+    # spread it off the single-row-group scan partition
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, id_col
+    )
 
     def assign(df: DataFrame, out_prefix: str) -> DataFrame:
         # Nearest centroid as a hash aggregation, not a window rank:

@@ -511,7 +511,9 @@ def q52_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.multimodal). Oracle recomputes the same stats from the
     text (ASCII ⇒ codepoints == bytes).
     """
-    # rebalanced: the Arrow decode batches otherwise ride the single
-    # scan partition (one task for the whole corpus)
-    docs = ND._rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
+    # NOT rebalanced: the fake decode is I/O-trivial, so one task over
+    # the single scan partition beats spinning up a Python worker per
+    # core (measured ~2x); a real codec (CPU-bound) would rebalance
+    # like q42/q48
+    docs = load_table(spark, sf_dir, "documents")
     return MM.decode_images(MM.attach_payload(docs))
