@@ -48,17 +48,29 @@ def kafka_stream(
     return parse_kafka_records(raw, value_schema)
 
 
-def parse_kafka_records(raw: DataFrame, value_schema: T.StructType) -> DataFrame:
+def parse_kafka_records(
+    raw: DataFrame, value_schema: T.StructType, strict: bool = False
+) -> DataFrame:
     """(key, value: binary, timestamp) → typed columns + ``ts``.
 
     The Kafka record timestamp becomes the event-time column (reference:
     context().timestamp(), ClickstreamJoinExample.scala:334).
+
+    ``strict=True`` is the ``FailOnInvalidTimestamp`` analog
+    (Kafka.scala:35,45,84 — the reference CRASHES on records it cannot
+    interpret): FAILFAST parsing kills the job on a malformed payload
+    instead of silently flowing NULL fields downstream (the PERMISSIVE
+    default yields a struct of NULLs, which callers can assert on).
     """
-    return raw.select(
+    options = {"mode": "FAILFAST"} if strict else {}
+    parsed = raw.select(
         F.col("key").cast("string").alias("key"),
-        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+        F.from_json(
+            F.col("value").cast("string"), value_schema, options
+        ).alias("v"),
         F.col("timestamp").alias("ts"),
-    ).select("key", "v.*", "ts")
+    )
+    return parsed.select("key", "v.*", "ts")
 
 
 def kafka_sink_payload(df: DataFrame, key_col: str) -> DataFrame:
