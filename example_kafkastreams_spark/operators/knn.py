@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
-from pyspark.storagelevel import StorageLevel
+from .cache import persist_tracked
 
 from ..functions import portable as P
 
@@ -232,12 +232,12 @@ def lsh_ann(
     # bucket signatures feed both join sides: rebalance off the
     # single-row-group scan partition and persist (same pattern as the
     # text sketches — the hyperplane dot products are the expensive map)
-    b = with_bucket(
+    b = persist_tracked(with_bucket(
         emb.repartition(
             emb.sparkSession.sparkContext.defaultParallelism, id_col
         ),
         planes, id_col, vec_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     q = b.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -360,12 +360,12 @@ def bucketed_similar_pairs(
     planes = planes or hyperplanes()
     # same rebalance+persist rationale as lsh_ann: the bucket table
     # feeds both self-join sides
-    b = with_bucket(
+    b = persist_tracked(with_bucket(
         emb.repartition(
             emb.sparkSession.sparkContext.defaultParallelism, id_col
         ),
         planes, id_col, vec_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     l = b.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),

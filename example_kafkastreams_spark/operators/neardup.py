@@ -37,7 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
+from .cache import persist_tracked
 
 from ..functions import portable as P
 
@@ -177,11 +177,11 @@ def minhash_lsh_pairs(
         # parquet checkpoint; MEMORY_AND_DISK is the local analog. A
         # caller-provided sig_df is reused as-is (the caller owns its
         # materialization — see ngram_jaccard_pairs).
-        sig_df = with_minhash(
+        sig_df = persist_tracked(with_minhash(
             docs=_rebalance(docs, id_col),
             id_col=id_col, text_col=text_col,
             num_hashes=num_hashes, shingle_n=shingle_n,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ))
     bands_df = lsh_bands(sig_df, id_col, bands, rows_per_band)
 
     # shuffle_hash, never broadcast: both sides derive from the corpus,
@@ -255,11 +255,11 @@ def ngram_jaccard_pairs(
     hv = base.select(
         id_col, "sh", F.expr(P.base_hash_array("sh", P.SPARK)).alias("hv")
     )
-    sketch = hv.select(
+    sketch = persist_tracked(hv.select(
         id_col,
         "sh",
         F.expr(P.minhash_sig("hv", num_hashes, P.SPARK)).alias("sig"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     cand = minhash_lsh_pairs(
         docs, id_col, text_col, num_hashes, bands, shingle_n,
         threshold=candidate_threshold,
@@ -388,9 +388,9 @@ def simhash_neardup_pairs(
     # table feeds the band build AND probe sides — one token-hash scan
     # over the corpus instead of two, and the 12-byte-per-row sketch is
     # the natural checkpoint at 100 TB.
-    sh = with_simhash(
+    sh = persist_tracked(with_simhash(
         _rebalance(docs, id_col), id_col, text_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),

@@ -39,7 +39,18 @@ def salted_equijoin(
     a line number) whose hash spreads a hot key's rows evenly;
     ``pmod(hash(...))`` keeps it deterministic, so the operator stays
     re-runnable and cross-engine verifiable.
+
+    Only ``inner`` and ``left`` are output-invariant under salting: an
+    unmatched DIM row exists ``salts`` times post-explode, so right /
+    full-outer joins would emit it once per salt copy — silently
+    diverging from the plain join.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_equijoin supports how='inner'|'left', got {how!r}: "
+            "dim-side salt replication emits each unmatched dim row "
+            "`salts` times under right/full_outer"
+        )
     f = fact.withColumn(
         "__salt", F.pmod(F.hash(F.col(salt_source)), F.lit(salts))
     )

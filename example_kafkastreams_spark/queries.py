@@ -195,65 +195,14 @@ def q05_clickstream_enrich_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q04: J2 with the PROCESSOR's literal pick (earliest match) -----------
-# The reference's range scan takes the FIRST hit in [t-w, t] — store
-# iteration is time-ascending, so earliest-in-window wins
-# (ClickstreamJoinExample.scala:360-365). q02 canonicalizes the saner
-# as-of latest pick; this query declares the literal reference
-# semantics via pick="earliest", oracle-checked with an ASC rank.
-
-@query(
-    "q04_enrich_first_match",
-    oracle=f"""
-    WITH pv AS (
-      SELECT user_id, event_id AS pv_event_id, value AS pv_value, ts AS pv_ts
-      FROM events WHERE event_type = 'view'
-    ), ev AS (
-      SELECT user_id, event_id, event_type, value AS ev_value, ts
-      FROM events WHERE event_type <> 'view'
-    ), matched AS (
-      SELECT ev.user_id, ev.event_id, ev.event_type, ev.ev_value, ev.ts,
-             pv.pv_event_id, pv.pv_value, pv.pv_ts,
-             row_number() OVER (PARTITION BY ev.event_id
-                                ORDER BY pv.pv_ts ASC, pv.pv_event_id ASC) AS rn
-      FROM ev LEFT JOIN pv
-        ON ev.user_id = pv.user_id
-       AND pv.pv_ts >= ev.ts - INTERVAL {_ENRICH_LOOKBACK_S} SECOND
-       AND pv.pv_ts <= ev.ts
-    )
-    SELECT user_id, event_id, event_type, ev_value, ts,
-           pv_event_id, pv_value, pv_ts
-    FROM matched WHERE rn = 1
-    """,
-)
-def q04_enrich_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.asof_join import asof_lookback_left_join
-
-    events = load_table(spark, sf_dir, "events")
-    pv = events.filter(F.col("event_type") == "view").select(
-        "user_id",
-        F.col("event_id").alias("pv_event_id"),
-        F.col("value").alias("pv_value"),
-        F.col("ts").alias("pv_ts"),
-    )
-    ev = events.filter(F.col("event_type") != "view").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.col("value").alias("ev_value"),
-        "ts",
-    )
-    return asof_lookback_left_join(
-        ev, pv,
-        on=["user_id"],
-        left_id="event_id",
-        right_payload=["pv_event_id", "pv_value", "pv_ts"],
-        left_ts="ts",
-        right_ts="pv_ts",
-        lookback_seconds=_ENRICH_LOOKBACK_S,
-        right_order=["pv_ts", "pv_event_id"],
-        pick="earliest",
-    )
+# q04_enrich_first_match (J2 literal Processor pick, earliest match) was
+# retired from the registry in round 3: the driver verifies at most 50
+# queries, and q04's earliest-in-[t-w,t] pick is a one-parameter variant
+# of the operator q02 declares (pick="latest") whose earliest path is
+# ALSO driver-checked through q05's symmetric-window DSL query and
+# pinned by tests/test_asof_join.py::test_asof_earliest_pick_with_
+# matchless_bucket. The operator itself (asof_lookback_left_join,
+# pick="earliest", ClickstreamJoinExample.scala:360-365) is unchanged.
 
 
 # Register the rest of the surface (imports populate the registry).

@@ -106,25 +106,13 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q42: SimHash fingerprint ---------------------------------------------
-
-@query(
-    "q42_dedup_simhash",
-    oracle=f"""
-    WITH thv AS (
-      SELECT doc_id, {P.token_hash_array('text', D)} AS thv FROM documents
-    )
-    SELECT doc_id, {P.simhash_from_hashes('thv', D)} AS simhash FROM thv
-    """,
-)
-def q42_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit tf-weighted SimHash per document (column-expression path).
-
-    Rebalanced before the sketch map: the 32 bit-count traversals per
-    doc are CPU-bound, and the testdata's single-row-group layout would
-    otherwise pin the whole corpus into one task (see _rebalance)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return ND.with_simhash(ND._rebalance(docs, "doc_id"))
+# q42_dedup_simhash (the per-doc SimHash map) was retired from the
+# registry in round 3: its entire output is an intermediate of
+# q43_dedup_simhash_pairs (the pairs oracle recomputes the identical
+# simhash CTE), so one driver row already value-checks the sketch.
+# The operator (neardup.with_simhash) is unchanged and stays pinned by
+# tests/test_llm_extensions.py. Freed slot → driver's 50-query window
+# (VERDICT r2 item 2).
 
 
 # --- q43: SimHash near-dup pairs (byte-band + Hamming verify) -------------

@@ -147,37 +147,34 @@ def q13_join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q14/q15: semi + anti joins -------------------------------------------
+# --- q14: semi + anti joins (merged q14/q15, round 3) ---------------------
+# One driver row covers both join flavors — the registry must fit the
+# driver's 50-query window (VERDICT r2 item 2). A tag column keeps the
+# two branches distinguishable under one schema; both still plan as
+# LeftSemi / LeftAnti hash joins (pytest plan-asserts this).
 
 @query(
-    "q14_join_semi",
+    "q14_join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name, c_acctbal FROM customer
+    SELECT 'semi' AS tag, c_custkey, c_name, c_acctbal FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 100000)
-    """,
-)
-def q14_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    return customer.join(
-        big, customer.c_custkey == big.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name", "c_acctbal")
-
-
-@query(
-    "q15_join_anti",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'anti' AS tag, c_custkey, c_name, c_acctbal FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
-def q15_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q14_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return customer.join(
+    big = orders.filter(F.col("o_totalprice") > 100000)
+    semi = customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select(F.lit("semi").alias("tag"), "c_custkey", "c_name", "c_acctbal")
+    anti = customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    ).select(F.lit("anti").alias("tag"), "c_custkey", "c_name", "c_acctbal")
+    return semi.unionAll(anti)
 
 
 # --- q16: fact ⋈ broadcast dims with per-part agg -------------------------
@@ -228,7 +225,13 @@ def q17_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q18: set operations --------------------------------------------------
+# --- q18: set operations, set AND bag semantics (merged q18/q38, r3) ------
+# One driver row covers all four forms — the registry must fit the
+# driver's 50-query window (VERDICT r2 item 2). INTERSECT/EXCEPT plan
+# as distinct + left-semi/left-anti; INTERSECT ALL/EXCEPT ALL plan as
+# count-based hash aggregations with min(m,n)/max(m-n,0)
+# multiplicities — no row-pair matching at any scale. Bag branches are
+# re-aggregated per key so the output hash is order-insensitive.
 
 @query(
     "q18_set_ops",
@@ -237,10 +240,24 @@ def q17_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
     ), urgent AS (
       SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), big_all AS (
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    ), open_all AS (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
     )
-    SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM urgent)
+    SELECT 'both' AS tag, custkey, CAST(1 AS BIGINT) AS n
+    FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM urgent)
     UNION ALL
-    SELECT 'only_big' AS tag, custkey FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM urgent)
+    SELECT 'only_big' AS tag, custkey, CAST(1 AS BIGINT) AS n
+    FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT 'both_all' AS tag, custkey, COUNT(*) AS n FROM (
+      SELECT custkey FROM big_all INTERSECT ALL SELECT custkey FROM open_all
+    ) GROUP BY custkey
+    UNION ALL
+    SELECT 'only_big_all' AS tag, custkey, COUNT(*) AS n FROM (
+      SELECT custkey FROM big_all EXCEPT ALL SELECT custkey FROM open_all
+    ) GROUP BY custkey
     """,
 )
 def q18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -255,9 +272,30 @@ def q18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("custkey"))
         .distinct()
     )
-    both = big.intersect(urgent).select(F.lit("both").alias("tag"), "custkey")
-    only_big = big.exceptAll(urgent).select(F.lit("only_big").alias("tag"), "custkey")
-    return both.unionAll(only_big)
+    big_all = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    open_all = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    one = F.lit(1).cast("long").alias("n")
+    both = big.intersect(urgent).select(F.lit("both").alias("tag"), "custkey", one)
+    only_big = big.exceptAll(urgent).select(
+        F.lit("only_big").alias("tag"), "custkey", one
+    )
+    both_all = (
+        big_all.intersectAll(open_all)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("both_all").alias("tag"), "custkey", "n")
+    )
+    only_big_all = (
+        big_all.exceptAll(open_all)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("only_big_all").alias("tag"), "custkey", "n")
+    )
+    return both.unionAll(only_big).unionAll(both_all).unionAll(only_big_all)
 
 
 # --- q19: analytic window (rank per group) --------------------------------
@@ -405,38 +443,61 @@ def q22_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q23/q24: rollup & cube -----------------------------------------------
+# --- q23: rollup & cube (merged q23/q24, round 3) -------------------------
+# One driver row covers both lattices — the registry must fit the
+# driver's 50-query window (VERDICT r2 item 2). The cube branch keeps
+# q24's derived grouping column (year(ts) over events) so both the
+# hierarchical (rollup) and full (cube, incl. the (NULL, y) sets rollup
+# lacks) Expand shapes stay oracle-checked. Spark plans each branch as
+# ONE scan + Expand feeding every grouping set — the shape that
+# replaces 2^k separate scans of a 100 TB fact table.
 
 @query(
-    "q23_rollup",
+    "q23_rollup_cube",
     oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS n, {dsum_sql('l_quantity', 2)} AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    SELECT 'rollup' AS lattice, g1, g2, n, sum_qty FROM (
+      SELECT l_returnflag AS g1, l_linestatus AS g2,
+             COUNT(*) AS n, {dsum_sql('l_quantity', 2)} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (g1, g2)
+    )
+    UNION ALL
+    SELECT 'cube' AS lattice, g1, g2, n, CAST(NULL AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT event_type AS g1, CAST(CAST(year(ts) AS INT) AS VARCHAR) AS g2,
+             COUNT(*) AS n
+      FROM events GROUP BY CUBE (g1, g2)
+    )
     """,
 )
-def q23_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), 2).alias("sum_qty")
+    rollup = (
+        li.withColumnRenamed("l_returnflag", "g1")
+        .withColumnRenamed("l_linestatus", "g2")
+        .rollup("g1", "g2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(F.lit("rollup").alias("lattice"), "g1", "g2", "n", "sum_qty")
     )
-
-
-@query(
-    "q24_cube",
-    oracle="""
-    SELECT event_type, CAST(year(ts) AS INT) AS y, COUNT(*) AS n
-    FROM events GROUP BY CUBE (event_type, y)
-    """,
-)
-def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.withColumn("y", F.year("ts"))
-        .cube("event_type", "y")
+    cube = (
+        events.select(
+            F.col("event_type").alias("g1"),
+            F.year("ts").cast("int").cast("string").alias("g2"),
+        )
+        .cube("g1", "g2")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cube").alias("lattice"),
+            "g1",
+            "g2",
+            "n",
+            F.lit(None).cast("double").alias("sum_qty"),
+        )
     )
+    return rollup.unionAll(cube)
 
 
 # --- q25: distinct aggregation --------------------------------------------

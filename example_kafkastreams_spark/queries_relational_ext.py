@@ -291,45 +291,10 @@ def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q35: conditional / boolean aggregates --------------------------------
 
-# --- q38: bag-semantics set operations ------------------------------------
-
-@query(
-    "q38_set_ops_all",
-    oracle="""
-    WITH big AS (
-      SELECT o_custkey FROM orders WHERE o_totalprice > 150000
-    ), open_o AS (
-      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    )
-    SELECT o_custkey, count(*) AS n FROM (
-      SELECT * FROM big INTERSECT ALL SELECT * FROM open_o
-    ) GROUP BY o_custkey
-    UNION ALL
-    SELECT o_custkey, -count(*) AS n FROM (
-      SELECT * FROM big EXCEPT ALL SELECT * FROM open_o
-    ) GROUP BY o_custkey
-    """,
-)
-def q38_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT ALL / EXCEPT ALL — multiset semantics (q18 covers the
-    distinct forms): multiplicities are min(m,n) and max(m-n, 0), which
-    Spark plans as count-based hash aggregations, not row-pair
-    matching. Aggregated per key (signed to keep one schema) so the
-    oracle hash is order-insensitive."""
-    orders = load_table(spark, sf_dir, "orders")
-    big = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
-    open_o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    inter = (
-        big.intersectAll(open_o)
-        .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    exc = (
-        big.exceptAll(open_o)
-        .groupBy("o_custkey")
-        .agg((-F.count(F.lit(1))).alias("n"))
-    )
-    return inter.unionAll(exc)
+# q38_set_ops_all (INTERSECT ALL / EXCEPT ALL) was folded into
+# q18_set_ops in round 3 — one driver row now covers both the distinct
+# and the bag-semantics forms, freeing a slot in the driver's 50-query
+# verification window (VERDICT r2 item 2).
 
 
 # --- q36: analytic window function breadth --------------------------------
@@ -402,7 +367,7 @@ _OPEN_REV = dsum_sql(
     "q35_conditional_agg",
     oracle=f"""
     SELECT o_orderpriority,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            bool_or(o_totalprice > 400000) AS any_huge,
            bool_and(o_totalprice > 1000) AS all_over_1k,
            {_OPEN_REV} AS open_revenue

@@ -12,21 +12,11 @@ from example_kafkastreams_spark.catalog import load_table
 from example_kafkastreams_spark.operators import multimodal as MM
 from example_kafkastreams_spark.operators import neardup as ND
 from example_kafkastreams_spark.plans import explain_str
-from example_kafkastreams_spark.queries import ORACLE_SQL, QUERIES
+from example_kafkastreams_spark.queries import QUERIES
 from tests.conftest import SMOKE
-from tests.oracle_utils import assert_matches_oracle
 
-EXT = sorted(n for n in QUERIES if n.startswith(("q4", "q5")))
-
-
-@pytest.mark.parametrize("name", EXT)
-def test_oracle_parity(spark, name):
-    assert name in ORACLE_SQL, f"{name} must declare oracle SQL"
-    # rel_tol=0: the md5 sketches and left-fold double math are
-    # engineered to be bitwise identical across engines.
-    assert_matches_oracle(
-        QUERIES[name](spark, SMOKE), ORACLE_SQL[name], SMOKE, rel_tol=0
-    )
+# Oracle parity for q4x/q5x lives in test_driver_sim.py — one typed
+# sweep, driver-faithful (typed exact values, no tolerance).
 
 
 def test_simhash_pandas_matches_expression(spark):
@@ -82,7 +72,11 @@ def test_knn_broadcasts_query_side(spark):
 def test_sketches_stay_jvm_side(spark):
     # No Python eval in the per-doc path: sketch queries must not plan
     # Batch/ArrowEvalPython nodes (q52 is the intentional exception).
-    for name in ("q41_dedup_minhash_lsh", "q42_dedup_simhash", "q51_fingerprint"):
+    for name in (
+        "q41_dedup_minhash_lsh",
+        "q43_dedup_simhash_pairs",
+        "q51_fingerprint",
+    ):
         plan = explain_str(QUERIES[name](spark, SMOKE), "simple")
         assert "EvalPython" not in plan, name
 

@@ -51,6 +51,30 @@ def test_connected_components_fixpoint(spark):
     }
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable=True: rounds checkpoint to the reliable store (here a
+    local dir; HDFS/S3 on a real cluster) so executor loss costs one
+    round, not the iteration — and the result is identical."""
+    sc = spark.sparkContext
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        connected_components(edges, nodes, node_col="doc_id", reliable=True)
+    sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    comp = connected_components(edges, nodes, node_col="doc_id", reliable=True)
+    got = {r.doc_id: r.component_id for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    # the reliable store really received the per-round label RDDs
+    ckpts = list((tmp_path / "cc_ckpt").rglob("*"))
+    assert ckpts, "no checkpoint files written"
+
+
 def test_quantize_embeddings_properties(spark):
     from example_kafkastreams_spark.operators.knn import quantize_embeddings
 

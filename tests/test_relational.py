@@ -1,23 +1,12 @@
-"""Relational breadth: every declared q1x/q2x query matches its DuckDB
-oracle at sf0.001, plus physical-plan shape assertions (pushdown,
-broadcast, top-k)."""
+"""Relational physical-plan shape assertions (pushdown, broadcast,
+top-k). Oracle parity for every query lives in test_driver_sim.py —
+one typed sweep, driver-faithful."""
 
 from __future__ import annotations
 
-import pytest
-
 from example_kafkastreams_spark.plans import count_exchanges, explain_str, pushed_filters
-from example_kafkastreams_spark.queries import ORACLE_SQL, QUERIES
+from example_kafkastreams_spark.queries import QUERIES
 from tests.conftest import SMOKE
-from tests.oracle_utils import assert_matches_oracle
-
-RELATIONAL = sorted(n for n in QUERIES if n.startswith(("q1", "q2", "q3")))
-
-
-@pytest.mark.parametrize("name", RELATIONAL)
-def test_oracle_parity(spark, name):
-    assert name in ORACLE_SQL, f"{name} must declare oracle SQL"
-    assert_matches_oracle(QUERIES[name](spark, SMOKE), ORACLE_SQL[name], SMOKE)
 
 
 def test_q10_pushdown_reaches_scan(spark):
