@@ -153,6 +153,46 @@ def test_bucketed_join_zero_exchange(spark, tmp_path):
         )
 
 
+def test_bucketed_flagship_zero_exchange(spark):
+    """The WHOLE flagship pipeline (interval join + as-of pick + windowed
+    dedup) over a user_id-bucketed events table plans with ZERO shuffle
+    exchanges: every stateful stage keys on user_id (plus finer columns),
+    so the bucketed scan's HashPartitioning(user_id) satisfies them all —
+    the persistent form of the reference's zero-repartition-topic
+    topology (ClickstreamJoinExample.scala:184-189, README.md:12).
+
+    Needs requireAllClusterKeysForCoPartition=false: the interval join's
+    equi-keys are (user_id, __bucket) and subset co-partitioning is
+    sound here (same user_id ⇒ same storage bucket on both sides).
+    """
+    import shutil
+
+    from example_kafkastreams_spark.operators.enrich import enrich_clickstream
+    from example_kafkastreams_spark.plans import count_exchanges
+    from example_kafkastreams_spark.sources.bucketed import write_bucketed
+
+    events = load_table(spark, SMOKE, "events")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("DROP TABLE IF EXISTS bkt_events_full")
+    shutil.rmtree(f"{warehouse}/bkt_events_full", ignore_errors=True)
+    write_bucketed(events, "bkt_events_full", ["user_id"], num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        bucketed = enrich_clickstream(spark.table("bkt_events_full"))
+        assert count_exchanges(bucketed) == 0, bucketed._jdf.queryExecution()
+        plain = enrich_clickstream(events)
+        assert count_exchanges(plain) > 0  # the win is real, not vacuous
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+
+
 def test_multimodal_frame_sampling(spark):
     from example_kafkastreams_spark.operators.multimodal import (
         attach_payload,
