@@ -34,17 +34,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session (e.g. the correctness driver's).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # The testdata parquet stores timestamps as TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong they arrive as int64 ns.
-    # Convert to TimestampType via integer DIV 1000 — the same floor-to-
-    # micros truncation DuckDB applies, so oracle comparison is exact.
+    # Timestamp normalization — the testdata generator has shipped two
+    # physical shapes across rounds, and load_table must accept BOTH under
+    # any caller-provided session:
+    #   * TIMESTAMP(NANOS): with nanosAsLong they arrive as int64 ns;
+    #     convert via integer DIV 1000 — the same floor-to-micros
+    #     truncation DuckDB applies, so oracle comparison is exact.
+    #   * timestamp[us] with isAdjustedToUTC=false: Spark reads
+    #     TIMESTAMP_NTZ, which time functions like unix_micros reject.
+    #     Cast to TimestampType — wall-clock values are preserved for any
+    #     session timezone (cast interprets and toPandas renders in the
+    #     same zone), matching DuckDB's naive TIMESTAMP semantics.
     for field in TESTDATA_SCHEMAS[name].fields:
-        if isinstance(field.dataType, T.TimestampType) and isinstance(
-            df.schema[field.name].dataType, T.LongType
-        ):
+        if not isinstance(field.dataType, T.TimestampType):
+            continue
+        read_type = df.schema[field.name].dataType
+        if isinstance(read_type, T.LongType):
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} DIV 1000"))
             )
+        elif isinstance(read_type, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 
 
