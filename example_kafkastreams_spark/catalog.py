@@ -33,18 +33,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session factory — load_table must work under ANY caller-provided
     # session (e.g. the correctness driver's).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The generator has shipped two physical timestamp shapes across
+    # rounds, and load_table must accept BOTH under any caller-provided
+    # session (the correctness driver builds its own):
+    #   * timestamp[us] with isAdjustedToUTC=false (current): with
+    #     inferTimestampNTZ disabled the SCAN ITSELF emits TimestampType
+    #     (raw micros read as UTC instants — identical values to the
+    #     legacy path below under the pinned-UTC session). Crucially this
+    #     keeps timestamp predicates pushable into the parquet scan
+    #     (PushedFilters shows GreaterThanOrEqual(ts, ...)), which a
+    #     post-scan NTZ->LTZ cast would forfeit — at 100 TB that is the
+    #     difference between pruning row groups and reading them all.
+    #   * TIMESTAMP(NANOS) (rounds 1-2): with nanosAsLong they arrive as
+    #     int64 ns; convert via integer DIV 1000 — the same
+    #     floor-to-micros truncation DuckDB applies, so oracle comparison
+    #     is exact.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # Timestamp normalization — the testdata generator has shipped two
-    # physical shapes across rounds, and load_table must accept BOTH under
-    # any caller-provided session:
-    #   * TIMESTAMP(NANOS): with nanosAsLong they arrive as int64 ns;
-    #     convert via integer DIV 1000 — the same floor-to-micros
-    #     truncation DuckDB applies, so oracle comparison is exact.
-    #   * timestamp[us] with isAdjustedToUTC=false: Spark reads
-    #     TIMESTAMP_NTZ, which time functions like unix_micros reject.
-    #     Cast to TimestampType — wall-clock values are preserved for any
-    #     session timezone (cast interprets and toPandas renders in the
-    #     same zone), matching DuckDB's naive TIMESTAMP semantics.
     for field in TESTDATA_SCHEMAS[name].fields:
         if not isinstance(field.dataType, T.TimestampType):
             continue
@@ -54,6 +59,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name, F.timestamp_micros(F.expr(f"{field.name} DIV 1000"))
             )
         elif isinstance(read_type, T.TimestampNTZType):
+            # Fallback if a future Spark drops the infer conf: cast keeps
+            # wall-clock values for any session timezone.
             df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     return df
 

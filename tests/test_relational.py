@@ -18,6 +18,23 @@ def test_q10_pushdown_reaches_scan(spark):
     assert "l_returnflag" not in plan
 
 
+def test_timestamp_pushdown_reaches_scan(spark):
+    """Regression guard for the round-3 testdata shape (timestamp[us],
+    isAdjustedToUTC=false): load_table must surface TimestampType AT THE
+    SCAN (inferTimestampNTZ disabled), not via a post-scan NTZ cast — a
+    cast above the scan forfeits parquet predicate pushdown, and at
+    100 TB an unpushed time-range predicate reads every row group."""
+    from pyspark.sql import functions as F, types as T
+
+    from example_kafkastreams_spark.catalog import load_table
+
+    events = load_table(spark, SMOKE, "events")
+    assert isinstance(events.schema["ts"].dataType, T.TimestampType)
+    df = events.filter(F.col("ts") >= F.lit("2024-01-02").cast("timestamp"))
+    pushed = pushed_filters(df)
+    assert any("ts" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
+
+
 def test_q16_broadcasts_dim(spark):
     plan = explain_str(QUERIES["q16_join_broadcast_parts"](spark, SMOKE), "simple")
     assert "BroadcastHashJoin" in plan
