@@ -61,6 +61,28 @@ def shuffle_totals(spark) -> tuple[int, int] | None:
     )
 
 
+def input_totals(spark) -> tuple[int, int] | None:
+    """Cumulative (input records, bytes) read across completed stages —
+    the metric partition pruning moves: a pruned scan never reads the
+    skipped partitions, so inputRecords drops with the pruning ratio."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+    except OSError:
+        return None
+    return (
+        sum(s.get("inputRecords", 0) for s in stages),
+        sum(s.get("inputBytes", 0) for s in stages),
+    )
+
+
 def main() -> None:
     # UI on: the plan-compare shuffle metrics come from the status REST API
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
@@ -200,6 +222,62 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+
+    # Time-partitioned layout: the scan-side twin of the bucketed-join
+    # rows above. A 100 TB events table lives partitioned by date; a
+    # one-day query must read one partition, not rely on a post-scan
+    # filter. Both variants run the same one-day aggregate — over plain
+    # parquet (pushed ts-range predicate; row-group stats may help, the
+    # whole file is still listed and its row groups considered) and over
+    # a date-partitioned copy (PartitionFilters prune 29/30 days before
+    # a single byte is read). inputRecords is the honest metric: it
+    # counts rows actually delivered by the scan.
+    import tempfile
+
+    part_path = os.path.join(tempfile.gettempdir(), "bench_events_daypart")
+    shutil.rmtree(part_path, ignore_errors=True)
+    events.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).mode("overwrite").parquet(part_path)
+    events_daypart = spark.read.parquet(part_path)
+    day = events.agg(F.to_date(F.max("ts")).alias("d")).first()["d"]
+
+    def one_day_plain(src):
+        lo = F.lit(str(day)).cast("timestamp")
+        hi = F.date_add(F.lit(str(day)).cast("timestamp"), 1)
+        return (
+            src.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def one_day_pruned(src):
+        return (
+            src.filter(F.col("event_date") == F.lit(str(day)))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    for label, fn, src in (
+        ("plain_time_filter", one_day_plain, events),
+        ("daypartitioned_time_filter", one_day_pruned, events_daypart),
+    ):
+        best = float("inf")
+        read: tuple[int, int] | None = None
+        for i in range(3):
+            before = input_totals(spark)
+            t0 = time.perf_counter()
+            run_noop(fn(src))
+            best = min(best, time.perf_counter() - t0)
+            after = input_totals(spark)
+            if i == 0 and before is not None and after is not None:
+                read = (after[0] - before[0], after[1] - before[1])
+        compare[label] = {
+            "sec": round(best, 3),
+            "input_records": read[0] if read else None,
+            "input_bytes": read[1] if read else None,
+        }
+    shutil.rmtree(part_path, ignore_errors=True)
 
     out = {
         "metric": "total_declared_query_wall_seconds",
