@@ -1,0 +1,115 @@
+"""End-to-end training-corpus construction pipeline.
+
+Composes the independently oracle-checked stages (quality scoring q49,
+language ID q48, exact dedup q40, SimHash near-dup pairs q43 +
+connected components q57, chunking q54) into the funnel a real
+pretraining-data run executes over a 100 TB corpus:
+
+    raw docs -> quality filter -> language filter -> exact dedup
+             -> near-dup cluster survivor -> overlapping chunks
+
+Scale shape, stage by stage (each inherits its operator's discipline):
+
+* quality + language: pure column expressions, no shuffle — they run
+  fused into the document scan and prune the corpus BEFORE any
+  shuffle-bearing stage sees it (filter early: every later exchange is
+  over the reduced survivor set).
+* exact dedup: one hash-agg exchange carrying (md5, id), never text.
+* near-dup: banded SimHash equi-join on the deduped survivors only;
+  components run on the edge subgraph (|V_edges| << |docs|).
+* survivor selection: components output is |graph nodes| + singletons;
+  the keep-set join back to the corpus is a broadcast-able semi join
+  for any realistic dedup graph (and a shuffle semi join beyond).
+* chunking: explode over a shared token array, zero shuffle.
+
+Reference parity note: the reference engine (example-kafkastreams) has
+no corpus pipeline — this is part of the LLM-data extension surface,
+built from the same operator library its clickstream topologies use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .functions import portable as P
+from .operators.components import connected_components
+from .operators.neardup import exact_text_dedup, simhash_neardup_pairs
+from .operators.text_chunks import chunk_documents
+from .queries_llm import _quality_exprs
+
+
+def corpus_stages(
+    docs: DataFrame,
+    min_quality: float = 0.25,
+    languages: tuple[str, ...] = ("en",),
+    max_hamming: int = 3,
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> dict[str, DataFrame]:
+    """Every intermediate of the funnel, keyed by stage name — all lazy.
+
+    ``quality``/``language``/``exact_dedup``/``neardup_survivors`` hold
+    the surviving (doc_id, text) set after that stage; ``chunks`` is the
+    final chunk table. Evaluate the ones you need; an actual run
+    materializes only ``chunks``.
+    """
+    exprs = _quality_exprs(P.SPARK)
+    scored = docs.withColumn(
+        "quality_score", F.expr(exprs["quality_score"])
+    )
+    quality = scored.filter(F.col("quality_score") >= min_quality)
+
+    # q48's marker-score language ID (the operator's prediction, not the
+    # table's label column — a real run has no labels).
+    scores = P.lang_scores("text", P.SPARK)
+    with_pred = quality.withColumns(
+        {f"score_{lang}": F.expr(e) for lang, e in scores.items()}
+    ).withColumn(
+        "pred_lang",
+        F.expr(P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})),
+    )
+    language = with_pred.filter(F.col("pred_lang").isin(*languages)).drop(
+        *[f"score_{lang}" for lang in scores]
+    )
+
+    survivors = exact_text_dedup(language)
+    exact = language.join(survivors.select("doc_id"), "doc_id", "semi")
+
+    pairs = simhash_neardup_pairs(exact, max_hamming=max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(pairs, nodes=exact, node_col="doc_id")
+    # Canonical survivor = the component minimum (component_id IS the
+    # min doc_id by construction), so the keep-set needs no extra agg.
+    keep = comp.filter(F.col("doc_id") == F.col("component_id")).select(
+        "doc_id"
+    )
+    neardup = exact.join(keep, "doc_id", "semi")
+
+    chunks = chunk_documents(
+        neardup, chunk_size=chunk_size, stride=stride
+    )
+    return {
+        "raw": docs,
+        "quality": quality,
+        "language": language,
+        "exact_dedup": exact,
+        "neardup_survivors": neardup,
+        "chunks": chunks,
+    }
+
+
+def build_pretrain_corpus(docs: DataFrame, **kwargs) -> DataFrame:
+    """The funnel's final chunk table (doc_id, chunk_idx, chunk_text,
+    n_tokens) — one lazy DataFrame, ready for a partitioned write."""
+    return corpus_stages(docs, **kwargs)["chunks"]
+
+
+def corpus_funnel_counts(stages: dict[str, DataFrame]) -> DataFrame:
+    """1-row funnel report (n_raw, n_quality, ... n_chunks) — a single
+    action evaluating every stage once, for pipeline observability."""
+    out = None
+    for name, df in stages.items():
+        c = df.agg(F.count(F.lit(1)).alias(f"n_{name}"))
+        out = c if out is None else out.crossJoin(c)
+    return out

@@ -1,0 +1,52 @@
+"""Corpus-pipeline composition: the funnel built from oracle-checked
+stages must plumb together — monotone survivor counts, canonical
+survivors really are their cluster minima, chunks only from survivors."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from example_kafkastreams_spark.catalog import load_table
+from example_kafkastreams_spark.pipelines import (
+    build_pretrain_corpus,
+    corpus_funnel_counts,
+    corpus_stages,
+)
+from tests.conftest import SMOKE
+
+
+def test_funnel_is_monotone_and_plumbed(spark):
+    docs = load_table(spark, SMOKE, "documents")
+    stages = corpus_stages(docs, min_quality=0.2, languages=("en", "de"))
+    row = corpus_funnel_counts(stages).first()
+    assert row["n_raw"] >= row["n_quality"] >= row["n_language"]
+    assert row["n_language"] >= row["n_exact_dedup"]
+    assert row["n_exact_dedup"] >= row["n_neardup_survivors"] > 0
+    # chunking expands survivors, never invents documents
+    n_chunk_docs = (
+        stages["chunks"].select("doc_id").distinct().count()
+    )
+    assert n_chunk_docs == row["n_neardup_survivors"]
+    assert row["n_chunks"] >= n_chunk_docs
+
+
+def test_survivors_are_cluster_minima(spark):
+    docs = load_table(spark, SMOKE, "documents")
+    stages = corpus_stages(docs, min_quality=0.0, languages=("en", "de", "fr"))
+    surv = stages["neardup_survivors"].select("doc_id")
+    # no survivor may be an exact-text duplicate of a smaller doc_id
+    dupe_of_smaller = (
+        stages["language"].alias("a")
+        .join(stages["language"].alias("b"), F.expr("a.text = b.text AND b.doc_id < a.doc_id"), "semi")
+        .select("a.doc_id")
+    )
+    assert surv.join(dupe_of_smaller, "doc_id", "semi").count() == 0
+
+
+def test_build_pretrain_corpus_schema(spark):
+    docs = load_table(spark, SMOKE, "documents")
+    chunks = build_pretrain_corpus(docs, min_quality=0.0)
+    assert [f.name for f in chunks.schema.fields] == [
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens",
+    ]
+    assert chunks.filter(F.col("n_tokens") <= 0).count() == 0
