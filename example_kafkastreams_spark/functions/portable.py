@@ -402,3 +402,42 @@ def regexp_count(text_col: str, pattern: str, d: str) -> str:
     if d == SPARK:
         return f"size(regexp_extract_all({text_col}, '{pattern}', 0))"
     return f"len(regexp_extract_all({text_col}, '{pattern}'))"
+
+
+# --- PII scrubbing --------------------------------------------------------
+# Pretrain pipelines redact contact/identifier strings before training.
+# Patterns stay inside the regex subset Java (Spark) and RE2 (DuckDB)
+# both support — character classes only, no \d shorthands (backslash
+# escaping differs between the two SQL string literal dialects), no
+# lookaround (RE2 lacks it). Order matters: emails before digit runs
+# (addresses contain digits), IPs before digit runs, phones last so the
+# residue of longer matches cannot re-trigger them.
+
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>"),
+    ("[+][0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+    ("[0-9]{6,}", "<NUM>"),
+]
+
+
+def pii_scrub(text_col: str, d: str) -> str:
+    """Nested regexp_replace chain redacting emails, IPv4s, phone
+    numbers, and long digit runs. Spark's regexp_replace is global by
+    default; DuckDB needs the 'g' flag."""
+    _check(d)
+    out = text_col
+    for pattern, token in PII_PATTERNS:
+        if d == SPARK:
+            out = f"regexp_replace({out}, '{pattern}', '{token}')"
+        else:
+            out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
+def pii_count(text_col: str, d: str) -> str:
+    """How many redactions pii_scrub would make — scan-side metric for
+    corpus observability (no second pass over the scrubbed text)."""
+    _check(d)
+    alternation = "|".join(p for p, _ in PII_PATTERNS)
+    return regexp_count(text_col, alternation, d)

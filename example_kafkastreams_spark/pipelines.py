@@ -45,6 +45,7 @@ def corpus_stages(
     max_hamming: int = 3,
     chunk_size: int = 32,
     stride: int = 24,
+    scrub_pii: bool = True,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -85,6 +86,15 @@ def corpus_stages(
         "doc_id"
     )
     neardup = exact.join(keep, "doc_id", "semi")
+
+    # Scrub LAST (on survivors only): the regex chain is the most
+    # expensive per-byte stage, so it runs on the funnel's smallest
+    # document set. Scrub before chunking so no chunk straddles a
+    # redaction boundary.
+    if scrub_pii:
+        neardup = neardup.withColumn(
+            "text", F.expr(P.pii_scrub("text", P.SPARK))
+        )
 
     chunks = chunk_documents(
         neardup, chunk_size=chunk_size, stride=stride

@@ -139,3 +139,38 @@ def test_seq_step_and_idiv_agree(spark, docs, stride):
     )
     got, want = both_engines(spark, docs, expr_s, expr_d)
     assert got == want
+
+
+PII_FRAGMENT = st.one_of(
+    TOKEN,
+    st.just("bob.smith+x@corp-mail.example.com"),
+    st.just("10.0.255.1"),
+    st.just("+1 (650) 555-0199"),
+    st.just("4111111111111111"),
+    st.just("id 123456789 end"),
+    st.just("a@b.cd"),
+    st.just("1.2.3"),       # not an IP (3 octets) — must survive
+    st.just("12345"),       # below the digit-run threshold
+)
+PII_DOC = st.lists(PII_FRAGMENT, min_size=1, max_size=12).map(" ".join)
+
+
+@SETTINGS
+@given(docs=st.lists(PII_DOC, min_size=1, max_size=6))
+def test_pii_scrub_agrees(spark, docs):
+    got, want = both_engines(
+        spark, docs, P.pii_scrub("text", P.SPARK), P.pii_scrub("text", P.DUCK)
+    )
+    assert got == want
+    for out in got:
+        assert "@" not in out
+        assert not any(tok.isdigit() and len(tok) >= 6 for tok in out.split())
+
+
+@SETTINGS
+@given(docs=st.lists(PII_DOC, min_size=1, max_size=6))
+def test_pii_count_agrees(spark, docs):
+    got, want = both_engines(
+        spark, docs, P.pii_count("text", P.SPARK), P.pii_count("text", P.DUCK)
+    )
+    assert got == want
