@@ -50,6 +50,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Driver smoke: entry() must run on a vanilla session and return rows.
+    n_entry = entry_mod.entry(spark).count()
+    print(json.dumps({"entry_smoke": {"rows": n_entry, "ok": n_entry > 0}}), flush=True)
+
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
