@@ -15,7 +15,10 @@ Reproduces the correctness driver as faithfully as we can observe it:
 
 Prints one JSON line per query plus a summary; exit 1 on any mismatch.
 
-Usage:  python driver_sim.py [sf_dir]       (default /root/testdata/sf0.01)
+Usage:  python driver_sim.py [sf_dir] [--double]
+        (default sf_dir /root/testdata/sf0.01; --double re-executes each
+        green query and requires identical typed values — determinism
+        probe for partition-order-sensitive tie-breaks)
 """
 
 from __future__ import annotations
@@ -29,7 +32,8 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import importlib.util
 
@@ -66,6 +70,14 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
             want = duckdb_run(oracles[name], sf_dir)
             errs = compare_typed(got, want)
+            if "--double" in sys.argv and not errs:
+                # Determinism probe: a second physical execution must
+                # produce identical typed values — catches min_by/max_by
+                # tie-breaks that float with partition order.
+                errs = [
+                    f"nondeterministic: {e}"
+                    for e in compare_typed(fn(spark, sf_dir).toPandas(), got)
+                ]
             row = {
                 "rows_match": len(got) == len(want),
                 "schema_match": sorted(got.columns) == sorted(want.columns),

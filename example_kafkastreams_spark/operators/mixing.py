@@ -1,0 +1,91 @@
+"""Deterministic domain mixing — resample a corpus to target source
+weights.
+
+Pretraining runs prescribe a mixture ("40% web, 30% code, 30% books");
+the raw corpus never matches it. Down-sample each over-represented
+source to hit the target ratios without up-sampling anything:
+
+    cap   = min over sources of n_s / w_s     (the binding source)
+    keep_s = w_s * cap                        (rows to keep from s)
+    rate_s = keep_s / n_s                     (acceptance rate, <= 1)
+
+A row survives iff hash(doc_id) mod M < rate_s * M — the same
+reproducible hash-bucket sampling as q34: per-row map-side filter,
+stable under repartitioning, re-runnable, cross-engine verifiable.
+No TABLESAMPLE/rand(): those are seed- and partitioning-dependent and
+can never be oracle-checked.
+
+Scale shape: one tiny groupBy(source) count (S rows, S = number of
+sources), computed driver-side once and folded into the filter as
+LITERAL rates — the 100 TB scan then carries a pure map-side
+predicate; no join, no shuffle, nothing but the scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import portable as P
+
+_M = 1 << 32
+
+
+def mixture_rates(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-source acceptance rates hitting ``weights`` exactly at the
+    binding source (rate 1.0) and down-sampling the rest."""
+    missing = set(weights) - set(counts)
+    if missing:
+        raise ValueError(f"weighted sources absent from corpus: {sorted(missing)}")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    total = sum(weights.values())
+    norm = {s: w / total for s, w in weights.items()}
+    cap = min(counts[s] / w for s, w in norm.items())
+    return {s: (norm[s] * cap) / counts[s] for s in norm}
+
+
+def mix_sources(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows surviving the mixture filter; sources without a weight drop.
+
+    Deterministic in the data (not the partitioning): survival depends
+    only on (id, source, weights).
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[source_col] in weights
+    }
+    rates = mixture_rates(counts, weights)
+    h = F.expr(P.token_hash32(f"CAST({id_col} AS STRING)", P.SPARK)) % _M
+    cond = None
+    for s, rate in rates.items():
+        branch = (F.col(source_col) == s) & (h < int(rate * _M))
+        cond = branch if cond is None else cond | branch
+    return docs.filter(cond)
+
+
+def mix_sources_sql(
+    counts: dict[str, int],
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB WHERE-clause twin of mix_sources' filter (same literal
+    rates, same hash) — lets tests pin the exact survivor set across
+    engines."""
+    rates = mixture_rates(counts, weights)
+    h = f"({P.token_hash32(f'CAST({id_col} AS VARCHAR)', P.DUCK)} % {_M})"
+    branches = [
+        f"({source_col} = '{s}' AND {h} < {int(rate * _M)})"
+        for s, rate in rates.items()
+    ]
+    return " OR ".join(branches)
