@@ -46,13 +46,16 @@ def corpus_stages(
     chunk_size: int = 32,
     stride: int = 24,
     scrub_pii: bool = True,
+    mixture_weights: dict[str, float] | None = None,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
     ``quality``/``language``/``exact_dedup``/``neardup_survivors`` hold
     the surviving (doc_id, text) set after that stage; ``chunks`` is the
     final chunk table. Evaluate the ones you need; an actual run
-    materializes only ``chunks``.
+    materializes only ``chunks``. (Exception: ``mixture_weights`` runs
+    one S-row count job at build time to fold literal acceptance rates
+    into the filter — see operators.mixing.)
     """
     exprs = _quality_exprs(P.SPARK)
     scored = docs.withColumn(
@@ -86,6 +89,13 @@ def corpus_stages(
         "doc_id"
     )
     neardup = exact.join(keep, "doc_id", "semi")
+
+    # Optional domain mixing AFTER dedup (dedup changes the per-source
+    # counts the rates are computed from; mixing first would re-skew).
+    if mixture_weights:
+        from .operators.mixing import mix_sources
+
+        neardup = mix_sources(neardup, mixture_weights)
 
     # Scrub LAST (on survivors only): the regex chain is the most
     # expensive per-byte stage, so it runs on the funnel's smallest
