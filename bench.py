@@ -95,6 +95,8 @@ def main() -> None:
     # the metric that doesn't lie. A query that caches a sketch stage
     # (minhash/LSH bucket tables) is billed the cache-build shuffle on
     # its own row, which is exactly where the cost belongs.
+    from example_kafkastreams_spark.operators.cache import release_sketch_caches
+
     timings: dict[str, float] = {}
     shuffles: dict[str, dict] = {}
     for name in sorted(QUERIES):
@@ -103,6 +105,10 @@ def main() -> None:
         t0 = time.perf_counter()
         run_noop(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # each query's row is billed its own sketch-cache build; release
+        # between queries so 50 runs in one session don't accumulate
+        # cached stages (ADVICE r2)
+        release_sketch_caches()
         after = shuffle_totals(spark)
         if before is not None and after is not None:
             shuffles[name] = {
