@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .functions import portable as P
+from .operators.cache import persist_tracked
 from .operators.components import connected_components
 from .operators.neardup import exact_text_dedup, simhash_neardup_pairs
 from .operators.text_chunks import chunk_documents
@@ -72,12 +73,22 @@ def corpus_stages(
         "pred_lang",
         F.expr(P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})),
     )
-    language = with_pred.filter(F.col("pred_lang").isin(*languages)).drop(
-        *[f"score_{lang}" for lang in scores]
+    # The filtered set fans out into several join branches below; an
+    # unpersisted plan re-reads the corpus and re-evaluates the regex
+    # chains once PER BRANCH (plan-audited: 4 full scan subtrees).
+    # Persist the two fan-out stages — the in-session analog of the
+    # stage-boundary parquet materialization a production 100 TB run
+    # uses; release with operators.cache.release_sketch_caches.
+    language = persist_tracked(
+        with_pred.filter(F.col("pred_lang").isin(*languages)).drop(
+            *[f"score_{lang}" for lang in scores]
+        )
     )
 
     survivors = exact_text_dedup(language)
-    exact = language.join(survivors.select("doc_id"), "doc_id", "semi")
+    exact = persist_tracked(
+        language.join(survivors.select("doc_id"), "doc_id", "semi")
+    )
 
     pairs = simhash_neardup_pairs(exact, max_hamming=max_hamming).select(
         "doc_a", "doc_b"

@@ -35,6 +35,16 @@ def test_timestamp_pushdown_reaches_scan(spark):
     assert any("ts" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
 
 
+def test_no_ntz_leaks_into_any_declared_plan(spark):
+    """Every declared query must see TimestampType, never TIMESTAMP_NTZ —
+    NTZ silently changes function semantics where it is accepted and
+    fails analysis where it is not (unix_micros). Analysis-only sweep:
+    builds all 50 DataFrames, executes none."""
+    for name, fn in QUERIES.items():
+        schema = fn(spark, SMOKE).schema.simpleString()
+        assert "timestamp_ntz" not in schema, (name, schema)
+
+
 def test_q16_broadcasts_dim(spark):
     plan = explain_str(QUERIES["q16_join_broadcast_parts"](spark, SMOKE), "simple")
     assert "BroadcastHashJoin" in plan
