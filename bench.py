@@ -61,6 +61,63 @@ def shuffle_totals(spark) -> tuple[int, int] | None:
     )
 
 
+def _stages_json(spark) -> list | None:
+    """All completed stages from the UI REST API (None if UI off)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=COMPLETE"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.load(r)
+    except OSError:
+        return None
+
+
+def task_skew_metrics(spark, seen_stages: set) -> dict | None:
+    """Per-task shuffle-read max/median for the heaviest NEW multi-task
+    stage since ``seen_stages`` — the straggler-vs-flattened artifact.
+    Quantiles come from the stage taskSummary endpoint; records (not
+    wall time) so the comparison is deterministic."""
+    import urllib.request
+
+    stages = _stages_json(spark)
+    if stages is None:
+        return None
+    new = [
+        s
+        for s in stages
+        if (s["stageId"], s["attemptId"]) not in seen_stages
+        and s.get("numTasks", 0) >= 2
+        and s.get("shuffleReadRecords", 0) > 0
+    ]
+    if not new:
+        return None
+    target = max(new, key=lambda s: s.get("shuffleReadRecords", 0))
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = (
+        f"{ui}/api/v1/applications/{app}/stages/{target['stageId']}"
+        f"/{target['attemptId']}/taskSummary?quantiles=0.5,1.0"
+    )
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            summary = json.load(r)
+    except OSError:
+        return None
+    rd = summary["shuffleReadMetrics"]
+    return {
+        "num_tasks": target["numTasks"],
+        "median_task_shuffle_read_records": int(rd["readRecords"][0]),
+        "max_task_shuffle_read_records": int(rd["readRecords"][1]),
+        "median_task_shuffle_read_bytes": int(rd["readBytes"][0]),
+        "max_task_shuffle_read_bytes": int(rd["readBytes"][1]),
+    }
+
+
 def input_totals(spark) -> tuple[int, int] | None:
     """Cumulative (input records, bytes) read across completed stages —
     the metric partition pruning moves: a pruned scan never reads the
@@ -284,6 +341,96 @@ def main() -> None:
             "input_bytes": read[1] if read else None,
         }
     shutil.rmtree(part_path, ignore_errors=True)
+
+    # Skew survival (VERDICT r3 item 5): machinery (q37) is not
+    # evidence — this measures the straggler being FLATTENED. One
+    # synthetic hot user owns ~10% of events; the same fact⋈agg
+    # equi-join runs three ways and each row records per-task
+    # max/median shuffle-read for its heaviest join stage:
+    #   * skewed_plain_noaqe — static plan: the hot key's whole volume
+    #     lands on one task (max >> median = the 100x-scale killer);
+    #   * skewed_plain_aqe_skewjoin — AQE splits the oversized
+    #     partition at runtime (thresholds scaled to sandbox data
+    #     volume; at 100 TB the defaults fire on real sizes);
+    #   * skewed_salted — planner-independent 16-way salt
+    #     (operators.salted), the explicit form that also works where
+    #     AQE can't reach (bucketed inputs, agg-then-join).
+    # Broadcast stays off, as in plan_compare: at 100 TB neither side
+    # broadcasts.
+    from example_kafkastreams_spark.operators.salted import salted_equijoin
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # The upstream repartition(32) stands in for the multi-file scan a
+    # real 100 TB table has: AQE splits a skewed reduce partition at MAP
+    # OUTPUT granularity, so a single-mapper upstream (this sandbox's
+    # one-file parquet scan) makes every reduce partition one indivisible
+    # block and the splitter can never fire. The dim side is a plain
+    # projection, NOT an aggregate: OptimizeSkewedJoin pattern-matches
+    # shuffle stages directly under the join's sorts, so an agg-then-join
+    # defeats it — which is exactly the regime where explicit salting
+    # remains the only fix (operators/salted.py docstring).
+    skewed = (
+        events.select("event_id", "user_id", "event_type")
+        .repartition(32)
+        .withColumn(
+            "user_id",
+            F.when(
+                F.pmod(F.hash("event_id"), F.lit(10)) == 0, F.lit(-1)
+            ).otherwise(F.col("user_id")),
+        )
+    )
+    skew_dim = events.select(
+        F.col("user_id").alias("dim_user_id"), F.col("value").alias("dim_value")
+    ).filter(F.col("event_id") % 100 == 0)
+
+    def skew_plain(src):
+        return src.join(skew_dim, src.user_id == skew_dim.dim_user_id)
+
+    def skew_salted(src):
+        return salted_equijoin(
+            src, skew_dim, fact_key="user_id", dim_key="dim_user_id",
+            salt_source="event_id", salts=16,
+        )
+
+    aqe_prior = spark.conf.get("spark.sql.adaptive.enabled")
+    skew_confs = {  # sandbox-scale AQE skew thresholds (defaults are
+        # 256 MB partitions — sized for clusters, not a 100k-row demo)
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        # without these two, coalescing targets default-parallelism /
+        # 1 MB floors and folds the whole demo into one task before the
+        # skew splitter ever sees a partition
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
+    }
+    for label, fn, aqe in (
+        ("skewed_plain_noaqe", skew_plain, False),
+        ("skewed_plain_aqe_skewjoin", skew_plain, True),
+        ("skewed_salted", skew_salted, False),
+    ):
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        if aqe:
+            for k, v in skew_confs.items():
+                spark.conf.set(k, v)
+        stages0 = _stages_json(spark) or []
+        seen = {(s["stageId"], s["attemptId"]) for s in stages0}
+        best = float("inf")
+        tasks: dict | None = None
+        for i in range(2):
+            t0 = time.perf_counter()
+            run_noop(fn(skewed))
+            best = min(best, time.perf_counter() - t0)
+            if i == 0:
+                time.sleep(1)  # status-store listener lag
+                tasks = task_skew_metrics(spark, seen)
+        if aqe:
+            for k in skew_confs:
+                spark.conf.unset(k)
+        compare[label] = {"sec": round(best, 3), **(tasks or {})}
+    spark.conf.set("spark.sql.adaptive.enabled", aqe_prior)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
 
     out = {
         "metric": "total_declared_query_wall_seconds",

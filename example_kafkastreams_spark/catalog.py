@@ -24,44 +24,68 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Confs load_table needs ONLY while resolving the parquet footer schema
+# (the relation's schema is baked into the plan at read time — verified:
+# restoring them immediately after spark.read.parquet() leaves later
+# execution of both physical shapes intact). The DataFrameReader option
+# form does not exist for these, so set-and-restore is the only way to
+# avoid mutating the semantics of the caller's session for all of its
+# OTHER parquet reads.
+_READ_CONFS = {
+    # TIMESTAMP(NANOS) files (rounds 1-2 testdata) are rejected by
+    # vanilla Spark (PARQUET_TYPE_ILLEGAL) unless read as raw int64 ns.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp[us] isAdjustedToUTC=false files (current testdata): with
+    # inferTimestampNTZ disabled the SCAN ITSELF emits TimestampType
+    # (raw micros read as UTC instants). Crucially this keeps timestamp
+    # predicates pushable into the parquet scan (PushedFilters shows
+    # GreaterThanOrEqual(ts, ...)), which a post-scan NTZ->LTZ cast
+    # would forfeit — at 100 TB that is the difference between pruning
+    # row groups and reading them all.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    # The testdata parquet stores timestamps as TIMESTAMP(NANOS), which
-    # vanilla Spark rejects (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
-    # runtime-settable SQL conf, so set it here rather than relying on the
-    # session factory — load_table must work under ANY caller-provided
-    # session (e.g. the correctness driver's).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The generator has shipped two physical timestamp shapes across
     # rounds, and load_table must accept BOTH under any caller-provided
-    # session (the correctness driver builds its own):
-    #   * timestamp[us] with isAdjustedToUTC=false (current): with
-    #     inferTimestampNTZ disabled the SCAN ITSELF emits TimestampType
-    #     (raw micros read as UTC instants — identical values to the
-    #     legacy path below under the pinned-UTC session). Crucially this
-    #     keeps timestamp predicates pushable into the parquet scan
-    #     (PushedFilters shows GreaterThanOrEqual(ts, ...)), which a
-    #     post-scan NTZ->LTZ cast would forfeit — at 100 TB that is the
-    #     difference between pruning row groups and reading them all.
-    #   * TIMESTAMP(NANOS) (rounds 1-2): with nanosAsLong they arrive as
-    #     int64 ns; convert via integer DIV 1000 — the same
-    #     floor-to-micros truncation DuckDB applies, so oracle comparison
-    #     is exact.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    # session (the correctness driver builds its own) — see _READ_CONFS.
+    prior: dict[str, str | None] = {}
+    for k, v in _READ_CONFS.items():
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    finally:
+        for k, old in prior.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     for field in TESTDATA_SCHEMAS[name].fields:
         if not isinstance(field.dataType, T.TimestampType):
             continue
         read_type = df.schema[field.name].dataType
         if isinstance(read_type, T.LongType):
+            # int64 ns -> integer DIV 1000: the same floor-to-micros
+            # truncation DuckDB applies, so oracle comparison is exact.
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"{field.name} DIV 1000"))
             )
         elif isinstance(read_type, T.TimestampNTZType):
-            # Fallback if a future Spark drops the infer conf: cast keeps
-            # wall-clock values for any session timezone.
-            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+            # Fallback if a future Spark drops the infer conf.
+            # to_utc_timestamp(ntz, 'UTC') interprets the wall-clock as
+            # UTC — the same instant the primary infer-off path produces
+            # — on ANY session timezone (a bare NTZ->LTZ cast would
+            # interpret it in the session zone instead).
+            df = df.withColumn(
+                field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
+            )
     return df
 
 

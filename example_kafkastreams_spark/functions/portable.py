@@ -409,9 +409,11 @@ def regexp_count(text_col: str, pattern: str, d: str) -> str:
 # Patterns stay inside the regex subset Java (Spark) and RE2 (DuckDB)
 # both support — character classes only, no \d shorthands (backslash
 # escaping differs between the two SQL string literal dialects), no
-# lookaround (RE2 lacks it). Order matters: emails before digit runs
-# (addresses contain digits), IPs before digit runs, phones last so the
-# residue of longer matches cannot re-trigger them.
+# lookaround (RE2 lacks it). Order matters: emails and IPs run before
+# the phone pattern (both contain digit runs a phone pattern could
+# claim), and the bare digit-run pattern runs LAST as the catch-all —
+# earlier, more specific redactions must win before it sweeps up any
+# remaining long numbers.
 
 PII_PATTERNS: list[tuple[str, str]] = [
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
@@ -436,8 +438,16 @@ def pii_scrub(text_col: str, d: str) -> str:
 
 
 def pii_count(text_col: str, d: str) -> str:
-    """How many redactions pii_scrub would make — scan-side metric for
-    corpus observability (no second pass over the scrubbed text)."""
+    """Single-pass alternation match count — scan-side PII metric for
+    corpus observability (no second pass over the scrubbed text).
+
+    This is an APPROXIMATION of the number of replacements the
+    sequential pii_scrub chain makes, not a guaranteed equality: scrub
+    runs the patterns one after another, so a later pattern can match
+    inside the residue of an earlier replacement (or be pre-empted by
+    one) in ways a single alternation pass cannot reproduce. Both
+    dialects compute the same alternation, so the metric itself is
+    cross-engine exact."""
     _check(d)
     alternation = "|".join(p for p, _ in PII_PATTERNS)
     return regexp_count(text_col, alternation, d)

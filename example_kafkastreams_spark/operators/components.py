@@ -46,6 +46,21 @@ def _truncate_lineage(df: DataFrame, reliable: bool) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _estimate_label_bytes(in_graph: DataFrame) -> int:
+    """Serialized-size estimate of the (node, label) broadcast table:
+    2 key-sized values + ~24 B row overhead per node, key size measured
+    as the string length of the id (numeric ids: their decimal digits —
+    an overestimate for packed longs, which only makes the decision
+    conservative). One 1-row agg job, run only in auto mode."""
+    row = in_graph.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.length(F.col("cc_node").cast("string"))), F.lit(0)
+        ).alias("key_chars"),
+    ).first()
+    return int(row["n"]) * 24 + int(row["key_chars"]) * 2
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -54,23 +69,30 @@ def connected_components(
     dst: str = "doc_b",
     max_iterations: int = 25,
     reliable: bool = False,
-    broadcast_threshold: int = 8_000_000,
+    broadcast: bool | None = None,
+    broadcast_threshold_bytes: int = 256 << 20,
 ) -> DataFrame:
     """(node_col, component_id) — component_id = min node id reachable.
 
     ``edges`` may be directed pairs (a < b); propagation runs both
     directions. Isolated nodes keep themselves as component id.
 
-    ``broadcast_threshold``: if the edge-connected node set (counted
-    once, off the checkpointed edge list) fits under this row count,
-    the per-round joins broadcast the label table instead of shuffling
-    the edge list. Checkpointed plans report no size stats, so AQE
-    never discovers this on its own — without the hint every round
-    re-shuffles all E edges against |V| labels (measured sf0.1: 1.51M
-    shuffle-write records for 83k pairs); with it the edge list never
-    crosses the wire after checkpoint (same graph: 86k records, 16x
-    less). Above the threshold — a billion-node dedup graph on the
-    1000-executor cluster — labels no longer fit in a broadcast and
+    ``broadcast``: whether the per-round joins broadcast the label
+    table instead of shuffling the edge list. Checkpointed plans report
+    no size stats, so AQE never discovers this on its own — without the
+    hint every round re-shuffles all E edges against |V| labels
+    (measured sf0.1: 1.51M shuffle-write records for 83k pairs); with
+    it the edge list never crosses the wire after checkpoint (same
+    graph: 86k records, 16x less). ``None`` (auto) estimates the label
+    table's serialized bytes off the checkpointed edge list — one
+    blocking 1-row agg job — and broadcasts iff the estimate fits under
+    ``broadcast_threshold_bytes`` (byte-based, NOT row-based: broadcast
+    limits are bytes, and a wide-keyed table blows memory long before
+    any row count does; the 256 MB default leaves a wide margin under
+    typical executor/driver memory). A caller that already knows its
+    regime — e.g. a pipeline with stage statistics in hand — passes
+    an explicit bool and the estimate job never runs. Beyond broadcast
+    scale — a billion-node dedup graph on the 1000-executor cluster —
     the loop degrades gracefully to the shuffle-join regime.
     """
     und = _truncate_lineage(
@@ -89,7 +111,11 @@ def connected_components(
     # corpus is touched exactly once, at the end, via the anti-join
     # union of untouched singletons.
     in_graph = und.select(F.col("cc_src").alias("cc_node")).distinct()
-    small_graph = in_graph.count() <= broadcast_threshold
+    small_graph = (
+        broadcast
+        if broadcast is not None
+        else _estimate_label_bytes(in_graph) <= broadcast_threshold_bytes
+    )
     hint = F.broadcast if small_graph else (lambda df: df)
     labels = _truncate_lineage(
         in_graph.select("cc_node", F.col("cc_node").alias("component_id")),

@@ -30,11 +30,19 @@ from ..functions import portable as P
 _M = 1 << 32
 
 
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal with embedded quotes doubled —
+    source names are data, not trusted SQL."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def mixture_rates(
     counts: dict[str, int], weights: dict[str, float]
 ) -> dict[str, float]:
     """Per-source acceptance rates hitting ``weights`` exactly at the
     binding source (rate 1.0) and down-sampling the rest."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {source: weight} dict")
     missing = set(weights) - set(counts)
     if missing:
         raise ValueError(f"weighted sources absent from corpus: {sorted(missing)}")
@@ -85,7 +93,7 @@ def mix_sources_sql(
     rates = mixture_rates(counts, weights)
     h = f"({P.token_hash32(f'CAST({id_col} AS VARCHAR)', P.DUCK)} % {_M})"
     branches = [
-        f"({source_col} = '{s}' AND {h} < {int(rate * _M)})"
+        f"({source_col} = {_sql_str(s)} AND {h} < {int(rate * _M)})"
         for s, rate in rates.items()
     ]
     return " OR ".join(branches)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 PACKED_SCHEMA = T.StructType(
@@ -49,6 +49,7 @@ def pack_chunks(
     text_col: str = "chunk_text",
     tokens_col: str = "n_tokens",
     sep: str = "\n\n",
+    canonical: bool = False,
 ) -> DataFrame:
     """(pack_id, n_chunks, n_tokens, text) — greedy first-fit packing.
 
@@ -56,11 +57,37 @@ def pack_chunks(
     trainer's truncation policy owns it from there); every other pack
     holds the maximal greedy run of chunks with total tokens <= budget.
     Every input chunk lands in exactly one pack.
+
+    Two modes (VERDICT r3 item 3):
+
+    * ``canonical=False`` (default, maximum fill): greedy runs straight
+      through the partition, packing chunks of ADJACENT documents
+      together. Pack ids namespace by partition id, so pack boundaries
+      and ids depend on the caller's partitioning — fine for training
+      data, but only the invariants (conservation, budget) are
+      oracle-checkable, never the exact output.
+    * ``canonical=True`` (partition-INDEPENDENT output): chunks are
+      hash-repartitioned on ``id_col`` (all chunks of a document land
+      in one task) and the greedy run restarts at every document
+      boundary, with pack ids namespaced by document
+      (``{doc_id}-{seq}``). The result is a pure per-document fold of
+      (order_col-sorted) chunk sizes — byte-identical for ANY input
+      partitioning, so the exact output is oracle-checkable with a
+      per-doc recursive fold (see tests). Cost: no cross-document
+      packing, so each document's last pack may run short — a few
+      percent fill for typical chunk/budget ratios; same zero-shuffle
+      scale shape otherwise (one hash exchange on id_col, which a
+      chunker upstream usually already provides).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
 
-    ordered = chunks.sortWithinPartitions(id_col, order_col)
+    if canonical:
+        ordered = chunks.repartition(F.col(id_col)).sortWithinPartitions(
+            id_col, order_col
+        )
+    else:
+        ordered = chunks.sortWithinPartitions(id_col, order_col)
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -69,11 +96,13 @@ def pack_chunks(
         seq = 0
         cur_texts: list[str] = []
         cur_tokens = 0
+        cur_doc = None  # canonical mode: the document being packed
 
         def flush() -> dict:
             nonlocal seq, cur_texts, cur_tokens
+            prefix = str(cur_doc) if canonical else f"p{pid}"
             row = {
-                "pack_id": f"p{pid}-{seq}",
+                "pack_id": f"{prefix}-{seq}",
                 "n_chunks": len(cur_texts),
                 "n_tokens": cur_tokens,
                 "text": sep.join(cur_texts),
@@ -85,8 +114,15 @@ def pack_chunks(
 
         for pdf in batches:
             rows: list[dict] = []
-            for text, n_tok in zip(pdf[text_col], pdf[tokens_col]):
+            for doc, text, n_tok in zip(
+                pdf[id_col], pdf[text_col], pdf[tokens_col]
+            ):
                 n_tok = int(n_tok)
+                if canonical and doc != cur_doc:
+                    if cur_texts:  # close the previous document's pack
+                        rows.append(flush())
+                    cur_doc = doc
+                    seq = 0
                 if cur_texts and cur_tokens + n_tok > budget:
                     rows.append(flush())
                 cur_texts.append(text)

@@ -48,6 +48,7 @@ def corpus_stages(
     stride: int = 24,
     scrub_pii: bool = True,
     mixture_weights: dict[str, float] | None = None,
+    components_broadcast: bool | None = True,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -93,7 +94,17 @@ def corpus_stages(
     pairs = simhash_neardup_pairs(exact, max_hamming=max_hamming).select(
         "doc_a", "doc_b"
     )
-    comp = connected_components(pairs, nodes=exact, node_col="doc_id")
+    # Explicit broadcast decision: the near-dup graph's label table is
+    # bounded by the banded-LSH collision set over the already-filtered
+    # survivor corpus — orders of magnitude under broadcast limits for
+    # any funnel this operator library targets — so the funnel skips
+    # connected_components' auto-sizing job (one blocking agg per run).
+    # A caller expecting a beyond-broadcast dedup graph (billions of
+    # colliding docs) passes components_broadcast=False (or None to
+    # re-enable auto-sizing).
+    comp = connected_components(
+        pairs, nodes=exact, node_col="doc_id", broadcast=components_broadcast
+    )
     # Canonical survivor = the component minimum (component_id IS the
     # min doc_id by construction), so the keep-set needs no extra agg.
     keep = comp.filter(F.col("doc_id") == F.col("component_id")).select(

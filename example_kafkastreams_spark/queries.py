@@ -210,3 +210,4 @@ from . import queries_relational  # noqa: E402,F401
 from . import queries_relational_ext  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
 from . import queries_llm_ext  # noqa: E402,F401
+from . import queries_pipeline  # noqa: E402,F401

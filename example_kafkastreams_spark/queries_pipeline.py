@@ -1,0 +1,216 @@
+"""Pipeline-composition queries — q61-q63 (round 4).
+
+The round-3 corpus-construction surface (domain mixing, PII scrubbing,
+the end-to-end pretrain funnel) rode on pytest only because the
+driver's 50-query window was full (VERDICT r3). Round 4 rotated slots
+(q12+q13 and q23+q25 merged, q10 retired) so each of these gets a hard
+driver-checked oracle row:
+
+* q61 — deterministic domain mixing: the oracle re-derives the literal
+  acceptance rates IN SQL (counts → normalized weights → binding-source
+  cap → per-source rate) with the same IEEE double operation sequence
+  mixture_rates runs in Python, so the survivor set matches bit-exact.
+* q62 — PII scrubbing: dual-dialect regexp_replace chain + alternation
+  count (functions.portable), same Java∩RE2 pattern subset both ways.
+* q63 — the WHOLE funnel as one query: quality → lang-ID → exact dedup
+  → near-dup components survivor → PII scrub → chunking, reported as a
+  single funnel-count row. Each stage already has its own green row
+  (q49/q48/q40/q43+q57/q62/q54); this row proves the COMPOSITION — the
+  DuckDB twin chains the same dual-dialect expressions through a
+  recursive-CTE transitive closure.
+
+Reference parity note: the reference engine (example-kafkastreams,
+~760 LoC Scala) has no corpus pipeline — this is the LLM-data
+extension surface (SURVEY.md §2.9) built on the same operator library
+its clickstream topologies use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load_table
+from .functions import portable as P
+from .operators.mixing import mix_sources
+from .operators.neardup import _rebalance
+from .pipelines import corpus_funnel_counts, corpus_stages
+from .registry import query
+from . import queries_llm as QL
+
+D = P.DUCK
+
+_M = 1 << 32
+
+# --- q61: deterministic domain mixing -------------------------------------
+# Weights over four of the corpus' twenty sources: src0 binds (rate
+# 1.0), src1-src3 down-sample to 0.75/0.5/0.25 of their rows (equal
+# per-source counts in the testdata). Declared as module literals so
+# the SQL twin can splice the exact normalized-weight doubles
+# (repr round-trips them losslessly).
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_TOTAL = sum(_MIX_WEIGHTS.values())
+_MIX_NORM = {s: w / _MIX_TOTAL for s, w in _MIX_WEIGHTS.items()}
+
+
+def _mixing_sql() -> str:
+    """DuckDB twin of mix_sources: derive the per-source acceptance
+    rates from the data with the SAME double-precision op sequence
+    mixture_rates runs in Python — n/norm per source, min() cap,
+    (norm*cap)/n rate, floor(rate*2^32) threshold. Every operation is a
+    single IEEE binary64 op on identical operands in both engines, so
+    the survivor sets agree exactly (no tolerance)."""
+    src_list = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+    norm_case = " ".join(
+        f"WHEN '{s}' THEN CAST({norm!r} AS DOUBLE)"
+        for s, norm in _MIX_NORM.items()
+    )
+    h = f"({P.token_hash32('CAST(d.doc_id AS VARCHAR)', D)} % {_M})"
+    return f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n
+      FROM documents WHERE source IN ({src_list})
+      GROUP BY source
+    ),
+    normed AS (
+      SELECT source, n, CASE source {norm_case} END AS norm FROM counts
+    ),
+    cap AS (SELECT min(n / norm) AS cap FROM normed),
+    rates AS (
+      SELECT source, (norm * (SELECT cap FROM cap)) / n AS rate FROM normed
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {h} < CAST(floor(r.rate * {_M}) AS BIGINT)
+    """
+
+
+@query("q61_domain_mixing", oracle=_mixing_sql())
+def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample each over-weighted source to literal target ratios
+    via hash-bucket acceptance (operators.mixing): one S-row count job
+    folds the rates into a pure map-side filter — at 100 TB the scan
+    carries a literal predicate; no join, no shuffle, no rand()."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_sources(docs, dict(_MIX_WEIGHTS)).select("doc_id", "source")
+
+
+# --- q62: PII scrubbing ---------------------------------------------------
+
+@query(
+    "q62_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           {P.pii_scrub('text', D)} AS scrubbed_text,
+           CAST({P.pii_count('text', D)} AS BIGINT) AS n_pii
+    FROM documents
+    """,
+)
+def q62_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/IPv4s/phones/long digit runs (ordered
+    regexp_replace chain, Java∩RE2 subset) + the single-pass
+    alternation match count (an approximation of sequential-scrub
+    replacements — see functions.portable.pii_count). Pure map-side
+    column expressions; rebalanced off the single scan partition so the
+    per-byte regex work spreads across cores (the q48 rationale)."""
+    docs = _rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
+    return docs.select(
+        "doc_id",
+        F.expr(P.pii_scrub("text", P.SPARK)).alias("scrubbed_text"),
+        F.expr(P.pii_count("text", P.SPARK)).cast("long").alias("n_pii"),
+    )
+
+
+# --- q63: the corpus funnel end-to-end, one row ---------------------------
+
+_FUNNEL_MIN_QUALITY = 0.25
+_FUNNEL_LANG = "en"
+_FUNNEL_MAX_HAMMING = 3
+_FUNNEL_CHUNK = 32
+_FUNNEL_STRIDE = 24
+
+
+def _funnel_sql() -> str:
+    qscore = QL._quality_exprs(D)["quality_score"]
+    scores = P.lang_scores("text", D)
+    score_cols = ", ".join(
+        f"{e} AS score_{lang}" for lang, e in scores.items()
+    )
+    pred = P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})
+    toks = P.split_ws("text", D)
+    starts = P.seq_step("1", P.size_("toks", D), _FUNNEL_STRIDE, D)
+    return f"""
+    WITH RECURSIVE quality AS (
+      SELECT doc_id, text FROM documents WHERE {qscore} >= {_FUNNEL_MIN_QUALITY}
+    ),
+    ls AS (SELECT doc_id, text, {score_cols} FROM quality),
+    lang AS (SELECT doc_id, text FROM ls WHERE ({pred}) = '{_FUNNEL_LANG}'),
+    exact AS (
+      SELECT doc_id, text FROM lang
+      WHERE doc_id IN (SELECT min(doc_id) FROM lang GROUP BY md5(text))
+    ),
+    thv AS (
+      SELECT doc_id, {P.token_hash_array('text', D)} AS thv FROM exact
+    ),
+    sh AS (
+      SELECT doc_id, {P.simhash_from_hashes('thv', D)} AS simhash FROM thv
+    ),
+    bands AS ({QL._simhash_bands_sql()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {_FUNNEL_MAX_HAMMING}
+    ),
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    comp(node, lab) AS (
+      SELECT doc_id, doc_id FROM exact
+      UNION
+      SELECT u.dst, c.lab FROM comp c JOIN und u ON u.src = c.node
+    ),
+    labeled AS (
+      SELECT node AS doc_id, min(lab) AS component_id FROM comp GROUP BY node
+    ),
+    keep AS (SELECT doc_id FROM labeled WHERE doc_id = component_id),
+    surv AS (
+      SELECT doc_id, {P.pii_scrub('text', D)} AS text FROM exact
+      WHERE doc_id IN (SELECT doc_id FROM keep)
+    ),
+    tok AS (SELECT doc_id, {toks} AS toks FROM surv),
+    ex AS (SELECT doc_id, unnest({starts}) AS start FROM tok)
+    SELECT
+      (SELECT count(*) FROM documents) AS n_raw,
+      (SELECT count(*) FROM quality) AS n_quality,
+      (SELECT count(*) FROM lang) AS n_language,
+      (SELECT count(*) FROM exact) AS n_exact_dedup,
+      (SELECT count(*) FROM keep) AS n_neardup_survivors,
+      (SELECT count(*) FROM ex) AS n_chunks
+    """
+
+
+@query("q63_corpus_funnel", oracle=_funnel_sql())
+def q63_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretrain corpus funnel (pipelines.corpus_stages) as one
+    driver-checked row: per-stage survivor counts for quality filter →
+    language filter → exact dedup → near-dup component survivor → PII
+    scrub → overlapping chunks. The composition is the claim — each
+    stage's operator already has its own green row; this proves they
+    compose (filters fused into the scan, dedup semi joins, component
+    closure, scrub-before-chunk ordering) without re-testing any stage
+    in isolation."""
+    docs = load_table(spark, sf_dir, "documents")
+    stages = corpus_stages(
+        docs,
+        min_quality=_FUNNEL_MIN_QUALITY,
+        languages=(_FUNNEL_LANG,),
+        max_hamming=_FUNNEL_MAX_HAMMING,
+        chunk_size=_FUNNEL_CHUNK,
+        stride=_FUNNEL_STRIDE,
+        scrub_pii=True,
+    )
+    return corpus_funnel_counts(stages)

@@ -22,16 +22,15 @@ from .registry import davg, davg_sql, dsum, dsum_sql, query
 
 
 # --- q10: filter + projection (pushdown-visible scan shape) ---------------
+# Retired from the registry in round 4 (slot freed for
+# q63_corpus_funnel): bare filter+project is a sub-plan of nearly every
+# other driver row (every scan-side predicate in q11/q12/q14/q16/...
+# value-checks the same surface), and its distinguishing claim —
+# predicates + pruned ReadSchema reaching the parquet scan — is a PLAN
+# property, pinned by tests/test_relational.py::
+# test_q10_pushdown_reaches_scan against this (unregistered) builder.
 
-@query(
-    "q10_filter_project",
-    oracle="""
-    SELECT l_orderkey, l_partkey, l_extendedprice, l_discount
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1995-06-01'
-      AND l_discount > 0.05 AND l_quantity < 24
-    """,
-)
+
 def q10_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter + column pruning: predicates and the 4-column ReadSchema
     must reach the parquet scan (asserted in tests via PushedFilters)."""
@@ -84,12 +83,21 @@ def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q12: multi-way inner join (join reordering + broadcast dims) ---------
+# --- q12: multi-way inner join + left-count (merged q12/q13, round 4) -----
+# One driver row covers both join families — the registry must fit the
+# driver's 50-query window (VERDICT r3 item 1; freed slot →
+# q61_domain_mixing). A tag column keeps the branches distinguishable
+# under one schema (the q14/q18 merge pattern): 'multiway' is the
+# orders⋈customer⋈nation⋈region broadcast-dim chain, 'left_count' is
+# the left outer join preserving zero-order customers with a
+# conditional COUNT that skips NULLs. Plan shape per branch is
+# unchanged (broadcast dims, single shuffle per fact join) — pytest
+# plan-asserts the multiway branch's exchange count.
 
 @query(
     "q12_join_multiway",
     oracle=f"""
-    SELECT n_name, r_name,
+    SELECT 'multiway' AS tag, n_name AS g1, r_name AS g2,
            {dsum_sql('o_totalprice', 2)} AS revenue,
            COUNT(*) AS n_orders
     FROM orders
@@ -98,18 +106,28 @@ def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region ON n_regionkey = r_regionkey
     WHERE o_orderstatus = 'F'
     GROUP BY n_name, r_name
+    UNION ALL
+    SELECT 'left_count' AS tag, c_name AS g1,
+           CAST(c_custkey AS VARCHAR) AS g2,
+           CAST(NULL AS DOUBLE) AS revenue,
+           COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY c_custkey, c_name
     """,
 )
 def q12_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders⋈customer⋈nation⋈region: Catalyst broadcast-joins the dim
-    tables (nation/region always; customer under the 64 MB threshold at
-    test SF — at 100 TB it shuffles while dims stay broadcast)."""
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    """orders⋈customer⋈nation⋈region (Catalyst broadcast-joins the dim
+    tables: nation/region always; customer under the 64 MB threshold at
+    test SF — at 100 TB it shuffles while dims stay broadcast) UNION'd
+    with the left-outer zero-preserving customer order count."""
+    orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
     region = F.broadcast(load_table(spark, sf_dir, "region"))
-    return (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)
+    fixed = orders.filter(F.col("o_orderstatus") == "F")
+    multiway = (
+        fixed.join(customer, fixed.o_custkey == customer.c_custkey)
         .join(nation, customer.c_nationkey == nation.n_nationkey)
         .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name", "r_name")
@@ -117,25 +135,15 @@ def q12_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
+        .select(
+            F.lit("multiway").alias("tag"),
+            F.col("n_name").alias("g1"),
+            F.col("r_name").alias("g2"),
+            "revenue",
+            "n_orders",
+        )
     )
-
-
-# --- q13: left outer join + conditional count -----------------------------
-
-@query(
-    "q13_join_left_count",
-    oracle="""
-    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
-    FROM customer LEFT JOIN orders
-      ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
-    GROUP BY c_custkey, c_name
-    """,
-)
-def q13_join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left join preserving zero-order customers (COUNT skips NULLs)."""
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
+    left_count = (
         customer.join(
             orders,
             (customer.c_custkey == orders.o_custkey)
@@ -144,7 +152,15 @@ def q13_join_left_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_custkey", "c_name")
         .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(
+            F.lit("left_count").alias("tag"),
+            F.col("c_name").alias("g1"),
+            F.col("c_custkey").cast("string").alias("g2"),
+            F.lit(None).cast("double").alias("revenue"),
+            "n_orders",
+        )
     )
+    return multiway.unionAll(left_count)
 
 
 # --- q14: semi + anti joins (merged q14/q15, round 3) ---------------------
@@ -443,34 +459,47 @@ def q22_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q23: rollup & cube (merged q23/q24, round 3) -------------------------
-# One driver row covers both lattices — the registry must fit the
-# driver's 50-query window (VERDICT r2 item 2). The cube branch keeps
-# q24's derived grouping column (year(ts) over events) so both the
-# hierarchical (rollup) and full (cube, incl. the (NULL, y) sets rollup
-# lacks) Expand shapes stay oracle-checked. Spark plans each branch as
-# ONE scan + Expand feeding every grouping set — the shape that
-# replaces 2^k separate scans of a 100 TB fact table.
+# --- q23: rollup & cube & distinct agg (merged q23/q24 r3, +q25 r4) -------
+# One driver row covers all three aggregation lattices — the registry
+# must fit the driver's 50-query window (VERDICT r3 item 1; freed slot
+# → q62_pii_scrub). The cube branch keeps q24's derived grouping column
+# (year(ts) over events) so both the hierarchical (rollup) and full
+# (cube, incl. the (NULL, y) sets rollup lacks) Expand shapes stay
+# oracle-checked; the 'distinct' branch keeps q25's COUNT(DISTINCT)
+# two-phase plan (partial distinct per partition → exchange on
+# (group, distinct key) → final — never a driver-side set). Spark plans
+# the rollup/cube branches as ONE scan + Expand feeding every grouping
+# set — the shape that replaces 2^k separate scans of a 100 TB fact.
 
 @query(
     "q23_rollup_cube",
     oracle=f"""
-    SELECT 'rollup' AS lattice, g1, g2, n, sum_qty FROM (
+    SELECT 'rollup' AS lattice, g1, g2, n, sum_qty,
+           CAST(NULL AS BIGINT) AS n_distinct
+    FROM (
       SELECT l_returnflag AS g1, l_linestatus AS g2,
              COUNT(*) AS n, {dsum_sql('l_quantity', 2)} AS sum_qty
       FROM lineitem GROUP BY ROLLUP (g1, g2)
     )
     UNION ALL
-    SELECT 'cube' AS lattice, g1, g2, n, CAST(NULL AS DOUBLE) AS sum_qty
+    SELECT 'cube' AS lattice, g1, g2, n, CAST(NULL AS DOUBLE) AS sum_qty,
+           CAST(NULL AS BIGINT) AS n_distinct
     FROM (
       SELECT event_type AS g1, CAST(CAST(year(ts) AS INT) AS VARCHAR) AS g2,
              COUNT(*) AS n
       FROM events GROUP BY CUBE (g1, g2)
     )
+    UNION ALL
+    SELECT 'distinct' AS lattice, o_orderpriority AS g1,
+           CAST(NULL AS VARCHAR) AS g2,
+           COUNT(*) AS n, CAST(NULL AS DOUBLE) AS sum_qty,
+           COUNT(DISTINCT o_custkey) AS n_distinct
+    FROM orders GROUP BY o_orderpriority
     """,
 )
 def q23_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    null_n_distinct = F.lit(None).cast("long").alias("n_distinct")
     rollup = (
         li.withColumnRenamed("l_returnflag", "g1")
         .withColumnRenamed("l_linestatus", "g2")
@@ -479,7 +508,10 @@ def q23_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             dsum(F.col("l_quantity"), 2).alias("sum_qty"),
         )
-        .select(F.lit("rollup").alias("lattice"), "g1", "g2", "n", "sum_qty")
+        .select(
+            F.lit("rollup").alias("lattice"), "g1", "g2", "n", "sum_qty",
+            null_n_distinct,
+        )
     )
     events = load_table(spark, sf_dir, "events")
     cube = (
@@ -495,28 +527,26 @@ def q23_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g2",
             "n",
             F.lit(None).cast("double").alias("sum_qty"),
+            null_n_distinct,
         )
     )
-    return rollup.unionAll(cube)
-
-
-# --- q25: distinct aggregation --------------------------------------------
-
-@query(
-    "q25_distinct_agg",
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q25_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+    distinct = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_distinct"),
+        )
+        .select(
+            F.lit("distinct").alias("lattice"),
+            F.col("o_orderpriority").alias("g1"),
+            F.lit(None).cast("string").alias("g2"),
+            "n",
+            F.lit(None).cast("double").alias("sum_qty"),
+            "n_distinct",
+        )
     )
+    return rollup.unionAll(cube).unionAll(distinct)
 
 
 # --- q26: symmetric interval join (J1 DSL semantics, batch analog) --------

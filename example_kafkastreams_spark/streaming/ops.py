@@ -181,15 +181,23 @@ def clickstream_enrich_stream(
     left_ts: str = "ts",
     right_ts: str = "pv_ts",
     lookback_seconds: int = 15,
+    lookahead_seconds: int = 0,
     dedup_keys: list[str] | None = None,
     client_key: str = "client_id",
     watermark_delay: str = "30 seconds",
 ) -> DataFrame:
-    """The reference's E2 topology end-to-end as one streaming dataflow
-    (ClickstreamJoinExample.scala:163-197): look-back join (J2) →
-    EvPv shaping with NULLs for unmatched (P6) → dedup within the
-    retention window (A2-approx via dropDuplicatesWithinWatermark) →
-    re-key to the client key (P4).
+    """The reference's clickstream topology end-to-end as one streaming
+    dataflow: windowed join → EvPv shaping with NULLs for unmatched
+    (P6) → dedup within the retention window (A2-approx via
+    dropDuplicatesWithinWatermark) → re-key to the client key (P4).
+
+    ``lookahead_seconds`` selects which of the reference's two
+    topologies this is: 0 (default) is the Processor-API look-back join
+    (E2, ClickstreamJoinExample.scala:163-197); ``lookahead ==
+    lookback`` is the DSL topology's symmetric ``JoinWindows.of``
+    window (E3, :199-270) — under which the out-of-order ev-before-pv
+    fixture (:144-149) matches, the documented behavioral split between
+    the two.
 
     Both stateful stages key on supersets of ``on``, so Spark plans one
     exchange per input — the co-partitioning property the reference
@@ -198,7 +206,9 @@ def clickstream_enrich_stream(
     """
     joined = interval_left_join_stream(
         ev, pv, on=on, left_ts=left_ts, right_ts=right_ts,
-        lookback_seconds=lookback_seconds, watermark_delay=watermark_delay,
+        lookback_seconds=lookback_seconds,
+        lookahead_seconds=lookahead_seconds,
+        watermark_delay=watermark_delay,
     )
     ev_cols = [f"l.{c}" for c in ev.columns]
     # EvPv shape (ClickstreamJoinExample.scala:60): pv payload WITHOUT

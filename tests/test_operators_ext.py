@@ -51,6 +51,45 @@ def test_connected_components_fixpoint(spark):
     }
 
 
+def test_connected_components_explicit_broadcast_skips_sizing_job(
+    spark, monkeypatch
+):
+    """broadcast=True/False must never run the auto-sizing agg job
+    (VERDICT r3 item 4): a caller that already knows its regime — e.g.
+    the corpus funnel passing its own stage statistics — pays zero
+    extra Spark jobs. broadcast=None keeps the estimate."""
+    from example_kafkastreams_spark.operators import components as C
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    calls = {"n": 0}
+    real = C._estimate_label_bytes
+
+    def counting(in_graph):
+        calls["n"] += 1
+        return real(in_graph)
+
+    monkeypatch.setattr(C, "_estimate_label_bytes", counting)
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    for forced in (True, False):
+        got = {
+            r.doc_id: r.component_id
+            for r in C.connected_components(
+                edges, nodes, node_col="doc_id", broadcast=forced
+            ).collect()
+        }
+        assert got == expected  # both regimes compute the same fixpoint
+    assert calls["n"] == 0, "explicit broadcast must skip the sizing job"
+    C.connected_components(
+        edges, nodes, node_col="doc_id", broadcast=None
+    ).collect()
+    assert calls["n"] == 1, "auto mode sizes the label table exactly once"
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """reliable=True: rounds checkpoint to the reliable store (here a
     local dir; HDFS/S3 on a real cluster) so executor loss costs one

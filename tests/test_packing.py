@@ -53,3 +53,84 @@ def test_oversized_chunk_ships_alone(spark):
     packed = pack_chunks(big, budget=8)
     bad = packed.filter((F.col("n_tokens") > 8) & (F.col("n_chunks") != 1))
     assert bad.count() == 0
+
+
+def _packed_key(rows):
+    return sorted((r.pack_id, r.n_chunks, r.n_tokens, r.text) for r in rows)
+
+
+def test_canonical_mode_partition_independent(spark):
+    """canonical=True must produce the EXACT same packs (ids, contents,
+    boundaries) under any input partitioning — the property the default
+    mode documents away (VERDICT r3 item 3)."""
+    chunks = _chunks(spark)
+    base = _packed_key(pack_chunks(chunks, budget=BUDGET, canonical=True).collect())
+    assert base, "no packs produced"
+    for k in (1, 7, 32):
+        got = _packed_key(
+            pack_chunks(
+                chunks.repartition(k), budget=BUDGET, canonical=True
+            ).collect()
+        )
+        assert got == base, f"canonical output changed under repartition({k})"
+    # and it still conserves chunks/tokens like the default mode
+    want = chunks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert sum(r[1] for r in base) == want["n"]
+    assert sum(r[2] for r in base) == want["t"]
+
+
+def test_canonical_mode_matches_duckdb_fold_oracle(spark):
+    """The canonical per-document greedy fold is partition-independent,
+    so its EXACT output (not just invariants) is cross-engine
+    checkable: a DuckDB recursive CTE replays first-fit per document —
+    new pack when the open pack can't take the chunk, close at >=
+    budget — and must reproduce every pack id, chunk count, token
+    total, and joined text byte-for-byte."""
+    import duckdb
+
+    chunks = _chunks(spark)
+    got = _packed_key(pack_chunks(chunks, budget=BUDGET, canonical=True).collect())
+    chunk_pdf = chunks.select(
+        "doc_id", "chunk_idx", "chunk_text", "n_tokens"
+    ).toPandas()
+    con = duckdb.connect()
+    try:
+        con.register("chunks", chunk_pdf)
+        want = con.execute(f"""
+        WITH RECURSIVE c AS (
+          SELECT doc_id, chunk_text, n_tokens,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS rn
+          FROM chunks
+        ),
+        fold(doc_id, rn, chunk_text, n_tokens, pack_seq, open_cum) AS (
+          -- chunk 1 of each doc opens pack 0; a chunk reaching the
+          -- budget closes its pack immediately (open_cum resets to 0)
+          SELECT doc_id, rn, chunk_text, n_tokens, 0,
+                 CASE WHEN n_tokens >= {BUDGET} THEN 0 ELSE n_tokens END
+          FROM c WHERE rn = 1
+          UNION ALL
+          SELECT c.doc_id, c.rn, c.chunk_text, c.n_tokens,
+                 CASE WHEN p.open_cum = 0 OR p.open_cum + c.n_tokens > {BUDGET}
+                      THEN p.pack_seq + 1 ELSE p.pack_seq END,
+                 CASE WHEN (CASE WHEN p.open_cum = 0
+                                   OR p.open_cum + c.n_tokens > {BUDGET}
+                                 THEN c.n_tokens
+                                 ELSE p.open_cum + c.n_tokens END) >= {BUDGET}
+                      THEN 0
+                      ELSE (CASE WHEN p.open_cum = 0
+                                   OR p.open_cum + c.n_tokens > {BUDGET}
+                                 THEN c.n_tokens
+                                 ELSE p.open_cum + c.n_tokens END) END
+          FROM fold p JOIN c ON c.doc_id = p.doc_id AND c.rn = p.rn + 1
+        )
+        SELECT CAST(doc_id AS VARCHAR) || '-' || CAST(pack_seq AS VARCHAR) AS pack_id,
+               CAST(count(*) AS INT) AS n_chunks,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               string_agg(chunk_text, chr(10) || chr(10) ORDER BY rn) AS text
+        FROM fold GROUP BY doc_id, pack_seq
+        """).fetchall()
+    finally:
+        con.close()
+    assert got == sorted(want)

@@ -10,7 +10,11 @@ from tests.conftest import SMOKE
 
 
 def test_q10_pushdown_reaches_scan(spark):
-    df = QUERIES["q10_filter_project"](spark, SMOKE)
+    # q10 was retired from the registry in round 4 (slot freed for
+    # q63); the builder stays and this plan assertion is its check.
+    from example_kafkastreams_spark.queries_relational import q10_filter_project
+
+    df = q10_filter_project(spark, SMOKE)
     pushed = pushed_filters(df)
     assert any("l_discount" in p or "l_quantity" in p for p in pushed), pushed
     plan = explain_str(df, "formatted")
@@ -38,8 +42,12 @@ def test_timestamp_pushdown_reaches_scan(spark):
 def test_no_ntz_leaks_into_any_declared_plan(spark):
     """Every declared query must see TimestampType, never TIMESTAMP_NTZ —
     NTZ silently changes function semantics where it is accepted and
-    fails analysis where it is not (unix_micros). Analysis-only sweep:
-    builds all 50 DataFrames, executes none."""
+    fails analysis where it is not (unix_micros). The sweep builds all
+    50 DataFrames and reads only their schemas; that is analysis-only
+    for most queries, but iterative ones (q57/q63 connected components,
+    q61 mixing) run real Spark jobs at DataFrame-BUILD time by design
+    (checkpoints, convergence aggregates, literal-rate counts), so this
+    sweep does execute work for those."""
     for name, fn in QUERIES.items():
         schema = fn(spark, SMOKE).schema.simpleString()
         assert "timestamp_ntz" not in schema, (name, schema)
@@ -56,9 +64,12 @@ def test_q17_is_take_ordered(spark):
 
 
 def test_q12_single_agg_exchange(spark):
-    # dims broadcast => shuffles only for the orders⋈customer join + agg
+    # q12 now unions the multiway chain with the q13 left-count branch
+    # (round-4 merge); each branch keeps its own plan budget: broadcast
+    # dims => the multiway side shuffles only for orders⋈customer +
+    # agg (<=3), the left-count side for its join + agg (<=3).
     df = QUERIES["q12_join_multiway"](spark, SMOKE)
-    assert count_exchanges(df) <= 3
+    assert count_exchanges(df) <= 6
 
 
 def test_q26_joins_on_bucket_equikey(spark):

@@ -383,6 +383,55 @@ def test_clickstream_enrich_stream_golden(spark, tmp_path):
     assert ads[0].pv_value == "/"
 
 
+def test_clickstream_enrich_stream_dsl_symmetric_golden(spark, tmp_path):
+    """The composed DSL topology (E3) in ONE stream: symmetric-window
+    join → shaping → dedup → re-key (VERDICT r3 item 6 — q05 proves
+    these semantics in batch; this is the streaming twin). Replays the
+    reference's scripted clickstream and asserts the full fixture
+    contract under JoinWindows.of symmetry
+    (ClickstreamJoinExample.scala:126-158):
+      * the out-of-order ev0-before-pv2 (:144-149) MATCHES pv2 here —
+        the exact row the look-back topology leaves NULL;
+      * the duplicate ev1 is still suppressed by the dedup stage;
+      * the late purchase (:155-157) stays unmatched (outside ±15 s);
+      * output is keyed client-first (P4)."""
+    from example_kafkastreams_spark.streaming.ops import (
+        clickstream_enrich_stream,
+    )
+
+    pv_src = str(tmp_path / "dsl_pv")
+    ev_src = str(tmp_path / "dsl_ev")
+    write_batches(spark, pv_src, CLICK_PV_SCHEMA, [GOLDEN_PVS, SENTINEL_PV])
+    write_batches(spark, ev_src, CLICK_EV_SCHEMA, [GOLDEN_EVS, SENTINEL_EV])
+    pv = file_stream(spark, pv_src, CLICK_PV_SCHEMA, max_files_per_trigger=1)
+    ev = file_stream(spark, ev_src, CLICK_EV_SCHEMA, max_files_per_trigger=1)
+    out = clickstream_enrich_stream(
+        ev, pv, on=["client_id", "pv_id"],
+        left_ts="ts", right_ts="pv_ts",
+        lookback_seconds=15, lookahead_seconds=15,  # E3: symmetric
+        dedup_keys=["client_id", "pv_id", "ev_id", "ev_value"],
+        watermark_delay="30 seconds",
+    )
+    assert out.columns[0] == "client_id"  # P4 re-key shape
+    got = run_to_memory(spark, out, "dsl_enrich_golden", tmp_path)
+    rows = [r for r in got.collect() if r.client_id == "bob"]
+
+    def by_value(ev_value):
+        return sorted(
+            (r.pv_value or "NULL") for r in rows if r.ev_value == ev_value
+        )
+
+    # out-of-order ev on pv2 now matches (J1 symmetric window): the
+    # "show header" pair is (pv1-match, pv2-match) with no NULL left
+    assert by_value("show header") == ["/", "/offer?id=1234"]
+    # duplicate ev1 suppressed by the dedup stage even under symmetry
+    assert by_value("show ads") == ["/"]
+    # click 10 s later still matches pv1
+    assert by_value("click recommendation") == ["/"]
+    # purchase stays outside ±15 s — unmatched, NULL-filled (P6)
+    assert by_value("add to cart") == ["NULL"]
+
+
 def test_session_window_stream(spark, tmp_path):
     """Events at +0/+2/+4 chain one session (gap 5 s); +30 opens a
     second; the sentinel closes both."""
