@@ -143,8 +143,17 @@ def input_totals(spark) -> tuple[int, int] | None:
 def main() -> None:
     # UI on: the plan-compare shuffle metrics come from the status REST API
     spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
-    # warmup: JVM + codegen + parquet footer reads
+    # warmup: JVM + codegen, then one tiny read per table so parquet
+    # footer/listing caches and the scan codegen path are warm — without
+    # this the alphabetically-first queries (q01/q02) are billed the
+    # whole session warmup (~2 s of their ~3 s wall, VERDICT r3 noted
+    # exactly this noise)
     spark.range(1000).selectExpr("sum(id)").collect()
+    from example_kafkastreams_spark.catalog import load_table as _lt
+    from example_kafkastreams_spark.schemas import TABLE_NAMES as _tables
+
+    for t in _tables:
+        _lt(spark, SF_DIR, t).limit(1).count()
 
     # Per-query shuffle volume (records/bytes written) alongside wall
     # time: wall time on a busy local box swings up to 5x, shuffle

@@ -78,13 +78,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 field.name, F.timestamp_micros(F.expr(f"{field.name} DIV 1000"))
             )
         elif isinstance(read_type, T.TimestampNTZType):
-            # Fallback if a future Spark drops the infer conf.
-            # to_utc_timestamp(ntz, 'UTC') interprets the wall-clock as
-            # UTC — the same instant the primary infer-off path produces
-            # — on ANY session timezone (a bare NTZ->LTZ cast would
-            # interpret it in the session zone instead).
+            # Fallback if a future Spark drops the infer conf: read the
+            # NTZ wall-clock as a UTC instant — the same value the
+            # primary infer-off path produces — on ANY session timezone.
+            # convert_timezone shifts the wall from UTC to the session
+            # zone, so the NTZ->LTZ cast (which interprets in the
+            # session zone) lands on exactly wall-as-UTC; a bare cast
+            # would shift by the session offset instead.
             df = df.withColumn(
-                field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
+                field.name,
+                F.expr(
+                    f"CAST(convert_timezone('UTC', current_timezone(),"
+                    f" {field.name}) AS TIMESTAMP)"
+                ),
             )
     return df
 

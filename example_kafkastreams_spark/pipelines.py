@@ -49,15 +49,19 @@ def corpus_stages(
     scrub_pii: bool = True,
     mixture_weights: dict[str, float] | None = None,
     components_broadcast: bool | None = True,
+    pack_budget: int | None = None,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
     ``quality``/``language``/``exact_dedup``/``neardup_survivors`` hold
     the surviving (doc_id, text) set after that stage; ``chunks`` is the
-    final chunk table. Evaluate the ones you need; an actual run
-    materializes only ``chunks``. (Exception: ``mixture_weights`` runs
-    one S-row count job at build time to fold literal acceptance rates
-    into the filter — see operators.mixing.)
+    final chunk table; with ``pack_budget`` set, ``packs`` bins the
+    chunks into token-budget training sequences (canonical per-document
+    packing, so the pack table is partition-independent and
+    re-runnable). Evaluate the ones you need; an actual run
+    materializes only the last stage. (Exception: ``mixture_weights``
+    runs one S-row count job at build time to fold literal acceptance
+    rates into the filter — see operators.mixing.)
     """
     exprs = _quality_exprs(P.SPARK)
     scored = docs.withColumn(
@@ -131,7 +135,7 @@ def corpus_stages(
     chunks = chunk_documents(
         neardup, chunk_size=chunk_size, stride=stride
     )
-    return {
+    stages = {
         "raw": docs,
         "quality": quality,
         "language": language,
@@ -139,12 +143,21 @@ def corpus_stages(
         "neardup_survivors": neardup,
         "chunks": chunks,
     }
+    if pack_budget is not None:
+        from .operators.packing import pack_chunks
+
+        stages["packs"] = pack_chunks(
+            chunks, budget=pack_budget, canonical=True
+        )
+    return stages
 
 
 def build_pretrain_corpus(docs: DataFrame, **kwargs) -> DataFrame:
-    """The funnel's final chunk table (doc_id, chunk_idx, chunk_text,
-    n_tokens) — one lazy DataFrame, ready for a partitioned write."""
-    return corpus_stages(docs, **kwargs)["chunks"]
+    """The funnel's final table — chunks (doc_id, chunk_idx, chunk_text,
+    n_tokens), or packed training sequences when ``pack_budget`` is set
+    — one lazy DataFrame, ready for a partitioned write."""
+    stages = corpus_stages(docs, **kwargs)
+    return stages.get("packs", stages["chunks"])
 
 
 def corpus_funnel_counts(stages: dict[str, DataFrame]) -> DataFrame:

@@ -50,3 +50,21 @@ def test_build_pretrain_corpus_schema(spark):
         "doc_id", "chunk_idx", "chunk_text", "n_tokens",
     ]
     assert chunks.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+def test_funnel_packing_stage(spark):
+    """pack_budget adds a final canonical-packing stage: every funnel
+    chunk lands in exactly one pack, token totals conserve, and
+    build_pretrain_corpus returns the pack table."""
+    docs = load_table(spark, SMOKE, "documents")
+    stages = corpus_stages(docs, pack_budget=96)
+    chunks = stages["chunks"].agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t")
+    ).first()
+    packs = stages["packs"].agg(
+        F.sum("n_chunks").alias("n"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert (packs["n"], packs["t"]) == (chunks["n"], chunks["t"])
+    assert build_pretrain_corpus(docs, pack_budget=96).columns == [
+        "pack_id", "n_chunks", "n_tokens", "text"
+    ]

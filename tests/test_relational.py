@@ -39,6 +39,60 @@ def test_timestamp_pushdown_reaches_scan(spark):
     assert any("ts" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
 
 
+def test_load_table_restores_caller_confs(spark):
+    """load_table needs two parquet confs only while resolving the
+    footer schema; it must NOT leave them set — mutating the caller's
+    session would silently change the semantics of all its OTHER
+    parquet reads (ADVICE r3). The loaded frame still executes after
+    restore (schema is baked at read time)."""
+    from example_kafkastreams_spark.catalog import load_table
+
+    confs = (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+    )
+    for k in confs:
+        spark.conf.unset(k)  # back to Spark defaults ("false"/"true")
+    before = {k: spark.conf.get(k) for k in confs}
+    df = load_table(spark, SMOKE, "events")
+    assert {k: spark.conf.get(k) for k in confs} == before
+    assert df.count() > 0  # executes fine with confs restored
+    # and an explicit caller-set value survives the round trip
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load_table(spark, SMOKE, "orders")
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+def test_ntz_fallback_cast_is_timezone_consistent(spark):
+    """The load_table NTZ fallback (convert_timezone UTC->session, then
+    cast) must read a wall-clock as a UTC instant — the same value the
+    primary infer-off scan path produces — on ANY session timezone
+    (ADVICE r3: a bare NTZ->LTZ cast would shift by the session zone)."""
+    from pyspark.sql import functions as F
+
+    expr = (
+        "CAST(convert_timezone('UTC', current_timezone(),"
+        " CAST('2024-03-05 12:00:00' AS TIMESTAMP_NTZ)) AS TIMESTAMP)"
+    )
+    tz_key = "spark.sql.session.timeZone"
+    prior = spark.conf.get(tz_key)
+    try:
+        rows = {}
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set(tz_key, tz)
+            rows[tz] = (
+                spark.sql(f"SELECT {expr} AS ts")
+                .select(F.unix_micros("ts").alias("us"))
+                .first()["us"]
+            )
+        assert len(set(rows.values())) == 1, rows
+        # and the instant IS wall-clock-as-UTC
+        assert rows["UTC"] == 1709640000 * 1_000_000
+    finally:
+        spark.conf.set(tz_key, prior)
+
+
 def test_no_ntz_leaks_into_any_declared_plan(spark):
     """Every declared query must see TimestampType, never TIMESTAMP_NTZ —
     NTZ silently changes function semantics where it is accepted and
