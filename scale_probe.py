@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Scale probe: run headline operators at 1x and Nx the bench data and
+record how wall time and (deterministic) shuffle volume actually grow.
+
+The bench (bench.py) proves plan SHAPES — exchange counts, pushdown,
+broadcast, straggler flattening. This probe measures the other half of
+the 100 TB argument: the growth CURVE. Each operator runs on the real
+sf0.1 tables and on an amplified copy (default 10x, built in /tmp by
+unioning id-offset copies), and the JSON report shows per-op
+sec/shuffle-record/output-row ratios.
+
+Amplification design (what the copies mean physically):
+
+* events x N: ids offset, event time shifted 2 days per copy — the
+  table grows N two-day "epochs". Per-user density within a join
+  window stays constant, so the flagship enrich output must grow ~N
+  (a superlinear curve here would mean the join plan degrades with
+  history length — the exact failure the bucketized interval join
+  exists to prevent).
+* documents x N: ids offset, text UNCHANGED — every doc becomes an
+  N-way exact-duplicate group. This is the adversarial dedup regime:
+  candidate PAIRS inside a group grow C(N,2), so pair-emitting ops
+  are expected ~N^2/2 in OUTPUT (data property, not plan property)
+  while their pre-verify shuffle stays band-bounded; the components
+  labels and the funnel (which dedups exactly) must stay ~N.
+* embeddings x N: ids offset, vectors unchanged; the fixed 8-query
+  IVF search scans N x larger cells — linear candidate growth.
+
+Usage: python scale_probe.py [--factor 10] [--base /root/testdata/sf0.1]
+Prints one JSON line and writes SCALE_PROBE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from bench import _stages_json, run_noop  # noqa: E402
+from example_kafkastreams_spark.catalog import load_table  # noqa: E402
+from example_kafkastreams_spark.operators import knn as KNN  # noqa: E402
+from example_kafkastreams_spark.operators import neardup as ND  # noqa: E402
+from example_kafkastreams_spark.operators.cache import (  # noqa: E402
+    release_sketch_caches,
+)
+from example_kafkastreams_spark.operators.components import (  # noqa: E402
+    connected_components,
+)
+from example_kafkastreams_spark.operators.enrich import (  # noqa: E402
+    enrich_clickstream,
+)
+from example_kafkastreams_spark.pipelines import (  # noqa: E402
+    corpus_funnel_counts,
+    corpus_stages,
+)
+from example_kafkastreams_spark.session import get_spark  # noqa: E402
+
+AMP_DIR = os.path.join("/tmp", "scale_probe_data")
+
+
+def amplify(spark, base: str, factor: int) -> str:
+    """Union ``factor`` id-offset copies of the three amplifiable
+    tables into AMP_DIR parquet (events ts-shifted 2 days per copy)."""
+    shutil.rmtree(AMP_DIR, ignore_errors=True)
+    os.makedirs(AMP_DIR, exist_ok=True)
+    events = load_table(spark, base, "events")
+    docs = load_table(spark, base, "documents")
+    emb = load_table(spark, base, "embeddings")
+
+    def copies(df: DataFrame, mk) -> DataFrame:
+        out = None
+        for k in range(factor):
+            c = mk(df, k)
+            out = c if out is None else out.unionAll(c)
+        return out
+
+    copies(
+        events,
+        lambda df, k: df.withColumn(
+            "event_id", F.col("event_id") + F.lit(k * 10**12)
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {2 * k} DAYS")),
+    ).write.mode("overwrite").parquet(os.path.join(AMP_DIR, "events.parquet"))
+    copies(
+        docs,
+        lambda df, k: df.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10**9)),
+    ).write.mode("overwrite").parquet(os.path.join(AMP_DIR, "documents.parquet"))
+    copies(
+        emb,
+        lambda df, k: df.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10**7)),
+    ).write.mode("overwrite").parquet(os.path.join(AMP_DIR, "embeddings.parquet"))
+    # the non-amplified tables: plain copies so load_table works on AMP_DIR
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem"):
+        shutil.copy(
+            os.path.join(base, f"{t}.parquet"),
+            os.path.join(AMP_DIR, f"{t}.parquet"),
+        )
+    return AMP_DIR
+
+
+def probe_ops(spark, sf_dir: str) -> dict[str, dict]:
+    """Each op: one timed run through the noop sink (or a 1-row agg for
+    the funnel report), with before/after shuffle-record totals."""
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def scan_agg():
+        return (
+            events.groupBy("event_type", F.to_date("ts").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        )
+
+    def flagship():
+        return enrich_clickstream(events)
+
+    def minhash_pairs():
+        return ND.minhash_lsh_pairs(docs, threshold=0.5)
+
+    def components():
+        pairs = ND.simhash_neardup_pairs(docs, max_hamming=3).select(
+            "doc_a", "doc_b"
+        )
+        return connected_components(
+            pairs, nodes=docs, node_col="doc_id", broadcast=True
+        )
+
+    def ivf():
+        return KNN.ivf_ann(emb, num_queries=8, k=3, num_centroids=16)
+
+    def funnel():
+        return corpus_funnel_counts(corpus_stages(docs))
+
+    out: dict[str, dict] = {}
+    for name, mk in (
+        ("scan_agg", scan_agg),
+        ("flagship_enrich", flagship),
+        ("minhash_lsh_pairs", minhash_pairs),
+        ("neardup_components", components),
+        ("ivf_ann", ivf),
+        ("corpus_funnel", funnel),
+    ):
+        before = _stages_json(spark) or []
+        b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)
+        t0 = time.perf_counter()
+        df = mk()
+        rows = df.count()
+        sec = round(time.perf_counter() - t0, 3)
+        release_sketch_caches()
+        after = _stages_json(spark) or []
+        a_rec = sum(s.get("shuffleWriteRecords", 0) for s in after)
+        out[name] = {
+            "sec": sec,
+            "rows": rows,
+            "shuffle_write_records": a_rec - b_rec,
+        }
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="scale_probe", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()  # warmup
+
+    amp = amplify(spark, args.base, args.factor)
+    base_ops = probe_ops(spark, args.base)
+    amp_ops = probe_ops(spark, amp)
+
+    report = {"factor": args.factor, "base": args.base, "ops": {}}
+    for name in base_ops:
+        b, a = base_ops[name], amp_ops[name]
+        report["ops"][name] = {
+            "base": b,
+            "amplified": a,
+            "sec_ratio": round(a["sec"] / b["sec"], 2) if b["sec"] else None,
+            "rows_ratio": round(a["rows"] / b["rows"], 2) if b["rows"] else None,
+            "shuffle_ratio": (
+                round(a["shuffle_write_records"] / b["shuffle_write_records"], 2)
+                if b["shuffle_write_records"]
+                else None
+            ),
+        }
+    shutil.rmtree(AMP_DIR, ignore_errors=True)
+    line = json.dumps(report)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALE_PROBE.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
