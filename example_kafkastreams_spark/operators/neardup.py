@@ -391,6 +391,14 @@ def simhash_neardup_pairs(
     sh = persist_tracked(with_simhash(
         _rebalance(docs, id_col), id_col, text_col
     ))
+    return _simhash_band_pairs(sh, id_col, max_hamming)
+
+
+def _simhash_band_pairs(
+    sh: DataFrame, id_col: str, max_hamming: int
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs from an (id, simhash) table via the
+    byte-band candidate join + bit_count verify."""
     bands = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -430,3 +438,45 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_components_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Star-contracted edge set whose transitive closure EQUALS the
+    closure of ``simhash_neardup_pairs`` — the scale-correct input for
+    connected components.
+
+    A k-way duplicate group (identical sketches — exact copies, or
+    near-identical texts hashing alike) contributes C(k,2) pairs to the
+    full pair set but only needs k−1 edges to connect: contract each
+    identical-sketch group to a STAR on its min id, then run the banded
+    candidate join on one REPRESENTATIVE per distinct sketch. Proof of
+    closure equality: same-sketch docs are Hamming-0 ≤ h (star keeps
+    them connected); for any cross-sketch pair (a, b) within Hamming h,
+    the representatives of their sketch groups carry the same two
+    sketches, so the rep-pair edge connects both groups. Measured on a
+    10x-amplified corpus (10-way duplicate groups): the full pair set
+    is ~100x the contracted edge set, and every components round
+    shuffles that factor. Use ``simhash_neardup_pairs`` when the PAIRS
+    themselves are the product (q43); use this when only the clusters
+    are (q57, corpus funnel).
+    """
+    sh = persist_tracked(with_simhash(
+        _rebalance(docs, id_col), id_col, text_col
+    ))
+    reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    star = (
+        sh.join(reps, "simhash")
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    rep_pairs = _simhash_band_pairs(
+        reps.select(F.col("rep").alias(id_col), "simhash"),
+        id_col,
+        max_hamming,
+    ).select("doc_a", "doc_b")
+    return star.unionAll(rep_pairs)

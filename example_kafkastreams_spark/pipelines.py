@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from .functions import portable as P
 from .operators.cache import persist_tracked
 from .operators.components import connected_components
-from .operators.neardup import exact_text_dedup, simhash_neardup_pairs
+from .operators.neardup import exact_text_dedup, simhash_components_edges
 from .operators.text_chunks import chunk_documents
 from .queries_llm import _quality_exprs
 
@@ -95,9 +95,10 @@ def corpus_stages(
         language.join(survivors.select("doc_id"), "doc_id", "semi")
     )
 
-    pairs = simhash_neardup_pairs(exact, max_hamming=max_hamming).select(
-        "doc_a", "doc_b"
-    )
+    # Star-contracted edges (k−1 per identical-sketch group instead of
+    # C(k,2) pairs): same transitive closure, and the component loop's
+    # per-round shuffle stops growing quadratically with duplication.
+    pairs = simhash_components_edges(exact, max_hamming=max_hamming)
     # Explicit broadcast decision: the near-dup graph's label table is
     # bounded by the banded-LSH collision set over the already-filtered
     # survivor corpus — orders of magnitude under broadcast limits for

@@ -20,7 +20,6 @@ from .catalog import load_table
 from .functions import portable as P
 from .operators import knn as KNN
 from .operators.components import connected_components, with_component_sizes
-from .operators.neardup import simhash_neardup_pairs
 from .operators.text_chunks import chunk_documents, tfidf_top_terms
 from .registry import query
 from . import queries_llm as QL
@@ -167,13 +166,21 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     totally different execution: the CTE materializes full
     reachability (fine at sf0.01, quadratic-ish in component size);
     the Spark loop is O(diameter) shuffle-join rounds and is the shape
-    that closes billion-edge dedup graphs."""
+    that closes billion-edge dedup graphs.
+
+    Round 4: the loop consumes STAR-CONTRACTED edges
+    (neardup.simhash_components_edges) — identical-sketch groups
+    connect via k−1 star edges instead of C(k,2) pairs, and banding
+    runs on one representative per distinct sketch. Same transitive
+    closure (the oracle still materializes it from the FULL pair set),
+    ~100x less per-round shuffle on duplicate-heavy corpora
+    (SCALE_PROBE.json)."""
+    from .operators.neardup import simhash_components_edges
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_neardup_pairs(docs, max_hamming=3).select(
-        "doc_a", "doc_b"
-    )
+    edges = simhash_components_edges(docs, max_hamming=3)
     comp = connected_components(
-        pairs, nodes=docs, node_col="doc_id"
+        edges, nodes=docs, node_col="doc_id"
     )
     return with_component_sizes(comp, "doc_id")
 

@@ -125,11 +125,11 @@ def probe_ops(spark, sf_dir: str) -> dict[str, dict]:
         return ND.minhash_lsh_pairs(docs, threshold=0.5)
 
     def components():
-        pairs = ND.simhash_neardup_pairs(docs, max_hamming=3).select(
-            "doc_a", "doc_b"
-        )
+        # the shipped q57/funnel path: star-contracted edges, not the
+        # full C(k,2) pair set
+        edges = ND.simhash_components_edges(docs, max_hamming=3)
         return connected_components(
-            pairs, nodes=docs, node_col="doc_id", broadcast=True
+            edges, nodes=docs, node_col="doc_id", broadcast=True
         )
 
     def ivf():

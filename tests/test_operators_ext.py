@@ -114,6 +114,44 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert ckpts, "no checkpoint files written"
 
 
+def test_star_contracted_edges_same_closure(spark):
+    """simhash_components_edges must yield the SAME components as the
+    full pair set — k−1 star edges replace C(k,2) clique pairs without
+    changing the transitive closure. Fixture forces both regimes:
+    exact-duplicate groups (identical sketches) AND cross-sketch
+    near-dup pairs, on a corpus with |edges| << |pairs|."""
+    from example_kafkastreams_spark.operators.neardup import (
+        simhash_components_edges,
+        simhash_neardup_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for g in range(4):  # 4 groups of 6 exact copies of a variant text
+        text = base + f" group{g}" * 3
+        for c in range(6):
+            rows.append((g * 100 + c, text))
+    rows.append((999, "completely different tokens entirely unrelated"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = simhash_neardup_pairs(docs, max_hamming=3).select(
+        "doc_a", "doc_b"
+    )
+    edges = simhash_components_edges(docs, max_hamming=3)
+    n_pairs, n_edges = pairs.count(), edges.count()
+    assert n_edges < n_pairs, (n_edges, n_pairs)  # contraction really cuts
+
+    def labels(e):
+        return {
+            r.doc_id: r.component_id
+            for r in connected_components(
+                e, docs, node_col="doc_id", broadcast=True
+            ).collect()
+        }
+
+    assert labels(edges) == labels(pairs)
+
+
 def test_quantize_embeddings_properties(spark):
     from example_kafkastreams_spark.operators.knn import quantize_embeddings
 
