@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
 from .cache import persist_tracked
+from .neardup import _rebalance
 
 from ..functions import portable as P
 
@@ -231,12 +232,10 @@ def lsh_ann(
     planes = planes or hyperplanes()
     # bucket signatures feed both join sides: rebalance off the
     # single-row-group scan partition and persist (same pattern as the
-    # text sketches — the hyperplane dot products are the expensive map)
+    # text sketches — the hyperplane dot products are the expensive
+    # map; _rebalance is a no-op on an already-parallel scan)
     b = persist_tracked(with_bucket(
-        emb.repartition(
-            emb.sparkSession.sparkContext.defaultParallelism, id_col
-        ),
-        planes, id_col, vec_col,
+        _rebalance(emb, id_col), planes, id_col, vec_col,
     ))
     q = b.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"),
@@ -294,10 +293,9 @@ def ivf_ann(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     )
     # the |corpus| x |centroids| assignment map is the expensive stage;
-    # spread it off the single-row-group scan partition
-    emb = emb.repartition(
-        emb.sparkSession.sparkContext.defaultParallelism, id_col
-    )
+    # spread it off the single-row-group scan partition (no-op when the
+    # scan is already parallel)
+    emb = _rebalance(emb, id_col)
 
     def assign(df: DataFrame, out_prefix: str) -> DataFrame:
         # Nearest centroid as a hash aggregation, not a window rank:
@@ -361,10 +359,7 @@ def bucketed_similar_pairs(
     # same rebalance+persist rationale as lsh_ann: the bucket table
     # feeds both self-join sides
     b = persist_tracked(with_bucket(
-        emb.repartition(
-            emb.sparkSession.sparkContext.defaultParallelism, id_col
-        ),
-        planes, id_col, vec_col,
+        _rebalance(emb, id_col), planes, id_col, vec_col,
     ))
     l = b.select(
         F.col(id_col).alias("vec_a"),

@@ -73,8 +73,17 @@ def _rebalance(docs: DataFrame, id_col: str) -> DataFrame:
     (id, text) over the wire buys full parallelism for the map stage
     AND de-skews pathological input layouts (our testdata: one parquet
     row group ⇒ a single scan partition that would serialize the whole
-    sketch computation into one task once the stage is persisted)."""
+    sketch computation into one task once the stage is persisted).
+
+    Conditional: only fires when the input has FEWER partitions than
+    the cluster has slots. A 100 TB scan already arrives in thousands
+    of partitions — repartitioning it down to defaultParallelism would
+    shuffle the full text corpus to COALESCE it, the exact opposite of
+    the intent. (`rdd.getNumPartitions` inspects the physical plan, no
+    job runs.)"""
     n = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= n:
+        return docs
     return docs.repartition(n, id_col)
 
 
