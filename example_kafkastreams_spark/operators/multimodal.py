@@ -156,3 +156,113 @@ def sample_frame_batches(
 def sample_frames(media: DataFrame) -> DataFrame:
     ensure_package_shipped(media.sparkSession)
     return media.mapInPandas(sample_frame_batches, schema=FRAME_SCHEMA)
+
+
+# --- resize (binary in → binary OUT through Arrow) ------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("resized_payload", T.BinaryType()),
+        T.StructField("resized_checksum", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, target_width: int = 64, target_height: int = 64
+) -> DataFrame:
+    """Resize kernel: the Spark-side contract a real thumbnailer needs —
+    binary in AND binary OUT through the same Arrow batch (the output
+    payload column is the part decode/frame-sample don't exercise).
+
+    Fake codec: deterministic stride-decimation of the byte stream to
+    exactly ``target_width*target_height`` bytes (shorter payloads
+    zero-pad), with a checksum of the emitted bytes. A real
+    PIL.Image.resize drops into the same kernel (import-gated like
+    ``decode_image_batches_real``); partitioning, batch shape, and
+    memory bounds are identical either way.
+    """
+    out_n = target_width * target_height
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload)
+                n = len(payload)
+                stride = max(1, n // out_n)
+                resized = payload[::stride][:out_n]
+                if len(resized) < out_n:
+                    resized = resized + b"\x00" * (out_n - len(resized))
+                recs.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "out_width": target_width,
+                        "out_height": target_height,
+                        "n_bytes_out": len(resized),
+                        "resized_payload": resized,
+                        "resized_checksum": sum(resized),
+                    }
+                )
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    ensure_package_shipped(media.sparkSession)
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+# --- feature extraction (payload → embedding vector) ----------------------
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload → fixed-width float vector (16-bin
+    normalized byte histogram). The fake "feature extractor" is
+    deterministic and cheap; the CONTRACT is the real one — a media
+    embedding model emits exactly this shape (id, array<float>) — so
+    its output plugs straight into the knn operators (brute force /
+    LSH / IVF) without adaptation."""
+    import numpy as np
+
+    for pdf in it:
+        recs = []
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload)
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(
+                np.float64
+            )
+            total = hist.sum()
+            vec = (hist / total if total else hist).astype(np.float32)
+            recs.append(
+                {
+                    "doc_id": r.doc_id,
+                    "n_bytes": len(payload),
+                    "features": vec.tolist(),
+                }
+            )
+        yield pd.DataFrame.from_records(
+            recs, columns=[f.name for f in FEATURES_SCHEMA.fields]
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """(doc_id, n_bytes, features: array<float>[16]) — the multimodal →
+    similarity-search bridge: run this, rename to (vec_id, embedding),
+    and every ANN operator (knn.py) consumes it directly."""
+    ensure_package_shipped(media.sparkSession)
+    return media.mapInPandas(feature_batches, schema=FEATURES_SCHEMA)

@@ -219,3 +219,56 @@ def test_lsh_beats_allpairs_comparisons(spark):
     n = docs.count()
     cand = ND.minhash_lsh_pairs(docs, threshold=0.0).count()
     assert cand < (n * (n - 1) // 2) * 0.05, (cand, n)
+
+
+def test_multimodal_resize_binary_roundtrip(spark):
+    """Resize kernel: binary in AND binary out through Arrow — exact
+    target byte count, stride-decimation + zero-pad semantics pinned
+    against a Python reimplementation."""
+    docs = spark.createDataFrame(
+        [(1, "x" * 10), (2, "abcdefgh" * 4096)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in MM.resize_images(
+            MM.attach_payload(docs), target_width=8, target_height=8
+        ).collect()
+    }
+    for doc_id, text in ((1, "x" * 10), (2, "abcdefgh" * 4096)):
+        payload = text.encode()
+        stride = max(1, len(payload) // 64)
+        want = payload[::stride][:64]
+        want = want + b"\x00" * (64 - len(want))
+        r = out[doc_id]
+        assert (r.n_bytes_out, bytes(r.resized_payload), r.resized_checksum) == (
+            64, want, sum(want)
+        )
+
+
+def test_multimodal_features_feed_knn(spark):
+    """Feature extraction emits the (id, array<float>) contract the ANN
+    operators consume: histogram pinned to numpy, vector sums to ~1,
+    and the output runs through brute_force_knn unchanged."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.knn import brute_force_knn
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "payload bytes " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    feats = MM.extract_features(MM.attach_payload(docs))
+    rows = {r.doc_id: r for r in feats.collect()}
+    for doc_id, text in ((0, "doc 0 " + "payload bytes "),):
+        arr = np.frombuffer(text.encode(), dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+        want = (hist / hist.sum()).astype(np.float32).tolist()
+        assert rows[doc_id].features == want
+    for r in rows.values():
+        assert abs(sum(r.features) - 1.0) < 1e-5
+    emb = feats.select(
+        F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    knn = brute_force_knn(emb, num_queries=2, k=3)
+    assert knn.count() == 2 * 3  # 2 queries x top-3 neighbors
