@@ -324,7 +324,16 @@ def cosine(a: str, b: str, d: str) -> str:
 
 
 def vec_literal(values: list[float], d: str) -> str:
-    body = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in values)
+    """Exact double literals in both dialects — via STRING cast.
+
+    A bare 17-digit decimal literal parses as DECIMAL first in both
+    engines; DuckDB's wide-DECIMAL→DOUBLE conversion is NOT correctly
+    rounded (measured: ~8% of full-precision doubles come back 1 ULP
+    off — enough to flip a `dot > 0` hyperplane sign on a knife-edge
+    vector). CAST('<repr>' AS DOUBLE) goes through strtod in both
+    engines, which is correctly rounded, so the spliced planes are
+    bit-identical across engines by construction."""
+    body = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in values)
     return f"array({body})" if d == SPARK else f"[{body}]"
 
 

@@ -61,8 +61,12 @@ def _mixing_sql() -> str:
     single IEEE binary64 op on identical operands in both engines, so
     the survivor sets agree exactly (no tolerance)."""
     src_list = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+    # STRING-cast literals: a bare 17-digit decimal parses via DECIMAL
+    # and DuckDB's wide-DECIMAL->DOUBLE is not correctly rounded (1 ULP
+    # off ~8% of the time — a 1-ULP rate shift moves the integer
+    # threshold and can flip a knife-edge survivor). strtod is exact.
     norm_case = " ".join(
-        f"WHEN '{s}' THEN CAST({norm!r} AS DOUBLE)"
+        f"WHEN '{s}' THEN CAST('{norm!r}' AS DOUBLE)"
         for s, norm in _MIX_NORM.items()
     )
     h = f"({P.token_hash32('CAST(d.doc_id AS VARCHAR)', D)} % {_M})"

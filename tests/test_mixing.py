@@ -73,3 +73,43 @@ def test_exact_survivor_set_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_sql_rate_derivation_matches_python_bitexact():
+    """q61's oracle re-derives the acceptance thresholds IN SQL (counts
+    -> normalized-weight literals -> min cap -> rate -> floor(rate*2^32))
+    instead of splicing Python-computed literals. That only works if
+    DuckDB's double arithmetic reproduces mixture_rates bit-for-bit.
+    Property-fuzz the claim: random weights and counts, compare the
+    integer thresholds from both derivations exactly."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    M = 1 << 32
+    for trial in range(200):
+        n_src = rng.randint(1, 6)
+        names = [f"s{i}" for i in range(n_src)]
+        weights = {s: rng.uniform(0.01, 10.0) for s in names}
+        counts = {s: rng.randint(1, 10**9) for s in names}
+        rates = mixture_rates(counts, weights)
+        py_thresholds = {s: int(r * M) for s, r in rates.items()}
+
+        total = sum(weights.values())
+        norm = {s: w / total for s, w in weights.items()}
+        # STRING-cast literals (strtod, correctly rounded) — a bare
+        # decimal literal goes through DuckDB's wide-DECIMAL->DOUBLE
+        # conversion, which is 1 ULP off for ~8% of full-precision
+        # doubles (the bug this test originally caught)
+        values = ", ".join(
+            f"('{s}', CAST({counts[s]} AS DOUBLE), CAST('{norm[s]!r}' AS DOUBLE))"
+            for s in names
+        )
+        sql = f"""
+        WITH normed(source, n, norm) AS (VALUES {values}),
+        cap AS (SELECT min(n / norm) AS cap FROM normed)
+        SELECT source,
+               CAST(floor(((norm * (SELECT cap FROM cap)) / n) * {M}) AS BIGINT)
+        FROM normed
+        """
+        duck_thresholds = dict(duckdb.sql(sql).fetchall())
+        assert duck_thresholds == py_thresholds, (trial, weights, counts)
