@@ -39,6 +39,42 @@ def test_timestamp_pushdown_reaches_scan(spark):
     assert any("ts" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
 
 
+def test_load_table_reads_nanos_shape(spark, tmp_path):
+    """The rounds-1-2 testdata shape — TIMESTAMP(NANOS), which vanilla
+    Spark rejects outright — must keep loading as TimestampType with
+    DuckDB's floor-to-micros truncation. The current testdata is
+    micros/NTZ, so without this synthetic file the nanos branch has no
+    live coverage, and the generator has ALREADY flipped physical
+    shapes between rounds once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from example_kafkastreams_spark.catalog import load_table
+
+    ns = [1_700_000_000_123_456_789, 1_700_000_001_000_000_999]
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], type=pa.int64()),
+            "ts": pa.array(ns, type=pa.timestamp("ns")),
+            "user_id": pa.array([10, 20], type=pa.int64()),
+            "event_type": pa.array(["view", "click"]),
+            "value": pa.array([1.5, 2.5], type=pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    from pyspark.sql import functions as F, types as T
+
+    df = load_table(spark, str(tmp_path), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = {
+        r.event_id: r.us
+        for r in df.select("event_id", F.unix_micros("ts").alias("us")).collect()
+    }
+    # integer DIV 1000: floor-to-micros, exactly DuckDB's truncation
+    assert got == {1: ns[0] // 1000, 2: ns[1] // 1000}
+
+
 def test_load_table_restores_caller_confs(spark):
     """load_table needs two parquet confs only while resolving the
     footer schema; it must NOT leave them set — mutating the caller's
