@@ -147,8 +147,12 @@ def corpus_stages(
     if pack_budget is not None:
         from .operators.packing import pack_chunks
 
+        # chunks now fans out (its own consumer + the packer): persist
+        # like the other fan-out stages so the explode + PII chain runs
+        # once, not once per consumer.
+        stages["chunks"] = persist_tracked(chunks)
         stages["packs"] = pack_chunks(
-            chunks, budget=pack_budget, canonical=True
+            stages["chunks"], budget=pack_budget, canonical=True
         )
     return stages
 

@@ -132,6 +132,7 @@ _FUNNEL_LANG = "en"
 _FUNNEL_MAX_HAMMING = 3
 _FUNNEL_CHUNK = 32
 _FUNNEL_STRIDE = 24
+_FUNNEL_PACK_BUDGET = 96
 
 
 def _funnel_sql() -> str:
@@ -142,14 +143,16 @@ def _funnel_sql() -> str:
     )
     pred = P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})
     toks = P.split_ws("text", D)
-    starts = P.seq_step("1", P.size_("toks", D), _FUNNEL_STRIDE, D)
+    n = P.size_("toks", D)
+    starts = P.seq_step("1", n, _FUNNEL_STRIDE, D)
+    B = _FUNNEL_PACK_BUDGET
     return f"""
-    WITH RECURSIVE quality AS (
+    WITH RECURSIVE quality AS MATERIALIZED (
       SELECT doc_id, text FROM documents WHERE {qscore} >= {_FUNNEL_MIN_QUALITY}
     ),
     ls AS (SELECT doc_id, text, {score_cols} FROM quality),
-    lang AS (SELECT doc_id, text FROM ls WHERE ({pred}) = '{_FUNNEL_LANG}'),
-    exact AS (
+    lang AS MATERIALIZED (SELECT doc_id, text FROM ls WHERE ({pred}) = '{_FUNNEL_LANG}'),
+    exact AS MATERIALIZED (
       SELECT doc_id, text FROM lang
       WHERE doc_id IN (SELECT min(doc_id) FROM lang GROUP BY md5(text))
     ),
@@ -180,20 +183,52 @@ def _funnel_sql() -> str:
     labeled AS (
       SELECT node AS doc_id, min(lab) AS component_id FROM comp GROUP BY node
     ),
-    keep AS (SELECT doc_id FROM labeled WHERE doc_id = component_id),
-    surv AS (
+    keep AS MATERIALIZED (SELECT doc_id FROM labeled WHERE doc_id = component_id),
+    surv AS MATERIALIZED (
       SELECT doc_id, {P.pii_scrub('text', D)} AS text FROM exact
       WHERE doc_id IN (SELECT doc_id FROM keep)
     ),
-    tok AS (SELECT doc_id, {toks} AS toks FROM surv),
-    ex AS (SELECT doc_id, unnest({starts}) AS start FROM tok)
+    tok AS MATERIALIZED (SELECT doc_id, {toks} AS toks FROM surv),
+    ex AS MATERIALIZED (SELECT doc_id, {n} AS n, unnest({starts}) AS start FROM tok),
+    -- canonical packing twin: per-document greedy first-fit over the
+    -- chunk sizes (chunk_idx IS the fold order — starts step uniformly,
+    -- so indices are consecutive from 1). New pack when the open pack
+    -- can't take the chunk; a pack reaching the budget closes.
+    chunkstats AS MATERIALIZED (
+      SELECT doc_id,
+             {P.idiv('start - 1', str(_FUNNEL_STRIDE), D)} + 1 AS rn,
+             least({_FUNNEL_CHUNK}, n - start + 1) AS n_tokens
+      FROM ex
+    ),
+    packfold(doc_id, rn, pack_seq, open_cum) AS (
+      SELECT doc_id, rn, 0,
+             CASE WHEN n_tokens >= {B} THEN 0 ELSE n_tokens END
+      FROM chunkstats WHERE rn = 1
+      UNION ALL
+      SELECT c.doc_id, c.rn,
+             CASE WHEN p.open_cum = 0 OR p.open_cum + c.n_tokens > {B}
+                  THEN p.pack_seq + 1 ELSE p.pack_seq END,
+             CASE WHEN (CASE WHEN p.open_cum = 0
+                               OR p.open_cum + c.n_tokens > {B}
+                             THEN c.n_tokens
+                             ELSE p.open_cum + c.n_tokens END) >= {B}
+                  THEN 0
+                  ELSE (CASE WHEN p.open_cum = 0
+                               OR p.open_cum + c.n_tokens > {B}
+                             THEN c.n_tokens
+                             ELSE p.open_cum + c.n_tokens END) END
+      FROM packfold p JOIN chunkstats c
+        ON c.doc_id = p.doc_id AND c.rn = p.rn + 1
+    ),
+    packs AS (SELECT DISTINCT doc_id, pack_seq FROM packfold)
     SELECT
       (SELECT count(*) FROM documents) AS n_raw,
       (SELECT count(*) FROM quality) AS n_quality,
       (SELECT count(*) FROM lang) AS n_language,
       (SELECT count(*) FROM exact) AS n_exact_dedup,
       (SELECT count(*) FROM keep) AS n_neardup_survivors,
-      (SELECT count(*) FROM ex) AS n_chunks
+      (SELECT count(*) FROM ex) AS n_chunks,
+      (SELECT count(*) FROM packs) AS n_packs
     """
 
 
@@ -202,11 +237,15 @@ def q63_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole pretrain corpus funnel (pipelines.corpus_stages) as one
     driver-checked row: per-stage survivor counts for quality filter →
     language filter → exact dedup → near-dup component survivor → PII
-    scrub → overlapping chunks. The composition is the claim — each
-    stage's operator already has its own green row; this proves they
-    compose (filters fused into the scan, dedup semi joins, component
-    closure, scrub-before-chunk ordering) without re-testing any stage
-    in isolation."""
+    scrub → overlapping chunks → canonical sequence packing. The
+    composition is the claim — each stage's operator already has its
+    own green row or property suite; this proves they compose (filters
+    fused into the scan, dedup semi joins, component closure,
+    scrub-before-chunk ordering) without re-testing any stage in
+    isolation. n_packs hard-checks the CANONICAL packing mode through
+    the driver (its per-document greedy fold is partition-independent,
+    so the DuckDB recursive-fold twin reproduces the exact pack
+    count)."""
     docs = load_table(spark, sf_dir, "documents")
     stages = corpus_stages(
         docs,
@@ -216,5 +255,6 @@ def q63_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_size=_FUNNEL_CHUNK,
         stride=_FUNNEL_STRIDE,
         scrub_pii=True,
+        pack_budget=_FUNNEL_PACK_BUDGET,
     )
     return corpus_funnel_counts(stages)
