@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-from bench import _stages_json, run_noop  # noqa: E402
+from bench import _stages_json  # noqa: E402
 from example_kafkastreams_spark.catalog import load_table  # noqa: E402
 from example_kafkastreams_spark.operators import knn as KNN  # noqa: E402
 from example_kafkastreams_spark.operators import neardup as ND  # noqa: E402
