@@ -157,16 +157,28 @@ def windowed_count_update_stream(
     ts_col: str = "ts",
     window_duration: str = "5 seconds",
     watermark_delay: str = "10 seconds",
+    slide_duration: str | None = None,
 ) -> DataFrame:
     """A5 analog (``toStream`` on a windowed KTable,
     ClickstreamJoinExample.scala:257): a windowed aggregate whose sink
     runs in UPDATE output mode emits the changed (window, key) rows per
     trigger — the changelog-stream view of the aggregate. Pair with
     ``start_memory_sink(..., output_mode="update")``.
+
+    ``slide_duration`` < ``window_duration`` turns the tumbling window
+    into a HOPPING one (each record lands in window/slide overlapping
+    windows — Kafka Streams' ``TimeWindows.of(w).advanceBy(s)``, which
+    the reference never uses but the DSL exposes). State grows by the
+    same factor; the watermark bounds it identically.
     """
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
     return (
         df.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        .groupBy(win, *keys)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("window.start").alias("window_start"), *keys, "n_events"

@@ -555,3 +555,40 @@ def test_emission_anchored_stream_state_bound(spark, tmp_path):
     )
     got = run_to_memory(spark, out, "a2_many", tmp_path)
     assert got.count() == 40  # 2 survivors × 20 keys
+
+
+def test_hopping_window_counts(spark, tmp_path):
+    """Hopping windows (window=10 s, slide=5 s): every record lands in
+    exactly window/slide = 2 overlapping windows — the Kafka Streams
+    TimeWindows.of(w).advanceBy(s) surface the DSL exposes beyond the
+    reference's tumbling windows. Events at t=1 and t=6 share the
+    [0,10) window but split across [-5,5) and [5,15)."""
+    from example_kafkastreams_spark.streaming.ops import (
+        windowed_count_update_stream,
+    )
+
+    src = str(tmp_path / "in_hop")
+    write_batches(
+        spark,
+        src,
+        DEDUP_SCHEMA,
+        [
+            [("001", "a", at(1.0)), ("001", "b", at(6.0))],
+            [("zzz", "x", at(1000.0))],
+        ],
+    )
+    stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+    out = windowed_count_update_stream(
+        stream, keys=["k"], ts_col="ts",
+        window_duration="10 seconds", slide_duration="5 seconds",
+        watermark_delay="10 seconds",
+    )
+    got = run_to_memory(spark, out, "hop_golden", tmp_path)
+    naive_epoch = EPOCH.replace(tzinfo=None)
+    wins = {
+        (r.window_start - naive_epoch).total_seconds(): r.n_events
+        for r in got.collect()
+        if r.k == "001"
+    }
+    # windows starting at t=-5 (holds a), 0 (a+b), 5 (b): counts 1,2,1
+    assert wins == {-5.0: 1, 0.0: 2, 5.0: 1}
