@@ -165,6 +165,42 @@ def build_pretrain_corpus(docs: DataFrame, **kwargs) -> DataFrame:
     return stages.get("packs", stages["chunks"])
 
 
+def corpus_filter_stream(
+    docs: DataFrame,
+    min_quality: float = 0.25,
+    languages: tuple[str, ...] = ("en",),
+    scrub_pii: bool = True,
+) -> DataFrame:
+    """Ingestion-time corpus gate: the funnel's stateless front half
+    (quality score → language ID → PII scrub) as a streaming stage.
+
+    All three are pure column expressions — no watermark, no state, no
+    shuffle — so they run fused into each micro-batch's scan exactly as
+    they fuse into the batch funnel's. This is the landing-zone shape a
+    streaming 100 TB ingest uses: filter and redact documents as they
+    ARRIVE, so the expensive stateful stages (dedup, components)
+    downstream — or the nightly batch funnel — only ever see survivors.
+    Semantics are batch-identical by construction: the SAME dual-dialect
+    expressions back q49/q48/q62's driver-checked rows.
+    """
+    exprs = _quality_exprs(P.SPARK)
+    scored = docs.withColumn("quality_score", F.expr(exprs["quality_score"]))
+    quality = scored.filter(F.col("quality_score") >= min_quality)
+    scores = P.lang_scores("text", P.SPARK)
+    with_pred = quality.withColumns(
+        {f"score_{lang}": F.expr(e) for lang, e in scores.items()}
+    ).withColumn(
+        "pred_lang",
+        F.expr(P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})),
+    )
+    out = with_pred.filter(F.col("pred_lang").isin(*languages)).drop(
+        *[f"score_{lang}" for lang in scores]
+    )
+    if scrub_pii:
+        out = out.withColumn("text", F.expr(P.pii_scrub("text", P.SPARK)))
+    return out
+
+
 def corpus_funnel_counts(stages: dict[str, DataFrame]) -> DataFrame:
     """1-row funnel report (n_raw, n_quality, ... n_chunks) — a single
     action evaluating every stage once, for pipeline observability."""

@@ -592,3 +592,67 @@ def test_hopping_window_counts(spark, tmp_path):
     }
     # windows starting at t=-5 (holds a), 0 (a+b), 5 (b): counts 1,2,1
     assert wins == {-5.0: 1, 0.0: 2, 5.0: 1}
+
+
+def test_corpus_filter_stream_matches_batch(spark, tmp_path):
+    """The streaming ingestion gate (quality -> lang-ID -> PII scrub)
+    must produce EXACTLY the batch funnel front half's survivor set and
+    scrubbed text — same dual-dialect expressions, zero state, so
+    micro-batching cannot change the outcome."""
+    from example_kafkastreams_spark.pipelines import (
+        corpus_filter_stream,
+        corpus_stages,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs on", "s"),
+        (2, "tiny", "s"),  # fails quality (too short)
+        (3, "contact me at alice@example.com or +1 (555) 123-4567 now "
+            "the a of and to in is the a of and to in is", "s"),
+    ]
+    schema = "doc_id long, text string, source string"
+    batch_docs = spark.createDataFrame(rows, schema)
+    want = {
+        (r.doc_id, r.text)
+        for r in corpus_stages(batch_docs)["language"].select(
+            "doc_id", "text"
+        ).collect()
+    }
+    # PII scrub happens later in the batch funnel; apply it for parity
+    from example_kafkastreams_spark.functions import portable as P
+    from pyspark.sql import functions as F
+
+    want = {
+        (r.doc_id, r.text)
+        for r in corpus_stages(batch_docs)["language"]
+        .withColumn("text", F.expr(P.pii_scrub("text", P.SPARK)))
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    src = str(tmp_path / "in_corpus")
+    stage_replayable_batches(
+        spark, src,
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]),
+        [rows[:2], rows[2:]],  # split across micro-batches
+    )
+    stream = file_stream(
+        spark, src,
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]),
+        max_files_per_trigger=1,
+    )
+    out = corpus_filter_stream(stream)
+    got_tbl = run_to_memory(spark, out, "corpus_gate", tmp_path)
+    got = {(r.doc_id, r.text) for r in got_tbl.collect()}
+    assert got == want and got  # non-empty, batch-identical
+    scrubbed = {r.doc_id: r.text for r in got_tbl.collect()}
+    if 3 in scrubbed:  # the PII doc, if it survives quality+lang
+        assert "<EMAIL>" in scrubbed[3] and "alice@" not in scrubbed[3]
