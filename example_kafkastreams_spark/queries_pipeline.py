@@ -42,15 +42,17 @@ D = P.DUCK
 _M = 1 << 32
 
 # --- q61: deterministic domain mixing -------------------------------------
-# Weights over four of the corpus' twenty sources: src0 binds (rate
-# 1.0), src1-src3 down-sample to 0.75/0.5/0.25 of their rows (equal
-# per-source counts in the testdata). Declared as module literals so
-# the SQL twin can splice the exact normalized-weight doubles
-# (repr round-trips them losslessly).
+# Weights over the first four sources IN LEXICOGRAPHIC ORDER (rank 1 ->
+# 0.4, 2 -> 0.3, 3 -> 0.2, 4 -> 0.1): rank-based rather than by name so
+# a testdata regeneration that renames sources (the generator has
+# changed physical details between rounds before) degrades to a value
+# difference the driver can SEE, never a hard NameError. The normalized
+# weights are fixed Python doubles regardless of names, so the SQL twin
+# splices them as exact literals.
 
-_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
-_MIX_TOTAL = sum(_MIX_WEIGHTS.values())
-_MIX_NORM = {s: w / _MIX_TOTAL for s, w in _MIX_WEIGHTS.items()}
+_MIX_RANK_WEIGHTS = (0.4, 0.3, 0.2, 0.1)
+_MIX_TOTAL = sum(_MIX_RANK_WEIGHTS)
+_MIX_NORM = [w / _MIX_TOTAL for w in _MIX_RANK_WEIGHTS]
 
 
 def _mixing_sql() -> str:
@@ -60,24 +62,28 @@ def _mixing_sql() -> str:
     (norm*cap)/n rate, floor(rate*2^32) threshold. Every operation is a
     single IEEE binary64 op on identical operands in both engines, so
     the survivor sets agree exactly (no tolerance)."""
-    src_list = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
     # STRING-cast literals: a bare 17-digit decimal parses via DECIMAL
     # and DuckDB's wide-DECIMAL->DOUBLE is not correctly rounded (1 ULP
     # off ~8% of the time — a 1-ULP rate shift moves the integer
     # threshold and can flip a knife-edge survivor). strtod is exact.
     norm_case = " ".join(
-        f"WHEN '{s}' THEN CAST('{norm!r}' AS DOUBLE)"
-        for s, norm in _MIX_NORM.items()
+        f"WHEN {rk + 1} THEN CAST('{norm!r}' AS DOUBLE)"
+        for rk, norm in enumerate(_MIX_NORM)
     )
     h = f"({P.token_hash32('CAST(d.doc_id AS VARCHAR)', D)} % {_M})"
     return f"""
-    WITH counts AS (
-      SELECT source, CAST(count(*) AS DOUBLE) AS n
-      FROM documents WHERE source IN ({src_list})
-      GROUP BY source
+    WITH ranked AS (
+      SELECT source, row_number() OVER (ORDER BY source) AS rk
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    counts AS (
+      SELECT d.source, CAST(count(*) AS DOUBLE) AS n, min(r.rk) AS rk
+      FROM documents d JOIN ranked r ON d.source = r.source
+      WHERE r.rk <= {len(_MIX_RANK_WEIGHTS)}
+      GROUP BY d.source
     ),
     normed AS (
-      SELECT source, n, CASE source {norm_case} END AS norm FROM counts
+      SELECT source, n, CASE rk {norm_case} END AS norm FROM counts
     ),
     cap AS (SELECT min(n / norm) AS cap FROM normed),
     rates AS (
@@ -96,7 +102,16 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds the rates into a pure map-side filter — at 100 TB the scan
     carries a literal predicate; no join, no shuffle, no rand()."""
     docs = load_table(spark, sf_dir, "documents")
-    return mix_sources(docs, dict(_MIX_WEIGHTS)).select("doc_id", "source")
+    srcs = sorted(
+        r[0] for r in docs.select("source").distinct().collect()
+    )[: len(_MIX_RANK_WEIGHTS)]
+    if len(srcs) < len(_MIX_RANK_WEIGHTS):
+        raise ValueError(
+            f"q61 needs >= {len(_MIX_RANK_WEIGHTS)} distinct sources, "
+            f"corpus has {len(srcs)}"
+        )
+    weights = dict(zip(srcs, _MIX_RANK_WEIGHTS))
+    return mix_sources(docs, weights).select("doc_id", "source")
 
 
 # --- q62: PII scrubbing ---------------------------------------------------
