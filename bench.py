@@ -414,10 +414,35 @@ def main() -> None:
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
         "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
     }
+    # The agg-then-join regime: the dim side is an AGGREGATE of the
+    # skewed fact (per-user totals joined back). OptimizeSkewedJoin
+    # pattern-matches plain shuffle stages directly under the join's
+    # sorts, so the aggregate child defeats it — even with AQE on and
+    # thresholds met, the straggler SURVIVES (the _aqe row proves the
+    # gap: same max/median as static). Explicit salting is the only
+    # remedy here (salted.py's stated purpose), and the _salted row
+    # shows it flattening the same join AQE could not.
+    def skew_aggjoin(src):
+        agg = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+        return src.join(agg, "user_id")
+
+    def skew_aggjoin_salted(src):
+        agg = (
+            src.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("user_total"))
+            .withColumnRenamed("user_id", "dim_user_id")
+        )
+        return salted_equijoin(
+            src, agg, fact_key="user_id", dim_key="dim_user_id",
+            salt_source="event_id", salts=16,
+        )
+
     for label, fn, aqe in (
         ("skewed_plain_noaqe", skew_plain, False),
         ("skewed_plain_aqe_skewjoin", skew_plain, True),
         ("skewed_salted", skew_salted, False),
+        ("skewed_aggjoin_aqe", skew_aggjoin, True),
+        ("skewed_aggjoin_salted", skew_aggjoin_salted, False),
     ):
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         if aqe:
