@@ -47,6 +47,12 @@ _READ_CONFS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """NOT thread-safe: the set-and-restore of _READ_CONFS mutates
+    session state for the duration of the footer read, so a concurrent
+    query on the same session could observe the temporary values, and
+    two overlapping load_table calls could restore stale ones. The
+    driver contract is single-threaded; guard with a lock if a
+    multi-threaded caller ever shares one session (ADVICE r4)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     # The generator has shipped two physical timestamp shapes across

@@ -79,8 +79,15 @@ def _rebalance(docs: DataFrame, id_col: str) -> DataFrame:
     the cluster has slots. A 100 TB scan already arrives in thousands
     of partitions — repartitioning it down to defaultParallelism would
     shuffle the full text corpus to COALESCE it, the exact opposite of
-    the intent. (`rdd.getNumPartitions` inspects the physical plan, no
-    job runs.)"""
+    the intent.
+
+    Caveat (ADVICE r4): `rdd.getNumPartitions` is job-free only for
+    scan-shaped or persisted inputs. Under AQE (the session default),
+    taking `.rdd` of a shuffle-bearing, non-persisted plan MATERIALIZES
+    its upstream query stages — real Spark jobs, silently re-run when
+    the caller later executes the frame. Every call site here passes a
+    parquet scan or a persisted frame; keep it that way (or persist
+    first) when adding callers."""
     n = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() >= n:
         return docs

@@ -83,7 +83,13 @@ def pack_chunks(
         raise ValueError(f"budget must be positive, got {budget}")
 
     if canonical:
-        ordered = chunks.repartition(F.col(id_col)).sortWithinPartitions(
+        # Explicit partition count: without one, repartition inherits
+        # spark.sql.shuffle.partitions — in a vanilla 200-partition
+        # session that is 200 near-empty tasks over a small chunk table
+        # (ADVICE r4). defaultParallelism = the slot count, the same
+        # sizing _rebalance uses.
+        n = chunks.sparkSession.sparkContext.defaultParallelism
+        ordered = chunks.repartition(n, F.col(id_col)).sortWithinPartitions(
             id_col, order_col
         )
     else:

@@ -95,13 +95,18 @@ def amplify(spark, base: str, factor: int) -> str:
         emb,
         lambda df, k: df.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10**7)),
     ).write.mode("overwrite").parquet(os.path.join(AMP_DIR, "embeddings.parquet"))
-    # the non-amplified tables: plain copies so load_table works on AMP_DIR
+    # the non-amplified tables: plain copies so load_table works on
+    # AMP_DIR. A table may be a single file (current generator) or a
+    # directory-style parquet (a Spark re-write) — handle both
+    # (ADVICE r4).
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem"):
-        shutil.copy(
-            os.path.join(base, f"{t}.parquet"),
-            os.path.join(AMP_DIR, f"{t}.parquet"),
-        )
+        src = os.path.join(base, f"{t}.parquet")
+        dst = os.path.join(AMP_DIR, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
     return AMP_DIR
 
 
