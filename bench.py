@@ -437,12 +437,43 @@ def main() -> None:
             salt_source="event_id", salts=16,
         )
 
+    # Self-deciding remedy (VERDICT r4 item 2): the probe detects the
+    # hot key itself and salts ONLY it — same agg-then-join regime AQE
+    # cannot split. The probe job runs inside the timed call (its cost
+    # is part of the honest wall time).
+    from example_kafkastreams_spark.operators.salted import (
+        detect_hot_keys,
+        salted_equijoin_auto,
+    )
+
+    # sample_fraction 0.2 here (default 0.02): the probe's absolute
+    # sample must hold a statistically visible number of hot-key rows,
+    # and sandbox tables are 4-6 orders of magnitude under production —
+    # 2% of sf0.01's events is ~200 rows, where a 10%-share key sits at
+    # the min_sampled_rows floor and detection becomes a coin flip. At
+    # 100 TB the default 2% samples billions of rows; the fraction is a
+    # caller knob precisely because it should scale inversely with data.
+    _PROBE_FRACTION = 0.2
+
+    def skew_aggjoin_autosalted(src):
+        agg = (
+            src.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("user_total"))
+            .withColumnRenamed("user_id", "dim_user_id")
+        )
+        return salted_equijoin_auto(
+            src, agg, fact_key="user_id", dim_key="dim_user_id",
+            salt_source="event_id", salts=16,
+            sample_fraction=_PROBE_FRACTION,
+        )
+
     for label, fn, aqe in (
         ("skewed_plain_noaqe", skew_plain, False),
         ("skewed_plain_aqe_skewjoin", skew_plain, True),
         ("skewed_salted", skew_salted, False),
         ("skewed_aggjoin_aqe", skew_aggjoin, True),
         ("skewed_aggjoin_salted", skew_aggjoin_salted, False),
+        ("skewed_aggjoin_autosalted", skew_aggjoin_autosalted, False),
     ):
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         if aqe:
@@ -463,8 +494,135 @@ def main() -> None:
             for k in skew_confs:
                 spark.conf.unset(k)
         compare[label] = {"sec": round(best, 3), **(tasks or {})}
+    t0 = time.perf_counter()
+    hot_found = detect_hot_keys(
+        skewed, "user_id", sample_fraction=_PROBE_FRACTION
+    )
+    compare["skewed_aggjoin_autosalted"]["probe_sec"] = round(
+        time.perf_counter() - t0, 3
+    )
+    compare["skewed_aggjoin_autosalted"]["hot_keys_detected"] = len(hot_found)
+
+    # The other half of the auto-salt claim: on an UNSKEWED join the
+    # probe finds nothing and the auto path IS the plain join — same
+    # exchange count, overhead = one sampled probe aggregate. Both rows
+    # time the identical fact⋈agg over the natural user_id distribution.
+    unskewed = events.select("event_id", "user_id", "event_type").repartition(32)
+
+    def unskew_plain(src):
+        agg = (
+            src.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("user_total"))
+            .withColumnRenamed("user_id", "dim_user_id")
+        )
+        return src.join(agg, src.user_id == agg.dim_user_id)
+
+    def unskew_auto(src):
+        agg = (
+            src.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("user_total"))
+            .withColumnRenamed("user_id", "dim_user_id")
+        )
+        return salted_equijoin_auto(
+            src, agg, fact_key="user_id", dim_key="dim_user_id",
+            salt_source="event_id", salts=16,
+            sample_fraction=_PROBE_FRACTION,
+        )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    for label, fn in (
+        ("unskewed_aggjoin_plain", unskew_plain),
+        ("unskewed_aggjoin_autosalt", unskew_auto),
+    ):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_noop(fn(unskewed))
+            best = min(best, time.perf_counter() - t0)
+        compare[label] = {
+            "sec": round(best, 3),
+            "exchanges": count_exchanges(fn(unskewed)),
+        }
+    t0 = time.perf_counter()
+    unskew_hot = detect_hot_keys(
+        unskewed, "user_id", sample_fraction=_PROBE_FRACTION
+    )
+    compare["unskewed_aggjoin_autosalt"]["probe_sec"] = round(
+        time.perf_counter() - t0, 3
+    )
+    compare["unskewed_aggjoin_autosalt"]["hot_keys_detected"] = len(unskew_hot)
     spark.conf.set("spark.sql.adaptive.enabled", aqe_prior)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+
+    # Canonical-packing fill cost (VERDICT r4 item 4): the claim that
+    # canonical (per-document) packing forfeits only a few percent of
+    # fill vs the max-fill greedy mode was asserted, never measured.
+    # fill_rate = sum(n_tokens) / (packs × budget) over the bench
+    # corpus chunk table, both modes, same budget as q63.
+    from example_kafkastreams_spark.operators.packing import pack_chunks
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    chunks = chunk_documents(docs, chunk_size=32, stride=24).persist()
+    budget = 96
+    fill: dict = {"budget": budget}
+    for mode, kw in (
+        ("greedy", {}),
+        ("canonical", {"canonical": True}),
+        # the hybrid added when canonical's measured loss blew past the
+        # few-percent claim on this short-document corpus (r4 item 4)
+        ("canonical_grouped16", {"canonical": True, "group_docs": 16}),
+    ):
+        t0 = time.perf_counter()
+        row = (
+            pack_chunks(chunks, budget=budget, **kw)
+            .agg(F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("n"))
+            .first()
+        )
+        fill[mode] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "n_packs": row["n"],
+            "fill_rate": round(row["toks"] / (row["n"] * budget), 4),
+        }
+    fill["canonical_fill_loss"] = round(
+        fill["greedy"]["fill_rate"] - fill["canonical"]["fill_rate"], 4
+    )
+    fill["grouped_fill_loss"] = round(
+        fill["greedy"]["fill_rate"]
+        - fill["canonical_grouped16"]["fill_rate"],
+        4,
+    )
+    chunks.unpersist()
+    compare["packing_fill"] = fill
+
+    # Per-stage funnel metrics (VERDICT r4 item 6): q63's one bench row
+    # hides which stage moved. Evaluate the funnel stage by stage in
+    # funnel order; each row records its INCREMENTAL wall + shuffle
+    # (persisted fan-out stages bill their build to the first stage
+    # that evaluates them — where the cost belongs).
+    from example_kafkastreams_spark.pipelines import corpus_stages
+
+    stages = corpus_stages(docs, pack_budget=96)
+    fmetrics: dict[str, dict] = {}
+    for sname, sdf in stages.items():
+        before = shuffle_totals(spark)
+        t0 = time.perf_counter()
+        n_rows = sdf.count()
+        sec = round(time.perf_counter() - t0, 3)
+        after = shuffle_totals(spark)
+        fmetrics[sname] = {
+            "sec": sec,
+            "rows": n_rows,
+            "shuffle_write_records": (
+                after[0] - before[0]
+                if before is not None and after is not None
+                else None
+            ),
+        }
+    release_sketch_caches()
+    compare["funnel_stages"] = fmetrics
 
     out = {
         "metric": "total_declared_query_wall_seconds",

@@ -63,3 +63,116 @@ def salted_equijoin(
         how,
     )
     return joined.drop("__salt")
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    sample_fraction: float = 0.02,
+    factor: float = 2.0,
+    min_sampled_rows: int = 20,
+    max_keys: int = 64,
+    seed: int = 42,
+) -> list:
+    """Hot-key probe: the values of ``key`` whose row share alone
+    exceeds ``factor`` × one reduce task's fair share — i.e. the keys
+    that WILL be stragglers in any shuffle keyed on ``key``, since a
+    single key's rows are indivisible under hash partitioning.
+
+    One pass over a ``sample_fraction`` sample (at 100 TB: a few
+    hundred GB scan, once, amortized over every join that reuses the
+    list), aggregated to per-key sampled counts. Fair share = sampled
+    rows / spark.sql.shuffle.partitions; ``min_sampled_rows`` floors
+    the threshold so sparse samples don't flag noise. The sampled
+    counts persist for the two tiny driver reads (total, then the hot
+    list — ≤ ``max_keys`` rows collected, never the key space).
+    """
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    counts = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
+    )
+    try:
+        total = counts.agg(F.sum("__n")).first()[0] or 0
+        if not total:
+            return []
+        threshold = max(factor * total / n_part, min_sampled_rows)
+        return [
+            r[0]
+            for r in counts.filter(F.col("__n") >= threshold)
+            .orderBy(F.desc("__n"))
+            .limit(max_keys)
+            .collect()
+            if r[0] is not None
+        ]
+    finally:
+        counts.unpersist()
+
+
+def salted_equijoin_auto(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_source: str,
+    salts: int = 8,
+    how: str = "inner",
+    sample_fraction: float = 0.02,
+    factor: float = 2.0,
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Self-deciding skew remedy (VERDICT r4 item 2): probe for hot
+    keys, then salt ONLY those — the rest of the key space joins on the
+    plain (key, salt=0) path with zero dim inflation.
+
+    * No hot keys detected → returns the PLAIN join: identical plan,
+      identical exchanges; the probe (one sampled aggregate) is the
+      entire overhead.
+    * Hot keys detected → fact rows of a hot key spread across
+      ``salts`` sub-keys; dim rows replicate ``salts``× for hot keys
+      ONLY (cold dim rows ship once, unlike ``salted_equijoin``'s
+      blanket replication). The hot list is a ≤64-literal IN predicate
+      — whole-stage-codegen'd map-side, no extra shuffle or join.
+
+    This is the remedy for the regime AQE cannot reach (BENCH_r04):
+    skew under an agg-then-join (the skewed side is an aggregate's own
+    output partitioning), bucketed inputs, or any planner that missed
+    it. Output is row-identical to the plain join for ``inner``/
+    ``left`` (same argument as ``salted_equijoin``; same restriction).
+    Pass ``hot_keys`` explicitly to skip the probe (e.g. reuse one
+    probe across several joins of the same fact table).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_equijoin_auto supports how='inner'|'left', got {how!r}"
+        )
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(
+            fact, fact_key, sample_fraction=sample_fraction, factor=factor
+        )
+    if not hot_keys:
+        return fact.join(dim, fact[fact_key] == dim[dim_key], how)
+    hot = F.col(fact_key).isin(*hot_keys)
+    f = fact.withColumn(
+        "__salt",
+        F.when(hot, F.pmod(F.hash(F.col(salt_source)), F.lit(salts)))
+        .otherwise(F.lit(0)),
+    )
+    d = dim.withColumn(
+        "__salt",
+        F.explode(
+            F.when(
+                F.col(dim_key).isin(*hot_keys),
+                F.array(*[F.lit(s) for s in range(salts)]),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    joined = f.join(
+        d,
+        (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

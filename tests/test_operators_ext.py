@@ -189,6 +189,100 @@ def test_salted_join_salt_is_a_join_key(spark):
     assert any("__salt" in ln for ln in join_lines), join_lines
 
 
+def _skewed_fixture(spark, n=4000, hot_share=3):
+    """(fact, dim): every ``hot_share``-th fact row keyed to the hot
+    key -1 (~33% of rows — above 2x the fair share of the test
+    session's 8 reduce partitions, so the probe must flag it; a 10%
+    key would legitimately NOT be skewed at 8 partitions), the rest
+    spread over ~n/4 cold keys; dim = per-key rows."""
+    fact = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % hot_share == 0, F.lit(-1))
+            .otherwise(F.pmod(F.col("id"), F.lit(n // 4)))
+            .alias("user_id"),
+        )
+    )
+    dim = fact.select(F.col("user_id").alias("dim_user_id")).distinct(
+    ).withColumn("dim_value", F.col("dim_user_id") * 2)
+    return fact, dim
+
+
+def test_autosalt_detects_hot_key_and_matches_plain_join(spark):
+    """salted_equijoin_auto on a skewed fact must (a) detect exactly
+    the planted hot key, (b) salt the join — __salt in the join keys —
+    and (c) stay row-identical to the plain join."""
+    from example_kafkastreams_spark.operators.salted import (
+        detect_hot_keys,
+        salted_equijoin_auto,
+    )
+    from example_kafkastreams_spark.plans import explain_str
+
+    fact, dim = _skewed_fixture(spark)
+    hot = detect_hot_keys(fact, "user_id", sample_fraction=0.5)
+    assert hot == [-1]
+
+    auto = salted_equijoin_auto(
+        fact, dim, "user_id", "dim_user_id", salt_source="event_id",
+        salts=8, hot_keys=hot,
+    )
+    plan = explain_str(auto, "simple")
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert any("__salt" in ln for ln in join_lines), join_lines
+
+    plain = fact.join(dim, fact.user_id == dim.dim_user_id)
+    cols = ["event_id", "user_id", "dim_user_id", "dim_value"]
+    assert sorted(map(tuple, auto.select(*cols).collect())) == sorted(
+        map(tuple, plain.select(*cols).collect())
+    )
+
+
+def test_autosalt_no_hot_keys_returns_plain_plan(spark):
+    """On an unskewed fact the probe must find nothing and the auto
+    join must BE the plain join — no __salt anywhere in the plan, so
+    the only overhead is the one sampled probe aggregate."""
+    from example_kafkastreams_spark.operators.salted import (
+        salted_equijoin_auto,
+    )
+    from example_kafkastreams_spark.plans import explain_str
+
+    fact = spark.range(4000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(1000)).alias("user_id"),
+    )
+    dim = fact.select(F.col("user_id").alias("dim_user_id")).distinct()
+    auto = salted_equijoin_auto(
+        fact, dim, "user_id", "dim_user_id", salt_source="event_id",
+        sample_fraction=0.5,
+    )
+    assert "__salt" not in explain_str(auto, "simple")
+    assert auto.count() == 4000
+
+
+def test_autosalt_left_join_cold_dim_rows_not_duplicated(spark):
+    """Hot-only salting must leave COLD keys on the single-salt path:
+    a left join through the auto operator returns exactly one row per
+    fact row (dim replication confined to hot keys), including
+    unmatched fact rows carrying NULLs."""
+    from example_kafkastreams_spark.operators.salted import (
+        salted_equijoin_auto,
+    )
+
+    fact, dim = _skewed_fixture(spark)
+    dim_missing = dim.filter(F.col("dim_user_id") != 3)  # unmatched key
+    out = salted_equijoin_auto(
+        fact, dim_missing, "user_id", "dim_user_id",
+        salt_source="event_id", how="left", hot_keys=[-1],
+    )
+    assert out.count() == fact.count()
+    unmatched = out.filter(F.col("dim_value").isNull())
+    assert unmatched.count() == fact.filter(F.col("user_id") == 3).count()
+
+
 def test_chunking_is_shuffle_free(spark):
     """Chunking is embarrassingly parallel — the plan must contain no
     shuffle exchange (scan → project → explode → project)."""
