@@ -496,3 +496,62 @@ def simhash_components_edges(
         max_hamming,
     ).select("doc_a", "doc_b")
     return star.unionAll(rep_pairs)
+
+
+def minhash_components_edges(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Star-contracted MinHash edge set whose transitive closure EQUALS
+    the closure of ``minhash_lsh_pairs`` — the scale-correct
+    components input (VERDICT r4 item 3).
+
+    SCALE_PROBE r4 measured ``minhash_lsh_pairs`` shuffle growing 39×
+    at 10× data on a duplicate-amplified corpus: k identical-signature
+    docs collide in every band and emit C(k,2) candidate pairs — the
+    same quadratic blowup SimHash had before
+    ``simhash_components_edges``. Same contraction: group identical
+    signatures (one hash agg over the persisted sig table — exact
+    copies AND any near-identical texts sharing all k minima), star
+    each group on its min id (k−1 edges), and run the banded candidate
+    join over ONE representative per distinct signature.
+
+    Closure equality, same proof shape as SimHash: same-sig docs have
+    signature agreement 1 ≥ threshold (the star keeps every pair the
+    full set had); a cross-sig pair (a, b) colliding in a band with
+    agreement ≥ threshold has representatives carrying the identical
+    two signatures, so the rep pair collides in the same band with the
+    same agreement and bridges both stars. Rep edges are real-doc
+    pairs, so no edge is added that the closure didn't imply.
+
+    Use ``minhash_lsh_pairs`` when the PAIRS are the product (q41);
+    use this when only the clusters are.
+    """
+    sig_df = persist_tracked(with_minhash(
+        docs=_rebalance(docs, id_col),
+        id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    ))
+    # reps fans out 5 ways (star build + the pair pipeline's bands×2 /
+    # sig×2): persist so the distinct-signature agg runs once, not per
+    # reference — it is |distinct sigs| × (k ints + id), tiny next to
+    # the signature table itself.
+    reps = persist_tracked(
+        sig_df.groupBy("sig").agg(F.min(id_col).alias("rep"))
+    )
+    star = (
+        sig_df.join(reps, "sig")
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    rep_pairs = minhash_lsh_pairs(
+        docs, id_col, text_col, num_hashes, bands, shingle_n,
+        threshold=threshold,
+        sig_df=reps.select(F.col("rep").alias(id_col), "sig"),
+    ).select("doc_a", "doc_b")
+    return star.unionAll(rep_pairs)

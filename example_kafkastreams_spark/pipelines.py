@@ -34,7 +34,11 @@ from pyspark.sql import DataFrame, functions as F
 from .functions import portable as P
 from .operators.cache import persist_tracked
 from .operators.components import connected_components
-from .operators.neardup import exact_text_dedup, simhash_components_edges
+from .operators.neardup import (
+    exact_text_dedup,
+    minhash_components_edges,
+    simhash_components_edges,
+)
 from .operators.text_chunks import chunk_documents
 from .queries_llm import _quality_exprs
 
@@ -50,6 +54,8 @@ def corpus_stages(
     mixture_weights: dict[str, float] | None = None,
     components_broadcast: bool | None = True,
     pack_budget: int | None = None,
+    sketch: str = "simhash",
+    minhash_threshold: float = 0.5,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -98,7 +104,21 @@ def corpus_stages(
     # Star-contracted edges (k−1 per identical-sketch group instead of
     # C(k,2) pairs): same transitive closure, and the component loop's
     # per-round shuffle stops growing quadratically with duplication.
-    pairs = simhash_components_edges(exact, max_hamming=max_hamming)
+    # ``sketch`` picks the near-dup notion: "simhash" (Hamming ≤ h on a
+    # tf-weighted 32-bit fingerprint — the q63-checked default) or
+    # "minhash" (estimated shingle-Jaccard ≥ threshold — the choice
+    # when overlap, not token voting, defines "near"); both paths are
+    # star-contracted, so the components loop sees the same edge scale.
+    if sketch == "simhash":
+        pairs = simhash_components_edges(exact, max_hamming=max_hamming)
+    elif sketch == "minhash":
+        pairs = minhash_components_edges(
+            exact, threshold=minhash_threshold
+        )
+    else:
+        raise ValueError(
+            f"sketch must be 'simhash' or 'minhash', got {sketch!r}"
+        )
     # Explicit broadcast decision: the near-dup graph's label table is
     # bounded by the banded-LSH collision set over the already-filtered
     # survivor corpus — orders of magnitude under broadcast limits for

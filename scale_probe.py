@@ -129,6 +129,12 @@ def probe_ops(spark, sf_dir: str) -> dict[str, dict]:
     def minhash_pairs():
         return ND.minhash_lsh_pairs(docs, threshold=0.5)
 
+    def minhash_edges():
+        # the components-feeding variant: star-contracted, expected
+        # near-linear where the pair set grows ~quadratically on the
+        # duplicate-amplified corpus (VERDICT r4 item 3)
+        return ND.minhash_components_edges(docs, threshold=0.5)
+
     def components():
         # the shipped q57/funnel path: star-contracted edges, not the
         # full C(k,2) pair set
@@ -148,6 +154,7 @@ def probe_ops(spark, sf_dir: str) -> dict[str, dict]:
         ("scan_agg", scan_agg),
         ("flagship_enrich", flagship),
         ("minhash_lsh_pairs", minhash_pairs),
+        ("minhash_components_edges", minhash_edges),
         ("neardup_components", components),
         ("ivf_ann", ivf),
         ("corpus_funnel", funnel),

@@ -152,6 +152,44 @@ def test_star_contracted_edges_same_closure(spark):
     assert labels(edges) == labels(pairs)
 
 
+def test_minhash_star_contracted_edges_same_closure(spark):
+    """minhash_components_edges (VERDICT r4 item 3) must yield the SAME
+    components as the full minhash_lsh_pairs set, with strictly fewer
+    edges on a duplicate-heavy corpus — the contraction that fixes the
+    39× shuffle growth SCALE_PROBE measured on the pair path."""
+    from example_kafkastreams_spark.operators.neardup import (
+        minhash_components_edges,
+        minhash_lsh_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        " lambda mu"
+    )
+    rows = []
+    for g in range(4):  # 4 groups of 6 exact copies of a variant text
+        text = base + f" group{g} group{g} group{g}"
+        for c in range(6):
+            rows.append((g * 100 + c, text))
+    rows.append((999, "completely different tokens entirely unrelated"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    edges = minhash_components_edges(docs, threshold=0.5)
+    n_pairs, n_edges = pairs.count(), edges.count()
+    assert n_edges < n_pairs, (n_edges, n_pairs)  # contraction really cuts
+
+    def labels(e):
+        return {
+            r.doc_id: r.component_id
+            for r in connected_components(
+                e, docs, node_col="doc_id", broadcast=True
+            ).collect()
+        }
+
+    assert labels(edges) == labels(pairs)
+
+
 def test_quantize_embeddings_properties(spark):
     from example_kafkastreams_spark.operators.knn import quantize_embeddings
 

@@ -52,6 +52,37 @@ def test_build_pretrain_corpus_schema(spark):
     assert chunks.filter(F.col("n_tokens") <= 0).count() == 0
 
 
+def test_funnel_minhash_sketch_path(spark):
+    """sketch='minhash' swaps the near-dup notion (shingle-Jaccard via
+    star-contracted minhash_components_edges) without changing the
+    funnel's contract: monotone counts, survivors still cluster minima
+    for exact duplicates (identical texts hash to identical signatures
+    under EITHER sketch, so exact-dup groups always contract)."""
+    import pytest
+
+    docs = load_table(spark, SMOKE, "documents")
+    stages = corpus_stages(
+        docs, min_quality=0.0, languages=("en", "de", "fr"),
+        sketch="minhash", minhash_threshold=0.5,
+    )
+    row = corpus_funnel_counts(stages).first()
+    assert row["n_exact_dedup"] >= row["n_neardup_survivors"] > 0
+    dupe_of_smaller = (
+        stages["language"].alias("a")
+        .join(
+            stages["language"].alias("b"),
+            F.expr("a.text = b.text AND b.doc_id < a.doc_id"),
+            "semi",
+        )
+        .select("a.doc_id")
+    )
+    surv = stages["neardup_survivors"].select("doc_id")
+    assert surv.join(dupe_of_smaller, "doc_id", "semi").count() == 0
+
+    with pytest.raises(ValueError, match="sketch"):
+        corpus_stages(docs, sketch="phash")["neardup_survivors"]
+
+
 def test_funnel_packing_stage(spark):
     """pack_budget adds a final canonical-packing stage: every funnel
     chunk lands in exactly one pack, token totals conserve, and
