@@ -276,6 +276,40 @@ def corpus_ingest_stream(
     return deduped
 
 
+def corpus_ingest_chunks_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark_delay: str = "10 seconds",
+    min_quality: float = 0.25,
+    languages: tuple[str, ...] = ("en",),
+    scrub_pii: bool = True,
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """The streamed funnel through its LAST stateless stage: gate →
+    content dedup → PII scrub → overlapping chunks, emitting
+    training-ready (doc_id, chunk_idx, chunk_text, n_tokens) rows per
+    micro-batch.
+
+    Chunking is a pure explode over the shared token array (zero state,
+    zero shuffle — `operators.text_chunks`), so it composes onto the
+    deduped stream for free; after it, only packing (a global binning
+    choice that belongs to the batch consumer) separates the stream
+    from `build_pretrain_corpus`'s output. Chunks inherit exactly the
+    batch funnel's layout, so the golden equality extends stage by
+    stage: streamed chunks == chunk_documents(batch survivor prefix).
+    """
+    deduped = corpus_ingest_stream(
+        docs,
+        ts_col=ts_col,
+        watermark_delay=watermark_delay,
+        min_quality=min_quality,
+        languages=languages,
+        scrub_pii=scrub_pii,
+    )
+    return chunk_documents(deduped, chunk_size=chunk_size, stride=stride)
+
+
 def corpus_funnel_counts(stages: dict[str, DataFrame]) -> DataFrame:
     """1-row funnel report (n_raw, n_quality, ... n_chunks) — a single
     action evaluating every stage once, for pipeline observability."""

@@ -730,3 +730,53 @@ def test_corpus_ingest_stream_dedup_matches_batch(spark, tmp_path):
     assert got == want
     scrubbed = dict(got)
     assert "<EMAIL>" in scrubbed[4] and "alice@" not in scrubbed[4]
+
+
+def test_corpus_ingest_chunks_stream_matches_batch(spark, tmp_path):
+    """The streamed funnel extended through chunking (its last
+    stateless stage) must emit exactly chunk_documents() of the batch
+    survivor prefix — layout, indices, and token counts included."""
+    from example_kafkastreams_spark.functions import portable as P
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+    )
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_chunks_stream,
+        corpus_stages,
+    )
+
+    long_doc = " ".join(
+        ["the quick brown fox jumps over the lazy dog and runs"] * 4
+    )
+    rows = [
+        (1, long_doc, "s", at(0.0)),
+        (2, long_doc, "s", at(5.0)),  # dup, later micro-batch: dropped
+        (3, "a small dog and a big cat sat in the sun by the door of"
+            " the house for most of the day", "s", at(6.0)),
+    ]
+    batch_docs = spark.createDataFrame(rows, DOC_STREAM_SCHEMA)
+    surv = corpus_stages(batch_docs)["exact_dedup"].withColumn(
+        "text", F.expr(P.pii_scrub("text", P.SPARK))
+    )
+    want = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in chunk_documents(surv, chunk_size=16, stride=12).collect()
+    )
+    assert want and {d for d, *_ in want} == {1, 3}
+
+    src = str(tmp_path / "in_ingest_chunks")
+    stage_replayable_batches(
+        spark, src, DOC_STREAM_SCHEMA, [rows[:1], rows[1:]]
+    )
+    stream = file_stream(
+        spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    out = corpus_ingest_chunks_stream(
+        stream, ts_col="ts", chunk_size=16, stride=12
+    )
+    got_tbl = run_to_memory(spark, out, "corpus_ingest_chunks", tmp_path)
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_text, r.n_tokens)
+        for r in got_tbl.collect()
+    )
+    assert got == want
