@@ -460,3 +460,62 @@ def pii_count(text_col: str, d: str) -> str:
     _check(d)
     alternation = "|".join(p for p, _ in PII_PATTERNS)
     return regexp_count(text_col, alternation, d)
+
+
+# --- repetition / boilerplate metrics -------------------------------------
+# Gopher/MassiveText-style repetition filters: heavily self-repeating
+# documents (boilerplate, scraped templates, degenerate generations)
+# are low-value pretraining data. All three metrics are pure array
+# expressions over the token stream — map-side, zero shuffle, same
+# scan-fused shape as the quality heuristics they extend.
+
+
+def token_ngrams(text_col: str, n: int, d: str) -> str:
+    """Ordered, NON-distinct n-token grams (space-joined).
+
+    Unlike ``shingles`` this keeps multiplicity and order — required
+    by repetition metrics (a gram's repeat count IS the signal) and by
+    LM scoring (every position is scored). Empty when the doc has
+    fewer than ``n`` tokens (``seq_incl`` is empty-safe)."""
+    toks = split_ws(text_col, d)
+    idx = seq_incl("1", f"{size_(toks, d)} - {n - 1}", d)
+    return transform_(idx, "i", join_str(slice_(toks, "i", n, d), " ", d), d)
+
+
+def repetition_exprs(text_col: str, d: str) -> dict[str, str]:
+    """Per-doc repetition metrics, all rounded to 6 dp:
+
+    - ``dup_bigram_frac`` / ``dup_trigram_frac``: fraction of n-gram
+      positions occupied by a repeated n-gram (1 − distinct/total) —
+      the Gopher duplicate-n-gram filter family.
+    - ``adjacent_dup_frac``: fraction of adjacent token positions
+      where token i+1 repeats token i — catches stutter loops that
+      n-gram distinctness underweights.
+
+    NULL (both dialects) when the doc is too short to have any n-gram
+    of the given order — the honest value, not a fake 0.
+    """
+    _check(d)
+    out: dict[str, str] = {}
+    for name, n in (("dup_bigram_frac", 2), ("dup_trigram_frac", 3)):
+        grams = token_ngrams(text_col, n, d)
+        total = size_(grams, d)
+        dist = size_(distinct_(grams, d), d)
+        frac = round_dbl(
+            f"CAST(1 AS DOUBLE) - CAST({dist} AS DOUBLE) / {total}", 6, d
+        )
+        out[name] = f"(CASE WHEN {total} > 0 THEN {frac} ELSE NULL END)"
+    toks = split_ws(text_col, d)
+    n_tok = size_(toks, d)
+    idx = seq_incl("1", f"{n_tok} - 1", d)
+    adj = size_(
+        filter_(idx, "i", f"{at(toks, 'i', d)} = {at(toks, 'i + 1', d)}", d),
+        d,
+    )
+    adj_frac = round_dbl(
+        f"CAST({adj} AS DOUBLE) / ({n_tok} - 1)", 6, d
+    )
+    out["adjacent_dup_frac"] = (
+        f"(CASE WHEN {n_tok} > 1 THEN {adj_frac} ELSE NULL END)"
+    )
+    return out

@@ -1,0 +1,134 @@
+"""Corpus-trained n-gram LM quality scoring (CCNet-style).
+
+Production pretraining pipelines score documents with a cheap language
+model (CCNet uses KenLM perplexity) and filter or bucket on the score.
+This operator builds the statistical core of that stage entirely
+inside the engine: a bigram model TRAINED ON THE CORPUS ITSELF (one
+aggregation), then a per-document mean transition probability — a
+perplexity proxy that needs no external model artifact and no UDF.
+
+Determinism contract (the driver hashes exact doubles): every
+per-bigram probability is one IEEE division of two integer counts —
+bit-identical in any engine — and the per-doc mean avoids
+order-dependent double summation by scaling each probability to a
+48-bit integer (round(p·1e9)) and summing LONGS, which is exact and
+commutative. The only double ops are per-row single
+multiply/divide/round — no accumulation in floating point anywhere.
+
+100 TB shape:
+- Model training is one map-side-combined groupBy over exploded
+  bigrams: the exchange carries (gram, partial_count), not text.
+- The model is vocabulary-sized (≪ corpus); scoring joins it to the
+  exploded corpus — broadcast when it fits (default), or a shuffle
+  hash join on the gram key for web-scale vocabularies
+  (``broadcast=False``) — followed by a partial-agg per-doc fold.
+- ``top_bigram`` (the Gopher "most common n-gram" statistic) reuses
+  the same exploded relation: per-(doc, gram) partial counts, then a
+  per-doc max — no second scan of the text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import portable as P
+
+_SCALE = 1_000_000_000  # p ∈ [0,1] → round(p·1e9) fits 2^30; doc sums fit 2^63
+
+
+def _exploded_bigrams(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, gram) — ordered, non-distinct token bigrams, map-side."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(P.token_ngrams(text_col, 2, P.SPARK))
+        ).alias("gram"),
+    )
+
+
+def bigram_model(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(gram, p) with p = count(bigram) / count(prefix-token
+    occurrences as a bigram head) — the conditional transition
+    probability p(w₂ | w₁), both counts exact longs."""
+    counts = (
+        _exploded_bigrams(docs, id_col, text_col)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .withColumn("prefix", F.split(F.col("gram"), " ")[0])
+    )
+    prefix = counts.groupBy("prefix").agg(F.sum("c_bg").alias("c_pref"))
+    return counts.join(prefix, "prefix").select(
+        "gram",
+        (
+            F.col("c_bg").cast("double") / F.col("c_pref").cast("double")
+        ).alias("p"),
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-doc LM statistics: (id, lm_score, n_bigrams, top_bigram,
+    top_bigram_count, top_bigram_frac).
+
+    ``lm_score`` = mean transition probability over the doc's bigram
+    stream (higher = more typical of the corpus; boilerplate scores
+    near 1, aleatoric noise near 0). ``top_bigram`` columns are the
+    Gopher most-common-n-gram statistic (tie-break: lexicographically
+    smallest gram). Docs with < 2 tokens have no bigrams and are
+    absent — the honest domain of a transition-probability score.
+    """
+    if model is None:
+        model = bigram_model(docs, id_col, text_col)
+    if broadcast:
+        model = F.broadcast(model)
+    grams = _exploded_bigrams(docs, id_col, text_col)
+    # Every gram exists in a corpus-trained model, so the join is
+    # lossless here; an external model would make it a left join with
+    # an OOV floor.
+    scored = grams.join(model, "gram").groupBy(id_col).agg(
+        F.sum(
+            F.round(F.col("p") * _SCALE, 0).cast("long")
+        ).alias("p_scaled_sum"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("gram"))
+    top = (
+        per_gram.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("gram").alias("top_bigram"),
+            F.col("c").alias("top_bigram_count"),
+        )
+    )
+    return scored.join(top, id_col).select(
+        F.col(id_col),
+        F.expr(
+            P.round_dbl(
+                f"CAST(p_scaled_sum AS DOUBLE)"
+                f" / CAST({_SCALE} AS DOUBLE) / n_bigrams",
+                6,
+                P.SPARK,
+            )
+        ).alias("lm_score"),
+        "n_bigrams",
+        "top_bigram",
+        "top_bigram_count",
+        F.expr(
+            P.round_dbl(
+                "CAST(top_bigram_count AS DOUBLE) / n_bigrams", 6, P.SPARK
+            )
+        ).alias("top_bigram_frac"),
+    )

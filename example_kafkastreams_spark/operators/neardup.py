@@ -63,6 +63,41 @@ def exact_text_dedup(
     )
 
 
+def incremental_exact_dedup(
+    delta: DataFrame,
+    corpus_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus — the shape every
+    continuously-ingesting pipeline runs: nothing re-reads the
+    historical 100 TB, the delta is checked against the corpus's
+    precomputed DIGEST INDEX (one 32-hex-char column named
+    ``content_hash``; ``exact_text_dedup``'s output is exactly that
+    index, so the operator composes with itself across ingests).
+
+    Two stages, both digest-keyed:
+    1. within-delta collapse — ``exact_text_dedup`` on the delta
+       (min-id survivor per distinct text), and
+    2. against-corpus anti join on ``content_hash``.
+
+    Returns the delta survivors in the same (id, content_hash,
+    n_copies) layout so the caller can append them to the digest
+    index: ``index' = index ∪ result``.
+
+    Scale: the anti join shuffles DIGESTS, never text; with the index
+    stored bucketed by ``content_hash`` (sources.bucketed) the index
+    side's exchange disappears entirely, and Spark's runtime bloom
+    filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`) can
+    push a delta-side membership probe below the exchange when the
+    delta is the smaller side.
+    """
+    fresh = exact_text_dedup(delta, id_col, text_col)
+    return fresh.join(
+        corpus_digests.select("content_hash"), "content_hash", "left_anti"
+    ).select(id_col, "content_hash", "n_copies")
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 

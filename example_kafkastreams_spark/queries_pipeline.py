@@ -273,3 +273,118 @@ def q63_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_budget=_FUNNEL_PACK_BUDGET,
     )
     return corpus_funnel_counts(stages)
+
+
+# --- q64: benchmark decontamination (round 5) ------------------------------
+# Eval split: doc_id % 97 == 0 plays the held-out benchmark; the rest
+# is the training corpus. n=5 shingles on this corpus flag exactly the
+# true near-duplicate overlap (n=3 drowns in small-vocab collisions,
+# n=8 finds nothing) — the discrimination a real 13-gram stage gets
+# from natural text's larger vocabulary.
+
+_DECON_N = 5
+
+
+def _decontam_sql() -> str:
+    sh = P.shingles("text", _DECON_N, D)
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({sh}) AS gram
+      FROM documents WHERE doc_id % 97 = 0
+    ), tg AS (
+      SELECT doc_id, unnest({sh}) AS gram
+      FROM documents WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_contaminated
+      FROM tg JOIN bench USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """
+
+
+@query("q64_decontaminate", oracle=_decontam_sql())
+def q64_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination report (operators.decontam): for every
+    training doc, the count of distinct 5-token shingles it shares
+    with the held-out split, plus the drop flag. The corpus side never
+    shuffles — the benchmark shingle set broadcasts, matches partial-
+    aggregate per doc, and the (tiny) hit list broadcasts back onto
+    the scan for the flag join."""
+    from .operators.decontam import contamination_report
+
+    docs = _rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    hits = contamination_report(train, bench, n=_DECON_N)
+    return train.join(
+        F.broadcast(hits), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+            "n_contaminated"
+        ),
+        F.col("n_contaminated").isNotNull().alias("contaminated"),
+    )
+
+
+# --- q65: corpus-trained n-gram LM scoring (round 5) -----------------------
+
+
+def _lm_sql() -> str:
+    grams = P.token_ngrams("text", 2, D)
+    return f"""
+    WITH g AS (
+      SELECT doc_id, unnest({grams}) AS gram FROM documents
+    ), bg AS (
+      SELECT gram, count(*) AS c_bg FROM g GROUP BY gram
+    ), pref AS (
+      SELECT split_part(gram, ' ', 1) AS prefix, SUM(c_bg) AS c_pref
+      FROM bg GROUP BY prefix
+    ), model AS (
+      SELECT gram,
+             CAST(c_bg AS DOUBLE) / CAST(c_pref AS DOUBLE) AS p
+      FROM bg JOIN pref ON split_part(bg.gram, ' ', 1) = pref.prefix
+    ), scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(round(p * 1000000000, 0) AS BIGINT)) AS BIGINT)
+               AS p_scaled_sum,
+             count(*) AS n_bigrams
+      FROM g JOIN model USING (gram) GROUP BY doc_id
+    ), per_gram AS (
+      SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+    ), top AS (
+      SELECT doc_id, gram AS top_bigram, c AS top_bigram_count
+      FROM (
+        SELECT doc_id, gram, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram) AS rn
+        FROM per_gram
+      ) WHERE rn = 1
+    )
+    SELECT s.doc_id,
+           {P.round_dbl('CAST(p_scaled_sum AS DOUBLE) / CAST(1000000000 AS DOUBLE) / n_bigrams', 6, D)} AS lm_score,
+           s.n_bigrams,
+           t.top_bigram,
+           t.top_bigram_count,
+           {P.round_dbl('CAST(top_bigram_count AS DOUBLE) / n_bigrams', 6, D)} AS top_bigram_frac
+    FROM scored s JOIN top t ON s.doc_id = t.doc_id
+    """
+
+
+@query("q65_lm_score", oracle=_lm_sql())
+def q65_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators.lm): a bigram
+    transition model trained on the corpus in one aggregation, then
+    each doc scored by its mean transition probability, plus the
+    Gopher top-bigram statistic. All probability math is single IEEE
+    ops over exact integer counts (the per-doc mean accumulates
+    SCALED LONGS, not doubles), so the driver hash matches bit-exact.
+    """
+    from .operators.lm import lm_score
+
+    docs = _rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
+    return lm_score(docs)

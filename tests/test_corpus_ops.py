@@ -1,0 +1,220 @@
+"""Round-5 corpus operators: repetition metrics (dual-dialect),
+benchmark decontamination (drop semantics + corpus-never-shuffles plan
+shape), and corpus-trained LM scoring (probability laws, partition
+invariance, broadcast model join). Oracle parity for q48/q64/q65 rides
+the driver-sim sweep; these pin the operator semantics directly."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Row, functions as F
+
+from example_kafkastreams_spark.catalog import load_table
+from example_kafkastreams_spark.functions import portable as P
+from example_kafkastreams_spark.operators.decontam import (
+    contamination_report,
+    decontaminate,
+)
+from example_kafkastreams_spark.operators.lm import bigram_model, lm_score
+from example_kafkastreams_spark.plans import explain_str
+from tests.conftest import SMOKE
+from tests.oracle_utils import compare_typed, duckdb_run
+
+
+# --- repetition metrics ---------------------------------------------------
+
+
+def test_repetition_exprs_cross_dialect(spark):
+    """Spark and DuckDB render bit-identical repetition metrics on the
+    real corpus, including the short-doc NULL edge."""
+    docs = load_table(spark, SMOKE, "documents")
+    es = P.repetition_exprs("text", P.SPARK)
+    got = docs.select(
+        "doc_id", *[F.expr(e).alias(k) for k, e in es.items()]
+    ).toPandas()
+    ed = P.repetition_exprs("text", P.DUCK)
+    want = duckdb_run(
+        "SELECT doc_id, "
+        + ", ".join(f"{e} AS {k}" for k, e in ed.items())
+        + " FROM documents",
+        SMOKE,
+    )
+    assert compare_typed(got, want) == []
+
+
+def test_repetition_exprs_edges(spark):
+    """Crafted docs pin the metric definitions: full repetition,
+    stutter, and the sub-n-gram NULL guard."""
+    df = spark.createDataFrame(
+        [
+            Row(i=0, text="a b a b a"),  # bigrams ab,ba,ab,ba -> dup 0.5
+            Row(i=1, text="x x x"),      # all-stutter
+            Row(i=2, text="one"),        # no bigrams -> NULLs
+        ]
+    )
+    es = P.repetition_exprs("text", P.SPARK)
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i", *[F.expr(e).alias(k) for k, e in es.items()]
+        ).collect()
+    }
+    assert rows[0]["dup_bigram_frac"] == 0.5
+    assert rows[0]["adjacent_dup_frac"] == 0.0
+    assert rows[1]["adjacent_dup_frac"] == 1.0
+    assert rows[1]["dup_bigram_frac"] == 0.5
+    assert rows[2]["dup_bigram_frac"] is None
+    assert rows[2]["adjacent_dup_frac"] is None
+
+
+# --- decontamination ------------------------------------------------------
+
+
+def _mini_corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="one two three four five six seven"),
+            Row(doc_id=3, text="alpha beta gamma delta epsilon eta"),
+        ]
+    )
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    docs = _mini_corpus(spark)
+    bench = spark.createDataFrame(
+        # shares the 5-shingle "alpha beta gamma delta epsilon" with
+        # docs 1 and 3, nothing with doc 2
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon theta")]
+    )
+    report = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in contamination_report(docs, bench, n=5).collect()
+    }
+    assert report == {1: 1, 3: 1}
+    kept = [r["doc_id"] for r in decontaminate(docs, bench, n=5).collect()]
+    assert kept == [2]
+    # min_hits above the overlap keeps everything
+    kept_all = sorted(
+        r["doc_id"] for r in decontaminate(docs, bench, n=5, min_hits=2).collect()
+    )
+    assert kept_all == [1, 2, 3]
+
+
+def test_decontaminate_corpus_side_never_shuffles(spark):
+    """The corpus never crosses a hash exchange: benchmark shingles and
+    the contaminated-id list both broadcast. The only hashpartitioning
+    exchange in the whole decontaminate plan is the benchmark-side
+    distinct (small side by contract)."""
+    docs = load_table(spark, SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    plan = explain_str(decontaminate(train, bench, n=5), "formatted")
+    assert "BroadcastHashJoin" in plan
+    # exchanges: benchmark distinct (1) + the hit-count partial agg over
+    # matched grams only (1); none repartitions the corpus scan output
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 2, plan
+
+
+# --- LM scoring -----------------------------------------------------------
+
+
+def test_bigram_model_is_a_distribution(spark):
+    """Transition probabilities per prefix sum to 1 (float tolerance
+    only for the CHECK's own summation — each p is a single exact
+    division)."""
+    docs = load_table(spark, SMOKE, "documents").limit(50)
+    model = bigram_model(docs).withColumn(
+        "prefix", F.split(F.col("gram"), " ")[0]
+    )
+    sums = model.groupBy("prefix").agg(F.sum("p").alias("s")).collect()
+    assert sums and all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
+def test_lm_score_partition_invariant(spark):
+    """The scaled-long accumulation makes the score exactly identical
+    under any input partitioning — the determinism claim the driver
+    hash relies on."""
+    docs = load_table(spark, SMOKE, "documents").limit(80)
+    a = lm_score(docs).toPandas()
+    b = lm_score(docs.repartition(13)).toPandas()
+    assert compare_typed(a, b) == []
+    assert ((a["lm_score"] > 0) & (a["lm_score"] <= 1)).all()
+    assert (a["top_bigram_count"] >= 1).all()
+
+
+def test_lm_score_short_docs_absent(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="single"), Row(doc_id=2, text="two tokens here")]
+    )
+    out = lm_score(df).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert out[0]["n_bigrams"] == 2
+
+
+def test_lm_model_join_broadcasts(spark):
+    docs = load_table(spark, SMOKE, "documents").limit(50)
+    plan = explain_str(lm_score(docs), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+# --- incremental dedup ----------------------------------------------------
+
+
+def test_incremental_dedup_composes_to_batch(spark):
+    """Ingesting the corpus in two id-ordered deltas through
+    incremental_exact_dedup yields exactly the one-shot
+    exact_text_dedup result: same survivor (id, digest, n_copies per
+    first-seen batch) semantics, and re-ingesting a batch against the
+    grown index adds nothing (idempotent)."""
+    from example_kafkastreams_spark.operators.neardup import (
+        exact_text_dedup,
+        incremental_exact_dedup,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    d1 = docs.filter(F.col("doc_id") < 250)
+    # the second delta REPLAYS 20 first-batch texts under new ids (the
+    # testdata corpus has no exact dups of its own — q40 survivors =
+    # docs — so cross-batch duplication must be injected to exercise
+    # the anti join's drop path)
+    replay = d1.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    d2 = docs.filter(F.col("doc_id") >= 250).unionByName(replay)
+    batch = exact_text_dedup(d1.unionByName(d2)).select(
+        "doc_id", "content_hash"
+    )
+    idx1 = exact_text_dedup(d1)
+    inc2 = incremental_exact_dedup(d2, idx1)
+    assert inc2.count() == 250  # the 20 replays are dropped
+    merged = idx1.select("doc_id", "content_hash").unionByName(
+        inc2.select("doc_id", "content_hash")
+    )
+    assert compare_typed(merged.toPandas(), batch.toPandas()) == []
+    # idempotent: the grown index rejects a replayed delta entirely
+    grown = merged.select("content_hash")
+    assert incremental_exact_dedup(d2, grown).count() == 0
+
+
+def test_incremental_dedup_is_anti_join_on_digests(spark):
+    from example_kafkastreams_spark.operators.neardup import (
+        exact_text_dedup,
+        incremental_exact_dedup,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    idx = exact_text_dedup(docs.filter(F.col("doc_id") < 250))
+    plan = explain_str(
+        incremental_exact_dedup(docs.filter(F.col("doc_id") >= 250), idx),
+        "formatted",
+    )
+    assert "LeftAnti" in plan
+    # the join keys are digests; the delta's text column never appears
+    # in a join or exchange operator line
+    join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln or "Exchange" in ln or "hashpartitioning" in ln
+    ]
+    assert join_lines and not any("text" in ln for ln in join_lines)

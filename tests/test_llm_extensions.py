@@ -86,7 +86,7 @@ def test_knn_rank_is_two_phase(spark):
     global per-query window: the final window then sees ≤ partitions·k
     rows, so no single task ever sorts the full scored corpus (the
     per-query funnel VERDICT r1 flagged as a 100× scale-killer)."""
-    for name in ("q45_knn_bruteforce", "q46_ann_lsh", "q53_ann_ivf"):
+    for name in ("q45_knn_bruteforce", "q46_ann_lsh_ivf"):
         plan = explain_str(QUERIES[name](spark, SMOKE), "simple")
         assert "__pid" in plan, name
         assert "spark_partition_id" in plan.lower(), name
