@@ -624,6 +624,50 @@ def main() -> None:
     release_sketch_caches()
     compare["funnel_stages"] = fmetrics
 
+    # Incremental ingest dedup (round 5): the per-ingest cost a
+    # continuously-ingesting pipeline pays. A 10% delta deduped against
+    # the persisted digest index of the other 90%
+    # (neardup.incremental_exact_dedup) vs re-running batch dedup over
+    # the full corpus. The index build is deliberately outside the
+    # timed window — it is the PREVIOUS ingests' already-paid output.
+    # Both variants shuffle digests, never text; the claim this row
+    # records is that incremental work tracks the DELTA, not the
+    # corpus.
+    from example_kafkastreams_spark.operators.neardup import (
+        exact_text_dedup,
+        incremental_exact_dedup,
+    )
+
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    index = exact_text_dedup(hist).persist()
+    index.count()
+    inc_rows: dict[str, dict] = {}
+    for label, thunk in (
+        ("full_rededup", lambda: exact_text_dedup(docs)),
+        ("incremental_delta", lambda: incremental_exact_dedup(delta, index)),
+    ):
+        before = shuffle_totals(spark)
+        t0 = time.perf_counter()
+        run_noop(thunk())
+        sec = round(time.perf_counter() - t0, 3)
+        after = shuffle_totals(spark)
+        inc_rows[label] = {
+            "sec": sec,
+            "shuffle_write_records": (
+                after[0] - before[0]
+                if before is not None and after is not None
+                else None
+            ),
+            "shuffle_write_bytes": (
+                after[1] - before[1]
+                if before is not None and after is not None
+                else None
+            ),
+        }
+    index.unpersist()
+    compare["incremental_dedup"] = inc_rows
+
     out = {
         "metric": "total_declared_query_wall_seconds",
         "value": round(sum(timings.values()), 3),

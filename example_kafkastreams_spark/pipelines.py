@@ -228,6 +228,7 @@ def corpus_ingest_stream(
     min_quality: float = 0.25,
     languages: tuple[str, ...] = ("en",),
     scrub_pii: bool = True,
+    neardup_gate: bool = False,
 ) -> DataFrame:
     """Streaming ingest = the gate + CONTENT DEDUP: the stateful next
     stage a real streaming corpus ingest runs after the stateless
@@ -269,6 +270,29 @@ def corpus_ingest_stream(
         .dropDuplicatesWithinWatermark(["content_hash"])
         .drop("content_hash")
     )
+    if neardup_gate:
+        # Exact-SKETCH near-dup suppression: drop any doc whose 32-bit
+        # SimHash collides with an earlier doc inside the watermark.
+        # This is the streaming cut of the star-contraction insight
+        # (neardup.simhash_components_edges): in duplicate-heavy
+        # corpora the overwhelming mass of near-dup pairs sits in
+        # IDENTICAL-sketch groups, and those need no banding or
+        # Hamming verify — key equality is enough for a stateful
+        # stream op. Hamming ≥ 1 neighbors still reach the nightly
+        # batch components stage; this gate just stops the flood
+        # before it. State carries an 8-byte long per distinct sketch
+        # — tighter still than the 32-char digest above.
+        deduped = (
+            deduped.withColumn(
+                "__th", F.expr(P.token_hash_array("text", P.SPARK))
+            )
+            .withColumn(
+                "__simhash", F.expr(P.simhash_from_hashes("__th", P.SPARK))
+            )
+            .drop("__th")
+            .dropDuplicatesWithinWatermark(["__simhash"])
+            .drop("__simhash")
+        )
     if scrub_pii:
         deduped = deduped.withColumn(
             "text", F.expr(P.pii_scrub("text", P.SPARK))

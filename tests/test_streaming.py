@@ -780,3 +780,70 @@ def test_corpus_ingest_chunks_stream_matches_batch(spark, tmp_path):
         for r in got_tbl.collect()
     )
     assert got == want
+
+
+def test_corpus_ingest_neardup_gate(spark, tmp_path):
+    """neardup_gate=True chains a SECOND stateful dedup keyed on the
+    32-bit SimHash: a token PERMUTATION of an earlier doc (different
+    md5, identical bag-of-tokens sketch) must be suppressed — across
+    micro-batches — while without the gate it survives content dedup.
+    The surviving set equals the batch analog: exact-dedup prefix
+    followed by one-survivor-per-distinct-sketch."""
+    from example_kafkastreams_spark.functions import portable as P
+    from example_kafkastreams_spark.pipelines import corpus_ingest_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs on to the"
+        " house of the friend"
+    )
+    # same multiset of tokens, different order => same simhash,
+    # different content hash
+    permuted = (
+        "friend the of house the to on runs and dog lazy the over jumps"
+        " fox brown quick the"
+    )
+    fresh = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day"
+    )
+    rows = [
+        (1, base, "s", at(0.0)),
+        (2, base, "s", at(1.0)),      # exact dup -> content dedup drops
+        (3, fresh, "s", at(2.0)),     # survives
+        (4, permuted, "s", at(10.0)), # near-dup, LATER micro-batch
+    ]
+    src = str(tmp_path / "in_neardup_gate")
+    stage_replayable_batches(
+        spark, src, DOC_STREAM_SCHEMA, [rows[:3], rows[3:]]
+    )
+
+    stream = file_stream(
+        spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    gated = corpus_ingest_stream(
+        stream, ts_col="ts", scrub_pii=False, neardup_gate=True
+    )
+    got = {
+        r.doc_id
+        for r in run_to_memory(spark, gated, "neardup_gate", tmp_path).collect()
+    }
+    assert got == {1, 3}
+
+    # sanity of the fixture: the sketches really collide, and WITHOUT
+    # the gate the permutation passes content dedup
+    import duckdb
+
+    sh = P.simhash_from_hashes(P.token_hash_array("t", P.DUCK), P.DUCK)
+    a, b = duckdb.sql(
+        f"SELECT {sh} FROM (VALUES ('{base}'), ('{permuted}')) s(t)"
+    ).fetchall()
+    assert a == b
+    stream2 = file_stream(
+        spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    ungated = corpus_ingest_stream(stream2, ts_col="ts", scrub_pii=False)
+    got2 = {
+        r.doc_id
+        for r in run_to_memory(spark, ungated, "neardup_ungated", tmp_path).collect()
+    }
+    assert got2 == {1, 3, 4}
