@@ -470,19 +470,30 @@ def pii_count(text_col: str, d: str) -> str:
 # scan-fused shape as the quality heuristics they extend.
 
 
-def token_ngrams(text_col: str, n: int, d: str) -> str:
+def token_ngrams(
+    text_col: str, n: int, d: str, toks: str | None = None
+) -> str:
     """Ordered, NON-distinct n-token grams (space-joined).
 
     Unlike ``shingles`` this keeps multiplicity and order — required
     by repetition metrics (a gram's repeat count IS the signal) and by
     LM scoring (every position is scored). Empty when the doc has
-    fewer than ``n`` tokens (``seq_incl`` is empty-safe)."""
-    toks = split_ws(text_col, d)
+    fewer than ``n`` tokens (``seq_incl`` is empty-safe).
+
+    ``toks``: optional expression (usually a materialized column) for
+    the token array, replacing the internal split — higher-order
+    functions stay outside whole-stage codegen, so Catalyst does NOT
+    eliminate a repeated split subexpression across them; callers
+    composing several token metrics should split once into a column
+    and pass its name (measured 1.6× on the profile query)."""
+    toks = toks or split_ws(text_col, d)
     idx = seq_incl("1", f"{size_(toks, d)} - {n - 1}", d)
     return transform_(idx, "i", join_str(slice_(toks, "i", n, d), " ", d), d)
 
 
-def repetition_exprs(text_col: str, d: str) -> dict[str, str]:
+def repetition_exprs(
+    text_col: str, d: str, toks: str | None = None
+) -> dict[str, str]:
     """Per-doc repetition metrics, all rounded to 6 dp:
 
     - ``dup_bigram_frac`` / ``dup_trigram_frac``: fraction of n-gram
@@ -494,18 +505,21 @@ def repetition_exprs(text_col: str, d: str) -> dict[str, str]:
 
     NULL (both dialects) when the doc is too short to have any n-gram
     of the given order — the honest value, not a fake 0.
+
+    ``toks``: see ``token_ngrams`` — pass a materialized token-array
+    column to avoid re-splitting per metric.
     """
     _check(d)
     out: dict[str, str] = {}
     for name, n in (("dup_bigram_frac", 2), ("dup_trigram_frac", 3)):
-        grams = token_ngrams(text_col, n, d)
+        grams = token_ngrams(text_col, n, d, toks=toks)
         total = size_(grams, d)
         dist = size_(distinct_(grams, d), d)
         frac = round_dbl(
             f"CAST(1 AS DOUBLE) - CAST({dist} AS DOUBLE) / {total}", 6, d
         )
         out[name] = f"(CASE WHEN {total} > 0 THEN {frac} ELSE NULL END)"
-    toks = split_ws(text_col, d)
+    toks = toks or split_ws(text_col, d)
     n_tok = size_(toks, d)
     idx = seq_incl("1", f"{n_tok} - 1", d)
     adj = size_(

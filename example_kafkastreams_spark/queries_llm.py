@@ -390,9 +390,9 @@ def q48_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})
     with_scores = docs.withColumns(
         {f"score_{lang}": F.expr(e) for lang, e in scores.items()}
-    )
-    quality = _quality_exprs(P.SPARK)
-    repetition = P.repetition_exprs("text", P.SPARK)
+    ).withColumn("__toks", F.expr(P.split_ws("text", P.SPARK)))
+    quality = _quality_exprs(P.SPARK, toks="__toks")
+    repetition = P.repetition_exprs("text", P.SPARK, toks="__toks")
     return with_scores.select(
         "doc_id", "lang", F.expr(pred).alias("pred_lang"),
         *[F.expr(e).alias(name) for name, e in quality.items()],
@@ -402,8 +402,11 @@ def q48_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q49: quality scoring -------------------------------------------------
 
-def _quality_exprs(d: str) -> dict[str, str]:
-    toks = P.split_ws("text", d)
+def _quality_exprs(d: str, toks: str | None = None) -> dict[str, str]:
+    # toks: optional pre-materialized token-array column (see
+    # portable.token_ngrams) — HOF metrics don't share a repeated
+    # split under codegen, so multi-metric callers split once
+    toks = toks or P.split_ws("text", d)
     n = P.size_(toks, d)
     n_dist = P.size_(P.distinct_(toks, d), d)
     stop_list = ", ".join(f"'{w}'" for w in P.STOPWORDS)
