@@ -110,9 +110,14 @@ def amplify(spark, base: str, factor: int) -> str:
     return AMP_DIR
 
 
-def probe_ops(spark, sf_dir: str) -> dict[str, dict]:
+def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
     """Each op: one timed run through the noop sink (or a 1-row agg for
-    the funnel report), with before/after shuffle-record totals."""
+    the funnel report), with before/after shuffle-record totals.
+
+    ``bench_base``: the NON-amplified sf dir — decontamination probes
+    against a FIXED benchmark split at both scales, so its growth
+    curve isolates the corpus axis (N× corpus vs the same eval set ⇒
+    ~N× duplicate hits), not the eval-set axis."""
     events = load_table(spark, sf_dir, "events")
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -149,6 +154,24 @@ def probe_ops(spark, sf_dir: str) -> dict[str, dict]:
     def funnel():
         return corpus_funnel_counts(corpus_stages(docs))
 
+    def decontam():
+        # fixed benchmark from the base tables; corpus side is the
+        # (possibly amplified) docs — the broadcast side is CONSTANT
+        # across scales by design, hits grow with corpus duplicates
+        from example_kafkastreams_spark.operators.decontam import (
+            contamination_report,
+        )
+
+        bench = load_table(spark, bench_base, "documents").filter(
+            F.col("doc_id") % 97 == 0
+        )
+        return contamination_report(docs, bench, n=5)
+
+    def lm():
+        from example_kafkastreams_spark.operators.lm import lm_score
+
+        return lm_score(docs)
+
     out: dict[str, dict] = {}
     for name, mk in (
         ("scan_agg", scan_agg),
@@ -158,6 +181,8 @@ def probe_ops(spark, sf_dir: str) -> dict[str, dict]:
         ("neardup_components", components),
         ("ivf_ann", ivf),
         ("corpus_funnel", funnel),
+        ("decontaminate", decontam),
+        ("lm_score", lm),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)
@@ -188,8 +213,8 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()  # warmup
 
     amp = amplify(spark, args.base, args.factor)
-    base_ops = probe_ops(spark, args.base)
-    amp_ops = probe_ops(spark, amp)
+    base_ops = probe_ops(spark, args.base, bench_base=args.base)
+    amp_ops = probe_ops(spark, amp, bench_base=args.base)
 
     report = {"factor": args.factor, "base": args.base, "ops": {}}
     for name in base_ops:
