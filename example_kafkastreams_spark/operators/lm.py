@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import portable as P
+from .cache import persist_tracked
 
 _SCALE = 1_000_000_000  # p ∈ [0,1] → round(p·1e9) fits 2^30; doc sums fit 2^63
 
@@ -86,22 +87,42 @@ def lm_score(
     smallest gram). Docs with < 2 tokens have no bigrams and are
     absent — the honest domain of a transition-probability score.
     """
+    # ONE explode over the corpus: the (doc, gram, count) relation is
+    # the smallest sufficient statistic for everything downstream —
+    # the model (Σ_doc c per gram), the per-doc score (each of a doc's
+    # c identical instances contributes the same scaled integer, so
+    # Σ_instances round(p·1e9) ≡ c·round(p·1e9) exactly), and the
+    # top-gram pick. At 100 TB this replaces three passes over the
+    # exploded gram stream with one, persisted at per-(doc, distinct
+    # gram) grain — already collapsed by the map-side partial agg.
+    per_gram = persist_tracked(
+        _exploded_bigrams(docs, id_col, text_col)
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     if model is None:
-        model = bigram_model(docs, id_col, text_col)
+        counts = (
+            per_gram.groupBy("gram")
+            .agg(F.sum("c").alias("c_bg"))
+            .withColumn("prefix", F.split(F.col("gram"), " ")[0])
+        )
+        prefix = counts.groupBy("prefix").agg(F.sum("c_bg").alias("c_pref"))
+        model = counts.join(prefix, "prefix").select(
+            "gram",
+            (
+                F.col("c_bg").cast("double") / F.col("c_pref").cast("double")
+            ).alias("p"),
+        )
     if broadcast:
         model = F.broadcast(model)
-    grams = _exploded_bigrams(docs, id_col, text_col)
     # Every gram exists in a corpus-trained model, so the join is
     # lossless here; an external model would make it a left join with
     # an OOV floor.
-    scored = grams.join(model, "gram").groupBy(id_col).agg(
+    scored = per_gram.join(model, "gram").groupBy(id_col).agg(
         F.sum(
-            F.round(F.col("p") * _SCALE, 0).cast("long")
+            F.col("c") * F.round(F.col("p") * _SCALE, 0).cast("long")
         ).alias("p_scaled_sum"),
-        F.count(F.lit(1)).alias("n_bigrams"),
-    )
-    per_gram = grams.groupBy(id_col, "gram").agg(
-        F.count(F.lit(1)).alias("c")
+        F.sum("c").alias("n_bigrams"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c").desc(), F.col("gram"))
     top = (

@@ -100,3 +100,51 @@ def tfidf_top_terms(
             F.round(F.col("tfidf_raw"), 6).alias("tfidf"),
         )
     )
+
+
+def dedup_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Passage-level exact dedup: one survivor per distinct chunk text.
+
+    Document-level dedup misses boilerplate PASSAGES repeated across
+    otherwise-distinct documents (headers, license blocks, navigation
+    text) — the regime substring-dedup work targets. Chunk the corpus,
+    dedup the chunks: digest-keyed like ``neardup.exact_text_dedup``,
+    survivor = smallest (doc_id, chunk_idx), deterministic under any
+    partitioning. The result carries the surviving text for direct
+    training use, so unlike exact_text_dedup the exchange is not
+    text-free — but the map-side partial agg collapses duplicates
+    first, so each distinct passage's bytes cross the wire at most
+    once per map partition (duplicate-heavy corpora shuffle far less
+    than the chunk table; drop the text column before the groupBy for
+    the fully digest-only variant).
+
+    Returns (id, idx, chunk_text, n_copies); ``n_copies`` > 1 marks
+    cross-corpus boilerplate, so a caller can also use this as a
+    boilerplate DETECTOR and drop high-multiplicity passages entirely.
+    """
+    digest = chunks.select(
+        F.md5(F.col(text_col)).alias("chunk_hash"),
+        F.struct(F.col(id_col), F.col(idx_col)).alias("__coord"),
+        F.col(text_col),
+    )
+    return (
+        digest.groupBy("chunk_hash")
+        .agg(
+            F.min("__coord").alias("__w"),
+            F.count(F.lit(1)).alias("n_copies"),
+            # all rows in a group share the text; min_by pins the
+            # survivor's copy deterministically
+            F.min_by(text_col, "__coord").alias(text_col),
+        )
+        .select(
+            F.col("__w")[id_col].alias(id_col),
+            F.col("__w")[idx_col].alias(idx_col),
+            text_col,
+            "n_copies",
+        )
+    )

@@ -218,3 +218,71 @@ def test_incremental_dedup_is_anti_join_on_digests(spark):
         if "Join" in ln or "Exchange" in ln or "hashpartitioning" in ln
     ]
     assert join_lines and not any("text" in ln for ln in join_lines)
+
+
+# --- passage-level dedup --------------------------------------------------
+
+
+def test_dedup_chunks_passage_level(spark):
+    """Chunk-level dedup drops boilerplate passages shared ACROSS
+    distinct documents — the miss-case of doc-level dedup — keeping
+    the smallest (doc_id, chunk_idx) and counting copies."""
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+        dedup_chunks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        Row(doc_id=1, text=boiler + " " + " ".join(f"x{i}" for i in range(8))),
+        Row(doc_id=2, text=boiler + " " + " ".join(f"y{i}" for i in range(8))),
+        Row(doc_id=3, text=" ".join(f"z{i}" for i in range(16))),
+    ]
+    chunks = chunk_documents(
+        spark.createDataFrame(rows), chunk_size=8, stride=8
+    )
+    out = dedup_chunks(chunks)
+    # docs 1 and 2 share the identical first chunk (the boilerplate):
+    # one survivor at (1, 1) with 2 copies; the distinct tails survive
+    assert out.count() == chunks.count() - 1
+    surv = {(r.doc_id, r.chunk_idx): r.n_copies for r in out.collect()}
+    assert surv[(1, 1)] == 2 and (2, 1) not in surv
+    assert surv[(2, 2)] == 1 and surv[(3, 1)] == 1
+    # deterministic under repartitioning
+    a = out.toPandas()
+    b = dedup_chunks(chunks.repartition(7)).toPandas()
+    assert compare_typed(a, b) == []
+
+
+# --- stratified sampling --------------------------------------------------
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark):
+    from example_kafkastreams_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    out = stratified_sample(docs, "source", 7, "doc_id")
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {s: min(7, n) for s, n in sizes.items()}
+    # exact same ROWS under a different partitioning
+    a = out.toPandas()
+    b = stratified_sample(docs.repartition(11), "source", 7, "doc_id").toPandas()
+    assert compare_typed(a, b) == []
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """rank<=n must push a per-partition top-n below the stratum
+    exchange (WindowGroupLimit) — without it a hot stratum sorts in
+    one task and the operator does not scale."""
+    from example_kafkastreams_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    plan = explain_str(stratified_sample(docs, "source", 7, "doc_id"), "formatted")
+    assert "WindowGroupLimit" in plan
