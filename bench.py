@@ -630,9 +630,15 @@ def main() -> None:
     # (neardup.incremental_exact_dedup) vs re-running batch dedup over
     # the full corpus. The index build is deliberately outside the
     # timed window — it is the PREVIOUS ingests' already-paid output.
-    # Both variants shuffle digests, never text; the claim this row
-    # records is that incremental work tracks the DELTA, not the
-    # corpus.
+    # Both variants shuffle digests, never text. Two incremental rows:
+    # with auto-broadcast (the index broadcasts at bench scale) and
+    # with broadcast DISABLED — the 100 TB regime. Measured result:
+    # the shuffle-join row ALSO writes only the delta's records,
+    # because the anti join co-partitions for free — the delta side
+    # reuses its own dedup-agg exchange (hashpartitioning on the
+    # digest) and the persisted index RETAINS the hashpartitioning of
+    # the groupBy that built it. On disk, a content_hash-bucketed
+    # index write preserves the same property across jobs.
     from example_kafkastreams_spark.operators.neardup import (
         exact_text_dedup,
         incremental_exact_dedup,
@@ -642,11 +648,27 @@ def main() -> None:
     hist = docs.filter(F.col("doc_id") % 10 != 0)
     index = exact_text_dedup(hist).persist()
     index.count()
+
     inc_rows: dict[str, dict] = {}
-    for label, thunk in (
-        ("full_rededup", lambda: exact_text_dedup(docs)),
-        ("incremental_delta", lambda: incremental_exact_dedup(delta, index)),
+    for label, thunk, nobcast in (
+        ("full_rededup", lambda: exact_text_dedup(docs), False),
+        (
+            "incremental_delta",
+            lambda: incremental_exact_dedup(delta, index),
+            False,
+        ),
+        (
+            "incremental_delta_shuffle_join",
+            lambda: incremental_exact_dedup(delta, index),
+            True,
+        ),
     ):
+        if nobcast:
+            # conf must hold through EXECUTION (plans are lazy)
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+            )
         before = shuffle_totals(spark)
         t0 = time.perf_counter()
         run_noop(thunk())
@@ -665,6 +687,11 @@ def main() -> None:
                 else None
             ),
         }
+        if nobcast:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold"
+            )
     index.unpersist()
     compare["incremental_dedup"] = inc_rows
 

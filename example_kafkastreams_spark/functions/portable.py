@@ -486,6 +486,7 @@ def token_ngrams(
     eliminate a repeated split subexpression across them; callers
     composing several token metrics should split once into a column
     and pass its name (measured 1.6× on the profile query)."""
+    _check(d)
     toks = toks or split_ws(text_col, d)
     idx = seq_incl("1", f"{size_(toks, d)} - {n - 1}", d)
     return transform_(idx, "i", join_str(slice_(toks, "i", n, d), " ", d), d)

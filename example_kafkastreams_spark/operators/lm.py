@@ -11,20 +11,23 @@ Determinism contract (the driver hashes exact doubles): every
 per-bigram probability is one IEEE division of two integer counts —
 bit-identical in any engine — and the per-doc mean avoids
 order-dependent double summation by scaling each probability to a
-48-bit integer (round(p·1e9)) and summing LONGS, which is exact and
-commutative. The only double ops are per-row single
-multiply/divide/round — no accumulation in floating point anywhere.
+30-bit integer (round(p·1e9), p ≤ 1) and summing LONGS, which is
+exact and commutative (headroom: ~2^33 scaled-count mass per doc
+before 2^63 overflows — far beyond any document's bigram count). The
+only double ops are per-row single multiply/divide/round — no
+accumulation in floating point anywhere.
 
 100 TB shape:
-- Model training is one map-side-combined groupBy over exploded
-  bigrams: the exchange carries (gram, partial_count), not text.
-- The model is vocabulary-sized (≪ corpus); scoring joins it to the
-  exploded corpus — broadcast when it fits (default), or a shuffle
+- ONE explode over the corpus: the per-(doc, gram) count relation is
+  the smallest sufficient statistic for everything downstream and is
+  already collapsed by the map-side partial agg before its exchange.
+- The model is vocabulary-sized (≪ corpus); scoring joins it back to
+  that relation — broadcast when it fits (default), or a shuffle
   hash join on the gram key for web-scale vocabularies
-  (``broadcast=False``) — followed by a partial-agg per-doc fold.
+  (``broadcast=False``).
 - ``top_bigram`` (the Gopher "most common n-gram" statistic) reuses
-  the same exploded relation: per-(doc, gram) partial counts, then a
-  per-doc max — no second scan of the text.
+  the same relation: a per-doc max over already-partial-aggregated
+  counts — no second pass over the text.
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions import portable as P
 from .cache import persist_tracked
 
-_SCALE = 1_000_000_000  # p ∈ [0,1] → round(p·1e9) fits 2^30; doc sums fit 2^63
+_SCALE = 1_000_000_000  # p ∈ [0,1] → round(p·1e9) fits 30 bits
 
 
 def _exploded_bigrams(
@@ -49,24 +52,28 @@ def _exploded_bigrams(
     )
 
 
-def bigram_model(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(gram, p) with p = count(bigram) / count(prefix-token
-    occurrences as a bigram head) — the conditional transition
-    probability p(w₂ | w₁), both counts exact longs."""
-    counts = (
-        _exploded_bigrams(docs, id_col, text_col)
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("c_bg"))
-        .withColumn("prefix", F.split(F.col("gram"), " ")[0])
-    )
+def _model_from_counts(counts: DataFrame) -> DataFrame:
+    """(gram, p) from a (gram, c_bg) relation: p = c_bg / Σ c_bg over
+    the gram's prefix token — the conditional transition probability
+    p(w₂ | w₁), one exact division of two longs."""
+    counts = counts.withColumn("prefix", F.split(F.col("gram"), " ")[0])
     prefix = counts.groupBy("prefix").agg(F.sum("c_bg").alias("c_pref"))
     return counts.join(prefix, "prefix").select(
         "gram",
         (
             F.col("c_bg").cast("double") / F.col("c_pref").cast("double")
         ).alias("p"),
+    )
+
+
+def bigram_model(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(gram, p): the corpus bigram transition distribution."""
+    return _model_from_counts(
+        _exploded_bigrams(docs, id_col, text_col)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
     )
 
 
@@ -81,11 +88,21 @@ def lm_score(
     top_bigram_count, top_bigram_frac).
 
     ``lm_score`` = mean transition probability over the doc's bigram
-    stream (higher = more typical of the corpus; boilerplate scores
-    near 1, aleatoric noise near 0). ``top_bigram`` columns are the
-    Gopher most-common-n-gram statistic (tie-break: lexicographically
-    smallest gram). Docs with < 2 tokens have no bigrams and are
-    absent — the honest domain of a transition-probability score.
+    stream (higher = more typical of the training corpus; boilerplate
+    scores near 1, aleatoric noise near 0). ``top_bigram`` columns are
+    the Gopher most-common-n-gram statistic (tie-break:
+    lexicographically smallest gram). Docs with < 2 tokens have no
+    bigrams and are absent — the honest domain of a
+    transition-probability score.
+
+    ``model``: an EXTERNAL (gram, p) model — e.g. last week's
+    ``bigram_model`` output — scores tomorrow's corpus against
+    yesterday's distribution. Grams absent from an external model are
+    OUT-OF-VOCABULARY: they contribute probability 0 to the mean (the
+    natural unsmoothed floor) and still count in ``n_bigrams``, so an
+    all-OOV doc scores 0.0 rather than vanishing. With the default
+    corpus-trained model the join is lossless and the floor never
+    fires.
     """
     # ONE explode over the corpus: the (doc, gram, count) relation is
     # the smallest sufficient statistic for everything downstream —
@@ -93,34 +110,26 @@ def lm_score(
     # c identical instances contributes the same scaled integer, so
     # Σ_instances round(p·1e9) ≡ c·round(p·1e9) exactly), and the
     # top-gram pick. At 100 TB this replaces three passes over the
-    # exploded gram stream with one, persisted at per-(doc, distinct
-    # gram) grain — already collapsed by the map-side partial agg.
+    # exploded gram stream with one.
     per_gram = persist_tracked(
         _exploded_bigrams(docs, id_col, text_col)
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     if model is None:
-        counts = (
-            per_gram.groupBy("gram")
-            .agg(F.sum("c").alias("c_bg"))
-            .withColumn("prefix", F.split(F.col("gram"), " ")[0])
-        )
-        prefix = counts.groupBy("prefix").agg(F.sum("c_bg").alias("c_pref"))
-        model = counts.join(prefix, "prefix").select(
-            "gram",
-            (
-                F.col("c_bg").cast("double") / F.col("c_pref").cast("double")
-            ).alias("p"),
+        model = _model_from_counts(
+            per_gram.groupBy("gram").agg(F.sum("c").alias("c_bg"))
         )
     if broadcast:
         model = F.broadcast(model)
-    # Every gram exists in a corpus-trained model, so the join is
-    # lossless here; an external model would make it a left join with
-    # an OOV floor.
-    scored = per_gram.join(model, "gram").groupBy(id_col).agg(
+    # Left join: lossless for a corpus-trained model; OOV floor (p=0,
+    # still counted) for an external one — see docstring.
+    scored = per_gram.join(model, "gram", "left").groupBy(id_col).agg(
         F.sum(
-            F.col("c") * F.round(F.col("p") * _SCALE, 0).cast("long")
+            F.col("c")
+            * F.coalesce(
+                F.round(F.col("p") * _SCALE, 0).cast("long"), F.lit(0)
+            )
         ).alias("p_scaled_sum"),
         F.sum("c").alias("n_bigrams"),
     )

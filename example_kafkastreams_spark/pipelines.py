@@ -201,7 +201,8 @@ def corpus_filter_stream(
     ARRIVE, so the expensive stateful stages (dedup, components)
     downstream — or the nightly batch funnel — only ever see survivors.
     Semantics are batch-identical by construction: the SAME dual-dialect
-    expressions back q49/q48/q62's driver-checked rows.
+    expressions back the driver-checked rows of q48_doc_profile (the
+    merged quality+lang profile) and q62 (PII scrub).
     """
     exprs = _quality_exprs(P.SPARK)
     scored = docs.withColumn("quality_score", F.expr(exprs["quality_score"]))

@@ -346,6 +346,35 @@ def _langid_select(d: str) -> str:
     return f"SELECT doc_id, lang, {cols} FROM documents"
 
 
+def _quality_exprs(d: str, toks: str | None = None) -> dict[str, str]:
+    # toks: optional pre-materialized token-array column (see
+    # portable.token_ngrams) — HOF metrics don't share a repeated
+    # split under codegen, so multi-metric callers split once
+    toks = toks or P.split_ws("text", d)
+    n = P.size_(toks, d)
+    n_dist = P.size_(P.distinct_(toks, d), d)
+    stop_list = ", ".join(f"'{w}'" for w in P.STOPWORDS)
+    n_stop = P.size_(P.filter_(toks, "t", f"t IN ({stop_list})", d), d)
+    len_sum = P.fold(
+        P.transform_(toks, "t", "length(t)", d),
+        "CAST(0 AS BIGINT)", "acc", "x", "acc + x", d,
+    )
+    return {
+        "n_tokens": n,
+        "distinct_ratio": P.round_dbl(f"CAST({n_dist} AS DOUBLE) / {n}", 6, d),
+        "stopword_ratio": P.round_dbl(f"CAST({n_stop} AS DOUBLE) / {n}", 6, d),
+        "avg_token_len": P.round_dbl(f"CAST({len_sum} AS DOUBLE) / {n}", 6, d),
+        "quality_score": P.round_dbl(
+            f"CAST(0.4 AS DOUBLE) * (CAST({n_dist} AS DOUBLE) / {n})"
+            f" + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE)"
+            f"   - CAST({n_stop} AS DOUBLE) / {n})"
+            f" + CAST(0.3 AS DOUBLE) * least(CAST({n} AS DOUBLE)"
+            f"   / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))",
+            6, d,
+        ),
+    }
+
+
 def _profile_sql() -> str:
     quality = ", ".join(
         f"{e} AS {name}" for name, e in _quality_exprs(D).items()
@@ -365,8 +394,7 @@ def _profile_sql() -> str:
     """
 
 
-@query("q48_doc_profile", oracle=None)  # oracle attached below (needs
-# _quality_exprs, defined after for readability — see module tail)
+@query("q48_doc_profile", oracle=_profile_sql())
 def q48_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc corpus profile: lang-ID + quality + repetition in one
     scan (round-5 merge of the former q48/q49 slots, freeing one for
@@ -400,45 +428,10 @@ def q48_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q49: quality scoring -------------------------------------------------
-
-def _quality_exprs(d: str, toks: str | None = None) -> dict[str, str]:
-    # toks: optional pre-materialized token-array column (see
-    # portable.token_ngrams) — HOF metrics don't share a repeated
-    # split under codegen, so multi-metric callers split once
-    toks = toks or P.split_ws("text", d)
-    n = P.size_(toks, d)
-    n_dist = P.size_(P.distinct_(toks, d), d)
-    stop_list = ", ".join(f"'{w}'" for w in P.STOPWORDS)
-    n_stop = P.size_(P.filter_(toks, "t", f"t IN ({stop_list})", d), d)
-    len_sum = P.fold(
-        P.transform_(toks, "t", "length(t)", d),
-        "CAST(0 AS BIGINT)", "acc", "x", "acc + x", d,
-    )
-    return {
-        "n_tokens": n,
-        "distinct_ratio": P.round_dbl(f"CAST({n_dist} AS DOUBLE) / {n}", 6, d),
-        "stopword_ratio": P.round_dbl(f"CAST({n_stop} AS DOUBLE) / {n}", 6, d),
-        "avg_token_len": P.round_dbl(f"CAST({len_sum} AS DOUBLE) / {n}", 6, d),
-        "quality_score": P.round_dbl(
-            f"CAST(0.4 AS DOUBLE) * (CAST({n_dist} AS DOUBLE) / {n})"
-            f" + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE)"
-            f"   - CAST({n_stop} AS DOUBLE) / {n})"
-            f" + CAST(0.3 AS DOUBLE) * least(CAST({n} AS DOUBLE)"
-            f"   / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE))",
-            6, d,
-        ),
-    }
-
 
 # q49_quality_score merged into q48_doc_profile above (round 5): the
 # quality expressions are unchanged (still the funnel's stage-1 filter
 # via pipelines.corpus_stages) and driver-checked as profile columns.
-# The oracle is attached here because _quality_exprs is defined below
-# the profile query for readability.
-from .registry import ORACLE_SQL as _ORACLE_SQL  # noqa: E402
-
-_ORACLE_SQL["q48_doc_profile"] = _profile_sql()
 
 
 # --- q50: token counting (whitespace + BPE-ish regex) ---------------------

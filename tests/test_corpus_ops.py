@@ -286,3 +286,23 @@ def test_stratified_sample_uses_window_group_limit(spark):
     docs = load_table(spark, SMOKE, "documents")
     plan = explain_str(stratified_sample(docs, "source", 7, "doc_id"), "formatted")
     assert "WindowGroupLimit" in plan
+
+
+def test_lm_score_external_model_oov_floor(spark):
+    """An EXTERNAL model scores unseen grams as probability 0 while
+    still counting them — an all-OOV doc scores 0.0 instead of
+    vanishing, and n_bigrams stays 'the doc's bigram count'."""
+    train = spark.createDataFrame([Row(doc_id=1, text="a b a b a")])
+    model = bigram_model(train)
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b a"),   # fully in-vocab
+            Row(doc_id=11, text="x y z"),   # fully OOV
+            Row(doc_id=12, text="a b x"),   # half OOV
+        ]
+    )
+    out = {r["doc_id"]: r for r in lm_score(new, model=model).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[11]["lm_score"] == 0.0 and out[11]["n_bigrams"] == 2
+    assert out[12]["n_bigrams"] == 2
+    assert 0 < out[12]["lm_score"] < out[10]["lm_score"]
