@@ -847,3 +847,68 @@ def test_corpus_ingest_neardup_gate(spark, tmp_path):
         for r in run_to_memory(spark, ungated, "neardup_ungated", tmp_path).collect()
     }
     assert got2 == {1, 3, 4}
+
+
+def test_corpus_ingest_gate_survives_restart(spark, tmp_path):
+    """BOTH chained dedup states — the content-hash store AND the
+    simhash store of neardup_gate — must survive a checkpoint restart:
+    after stop + restart, an exact dup and a token-permuted near-dup
+    of a FIRST-run doc stay suppressed, a fresh doc emits, and nothing
+    emits twice."""
+    from example_kafkastreams_spark.pipelines import corpus_ingest_stream
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs on to the"
+        " house of the friend"
+    )
+    permuted = (
+        "friend the of house the to on runs and dog lazy the over jumps"
+        " fox brown quick the"
+    )
+    fresh = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day"
+    )
+    src = str(tmp_path / "in_gate_restart")
+    ckpt = str(tmp_path / "ckpt_gate_restart")
+    sink = str(tmp_path / "out_gate_restart")
+
+    def run():
+        stream = file_stream(
+            spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+        )
+        out = corpus_ingest_stream(
+            stream, ts_col="ts", scrub_pii=False, neardup_gate=True
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        return sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+
+    write_batches(spark, src, DOC_STREAM_SCHEMA, [[(1, base, "s", at(0.0))]])
+    assert run() == [1]
+
+    # extend the source after the stop: the restarted query must
+    # recover both stores from the checkpoint
+    import glob
+    import os
+
+    n0 = len(glob.glob(os.path.join(src, "*.parquet")))
+    later = [
+        (2, base, "s", at(1.0)),      # exact dup of run-1 doc
+        (3, permuted, "s", at(2.0)),  # near-dup of run-1 doc
+        (4, fresh, "s", at(3.0)),     # genuinely new
+    ]
+    write_batches(spark, src + "_tmp", DOC_STREAM_SCHEMA, [later])
+    f = os.path.join(src, f"batch_{n0:03d}.parquet")
+    os.rename(glob.glob(os.path.join(src + "_tmp", "*.parquet"))[0], f)
+    os.utime(f, (1_700_000_000 + n0, 1_700_000_000 + n0))
+
+    assert run() == [1, 4]
