@@ -172,3 +172,39 @@ def pack_chunks(
             yield pd.DataFrame([flush()])
 
     return ordered.mapInPandas(pack, PACKED_SCHEMA)
+
+
+def write_training_shards(
+    packs: DataFrame,
+    path: str,
+    num_shards: int,
+    key_col: str = "pack_id",
+) -> None:
+    """The funnel's last mile: packed sequences → on-disk training
+    shards with a DETERMINISTIC decorrelated order.
+
+    Trainers want (a) a fixed shard count they can assign to data
+    loaders, (b) sample order decorrelated from corpus order (adjacent
+    packs come from adjacent documents — reading them in order would
+    feed the model long runs of one source), and (c) reproducibility.
+    All three from one shuffle: rows order by md5(key) — a seedless,
+    engine-reproducible permutation — range-partitioned into exactly
+    ``num_shards`` files and sorted within each, so a re-run writes
+    byte-identical shards and any shard prefix is already a uniform
+    sample of the corpus.
+
+    Scale shape: ``repartitionByRange`` samples the hash key to place
+    shard boundaries (one lightweight pass), then a single exchange
+    moves each row to its shard; the within-shard sort is the only
+    per-task sort and is shard-sized by construction.
+    """
+    shuffled = packs.withColumn(
+        "__shard_ord", F.md5(F.col(key_col).cast("string"))
+    )
+    (
+        shuffled.repartitionByRange(num_shards, "__shard_ord")
+        .sortWithinPartitions("__shard_ord")
+        .drop("__shard_ord")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -182,3 +182,60 @@ def test_canonical_mode_matches_duckdb_fold_oracle(spark):
     finally:
         con.close()
     assert got == sorted(want)
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Shard writes are reproducible (same rows per shard file across
+    two runs), conserve every pack exactly once, and decorrelate
+    order (the md5 permutation does not preserve pack adjacency)."""
+    import glob
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.packing import (
+        pack_chunks,
+        write_training_shards,
+    )
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+    )
+    from tests.conftest import SMOKE
+
+    docs = load_table(spark, SMOKE, "documents").limit(120)
+    packs = pack_chunks(
+        chunk_documents(docs, chunk_size=16, stride=16),
+        budget=64,
+        canonical=True,
+    )
+    out_a = str(tmp_path / "shards_a")
+    out_b = str(tmp_path / "shards_b")
+    write_training_shards(packs, out_a, num_shards=4)
+    write_training_shards(packs, out_b, num_shards=4)
+
+    def shard_map(path):
+        return {
+            i: tuple(
+                r.pack_id
+                for r in spark.read.parquet(f).orderBy("pack_id").collect()
+            )
+            for i, f in enumerate(
+                sorted(glob.glob(path + "/part-*.parquet"))
+            )
+        }
+
+    a, b = shard_map(out_a), shard_map(out_b)
+    assert a == b and len(a) == 4
+    # conservation: every pack exactly once across shards
+    all_ids = [p for s in a.values() for p in s]
+    assert sorted(all_ids) == sorted(
+        r.pack_id for r in packs.select("pack_id").collect()
+    )
+    # decorrelation: within a shard, consecutive rows (in stored
+    # order) are rarely same-document neighbors
+    first = spark.read.parquet(
+        sorted(glob.glob(out_a + "/part-*.parquet"))[0]
+    ).collect()
+    docs_seq = [r.pack_id.split("-")[0] for r in first]
+    adjacent_same = sum(
+        1 for x, y in zip(docs_seq, docs_seq[1:]) if x == y
+    )
+    assert adjacent_same < len(docs_seq) / 2
