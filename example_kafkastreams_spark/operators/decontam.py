@@ -92,3 +92,81 @@ def decontaminate(
     if broadcast:
         bad = F.broadcast(bad)
     return docs.join(bad, id_col, "left_anti")
+
+
+def contamination_report_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast: bool = True,
+) -> DataFrame:
+    """(id, n_band_hits) for docs whose MinHash signature shares ≥1
+    LSH band with ANY benchmark doc — paraphrase-level contamination
+    that exact shingle overlap misses (a rephrased eval question keeps
+    most of its shingle SET, so signatures still band-collide, while
+    no n consecutive tokens survive verbatim).
+
+    Same broadcast discipline as the exact report: the benchmark's
+    distinct (band_idx, band_key) set broadcasts (≤ bands rows per
+    benchmark doc), the corpus computes its own signature map-side in
+    the scan and probes — the corpus never crosses a hash exchange.
+    ``n_band_hits`` ∈ [1, bands]: the number of its bands found in the
+    benchmark set (a coarse confidence signal, NOT a Jaccard
+    estimate; chase precision by verifying flagged docs with
+    ``neardup.ngram_jaccard_pairs`` semantics against the benchmark).
+    """
+    from .neardup import _rebalance, lsh_bands, with_minhash
+
+    rows_per_band = num_hashes // bands
+    bench_bands = (
+        lsh_bands(
+            with_minhash(
+                benchmark, id_col=id_col, text_col=text_col,
+                num_hashes=num_hashes, shingle_n=shingle_n,
+            ),
+            id_col, bands, rows_per_band,
+        )
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+    if broadcast:
+        bench_bands = F.broadcast(bench_bands)
+    corpus_bands = lsh_bands(
+        with_minhash(
+            _rebalance(docs, id_col), id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ),
+        id_col, bands, rows_per_band,
+    )
+    return (
+        corpus_bands.join(bench_bands, ["band_idx", "band_key"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_band_hits: int = 1,
+    id_col: str = "doc_id",
+    broadcast: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """Corpus minus fuzzy-contaminated docs (≥ ``min_band_hits``
+    band collisions with the benchmark); same broadcast-back anti
+    join as ``decontaminate``."""
+    bad = (
+        contamination_report_fuzzy(
+            docs, benchmark, id_col=id_col, broadcast=broadcast, **kwargs
+        )
+        .filter(F.col("n_band_hits") >= min_band_hits)
+        .select(id_col)
+    )
+    if broadcast:
+        bad = F.broadcast(bad)
+    return docs.join(bad, id_col, "left_anti")

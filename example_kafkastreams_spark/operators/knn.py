@@ -420,3 +420,61 @@ def quantize_embeddings(
         F.expr(f"concat_ws(',', {lanes})").alias("qvec"),
         F.expr(f"size({vec_col})").alias("n_dims"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding dedup: (id, kept_id, is_survivor).
+
+    Semantically-redundant items (same content re-rendered, template
+    variants, paraphrases) cluster tightly in embedding space even
+    when every text sketch differs — the regime SemDeDup targets.
+    Composition of two shipped operators: same-bucket pairs with
+    cosine ≥ ``threshold`` form the edge set (the q47 join, threshold
+    filter instead of global top-n), connected components collapse the
+    transitive closure, and the component label (min reachable id) IS
+    the survivor: ``kept_id`` names each item's replacement, rows with
+    ``is_survivor`` are the deduped corpus.
+
+    Scale: edges are bucket-equi-join bounded (never |corpus|²),
+    components iterate on the edge subgraph only (components.py), and
+    the output is one row per item — the same shapes q47/q57 carry.
+    """
+    planes = planes or hyperplanes()
+    from .components import connected_components
+
+    b = persist_tracked(with_bucket(
+        _rebalance(emb, id_col), planes, id_col, vec_col,
+    ))
+    l = b.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        F.col("bucket"),
+    )
+    r = b.hint("shuffle_hash").select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    edges = (
+        l.join(
+            r,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("__cos", F.expr(_cosine_expr("va", "vb")))
+        .filter(F.col("__cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    comp = connected_components(
+        edges, nodes=emb.select(id_col), node_col=id_col,
+        src="vec_a", dst="vec_b",
+    )
+    return comp.select(
+        F.col(id_col),
+        F.col("component_id").alias("kept_id"),
+        (F.col(id_col) == F.col("component_id")).alias("is_survivor"),
+    )

@@ -306,3 +306,116 @@ def test_lm_score_external_model_oov_floor(spark):
     assert out[11]["lm_score"] == 0.0 and out[11]["n_bigrams"] == 2
     assert out[12]["n_bigrams"] == 2
     assert 0 < out[12]["lm_score"] < out[10]["lm_score"]
+
+
+# --- fuzzy decontamination ------------------------------------------------
+
+_PARA_BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far on to the"
+    " house of the old friend near the tall green tree by the long wide"
+    " river bank today"
+)
+
+
+def _paraphrase(seed: int) -> str:
+    # substitute every 5th token: NO shared 5-token run survives, but
+    # the unigram shingle set stays ~80% intact
+    out = _PARA_BASE.split()
+    for i in range(0, len(out), 5):
+        out[i] = f"sub{seed}{i}"
+    return " ".join(out)
+
+
+def test_fuzzy_decontamination_catches_paraphrase(spark):
+    """The MinHash-band report flags a paraphrase that EXACT 5-gram
+    overlap cannot see (every shared 5-token run is broken), and
+    leaves an unrelated doc untouched."""
+    from example_kafkastreams_spark.operators.decontam import (
+        contamination_report_fuzzy,
+        decontaminate_fuzzy,
+    )
+
+    bench = spark.createDataFrame([Row(doc_id=100, text=_PARA_BASE)])
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=_paraphrase(2)),
+            Row(doc_id=2, text=" ".join(f"zzz{i}" for i in range(32))),
+        ]
+    )
+    # exact decontamination is blind to this paraphrase
+    assert contamination_report(corpus, bench, n=5).count() == 0
+    hits = {
+        r["doc_id"]: r["n_band_hits"]
+        for r in contamination_report_fuzzy(
+            corpus, bench, shingle_n=1
+        ).collect()
+    }
+    assert set(hits) == {1} and 1 <= hits[1] <= 4
+    kept = [
+        r["doc_id"]
+        for r in decontaminate_fuzzy(corpus, bench, shingle_n=1).collect()
+    ]
+    assert kept == [2]
+
+
+# --- semantic dedup -------------------------------------------------------
+
+
+def test_semantic_dedup_collapses_tight_clusters(spark):
+    """SemDeDup composition: near-identical embeddings collapse to the
+    min id of their transitive cluster; distant vectors survive; the
+    result is partition-independent."""
+    import math
+
+    from example_kafkastreams_spark.operators.knn import semantic_dedup
+    from pyspark.sql import types as T
+
+    def unit(seed, dim=64):
+        import random
+
+        rng = random.Random(seed)
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def jitter(v, eps, seed):
+        import random
+
+        rng = random.Random(seed)
+        w = [x + rng.gauss(0, eps) for x in v]
+        n = math.sqrt(sum(x * x for x in w))
+        return [x / n for x in w]
+
+    a = unit(1)
+    b = unit(2)
+    rows = [
+        (10, a),
+        (11, jitter(a, 0.002, 3)),  # ~0.9999 cosine with 10
+        (12, jitter(a, 0.002, 6)),  # cluster of three
+        (20, b),
+        (21, jitter(b, 0.002, 5)),
+        (30, unit(6)),              # singleton
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.98).collect()}
+    assert set(out) == {10, 11, 12, 20, 21, 30}
+    assert all(out[i]["kept_id"] == 10 for i in (10, 11, 12))
+    assert all(out[i]["kept_id"] == 20 for i in (20, 21))
+    assert out[30]["kept_id"] == 30 and out[30]["is_survivor"]
+    assert [i for i, r in out.items() if r["is_survivor"]] == [10, 20, 30]
+    # partition-independent
+    from example_kafkastreams_spark.operators.cache import (
+        release_sketch_caches,
+    )
+
+    a_pd = semantic_dedup(emb, threshold=0.98).toPandas()
+    release_sketch_caches()
+    b_pd = semantic_dedup(emb.repartition(5), threshold=0.98).toPandas()
+    release_sketch_caches()
+    assert compare_typed(a_pd, b_pd) == []
