@@ -444,12 +444,36 @@ def semantic_dedup(
     Scale: edges are bucket-equi-join bounded (never |corpus|²),
     components iterate on the edge subgraph only (components.py), and
     the output is one row per item — the same shapes q47/q57 carry.
+    EXACT-duplicate vectors are contracted FIRST (min-id
+    representative per distinct vector bytes — the embedding-domain
+    twin of neardup's star contraction): a k-way duplicated corpus
+    would otherwise emit C(k,2) cosine-1 pairs per group into the
+    bucket self-join; contracted, each group costs one representative
+    in the join and one map-side label broadcast-back at the end.
     """
     planes = planes or hyperplanes()
     from .components import connected_components
 
+    keyed = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.md5(F.col(vec_col).cast("string")).alias("__vkey"),
+    )
+    members = persist_tracked(
+        keyed.select(
+            F.col(id_col), F.col("__vkey"),
+            F.min(id_col).over(
+                W.partitionBy("__vkey")
+            ).alias("__rep"),
+        )
+    )
+    reps = keyed.join(
+        members.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
     b = persist_tracked(with_bucket(
-        _rebalance(emb, id_col), planes, id_col, vec_col,
+        _rebalance(reps, id_col), planes, id_col, vec_col,
     ))
     l = b.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
@@ -470,10 +494,18 @@ def semantic_dedup(
         .select("vec_a", "vec_b")
     )
     comp = connected_components(
-        edges, nodes=emb.select(id_col), node_col=id_col,
+        edges, nodes=reps.select(id_col), node_col=id_col,
         src="vec_a", dst="vec_b",
     )
-    return comp.select(
+    # rep labels back onto every member; rep_id == min member id of
+    # its group and component_id == min reachable rep ⇒ kept_id is the
+    # min id of the whole transitive cluster, duplicates included.
+    # Labels are |distinct vectors| rows — AQE broadcasts when small,
+    # shuffles on __rep otherwise; either way no vector bytes move.
+    labels = comp.select(
+        F.col(id_col).alias("__rep"), F.col("component_id")
+    )
+    return members.join(labels, "__rep").select(
         F.col(id_col),
         F.col("component_id").alias("kept_id"),
         (F.col(id_col) == F.col("component_id")).alias("is_survivor"),

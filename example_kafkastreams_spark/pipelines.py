@@ -1,7 +1,7 @@
 """End-to-end training-corpus construction pipeline.
 
-Composes the independently oracle-checked stages (quality scoring q49,
-language ID q48, exact dedup q40, SimHash near-dup pairs q43 +
+Composes the independently oracle-checked stages (quality + language
+profile q48_doc_profile, exact dedup q40, SimHash near-dup pairs q43 +
 connected components q57, chunking q54) into the funnel a real
 pretraining-data run executes over a 100 TB corpus:
 
@@ -343,3 +343,45 @@ def corpus_funnel_counts(stages: dict[str, DataFrame]) -> DataFrame:
         c = df.agg(F.count(F.lit(1)).alias(f"n_{name}"))
         out = c if out is None else out.crossJoin(c)
     return out
+
+
+def corpus_decontaminate_stream(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_hits: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Stream-static decontamination gate: drop arriving docs sharing
+    ≥ ``min_hits`` distinct n-token shingles with a STATIC benchmark.
+
+    The benchmark's distinct shingle set collapses to a one-row static
+    frame (``collect_set``) cross-joined into each micro-batch — a
+    stream-static join, the one join flavor the reference's topology
+    has no analog for (its joins are stream-stream windowed). The
+    static side is tiny by the decontamination contract, Spark
+    re-evaluates it per trigger, and the per-doc check is a map-side
+    ``array_intersect`` against the doc's own shingles: no state, no
+    watermark, no shuffle — the same landing-zone shape as the
+    quality/lang gate, so it composes anywhere in
+    ``corpus_filter_stream``'s position. Batch-equivalent to
+    ``operators.decontam.decontaminate`` on the same inputs (shingle
+    sets are identical; only the membership-test plan differs).
+    """
+    bench_arr = (
+        benchmark.select(
+            F.explode(
+                F.expr(P.shingles(text_col, n, P.SPARK))
+            ).alias("gram")
+        )
+        .agg(F.collect_set("gram").alias("__bench_grams"))
+    )
+    sh = F.expr(P.shingles(text_col, n, P.SPARK))
+    return (
+        docs.crossJoin(bench_arr)
+        .filter(
+            F.size(F.array_intersect(sh, F.col("__bench_grams")))
+            < min_hits
+        )
+        .drop("__bench_grams")
+    )

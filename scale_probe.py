@@ -172,6 +172,13 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
 
         return lm_score(docs)
 
+    def semdedup():
+        # the amplified embeddings are N-way EXACT duplicates — the
+        # adversarial regime the exact-vector contraction exists for:
+        # without it the bucket self-join emits C(N,2) cosine-1 pairs
+        # per group; contracted, each group costs one representative
+        return KNN.semantic_dedup(emb, threshold=0.98)
+
     out: dict[str, dict] = {}
     for name, mk in (
         ("scan_agg", scan_agg),
@@ -183,6 +190,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("corpus_funnel", funnel),
         ("decontaminate", decontam),
         ("lm_score", lm),
+        ("semantic_dedup", semdedup),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)

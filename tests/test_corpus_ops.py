@@ -419,3 +419,53 @@ def test_semantic_dedup_collapses_tight_clusters(spark):
     b_pd = semantic_dedup(emb.repartition(5), threshold=0.98).toPandas()
     release_sketch_caches()
     assert compare_typed(a_pd, b_pd) == []
+
+
+def test_semantic_dedup_contracts_exact_duplicates(spark):
+    """A k-way duplicated vector collapses through the exact-vector
+    contraction: kept_id = min id across ALL copies and transitive
+    near-neighbors, and the pair join sees one representative per
+    distinct vector (C(k,2) cosine-1 pairs never materialize)."""
+    import math
+    import random
+
+    from example_kafkastreams_spark.operators.cache import (
+        release_sketch_caches,
+    )
+    from example_kafkastreams_spark.operators.knn import semantic_dedup
+    from pyspark.sql import types as T
+
+    rng = random.Random(7)
+    v = [rng.gauss(0, 1) for _ in range(64)]
+    n = math.sqrt(sum(x * x for x in v))
+    v = [x / n for x in v]
+    w = [x + rng.gauss(0, 0.002) for x in v]
+    nw = math.sqrt(sum(x * x for x in w))
+    w = [x / nw for x in w]
+    other = [rng.gauss(0, 1) for _ in range(64)]
+    no = math.sqrt(sum(x * x for x in other))
+    other = [x / no for x in other]
+
+    rows = [(100 + i, v) for i in range(10)]  # 10 exact copies
+    rows += [(50, w), (200, other)]           # near-dup of v; unrelated
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            spark.createDataFrame(rows, schema), threshold=0.98
+        ).collect()
+    }
+    release_sketch_caches()
+    assert len(out) == 12
+    # the near-dup id 50 < all copy ids, so IF 50 and the copies share
+    # a bucket the whole cluster keeps 50; at minimum all 10 copies
+    # share one kept_id and only one of them can survive
+    copy_kept = {out[100 + i]["kept_id"] for i in range(10)}
+    assert len(copy_kept) == 1
+    survivors = [i for i, r in out.items() if r["is_survivor"]]
+    assert 200 in survivors and len(survivors) <= 3

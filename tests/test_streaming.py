@@ -912,3 +912,53 @@ def test_corpus_ingest_gate_survives_restart(spark, tmp_path):
     os.utime(f, (1_700_000_000 + n0, 1_700_000_000 + n0))
 
     assert run() == [1, 4]
+
+
+def test_corpus_decontaminate_stream_matches_batch(spark, tmp_path):
+    """The stream-static decontamination gate drops a benchmark
+    near-copy arriving mid-stream and keeps clean docs — survivor set
+    equal to the batch decontaminate operator on the same inputs."""
+    from example_kafkastreams_spark.operators.decontam import decontaminate
+    from example_kafkastreams_spark.pipelines import (
+        corpus_decontaminate_stream,
+    )
+
+    bench_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    leak = "alpha beta gamma delta epsilon zeta prime two three four"
+    clean = "one two three four five six seven eight nine ten"
+    bench = spark.createDataFrame([(100, bench_text, "s", at(0.0))],
+                                  DOC_STREAM_SCHEMA).select("doc_id", "text")
+    rows = [
+        (1, clean, "s", at(0.0)),
+        (2, leak, "s", at(1.0)),   # shares 5-gram prefix run with bench
+        (3, clean + " extra", "s", at(10.0)),
+    ]
+    want = sorted(
+        r.doc_id
+        for r in decontaminate(
+            spark.createDataFrame(rows, DOC_STREAM_SCHEMA).select(
+                "doc_id", "text"
+            ),
+            bench,
+            n=5,
+        ).collect()
+    )
+    assert want == [1, 3]
+
+    src = str(tmp_path / "in_decontam_stream")
+    stage_replayable_batches(
+        spark, src, DOC_STREAM_SCHEMA, [rows[:2], rows[2:]]
+    )
+    stream = file_stream(
+        spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    out = corpus_decontaminate_stream(stream, bench, n=5)
+    got = sorted(
+        r.doc_id
+        for r in run_to_memory(
+            spark, out, "decontam_stream", tmp_path
+        ).collect()
+    )
+    assert got == want
