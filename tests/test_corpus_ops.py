@@ -469,3 +469,26 @@ def test_semantic_dedup_contracts_exact_duplicates(spark):
     assert len(copy_kept) == 1
     survivors = [i for i, r in out.items() if r["is_survivor"]]
     assert 200 in survivors and len(survivors) <= 3
+
+
+# --- UDTF extension surface ----------------------------------------------
+
+
+def test_chunk_udtf_matches_expression_path(spark):
+    """The Arrow UDTF chunker (the §2.8 user-extension escape hatch)
+    reproduces chunk_documents' exact layout via a SQL LATERAL join —
+    pinning the extension path to the declared zero-shuffle operator."""
+    from example_kafkastreams_spark.functions.udtfs import register_udtfs
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+    )
+
+    register_udtfs(spark)
+    docs = load_table(spark, SMOKE, "documents").limit(60)
+    docs.createOrReplaceTempView("__udtf_docs")
+    got = spark.sql(
+        """SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+           FROM __udtf_docs d, LATERAL chunk_text(d.text, 32, 24) c"""
+    ).toPandas()
+    want = chunk_documents(docs, chunk_size=32, stride=24).toPandas()
+    assert compare_typed(got, want) == []
