@@ -669,11 +669,20 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
             )
-        before = shuffle_totals(spark)
-        t0 = time.perf_counter()
-        run_noop(thunk())
-        sec = round(time.perf_counter() - t0, 3)
-        after = shuffle_totals(spark)
+        try:
+            before = shuffle_totals(spark)
+            t0 = time.perf_counter()
+            run_noop(thunk())
+            sec = round(time.perf_counter() - t0, 3)
+            after = shuffle_totals(spark)
+        finally:
+            if nobcast:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", bcast
+                )
+                spark.conf.unset(
+                    "spark.sql.adaptive.autoBroadcastJoinThreshold"
+                )
         inc_rows[label] = {
             "sec": sec,
             "shuffle_write_records": (
@@ -687,11 +696,6 @@ def main() -> None:
                 else None
             ),
         }
-        if nobcast:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-            spark.conf.unset(
-                "spark.sql.adaptive.autoBroadcastJoinThreshold"
-            )
     index.unpersist()
     compare["incremental_dedup"] = inc_rows
 

@@ -454,7 +454,10 @@ def semantic_dedup(
     planes = planes or hyperplanes()
     from .components import connected_components
 
-    keyed = emb.select(
+    # rebalance the SCAN input (the only _rebalance-safe shape — its
+    # partition-count probe runs jobs on shuffle-bearing plans under
+    # AQE); everything downstream inherits the parallelism
+    keyed = _rebalance(emb, id_col).select(
         F.col(id_col),
         F.col(vec_col),
         F.md5(F.col(vec_col).cast("string")).alias("__vkey"),
@@ -472,9 +475,7 @@ def semantic_dedup(
         id_col,
         "left_semi",
     )
-    b = persist_tracked(with_bucket(
-        _rebalance(reps, id_col), planes, id_col, vec_col,
-    ))
+    b = persist_tracked(with_bucket(reps, planes, id_col, vec_col))
     l = b.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
         F.col("bucket"),
@@ -493,8 +494,10 @@ def semantic_dedup(
         .filter(F.col("__cos") >= threshold)
         .select("vec_a", "vec_b")
     )
+    # node set = the persisted bucket frame's ids (one row per rep) —
+    # not reps itself, which would re-run the keying scan + semi join
     comp = connected_components(
-        edges, nodes=reps.select(id_col), node_col=id_col,
+        edges, nodes=b.select(id_col), node_col=id_col,
         src="vec_a", dst="vec_b",
     )
     # rep labels back onto every member; rep_id == min member id of

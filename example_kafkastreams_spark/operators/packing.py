@@ -187,24 +187,34 @@ def write_training_shards(
     loaders, (b) sample order decorrelated from corpus order (adjacent
     packs come from adjacent documents — reading them in order would
     feed the model long runs of one source), and (c) reproducibility.
-    All three from one shuffle: rows order by md5(key) — a seedless,
-    engine-reproducible permutation — range-partitioned into exactly
-    ``num_shards`` files and sorted within each, so a re-run writes
-    byte-identical shards and any shard prefix is already a uniform
-    sample of the corpus.
+    The shard id is a PURE FUNCTION of the row key — the first 8 md5
+    hex digits mod ``num_shards`` — written as a parquet partition
+    directory (``__shard=k/``), so assignment is identical across
+    runs, sessions, and cluster layouts by construction. (An earlier
+    draft used ``repartitionByRange`` over the md5 order: its
+    boundaries come from reservoir sampling seeded by the RDD id, so
+    beyond toy scale the assignment silently changed between runs —
+    exactly the contract violation this computes away.) Within a
+    shard, rows sort by the full md5 — a seedless reproducible
+    permutation, so any shard prefix is a uniform corpus sample.
 
-    Scale shape: ``repartitionByRange`` samples the hash key to place
-    shard boundaries (one lightweight pass), then a single exchange
-    moves each row to its shard; the within-shard sort is the only
-    per-task sort and is shard-sized by construction.
+    Scale shape: one exchange on the shard id moves each row to its
+    writer; the within-shard sort is shard-sized by construction.
     """
-    shuffled = packs.withColumn(
-        "__shard_ord", F.md5(F.col(key_col).cast("string"))
+    keyed = packs.withColumns(
+        {
+            "__shard_ord": F.md5(F.col(key_col).cast("string")),
+            "__shard": F.expr(
+                f"CAST(conv(substr(md5(CAST({key_col} AS STRING)), 1, 8),"
+                f" 16, 10) AS BIGINT) % {num_shards}"
+            ),
+        }
     )
     (
-        shuffled.repartitionByRange(num_shards, "__shard_ord")
-        .sortWithinPartitions("__shard_ord")
+        keyed.repartition(num_shards, F.col("__shard"))
+        .sortWithinPartitions("__shard", "__shard_ord")
         .drop("__shard_ord")
         .write.mode("overwrite")
+        .partitionBy("__shard")
         .parquet(path)
     )

@@ -368,13 +368,13 @@ def corpus_decontaminate_stream(
     ``operators.decontam.decontaminate`` on the same inputs (shingle
     sets are identical; only the membership-test plan differs).
     """
-    bench_arr = (
-        benchmark.select(
-            F.explode(
-                F.expr(P.shingles(text_col, n, P.SPARK))
-            ).alias("gram")
-        )
-        .agg(F.collect_set("gram").alias("__bench_grams"))
+    from .operators.decontam import benchmark_shingles
+
+    # the ONE definition of "the benchmark shingle set" — shared with
+    # the batch operator so the documented batch-equivalence can't
+    # drift
+    bench_arr = benchmark_shingles(benchmark, n, text_col).agg(
+        F.collect_set("gram").alias("__bench_grams")
     )
     sh = F.expr(P.shingles(text_col, n, P.SPARK))
     return (

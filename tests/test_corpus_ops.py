@@ -408,7 +408,7 @@ def test_semantic_dedup_collapses_tight_clusters(spark):
     assert all(out[i]["kept_id"] == 10 for i in (10, 11, 12))
     assert all(out[i]["kept_id"] == 20 for i in (20, 21))
     assert out[30]["kept_id"] == 30 and out[30]["is_survivor"]
-    assert [i for i, r in out.items() if r["is_survivor"]] == [10, 20, 30]
+    assert sorted(i for i, r in out.items() if r["is_survivor"]) == [10, 20, 30]
     # partition-independent
     from example_kafkastreams_spark.operators.cache import (
         release_sketch_caches,

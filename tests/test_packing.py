@@ -213,13 +213,11 @@ def test_write_training_shards_deterministic(spark, tmp_path):
 
     def shard_map(path):
         return {
-            i: tuple(
+            d.split("=")[-1]: tuple(
                 r.pack_id
-                for r in spark.read.parquet(f).orderBy("pack_id").collect()
+                for r in spark.read.parquet(d).orderBy("pack_id").collect()
             )
-            for i, f in enumerate(
-                sorted(glob.glob(path + "/part-*.parquet"))
-            )
+            for d in sorted(glob.glob(path + "/__shard=*"))
         }
 
     a, b = shard_map(out_a), shard_map(out_b)
@@ -232,7 +230,7 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     # decorrelation: within a shard, consecutive rows (in stored
     # order) are rarely same-document neighbors
     first = spark.read.parquet(
-        sorted(glob.glob(out_a + "/part-*.parquet"))[0]
+        sorted(glob.glob(out_a + "/__shard=*"))[0]
     ).collect()
     docs_seq = [r.pack_id.split("-")[0] for r in first]
     adjacent_same = sum(
