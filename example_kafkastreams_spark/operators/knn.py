@@ -51,6 +51,21 @@ def _cosine_expr(a: str, b: str) -> str:
     return P.round_dbl(P.cosine(a, b, P.SPARK), 6, P.SPARK)
 
 
+def _pair_cosine_expr(a: str, b: str, n2a: str, n2b: str) -> str:
+    """Per-pair cosine with PRE-COMPUTED squared norms.
+
+    ``P.cosine`` folds three dot products per pair; in a bucket
+    self-join each vector's self-dot is re-evaluated once per partner.
+    Computing ``n2 = dot(v, v)`` once per vector on the bucket frame
+    and splicing it here leaves ONE fold per pair — and the value is
+    bit-identical, because ``dot(a,b) / sqrt(n2a * n2b)`` is the exact
+    IEEE op sequence ``P.cosine`` produces (sqrt of the product, not a
+    product of sqrts)."""
+    return P.round_dbl(
+        f"({P.dot(a, b, P.SPARK)}) / sqrt({n2a} * {n2b})", 6, P.SPARK
+    )
+
+
 def _two_phase_topk(
     scored: DataFrame,
     partition_key: str,
@@ -357,14 +372,17 @@ def bucketed_similar_pairs(
     """
     planes = planes or hyperplanes()
     # same rebalance+persist rationale as lsh_ann: the bucket table
-    # feeds both self-join sides
-    b = persist_tracked(with_bucket(
-        _rebalance(emb, id_col), planes, id_col, vec_col,
-    ))
+    # feeds both self-join sides; n2 computed once per vector, not
+    # once per pair side (see _pair_cosine_expr)
+    b = persist_tracked(
+        with_bucket(_rebalance(emb, id_col), planes, id_col, vec_col)
+        .withColumn("__n2", F.expr(P.dot(vec_col, vec_col, P.SPARK)))
+    )
     l = b.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
         F.col("bucket"),
+        F.col("__n2").alias("__n2a"),
     )
     # shuffle on the bucket id: broadcasting would serialize the bucket
     # computation into the build, and at scale neither side is small
@@ -372,6 +390,7 @@ def bucketed_similar_pairs(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
         F.col("bucket").alias("bucket_b"),
+        F.col("__n2").alias("__n2b"),
     )
     return (
         l.join(
@@ -382,7 +401,9 @@ def bucketed_similar_pairs(
         .select(
             "vec_a",
             "vec_b",
-            F.expr(_cosine_expr("va", "vb")).alias("cosine"),
+            F.expr(
+                _pair_cosine_expr("va", "vb", "__n2a", "__n2b")
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "vec_a", "vec_b")
         .limit(top_n)
@@ -475,14 +496,17 @@ def semantic_dedup(
         id_col,
         "left_semi",
     )
-    b = persist_tracked(with_bucket(reps, planes, id_col, vec_col))
+    b = persist_tracked(
+        with_bucket(reps, planes, id_col, vec_col)
+        .withColumn("__n2", F.expr(P.dot(vec_col, vec_col, P.SPARK)))
+    )
     l = b.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
-        F.col("bucket"),
+        F.col("bucket"), F.col("__n2").alias("__n2a"),
     )
     r = b.hint("shuffle_hash").select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
-        F.col("bucket").alias("bucket_b"),
+        F.col("bucket").alias("bucket_b"), F.col("__n2").alias("__n2b"),
     )
     edges = (
         l.join(
@@ -490,7 +514,10 @@ def semantic_dedup(
             (F.col("bucket") == F.col("bucket_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .withColumn("__cos", F.expr(_cosine_expr("va", "vb")))
+        .withColumn(
+            "__cos",
+            F.expr(_pair_cosine_expr("va", "vb", "__n2a", "__n2b")),
+        )
         .filter(F.col("__cos") >= threshold)
         .select("vec_a", "vec_b")
     )

@@ -45,16 +45,27 @@ from ..functions import portable as P
 
 
 def exact_text_dedup(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digest_col: str | None = None,
 ) -> DataFrame:
     """Exact content dedup: one survivor (min id) per distinct text.
 
     GroupBy on md5(text): the exchange carries 32 hex chars + the id
     per row instead of the document body; partial aggregation collapses
-    duplicate-heavy partitions before the shuffle.
+    duplicate-heavy partitions before the shuffle. Callers that already
+    materialized the digest (a shared scan pass feeding several
+    branches, or a stored digest-index table) pass it via
+    ``digest_col`` and skip the md5 entirely.
     """
+    key = (
+        F.col(digest_col).alias("content_hash")
+        if digest_col
+        else F.md5(F.col(text_col)).alias("content_hash")
+    )
     return (
-        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        docs.groupBy(key)
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
@@ -68,6 +79,7 @@ def incremental_exact_dedup(
     corpus_digests: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    digest_col: str | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus — the shape every
     continuously-ingesting pipeline runs: nothing re-reads the
@@ -92,7 +104,7 @@ def incremental_exact_dedup(
     push a delta-side membership probe below the exchange when the
     delta is the smaller side.
     """
-    fresh = exact_text_dedup(delta, id_col, text_col)
+    fresh = exact_text_dedup(delta, id_col, text_col, digest_col)
     return fresh.join(
         corpus_digests.select("content_hash"), "content_hash", "left_anti"
     ).select(id_col, "content_hash", "n_copies")

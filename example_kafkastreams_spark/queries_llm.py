@@ -31,20 +31,72 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 SHINGLE_N = 3
 
 
-# --- q40: exact dedup (hash-groupBy) --------------------------------------
+# --- q40: exact dedup (hash-groupBy) + incremental-ingest branch ----------
+
+# The incremental branch replays the continuous-ingest shape on a
+# deterministic split: docs with doc_id % 3 != 0 are "the corpus already
+# ingested" (their digest index is exact_text_dedup's output), the rest
+# are "today's delta" checked against that index without re-reading the
+# history (operators.neardup.incremental_exact_dedup). Both branches in
+# one driver row — the same tag-merge q12/q23/q46 use.
 
 @query(
     "q40_dedup_exact_text",
     oracle="""
-    SELECT md5(text) AS content_hash,
-           min(doc_id) AS doc_id,
-           count(*) AS n_copies
-    FROM documents GROUP BY md5(text)
+    WITH fulld AS (
+      SELECT md5(text) AS content_hash,
+             min(doc_id) AS doc_id,
+             count(*) AS n_copies
+      FROM documents GROUP BY md5(text)
+    ),
+    idx AS (
+      SELECT DISTINCT md5(text) AS content_hash
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    fresh AS (
+      SELECT md5(text) AS content_hash,
+             min(doc_id) AS doc_id,
+             count(*) AS n_copies
+      FROM documents WHERE doc_id % 3 = 0 GROUP BY md5(text)
+    )
+    SELECT 'full' AS mode, content_hash, doc_id, n_copies FROM fulld
+    UNION ALL
+    SELECT 'incr', f.content_hash, f.doc_id, f.n_copies FROM fresh f
+    WHERE NOT EXISTS (
+      SELECT 1 FROM idx i WHERE i.content_hash = f.content_hash
+    )
     """,
 )
 def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup: survivor id + copy count per distinct text."""
-    return ND.exact_text_dedup(load_table(spark, sf_dir, "documents"))
+    """Exact content dedup, both ingestion regimes in one row: the
+    ``full`` branch is one-shot corpus dedup (survivor id + copy count
+    per distinct text); the ``incr`` branch deduplicates a delta split
+    against the remainder's precomputed digest index — the anti join
+    carries 32-hex-char digests, never text, so at 100 TB the
+    historical corpus is never re-read or re-shuffled."""
+    from .operators.cache import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one scan + md5 pass feeds all three aggregations (digest rows are
+    # 32 hex chars + an id — the in-session analog of a digest-index
+    # table a production incremental ingest keeps materialized)
+    digests = persist_tracked(
+        docs.select(
+            F.md5(F.col("text")).alias("__digest"), F.col("doc_id")
+        )
+    )
+    full = ND.exact_text_dedup(digests, digest_col="__digest")
+    index = ND.exact_text_dedup(
+        digests.filter(F.col("doc_id") % 3 != 0), digest_col="__digest"
+    )
+    incr = ND.incremental_exact_dedup(
+        digests.filter(F.col("doc_id") % 3 == 0), index,
+        digest_col="__digest",
+    )
+    cols = ["content_hash", "doc_id", "n_copies"]
+    return full.select(F.lit("full").alias("mode"), *cols).unionByName(
+        incr.select(F.lit("incr").alias("mode"), *cols)
+    )
 
 
 # --- q41: MinHash + LSH near-dup pairs ------------------------------------
@@ -312,23 +364,74 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_THRESHOLD = "0.4"  # spliced via CAST('…' AS DOUBLE) both dialects
+
+
 @query(
     "q47_embedding_neardup",
     oracle=f"""
-    WITH b AS ({_bucket_cte(D)}),
+    WITH RECURSIVE b AS ({_bucket_cte(D)}),
     p AS (
       SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
-             {P.round_dbl(P.cosine('l.embedding', 'r.embedding', D), 6, D)} AS cosine
+             {P.cosine('l.embedding', 'r.embedding', D)} AS cos_raw
       FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ),
+    und AS (
+      -- threshold on the ROUNDED cosine, matching semantic_dedup's
+      -- edge filter (knife-edge pairs must fall the same way)
+      SELECT vec_a AS src, vec_b AS dst FROM p
+      WHERE round(CAST(cos_raw AS DOUBLE), 6)
+            >= CAST('{_SEM_THRESHOLD}' AS DOUBLE)
+      UNION ALL
+      SELECT vec_b, vec_a FROM p
+      WHERE round(CAST(cos_raw AS DOUBLE), 6)
+            >= CAST('{_SEM_THRESHOLD}' AS DOUBLE)
+    ),
+    comp(node, lab) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT u.dst, c.lab FROM comp c JOIN und u ON u.src = c.node
+    ),
+    labeled AS (
+      SELECT node AS vec_id, min(lab) AS kept_id FROM comp GROUP BY node
     )
-    SELECT vec_a, vec_b, cosine FROM p
-    ORDER BY cosine DESC, vec_a, vec_b LIMIT 20
+    SELECT 'pair' AS mode, id_a, id_b, score FROM (
+      SELECT vec_a AS id_a, vec_b AS id_b,
+             round(CAST(cos_raw AS DOUBLE), 6) AS score
+      FROM p ORDER BY score DESC, id_a, id_b LIMIT 20
+    )
+    UNION ALL
+    SELECT 'sem', vec_id, kept_id, CAST(NULL AS DOUBLE) FROM labeled
     """,
 )
 def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most cosine-similar same-bucket embedding pairs."""
-    return KNN.bucketed_similar_pairs(
-        load_table(spark, sf_dir, "embeddings"), top_n=20, planes=_PLANES
+    """Embedding near-dup, both consumers in one driver row (round-5
+    tag merge). ``pair``: top-20 most cosine-similar same-bucket pairs
+    (the inspection view). ``sem``: KNN.semantic_dedup — SemDeDup-style
+    transitive dedup over the SAME bucket join with a cosine-≥-0.4
+    threshold: ``id_b`` is the min id of each item's cosine cluster
+    (its replacement), survivors are rows with id_a == id_b. The
+    oracle re-derives the closure with a recursive CTE (fine at
+    sf0.01); the Spark side is the O(diameter) component loop that
+    closes billion-edge graphs, with exact-duplicate vectors
+    contracted to one representative before the pair join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = KNN.bucketed_similar_pairs(emb, top_n=20, planes=_PLANES)
+    sem = KNN.semantic_dedup(
+        emb, threshold=float(_SEM_THRESHOLD), planes=_PLANES
+    )
+    return pairs.select(
+        F.lit("pair").alias("mode"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.col("cosine").alias("score"),
+    ).unionByName(
+        sem.select(
+            F.lit("sem").alias("mode"),
+            F.col("vec_id").alias("id_a"),
+            F.col("kept_id").alias("id_b"),
+            F.lit(None).cast("double").alias("score"),
+        )
     )
 
 

@@ -48,13 +48,55 @@ def _chunk_sql() -> str:
     """
 
 
-@query("q54_chunk_documents", oracle=_chunk_sql())
+def _chunk_dedup_sql() -> str:
+    """Tag merge of the chunk table and its passage-level dedup
+    (round 5): survivor = smallest (doc_id, chunk_idx) per distinct
+    chunk text, n_copies > 1 marks cross-document boilerplate."""
+    return f"""
+    WITH chunks AS ({_chunk_sql()}),
+    surv AS (
+      SELECT md5(chunk_text) AS h,
+             min({{'doc_id': doc_id, 'chunk_idx': chunk_idx}}) AS w,
+             count(*) AS n_copies,
+             min(chunk_text) AS chunk_text
+      FROM chunks GROUP BY md5(chunk_text)
+    )
+    SELECT 'chunk' AS mode, doc_id, chunk_idx, chunk_text, n_tokens,
+           CAST(NULL AS BIGINT) AS n_copies
+    FROM chunks
+    UNION ALL
+    SELECT 'dedup', w.doc_id, w.chunk_idx, chunk_text,
+           CAST(NULL AS INTEGER) AS n_tokens, n_copies
+    FROM surv
+    """
+
+
+@query("q54_chunk_documents", oracle=_chunk_dedup_sql())
 def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slice each document into 32-token windows every 24 tokens
-    (8-token overlap) — context-length packing, fully map-side."""
-    return chunk_documents(
+    """Chunking + passage-level dedup in one driver row (round-5 tag
+    merge). ``chunk``: each document sliced into 32-token windows
+    every 24 tokens (8-token overlap) — context-length packing, fully
+    map-side. ``dedup``: operators.text_chunks.dedup_chunks over those
+    windows — exact dedup at CHUNK grain, catching boilerplate
+    passages repeated across otherwise-distinct documents (the regime
+    document-level dedup misses); digest-keyed min-(doc,idx) survivor,
+    ``n_copies`` doubles as a boilerplate detector."""
+    from .operators.text_chunks import dedup_chunks
+
+    chunks = chunk_documents(
         load_table(spark, sf_dir, "documents"),
         chunk_size=CHUNK_SIZE, stride=STRIDE,
+    )
+    deduped = dedup_chunks(chunks)
+    return chunks.select(
+        F.lit("chunk").alias("mode"), "doc_id", "chunk_idx", "chunk_text",
+        "n_tokens", F.lit(None).cast("long").alias("n_copies"),
+    ).unionByName(
+        deduped.select(
+            F.lit("dedup").alias("mode"), "doc_id", "chunk_idx",
+            "chunk_text", F.lit(None).cast("int").alias("n_tokens"),
+            "n_copies",
+        )
     )
 
 

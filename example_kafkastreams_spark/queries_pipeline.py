@@ -295,40 +295,77 @@ def _decontam_sql() -> str:
       SELECT doc_id, unnest({sh}) AS gram
       FROM documents WHERE doc_id % 97 <> 0
     ), hits AS (
-      SELECT doc_id, count(*) AS n_contaminated
+      SELECT doc_id, count(*) AS n_hits
       FROM tg JOIN bench USING (gram) GROUP BY doc_id
+    ),
+    {QL._sig_ctes(D)},
+    bands AS ({QL._bands_cte(D)}),
+    benchb AS (
+      SELECT DISTINCT band_idx, band_key FROM bands WHERE doc_id % 97 = 0
+    ),
+    fhits AS (
+      SELECT b.doc_id, count(*) AS n_hits
+      FROM bands b JOIN benchb USING (band_idx, band_key)
+      WHERE b.doc_id % 97 <> 0 GROUP BY b.doc_id
     )
-    SELECT d.doc_id,
-           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+    SELECT 'exact' AS mode, d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
            (h.doc_id IS NOT NULL) AS contaminated
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    UNION ALL
+    SELECT 'fuzzy', d.doc_id,
+           CAST(COALESCE(f.n_hits, 0) AS BIGINT) AS n_hits,
+           (f.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN fhits f ON d.doc_id = f.doc_id
     WHERE d.doc_id % 97 <> 0
     """
 
 
 @query("q64_decontaminate", oracle=_decontam_sql())
 def q64_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination report (operators.decontam): for every
-    training doc, the count of distinct 5-token shingles it shares
-    with the held-out split, plus the drop flag. The corpus side never
-    shuffles — the benchmark shingle set broadcasts, matches partial-
-    aggregate per doc, and the (tiny) hit list broadcasts back onto
-    the scan for the flag join."""
-    from .operators.decontam import contamination_report
+    """Both decontamination regimes in one driver row (round-5 tag
+    merge). ``exact``: per training doc, the count of distinct 5-token
+    shingles shared with the held-out split plus the drop flag —
+    verbatim contamination. ``fuzzy``:
+    operators.decontam.contamination_report_fuzzy — MinHash-LSH band
+    collisions with the benchmark (12 hashes, 4 bands, the q41 sketch),
+    catching paraphrase-level contamination exact shingle overlap is
+    blind to. Either way the corpus side never shuffles: the benchmark
+    shingle/band set broadcasts, matches partial-aggregate per doc, and
+    the (tiny) hit list broadcasts back onto the scan for the flag
+    join."""
+    from .operators.decontam import (
+        contamination_report,
+        contamination_report_fuzzy,
+    )
 
     docs = _rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
-    hits = contamination_report(train, bench, n=_DECON_N)
-    return train.join(
-        F.broadcast(hits), "doc_id", "left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
-            "n_contaminated"
-        ),
-        F.col("n_contaminated").isNotNull().alias("contaminated"),
+
+    def flagged(hits: DataFrame, n_col: str, mode: str) -> DataFrame:
+        return train.join(
+            F.broadcast(hits.withColumnRenamed(n_col, "n_hits")),
+            "doc_id",
+            "left",
+        ).select(
+            F.lit(mode).alias("mode"),
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            F.col("n_hits").isNotNull().alias("contaminated"),
+        )
+
+    exact = flagged(
+        contamination_report(train, bench, n=_DECON_N),
+        "n_contaminated", "exact",
     )
+    fuzzy = flagged(
+        contamination_report_fuzzy(train, bench), "n_band_hits", "fuzzy"
+    )
+    return exact.unionByName(fuzzy)
 
 
 # --- q65: corpus-trained n-gram LM scoring (round 5) -----------------------

@@ -271,21 +271,44 @@ from .functions import portable as P  # noqa: E402
 @query(
     "q34_hash_sample",
     oracle=f"""
-    SELECT o_orderkey, o_custkey, o_totalprice
+    SELECT 'hash' AS method, o_orderkey, o_custkey, o_totalprice,
+           o_orderpriority
     FROM orders
     WHERE {P.token_hash32("CAST(o_orderkey AS VARCHAR)", P.DUCK)} % 20 = 0
+    UNION ALL
+    SELECT 'strat', o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 7
     """,
 )
 def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic ~5% sample by key hash — the reproducible
+    """Both deterministic sampling regimes in one driver row (round-5
+    tag merge). ``hash``: ~5% sample by key hash — the reproducible
     subsampling a training-data pipeline uses instead of
-    ``TABLESAMPLE`` (which is seed- and partitioning-dependent and can
-    never be cross-engine verified). Pure map-side filter: no shuffle,
-    re-runnable, stable under repartitioning."""
-    orders = load_table(spark, sf_dir, "orders")
+    ``TABLESAMPLE`` (seed- and partitioning-dependent, never
+    cross-engine verifiable); pure map-side filter, no shuffle.
+    ``strat``: operators.sampling.stratified_sample — EXACTLY 7 orders
+    per o_orderpriority stratum ranked by md5(key), the per-domain
+    eval-holdout carve; the rank ≤ n predicate triggers Spark's
+    WindowGroupLimit rewrite so each map partition pre-prunes to 7
+    rows per stratum before the exchange (quota-bounded shuffle)."""
+    from .operators.sampling import stratified_sample
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
     bucket = F.expr(P.token_hash32("CAST(o_orderkey AS STRING)", P.SPARK))
-    return orders.filter(bucket % 20 == 0).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
+    hashed = orders.filter(bucket % 20 == 0)
+    strat = stratified_sample(
+        orders, "o_orderpriority", 7, "o_orderkey"
+    )
+    return hashed.select(F.lit("hash").alias("method"), *cols).unionByName(
+        strat.select(F.lit("strat").alias("method"), *cols)
     )
 
 

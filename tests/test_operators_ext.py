@@ -322,13 +322,21 @@ def test_autosalt_left_join_cold_dim_rows_not_duplicated(spark):
 
 
 def test_chunking_is_shuffle_free(spark):
-    """Chunking is embarrassingly parallel — the plan must contain no
-    shuffle exchange (scan → project → explode → project)."""
+    """Chunking is embarrassingly parallel — the operator's plan must
+    contain no shuffle exchange (scan → project → explode → project).
+    The q54 driver row adds the passage-dedup branch (round-5 tag
+    merge), whose digest groupBy is its ONE legitimate exchange."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+    )
     from example_kafkastreams_spark.plans import count_exchanges
     from example_kafkastreams_spark.queries import QUERIES
     from tests.conftest import SMOKE
 
-    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 0
+    docs = load_table(spark, SMOKE, "documents")
+    assert count_exchanges(chunk_documents(docs)) == 0
+    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 1
 
 
 def test_unnest_stats_single_exchange(spark):
