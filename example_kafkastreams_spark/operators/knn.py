@@ -410,6 +410,78 @@ def bucketed_similar_pairs(
     )
 
 
+def pairs_with_semantic(
+    emb: DataFrame,
+    top_n: int = 20,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(top pairs, semantic labels) off ONE bucket build and ONE
+    scored pair join — the shared-scan composition of
+    ``bucketed_similar_pairs`` and ``semantic_dedup`` for callers that
+    want both views of the same bucket join (q47's merged driver row).
+
+    Branch semantics are exactly the standalone operators' (pinned by
+    a unit test): the pair frame is ``bucketed_similar_pairs``'s
+    global top-n; the label frame is ``semantic_dedup``'s
+    (id, kept_id, is_survivor) — here computed WITHOUT the
+    exact-duplicate pre-contraction, which is a pure shuffle
+    optimization: duplicate vectors share a bucket and score
+    cosine ≈ 1 ≥ threshold, so the thresholded edge set already
+    connects them and the component labels are identical.
+
+    Scale: one persisted bucket table feeds both self-join sides, one
+    persisted scored frame feeds both the top-n reduction (a cheap
+    TakeOrderedAndProject) and the component loop's edge subgraph.
+    """
+    from .components import connected_components
+
+    planes = planes or hyperplanes()
+    b = persist_tracked(
+        with_bucket(_rebalance(emb, id_col), planes, id_col, vec_col)
+        .withColumn("__n2", F.expr(P.dot(vec_col, vec_col, P.SPARK)))
+    )
+    l = b.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        F.col("bucket"), F.col("__n2").alias("__n2a"),
+    )
+    r = b.hint("shuffle_hash").select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        F.col("bucket").alias("bucket_b"), F.col("__n2").alias("__n2b"),
+    )
+    scored = persist_tracked(
+        l.join(
+            r,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        ).select(
+            "vec_a",
+            "vec_b",
+            F.expr(
+                _pair_cosine_expr("va", "vb", "__n2a", "__n2b")
+            ).alias("cosine"),
+        )
+    )
+    top = scored.orderBy(F.col("cosine").desc(), "vec_a", "vec_b").limit(
+        top_n
+    )
+    edges = scored.filter(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b"
+    )
+    comp = connected_components(
+        edges, nodes=b.select(id_col), node_col=id_col,
+        src="vec_a", dst="vec_b",
+    )
+    sem = comp.select(
+        F.col(id_col),
+        F.col("component_id").alias("kept_id"),
+        (F.col(id_col) == F.col("component_id")).alias("is_survivor"),
+    )
+    return top, sem
+
+
 def quantize_embeddings(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -539,4 +611,165 @@ def semantic_dedup(
         F.col(id_col),
         F.col("component_id").alias("kept_id"),
         (F.col(id_col) == F.col("component_id")).alias("is_survivor"),
+    )
+
+
+# --- product quantization (PQ) -------------------------------------------
+
+
+def _l2sq_expr(vec_expr: str, literal_vec: list[float]) -> str:
+    """‖x − c‖² between a column subvector and a spliced codeword —
+    exact double literals via P.vec_literal, one fold."""
+    lit = P.vec_literal(literal_vec, P.SPARK)
+    z = (
+        f"zip_with({vec_expr}, {lit}, (x, y) ->"
+        f" (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y))"
+    )
+    return f"aggregate({z}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def pq_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    num_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """``codebook[j][c]`` = the c-th codeword of subspace j.
+
+    Deterministic "training": the first ``num_codes`` vectors'
+    subvectors — the same reproducible-sample convention as
+    ``ivf_ann``'s coarse quantizer (knn.py:291), so results are
+    engine-replayable; swapping in k-means-trained codewords is a
+    literal substitution with the identical plan. Driver-side cost is
+    a ``num_codes``-row collect — an index-BUILD artifact, exactly how
+    a production PQ index ships its trained codebooks to encoders.
+    """
+    rows = (
+        emb.filter(F.col(id_col) < num_codes)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty codebook sample")
+    dim = len(rows[0][0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [list(map(float, r[0][j * dsub:(j + 1) * dsub])) for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector compressed to m codeword
+    ids — 64 float32 dims → 8 bytes at m=8/k=16.
+
+    Fully MAP-SIDE: the codebook splices into the projection as exact
+    double literals, each subspace's argmin is
+    ``array_position(d², array_min(d²))`` (ties → lowest code), and no
+    corpus row ever shuffles — the 100 TB encode is a scan-shaped
+    pass, embarrassingly parallel like chunking. m·k small folds per
+    vector is the deliberate price of zero exchanges (an exploded
+    join+groupBy alternative would shuffle m rows per vector, twice).
+    """
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    code_exprs = []
+    for j in range(m):
+        sub = f"slice({vec_col}, {j * dsub + 1}, {dsub})"
+        d2s = ", ".join(_l2sq_expr(sub, cw) for cw in codebook[j])
+        arr = f"array({d2s})"
+        code_exprs.append(
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+        )
+    return emb.select(
+        F.col(id_col),
+        F.expr(f"array({', '.join(code_exprs)})").alias("codes"),
+    )
+
+
+def pq_ann(
+    emb: DataFrame,
+    num_queries: int = 8,
+    k: int = 3,
+    m: int = 8,
+    num_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: (query_id, neighbor_id, approx_d2,
+    knn_rank) — the memory-bound scale path of the ANN family.
+
+    Classic ADC (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): the corpus is stored as PQ codes
+    (``pq_encode``, 8 bytes/vector here); per query a k×m lookup table
+    of exact subspace distances to every codeword is computed ONCE
+    (driver-side Python on the collected ≤``num_queries`` query rows —
+    the same small-side convention as brute_force_knn's query
+    broadcast, knn.py:145), and scoring a vector is m table lookups
+    summed left-to-right. Approximation: d²(q,x) ≈ Σⱼ ‖qⱼ − c_{j,xⱼ}‖².
+
+    Scale: the encoded corpus never shuffles — per query the score is
+    a map-side projection over the codes column; only the two-phase
+    top-k reduction moves ≤ partitions·k rows per query. Memory: the
+    scan reads m bytes per vector instead of 4·dim — the reason PQ
+    indexes hold billions of vectors where raw floats cannot.
+    """
+    codebook = pq_codebook(emb, m, num_codes, id_col, vec_col)
+    enc = persist_tracked(pq_encode(emb, codebook, id_col, vec_col))
+    qrows = (
+        emb.filter(F.col(id_col) < num_queries)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    dsub = len(codebook[0][0])
+    scored_parts = []
+    for qr in qrows:
+        qid, qv = qr[0], [float(x) for x in qr[1]]
+        # exact per-subspace distances to every codeword: IEEE doubles,
+        # left-to-right — the same fold order the encoder's SQL uses
+        lut = [
+            [
+                sum(
+                    (qv[j * dsub + i] - cw[i]) * (qv[j * dsub + i] - cw[i])
+                    for i in range(dsub)
+                )
+                for cw in codebook[j]
+            ]
+            for j in range(len(codebook))
+        ]
+        lookups = " + ".join(
+            f"element_at({P.vec_literal(lut[j], P.SPARK)},"
+            f" codes[{j}] + 1)"
+            for j in range(len(codebook))
+        )
+        scored_parts.append(
+            enc.filter(F.col(id_col) != qid).select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                F.expr(lookups).alias("__d2"),
+            )
+        )
+    scored = scored_parts[0]
+    for p in scored_parts[1:]:
+        scored = scored.unionByName(p)
+    return _two_phase_topk(
+        scored,
+        "query_id",
+        [F.col("__d2").asc(), F.col("neighbor_id")],
+        k,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(P.round_dbl("__d2", 6, P.SPARK)).alias("approx_d2"),
+        "knn_rank",
     )

@@ -416,9 +416,11 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes billion-edge graphs, with exact-duplicate vectors
     contracted to one representative before the pair join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = KNN.bucketed_similar_pairs(emb, top_n=20, planes=_PLANES)
-    sem = KNN.semantic_dedup(
-        emb, threshold=float(_SEM_THRESHOLD), planes=_PLANES
+    # shared-scan composition: one bucket build + one scored pair join
+    # feeds both branches; equivalence to the standalone operators is
+    # unit-pinned (tests/test_corpus_ops.py)
+    pairs, sem = KNN.pairs_with_semantic(
+        emb, top_n=20, threshold=float(_SEM_THRESHOLD), planes=_PLANES
     )
     return pairs.select(
         F.lit("pair").alias("mode"),

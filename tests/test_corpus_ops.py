@@ -471,6 +471,54 @@ def test_semantic_dedup_contracts_exact_duplicates(spark):
     assert 200 in survivors and len(survivors) <= 3
 
 
+def test_pairs_with_semantic_matches_standalone_operators(spark):
+    """The shared-scan composition behind q47's merged row produces
+    EXACTLY bucketed_similar_pairs' top-n and semantic_dedup's labels
+    — including on a corpus with exact-duplicate vectors, where the
+    standalone operator contracts before the pair join and the
+    composition relies on cosine-1 edges instead."""
+    import math
+    import random
+
+    from example_kafkastreams_spark.operators.cache import (
+        release_sketch_caches,
+    )
+    from example_kafkastreams_spark.operators.knn import (
+        bucketed_similar_pairs,
+        pairs_with_semantic,
+        semantic_dedup,
+    )
+    from pyspark.sql import types as T
+
+    rng = random.Random(11)
+
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(64)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    base = unit()
+    rows = [(i, base) for i in (5, 6, 7)]          # exact duplicates
+    rows += [(i * 10, unit()) for i in range(1, 9)]  # spread
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+
+    top_c, sem_c = pairs_with_semantic(emb, top_n=5, threshold=0.9)
+    top_c, sem_c = top_c.toPandas(), sem_c.toPandas()
+    release_sketch_caches()
+    top_s = bucketed_similar_pairs(emb, top_n=5).toPandas()
+    release_sketch_caches()
+    sem_s = semantic_dedup(emb, threshold=0.9).toPandas()
+    release_sketch_caches()
+    assert compare_typed(top_c, top_s) == []
+    assert compare_typed(sem_c, sem_s) == []
+
+
 # --- UDTF extension surface ----------------------------------------------
 
 

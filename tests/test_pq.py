@@ -1,0 +1,159 @@
+"""Product quantization (knn.pq_*) — encode properties, ADC recall,
+zero-shuffle encode plan."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from example_kafkastreams_spark.operators.cache import (
+    release_sketch_caches,
+)
+from example_kafkastreams_spark.operators.knn import (
+    brute_force_knn,
+    pq_ann,
+    pq_codebook,
+    pq_encode,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _unit(rng, dim=64):
+    v = [rng.gauss(0, 1) for _ in range(dim)]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _clustered(spark, n_clusters=4, per_cluster=12, eps=0.05):
+    """Well-separated clusters: centers are random units, members are
+    small jitters — the regime where coarse quantization preserves
+    nearest-neighbor structure."""
+    rng = random.Random(1234)
+    centers = [_unit(rng) for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = [x + rng.gauss(0, eps) for x in c]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((vid, [x / n for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, SCHEMA), per_cluster
+
+
+def test_codebook_shape_and_encode_range(spark):
+    emb, _ = _clustered(spark)
+    cb = pq_codebook(emb, m=8, num_codes=16)
+    assert len(cb) == 8 and all(len(s) == 16 for s in cb)
+    assert all(len(cw) == 8 for s in cb for cw in s)
+    codes = pq_encode(emb, cb).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.codes)
+
+
+def test_codebook_vector_encodes_to_itself(spark):
+    """A vector that IS codeword c in every subspace has d²=0 there —
+    argmin must pick it exactly."""
+    emb, _ = _clustered(spark)
+    cb = pq_codebook(emb, m=8, num_codes=16)
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb.filter(F.col("vec_id") < 16), cb).collect()
+    }
+    for vid in range(16):
+        assert codes[vid] == [vid] * 8
+
+
+def test_encode_partition_independent(spark):
+    emb, _ = _clustered(spark)
+    cb = pq_codebook(emb, m=8, num_codes=16)
+    a = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    b = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(emb.repartition(7), cb).collect()
+    }
+    assert a == b
+
+
+def test_encode_is_shuffle_free(spark):
+    emb, _ = _clustered(spark)
+    cb = pq_codebook(emb, m=8, num_codes=16)
+    plan = (
+        pq_encode(emb, cb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_dim_not_divisible_raises(spark):
+    emb, _ = _clustered(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(emb, m=7)
+
+
+def test_adc_recall_on_separated_clusters(spark):
+    """ADC top-1 must agree with exact brute force on well-separated
+    clusters: the quantization error (~eps²) is far below the
+    inter-cluster distance, so the approximate ranking preserves the
+    true nearest neighbor's cluster — the standard PQ sanity bound."""
+    emb, per_cluster = _clustered(spark)
+    queries = 4
+    exact = {
+        (r.query_id, r.knn_rank): r.neighbor_id
+        for r in brute_force_knn(emb, num_queries=queries, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.knn_rank): r.neighbor_id
+        for r in pq_ann(
+            emb, num_queries=queries, k=1, m=8, num_codes=16
+        ).collect()
+    }
+    release_sketch_caches()
+    same_cluster = sum(
+        approx[q] // per_cluster == exact[q] // per_cluster
+        for q in exact
+    )
+    assert same_cluster == len(exact)
+    # and the ADC distances are non-negative, rank-ordered
+    rows = pq_ann(emb, num_queries=2, k=3).collect()
+    release_sketch_caches()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.knn_rank, r.approx_d2))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert all(d >= 0 for _, d in rs)
+        assert [d for _, d in rs] == sorted(d for _, d in rs)
+
+
+def test_adc_matches_python_reconstruction(spark):
+    """The SQL lookup-sum equals a pure-Python ADC computation on the
+    same codes — pinning the spliced-literal plumbing end to end."""
+    emb, _ = _clustered(spark)
+    cb = pq_codebook(emb, m=8, num_codes=16)
+    enc = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0][1]]
+    dsub = 8
+    got = {
+        r.neighbor_id: r.approx_d2
+        for r in pq_ann(emb, num_queries=1, k=5, m=8, num_codes=16).collect()
+    }
+    release_sketch_caches()
+    for nid, d2 in got.items():
+        expect = sum(
+            sum(
+                (qv[j * dsub + i] - cb[j][enc[nid][j]][i]) ** 2
+                for i in range(dsub)
+            )
+            for j in range(8)
+        )
+        assert abs(d2 - round(expect, 6)) < 1e-9
