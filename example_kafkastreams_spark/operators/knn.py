@@ -773,3 +773,186 @@ def pq_ann(
         F.expr(P.round_dbl("__d2", 6, P.SPARK)).alias("approx_d2"),
         "knn_rank",
     )
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of P.cosine's left-fold IEEE sequence — used
+    on collected small-side rows (centroids/queries) so Python-picked
+    cells match SQL-picked cells bit-for-bit."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    n2a = 0.0
+    for x in a:
+        n2a += x * x
+    n2b = 0.0
+    for y in b:
+        n2b += y * y
+    import math
+
+    return dot / math.sqrt(n2a * n2b)
+
+
+def ivf_pq_ann(
+    emb: DataFrame,
+    num_queries: int = 8,
+    k: int = 3,
+    num_centroids: int = 8,
+    m: int = 8,
+    num_codes: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cells + PQ over RESIDUALS — the composition
+    billion-vector indexes actually ship (FAISS IVFPQ; Jégou et al.
+    2011 §V). (query_id, neighbor_id, approx_d2, knn_rank).
+
+    Index build (all map-side, zero corpus shuffle):
+    1. cell = argmax cosine against the spliced centroid literals
+       (deterministic sample, the ivf_ann convention; ties → lowest
+       cell, ``array_position`` of ``array_max``),
+    2. residual = x − centroid[cell] (one ``zip_with`` against
+       ``element_at`` of the centroid array-of-arrays literal),
+    3. codes = per-subspace argmin against a RESIDUAL codebook
+       (trained from the first ``num_codes`` vectors' residuals,
+       driver-side — the same sample-bound convention as
+       ``pq_codebook``).
+
+    Search: per query, probe the ``nprobe`` nearest cells; per probed
+    cell build the residual LUT (q − centroid, exact subspace
+    distances to every codeword) and ADC-score ONLY that cell's
+    encoded rows — the IVF promise (touch |corpus|·nprobe/num_centroids
+    rows) stacked on the PQ promise (m byte-lookups per row). Python
+    cell picks replay SQL's exact IEEE fold (``_py_cosine``), so the
+    probed cells match the stored cells bit-for-bit.
+    """
+    import math
+
+    cent_rows = (
+        emb.filter(F.col(id_col) < num_centroids)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in cent_rows]
+    dim = len(cents[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cents_lit = (
+        "array("
+        + ", ".join(P.vec_literal(c, P.SPARK) for c in cents)
+        + ")"
+    )
+
+    cos_arr = "array(" + ", ".join(
+        P.cosine(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
+        for c in cents
+    ) + ")"
+    cell_expr = (
+        f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+    )
+    residual_expr = (
+        f"zip_with({vec_col}, element_at({cents_lit}, __cell + 1),"
+        f" (x, y) -> CAST(x AS DOUBLE) - y)"
+    )
+
+    def py_cell(v: list[float]) -> int:
+        best, best_c = None, -1
+        for ci, c in enumerate(cents):
+            cos = _py_cosine(v, c)
+            if best is None or cos > best:
+                best, best_c = cos, ci
+        return best_c
+
+    # residual codebook from the first num_codes vectors (driver-side
+    # sample, like pq_codebook)
+    samp = (
+        emb.filter(F.col(id_col) < num_codes)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    residuals = []
+    for r in samp:
+        v = [float(x) for x in r[0]]
+        c = cents[py_cell(v)]
+        residuals.append([x - y for x, y in zip(v, c)])
+    codebook = [
+        [r[j * dsub:(j + 1) * dsub] for r in residuals] for j in range(m)
+    ]
+
+    code_exprs = []
+    for j in range(m):
+        sub = f"slice(__res, {j * dsub + 1}, {dsub})"
+        d2s = ", ".join(_l2sq_expr(sub, cw) for cw in codebook[j])
+        arr = f"array({d2s})"
+        code_exprs.append(
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+        )
+    enc = persist_tracked(
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__cell", F.expr(cell_expr))
+        .withColumn("__res", F.expr(residual_expr))
+        .select(
+            id_col,
+            "__cell",
+            F.expr(f"array({', '.join(code_exprs)})").alias("codes"),
+        )
+    )
+
+    qrows = (
+        emb.filter(F.col(id_col) < num_queries)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    parts = []
+    for qr in qrows:
+        qid, qv = qr[0], [float(x) for x in qr[1]]
+        ranked = sorted(
+            range(len(cents)),
+            key=lambda ci: (-_py_cosine(qv, cents[ci]), ci),
+        )[:nprobe]
+        for ci in ranked:
+            qres = [x - y for x, y in zip(qv, cents[ci])]
+            lut = [
+                [
+                    sum(
+                        (qres[j * dsub + i] - cw[i])
+                        * (qres[j * dsub + i] - cw[i])
+                        for i in range(dsub)
+                    )
+                    for cw in codebook[j]
+                ]
+                for j in range(m)
+            ]
+            lookups = " + ".join(
+                f"element_at({P.vec_literal(lut[j], P.SPARK)},"
+                f" codes[{j}] + 1)"
+                for j in range(m)
+            )
+            parts.append(
+                enc.filter(
+                    (F.col("__cell") == ci) & (F.col(id_col) != qid)
+                ).select(
+                    F.lit(qid).alias("query_id"),
+                    F.col(id_col).alias("neighbor_id"),
+                    F.expr(lookups).alias("__d2"),
+                )
+            )
+    scored = parts[0]
+    for p in parts[1:]:
+        scored = scored.unionByName(p)
+    return _two_phase_topk(
+        scored,
+        "query_id",
+        [F.col("__d2").asc(), F.col("neighbor_id")],
+        k,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(P.round_dbl("__d2", 6, P.SPARK)).alias("approx_d2"),
+        "knn_rank",
+    )

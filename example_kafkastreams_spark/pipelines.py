@@ -56,6 +56,7 @@ def corpus_stages(
     pack_budget: int | None = None,
     sketch: str = "simhash",
     minhash_threshold: float = 0.5,
+    line_clean: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -68,7 +69,21 @@ def corpus_stages(
     materializes only the last stage. (Exception: ``mixture_weights``
     runs one S-row count job at build time to fold literal acceptance
     rates into the filter — see operators.mixing.)
+
+    ``line_clean``: kwargs for ``operators.lines.clean_documents`` ({}
+    for defaults) — runs the C4 line-grain clean BEFORE document-level
+    quality, where a web-scraped corpus needs it (boilerplate lines
+    would otherwise drag whole documents under the quality floor); the
+    rebuilt corpus flows into the unchanged funnel and a
+    ``line_cleaned`` stage entry is added.
     """
+    raw = docs
+    line_cleaned = None
+    if line_clean is not None:
+        from .operators.lines import clean_documents
+
+        line_cleaned = clean_documents(docs, **line_clean)
+        docs = line_cleaned.drop("n_lines_kept")
     exprs = _quality_exprs(P.SPARK)
     scored = docs.withColumn(
         "quality_score", F.expr(exprs["quality_score"])
@@ -157,13 +172,15 @@ def corpus_stages(
         neardup, chunk_size=chunk_size, stride=stride
     )
     stages = {
-        "raw": docs,
+        "raw": raw,
         "quality": quality,
         "language": language,
         "exact_dedup": exact,
         "neardup_survivors": neardup,
         "chunks": chunks,
     }
+    if line_cleaned is not None:
+        stages["line_cleaned"] = line_cleaned
     if pack_budget is not None:
         from .operators.packing import pack_chunks
 

@@ -179,6 +179,15 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         # per group; contracted, each group costs one representative
         return KNN.semantic_dedup(emb, threshold=0.98)
 
+    def pq():
+        # codebook = first 16 base ids (amplified copies are offset, so
+        # the trained table is IDENTICAL across scales); the encode
+        # itself must stay a zero-shuffle scan-shaped pass — the only
+        # shuffle rows the probe sees are the count()'s O(partitions)
+        # final reduction, constant across scales (ratio ≈ 1, not 10)
+        cb = KNN.pq_codebook(emb, m=8, num_codes=16)
+        return KNN.pq_encode(emb, cb)
+
     out: dict[str, dict] = {}
     for name, mk in (
         ("scan_agg", scan_agg),
@@ -191,6 +200,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("decontaminate", decontam),
         ("lm_score", lm),
         ("semantic_dedup", semdedup),
+        ("pq_encode", pq),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)

@@ -1,0 +1,130 @@
+"""BPE tokenization (operators.bpe) — classic-algorithm conformance,
+determinism, distributed-encode equality with the sequential path."""
+
+from pyspark.sql import functions as F
+
+from example_kafkastreams_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode,
+    encode_word,
+    train_bpe_merges,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_train_learns_frequent_pair_first(spark):
+    # "aa" dominates: the first merge must be ('a','a')
+    docs = _docs(spark, ["aaaa aaaa aaaa ab"])
+    merges = train_bpe_merges(docs, num_merges=3)
+    assert merges[0] == ("a", "a")
+
+
+def test_train_matches_reference_implementation(spark):
+    """Pin against an independent in-test implementation of the
+    Sennrich et al. loop on a small corpus."""
+    corpus = ["low lower lowest low low", "newer newest new low"]
+    docs = _docs(spark, corpus)
+    got = train_bpe_merges(docs, num_merges=6)
+
+    from collections import Counter
+
+    counts = Counter(w for t in corpus for w in t.split())
+    words = {tuple(w) + (END_OF_WORD,): c for w, c in counts.items()}
+    want = []
+    for _ in range(6):
+        pairs = Counter()
+        for sym, c in words.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        want.append(best)
+        nw = {}
+        for sym, c in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i < len(sym) - 1
+                    and (sym[i], sym[i + 1]) == best
+                ):
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nw[tuple(out)] = nw.get(tuple(out), 0) + c
+        words = nw
+    assert got == want
+
+
+def test_encode_word_applies_rank_order():
+    # greedy lowest rank first: a,b,c,</w> -> ab,c,</w> (rank 0)
+    # -> abc,</w> (rank 1 beats rank 2) -> stop ((abc,</w>) unranked)
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("c", END_OF_WORD): 2}
+    assert encode_word("abc", ranks) == ["abc", END_OF_WORD]
+
+
+def test_encode_word_leftmost_on_equal_rank():
+    ranks = {("a", "a"): 0}
+    # aaa -> leftmost pair merges first: (aa, a, </w>)
+    assert encode_word("aaa", ranks) == ["aa", "a", END_OF_WORD]
+
+
+def test_distributed_encode_matches_sequential(spark):
+    corpus = [
+        "low lower lowest low low",
+        "newer newest new low",
+        "the lowest newest low",
+    ]
+    docs = _docs(spark, corpus)
+    merges = train_bpe_merges(docs, num_merges=10)
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for i, text in enumerate(corpus):
+        want = [t for w in text.split() for t in encode_word(w, ranks)]
+        assert got[i] == (want, len(want))
+
+
+def test_encode_partition_independent(spark):
+    docs = _docs(spark, [f"token{i} alpha beta gamma" for i in range(20)])
+    merges = train_bpe_merges(docs, num_merges=15)
+    a = {r.doc_id: list(r.tokens) for r in bpe_encode(docs, merges).collect()}
+    b = {
+        r.doc_id: list(r.tokens)
+        for r in bpe_encode(docs.repartition(6), merges).collect()
+    }
+    assert a == b
+
+
+def test_encode_on_real_documents_counts(spark):
+    from example_kafkastreams_spark.catalog import load_table
+    from tests.conftest import SMOKE
+
+    docs = load_table(spark, SMOKE, "documents")
+    merges = train_bpe_merges(docs.limit(50), num_merges=40)
+    out = bpe_encode(docs, merges)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_tokens").alias("mn"),
+    ).collect()[0]
+    assert row.n == docs.count() and row.mn > 0
+    # every word ends with the end-of-word marker boundary: token
+    # stream rejoins to the original word count
+    sample = out.limit(5).collect()
+    for r in sample:
+        joined = "".join(r.tokens)
+        n_words = joined.count(END_OF_WORD)
+        orig = (
+            docs.filter(F.col("doc_id") == r.doc_id).collect()[0].text
+        )
+        assert n_words == len(orig.split())

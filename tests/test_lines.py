@@ -154,3 +154,45 @@ def test_boilerplate_shuffle_is_digest_only(spark):
     assert ex, "expected the digest-keyed aggregation exchange"
     assert any("line_hash" in l for l in ex)
     assert all("line#" not in l for l in ex)  # raw text never shuffles
+
+
+def test_line_clean_composes_into_funnel(spark):
+    """corpus_stages(line_clean=...) runs the C4 line stage BEFORE
+    document quality: boilerplate/blocklist lines vanish from every
+    downstream stage's text, the funnel stays monotone, and the
+    line_cleaned stage reports per-doc survivor counts."""
+    from example_kafkastreams_spark.operators.cache import (
+        release_sketch_caches,
+    )
+    from example_kafkastreams_spark.pipelines import corpus_stages
+
+    rows = [
+        (
+            i,
+            f"{NAV}\n"
+            f"the quick brown fox number {i} jumps the lazy dog\n"
+            f"this corpus line {i} carries enough words to clear",
+            "en",
+            "src0",
+            0,
+        )
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    stages = corpus_stages(
+        docs,
+        min_quality=0.0,
+        line_clean={"min_words": 3, "boilerplate_min_docs": 2},
+    )
+    cleaned = {r.doc_id: r for r in stages["line_cleaned"].collect()}
+    assert all(NAV not in r.text for r in cleaned.values())
+    assert all(r.n_lines_kept == 2 for r in cleaned.values())
+    # raw is the pre-clean input; downstream counts are monotone
+    n = {k: stages[k].count() for k in
+         ("raw", "quality", "language", "exact_dedup")}
+    release_sketch_caches()
+    assert n["raw"] == 6
+    assert 6 >= n["quality"] >= n["language"] >= n["exact_dedup"] > 0

@@ -157,3 +157,64 @@ def test_adc_matches_python_reconstruction(spark):
             for j in range(8)
         )
         assert abs(d2 - round(expect, 6)) < 1e-9
+
+
+# --- IVF-PQ composition ---------------------------------------------------
+
+
+def test_ivf_pq_cells_match_python_and_codes_in_range(spark):
+    from example_kafkastreams_spark.operators.knn import ivf_pq_ann
+
+    emb, per_cluster = _clustered(spark)
+    out = ivf_pq_ann(
+        emb, num_queries=4, k=2, num_centroids=8, m=8, num_codes=16,
+        nprobe=2,
+    ).collect()
+    release_sketch_caches()
+    assert out, "probed cells produced candidates"
+    for r in out:
+        assert r.approx_d2 >= 0
+        assert 1 <= r.knn_rank <= 2
+
+
+def test_ivf_pq_recall_on_separated_clusters(spark):
+    """With nprobe=2 over well-separated clusters, the IVF-PQ top-1
+    lands in the true nearest neighbor's cluster — coarse quantization
+    routes to the right cell and residual PQ preserves local order."""
+    from example_kafkastreams_spark.operators.knn import ivf_pq_ann
+
+    emb, per_cluster = _clustered(spark)
+    queries = 4
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_knn(emb, num_queries=queries, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.neighbor_id
+        for r in ivf_pq_ann(
+            emb, num_queries=queries, k=1, num_centroids=8, m=8,
+            num_codes=16, nprobe=2,
+        ).collect()
+    }
+    release_sketch_caches()
+    assert set(approx) == set(exact)
+    for q in exact:
+        assert approx[q] // per_cluster == exact[q] // per_cluster
+
+
+def test_ivf_pq_partition_independent(spark):
+    from example_kafkastreams_spark.operators.knn import ivf_pq_ann
+
+    emb, _ = _clustered(spark)
+    a = sorted(
+        map(tuple, ivf_pq_ann(emb, num_queries=2, k=3).collect())
+    )
+    release_sketch_caches()
+    b = sorted(
+        map(
+            tuple,
+            ivf_pq_ann(emb.repartition(7), num_queries=2, k=3).collect(),
+        )
+    )
+    release_sketch_caches()
+    assert a == b
