@@ -110,6 +110,59 @@ def incremental_exact_dedup(
     ).select(id_col, "content_hash", "n_copies")
 
 
+def exact_dedup_with_delta(
+    docs: DataFrame,
+    delta_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """(one-shot dedup, delta-vs-index incremental result) from ONE
+    scan and ONE digest-keyed aggregation — the fused form of
+    ``exact_text_dedup`` + ``incremental_exact_dedup`` for the
+    backfill-plus-delta audit every re-ingest runs ("what does the
+    full corpus dedup to, and what would today's delta alone add?").
+
+    ``delta_cond`` is a boolean Column marking delta rows; the rest is
+    the already-ingested index. Per digest group the aggregation keeps
+    global min/count plus delta-only min/count and an index-presence
+    flag — conditional aggregates, map-side partial — so the fused
+    plan shuffles the SAME (digest, id) rows the one-shot dedup alone
+    shuffles, and the incremental branch costs zero extra exchanges
+    (the composition of the two operators scans twice and adds an
+    anti-join exchange; a unit test pins result equality).
+
+    ``persist=True`` caches the per-digest aggregate (tiny: one row
+    per DISTINCT text) so consumers of both returned frames share one
+    scan — release with ``operators.cache.release_sketch_caches``.
+    """
+    g = (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("__min_all"),
+            F.count(F.lit(1)).alias("__n_all"),
+            F.min(F.when(delta_cond, F.col(id_col))).alias("__min_delta"),
+            F.count(F.when(delta_cond, F.lit(1))).alias("__n_delta"),
+            F.max(F.when(~delta_cond, F.lit(True))).alias("__in_index"),
+        )
+    )
+    if persist:
+        g = persist_tracked(g)
+    full = g.select(
+        F.col("__min_all").alias(id_col),
+        "content_hash",
+        F.col("__n_all").alias("n_copies"),
+    )
+    incr = g.filter(
+        F.col("__in_index").isNull() & F.col("__min_delta").isNotNull()
+    ).select(
+        F.col("__min_delta").alias(id_col),
+        "content_hash",
+        F.col("__n_delta").alias("n_copies"),
+    )
+    return full, incr
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 

@@ -74,24 +74,14 @@ def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the remainder's precomputed digest index — the anti join
     carries 32-hex-char digests, never text, so at 100 TB the
     historical corpus is never re-read or re-shuffled."""
-    from .operators.cache import persist_tracked
-
     docs = load_table(spark, sf_dir, "documents")
-    # one scan + md5 pass feeds all three aggregations (digest rows are
-    # 32 hex chars + an id — the in-session analog of a digest-index
-    # table a production incremental ingest keeps materialized)
-    digests = persist_tracked(
-        docs.select(
-            F.md5(F.col("text")).alias("__digest"), F.col("doc_id")
-        )
-    )
-    full = ND.exact_text_dedup(digests, digest_col="__digest")
-    index = ND.exact_text_dedup(
-        digests.filter(F.col("doc_id") % 3 != 0), digest_col="__digest"
-    )
-    incr = ND.incremental_exact_dedup(
-        digests.filter(F.col("doc_id") % 3 == 0), index,
-        digest_col="__digest",
+    # fused form: ONE scan + ONE digest-keyed agg yields both branches
+    # (conditional aggregates; the persisted frame is the tiny
+    # per-digest table, not the corpus) — result pinned equal to the
+    # exact_text_dedup + incremental_exact_dedup composition by unit
+    # test (tests/test_corpus_ops.py)
+    full, incr = ND.exact_dedup_with_delta(
+        docs, F.col("doc_id") % 3 == 0, persist=True
     )
     cols = ["content_hash", "doc_id", "n_copies"]
     return full.select(F.lit("full").alias("mode"), *cols).unionByName(

@@ -540,3 +540,47 @@ def test_chunk_udtf_matches_expression_path(spark):
     ).toPandas()
     want = chunk_documents(docs, chunk_size=32, stride=24).toPandas()
     assert compare_typed(got, want) == []
+
+
+def test_exact_dedup_with_delta_matches_composition(spark):
+    """The fused one-pass form equals exact_text_dedup on the full
+    corpus AND incremental_exact_dedup(delta, index) — including
+    cross-split duplicate groups falling on either side."""
+    from example_kafkastreams_spark.operators.cache import (
+        release_sketch_caches,
+    )
+    from example_kafkastreams_spark.operators.neardup import (
+        exact_dedup_with_delta,
+        exact_text_dedup,
+        incremental_exact_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "shared text alpha"), (4, "shared text alpha"),  # both sides
+        (2, "index only beta"), (5, "index only beta"),
+        (3, "delta only gamma"), (6, "delta only gamma"),    # 6%3==0, 3: delta
+        (9, "delta only gamma"),
+        (7, "index solo"), (12, "delta solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cond = F.col("doc_id") % 3 == 0
+    full_f, incr_f = exact_dedup_with_delta(docs, cond, persist=True)
+    full_w = exact_text_dedup(docs)
+    index = exact_text_dedup(docs.filter(~cond))
+    incr_w = incremental_exact_dedup(docs.filter(cond), index)
+    cols = ["content_hash", "doc_id", "n_copies"]
+    assert compare_typed(
+        full_f.select(cols).toPandas(), full_w.select(cols).toPandas()
+    ) == []
+    assert compare_typed(
+        incr_f.select(cols).toPandas(), incr_w.select(cols).toPandas()
+    ) == []
+    release_sketch_caches()
+    # sanity: 'delta only gamma' group (ids 3,6,9 all delta) survives
+    # with min id 3 and n_copies 3; shared/index groups are absent
+    got = {r.content_hash: r for r in incr_f.collect()}
+    release_sketch_caches()
+    assert sorted((r.doc_id, r.n_copies) for r in got.values()) == [
+        (3, 3), (12, 1),
+    ]
