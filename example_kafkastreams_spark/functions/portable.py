@@ -323,6 +323,35 @@ def cosine(a: str, b: str, d: str) -> str:
     return f"({dot(a, b, d)}) / sqrt(({dot(a, a, d)}) * ({dot(b, b, d)}))"
 
 
+def l2sq(a: str, b: str, d: str) -> str:
+    """Σ (aᵢ−bᵢ)² as an identical left fold in double precision —
+    same bitwise-equality construction as ``dot``."""
+    if d == SPARK:
+        diffs = (
+            f"zip_with({a}, {b}, (x, y) ->"
+            f" (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+            f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))"
+        )
+    else:
+        idx = seq_incl("1", f"len({a})", d)
+        diffs = transform_(
+            idx,
+            "i",
+            f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+            f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))",
+            d,
+        )
+    return fold(diffs, "CAST(0 AS DOUBLE)", "acc", "x", "acc + x", d)
+
+
+def arr_position(arr: str, elem: str, d: str) -> str:
+    """1-based index of the FIRST exact match — both engines compare
+    doubles bitwise here, so argmin ties resolve to the first (lowest)
+    index in both."""
+    fn = "array_position" if d == SPARK else "list_position"
+    return f"{fn}({arr}, {elem})"
+
+
 def vec_literal(values: list[float], d: str) -> str:
     """Exact double literals in both dialects — via STRING cast.
 

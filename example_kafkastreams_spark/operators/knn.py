@@ -237,14 +237,23 @@ def lsh_ann(
     planes: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k restricted to the query's LSH bucket.
+    """ANN top-k restricted to the query's LSH bucket(s).
 
-    Recall < 1 by construction (single-probe); at scale one adds
-    multi-probe (flip one plane bit) or more tables — same join shape.
+    ``nprobe=1`` searches only the query's own bucket (recall < 1 by
+    construction). ``nprobe > 1`` is classic multi-probe LSH: probe
+    ``nprobe - 1`` additional buckets at Hamming distance 1 (flip one
+    plane's sign bit — the likeliest buckets to hold missed
+    neighbors), which buys recall WITHOUT re-hashing or more tables.
+    The join shape is unchanged — only the broadcast QUERY side grows
+    to ``nprobe`` rows per query (probed bucket ids are distinct, so
+    no candidate pair appears twice). Max ``len(planes) + 1``.
     Output: (query_id, neighbor_id, cosine, rank).
     """
     planes = planes or hyperplanes()
+    if not 1 <= nprobe <= len(planes) + 1:
+        raise ValueError(f"nprobe must be in [1, {len(planes) + 1}]")
     # bucket signatures feed both join sides: rebalance off the
     # single-row-group scan partition and persist (same pattern as the
     # text sketches — the hyperplane dot products are the expensive
@@ -252,10 +261,17 @@ def lsh_ann(
     b = persist_tracked(with_bucket(
         _rebalance(emb, id_col), planes, id_col, vec_col,
     ))
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(nprobe - 1)
+        ],
+    )
     q = b.filter(F.col(id_col) < num_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.col("bucket").alias("qbucket"),
+        F.explode(probes).alias("qbucket"),
     )
     c = b.select(
         F.col(id_col).alias("neighbor_id"),
@@ -619,13 +635,9 @@ def semantic_dedup(
 
 def _l2sq_expr(vec_expr: str, literal_vec: list[float]) -> str:
     """‖x − c‖² between a column subvector and a spliced codeword —
-    exact double literals via P.vec_literal, one fold."""
-    lit = P.vec_literal(literal_vec, P.SPARK)
-    z = (
-        f"zip_with({vec_expr}, {lit}, (x, y) ->"
-        f" (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y))"
-    )
-    return f"aggregate({z}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    exact double literals via P.vec_literal, one fold (the dual-dialect
+    P.l2sq, so the q56 oracle's DuckDB twin folds the same bits)."""
+    return P.l2sq(vec_expr, P.vec_literal(literal_vec, P.SPARK), P.SPARK)
 
 
 def pq_codebook(

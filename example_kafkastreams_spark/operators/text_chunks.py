@@ -38,12 +38,36 @@ def chunk_documents(
     toks = docs.select(
         F.col(id_col), F.expr(P.split_ws(text_col, S)).alias("toks")
     )
-    n = P.size_("toks", S)
-    starts = P.seq_step("1", n, stride, S)
-    ex = toks.select(
-        id_col, "toks", F.explode(F.expr(starts)).alias("start")
+    return chunk_token_arrays(
+        toks, id_col=id_col, tokens_col="toks",
+        chunk_size=chunk_size, stride=stride,
     )
-    chunk_text = P.join_str(P.slice_("toks", "start", chunk_size, S), " ", S)
+
+
+def chunk_token_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """``chunk_documents`` over a PRE-TOKENIZED column — the chunking
+    grain for any tokenizer whose output isn't whitespace words:
+    ``operators.bpe.bpe_encode``'s subword stream plugs in here, so
+    chunk/pack budgets count REAL model tokens instead of the regex
+    approximation. Same zero-shuffle explode+slice plan; the rejoined
+    ``chunk_text`` concatenates tokens with spaces (for subword tokens
+    the token ARRAY boundary, not the string, is the contract).
+    """
+    S = P.SPARK
+    n = P.size_(tokens_col, S)
+    starts = P.seq_step("1", n, stride, S)
+    ex = df.select(
+        id_col, tokens_col, F.explode(F.expr(starts)).alias("start")
+    )
+    chunk_text = P.join_str(
+        P.slice_(tokens_col, "start", chunk_size, S), " ", S
+    )
     return ex.select(
         F.col(id_col),
         (F.expr(P.idiv("start - 1", str(stride), S)) + 1).alias("chunk_idx"),

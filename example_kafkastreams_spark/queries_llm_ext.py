@@ -27,6 +27,10 @@ from . import queries_llm as QL
 D = P.DUCK
 
 CHUNK_SIZE = 32
+# PQ branch of q56: 64 dims / 8 subspaces = 8-dim subvectors, 16 codes
+PQ_M = 8
+PQ_DSUB = 8
+PQ_CODES = 16
 STRIDE = 24
 
 
@@ -143,8 +147,33 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding,
              sqrt({P.dot('embedding', 'embedding', D)}) AS l2_raw
       FROM embeddings
+    ),
+    cb AS (
+      SELECT vec_id AS code, embedding AS cv FROM embeddings
+      WHERE vec_id < {PQ_CODES}
+    ),
+    sub AS (
+      SELECT e.vec_id, j.j, cb.code,
+             {P.l2sq(
+                 P.slice_('e.embedding', f'j.j * {PQ_DSUB} + 1', PQ_DSUB, D),
+                 P.slice_('cb.cv', f'j.j * {PQ_DSUB} + 1', PQ_DSUB, D),
+                 D)} AS d2
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) j
+      CROSS JOIN cb
+    ),
+    best AS (
+      SELECT vec_id, j, code,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY d2, code) AS rn
+      FROM sub
+    ),
+    pq AS (
+      SELECT vec_id,
+             string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS qvec
+      FROM best WHERE rn = 1 GROUP BY vec_id
     )
-    SELECT vec_id,
+    SELECT 'int8' AS mode, vec_id,
            round(CAST(l2_raw AS DOUBLE), 6) AS l2_norm,
            {P.join_str(
                P.transform_(
@@ -155,12 +184,36 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
                ',', D)} AS qvec,
            {P.size_('embedding', D)} AS n_dims
     FROM base
+    UNION ALL
+    SELECT 'pq', vec_id, CAST(NULL AS DOUBLE), qvec, {PQ_M} FROM pq
     """,
 )
 def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """int8 quantization of L2-normalized embeddings — the index
-    compression pass of a vector store build."""
-    return KNN.quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    """Embedding compression, both index formats in one driver row
+    (round-5 tag merge). ``int8``: per-vector L2-normalized int8 lanes
+    — 4× smaller storage. ``pq``: product-quantization codes
+    (KNN.pq_encode, m=8 subspaces × 16 codewords = 8 bytes/vector,
+    32×) — the encode is a ZERO-shuffle scan pass with the codebook
+    spliced as exact double literals; the oracle re-derives the
+    codebook (first 16 vectors' subvectors, the deterministic-sample
+    convention) and the per-subspace argmin IN SQL, with ties falling
+    to the lowest code in both engines (array_position-of-min vs
+    row_number ORDER BY d2, code over bit-identical d² folds)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    int8 = KNN.quantize_embeddings(emb)
+    cb = KNN.pq_codebook(emb, m=PQ_M, num_codes=PQ_CODES)
+    pq = KNN.pq_encode(emb, cb).select(
+        F.col("vec_id"),
+        F.lit(None).cast("double").alias("l2_norm"),
+        F.expr(
+            "concat_ws(',', transform(codes, c -> CAST(c AS STRING)))"
+        ).alias("qvec"),
+        F.lit(PQ_M).cast("int").alias("n_dims"),
+    )
+    cols = ["vec_id", "l2_norm", "qvec", "n_dims"]
+    return int8.select(F.lit("int8").alias("mode"), *cols).unionByName(
+        pq.select(F.lit("pq").alias("mode"), *cols)
+    )
 
 
 # --- q57: near-dup connected components -----------------------------------

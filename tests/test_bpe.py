@@ -128,3 +128,43 @@ def test_encode_on_real_documents_counts(spark):
             docs.filter(F.col("doc_id") == r.doc_id).collect()[0].text
         )
         assert n_words == len(orig.split())
+
+
+def test_bpe_chunks_pack_composition(spark):
+    """BPE tokens -> chunk_token_arrays -> pack_chunks: budgets count
+    real subword tokens end to end, token conservation holds at every
+    stage, and the whole chain is partition-independent."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.packing import pack_chunks
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_token_arrays,
+    )
+    from tests.conftest import SMOKE
+
+    docs = load_table(spark, SMOKE, "documents").limit(60)
+    merges = train_bpe_merges(docs, num_merges=30)
+    toks = bpe_encode(docs, merges).select("doc_id", "tokens")
+    chunks = chunk_token_arrays(
+        toks, tokens_col="tokens", chunk_size=16, stride=16
+    )
+    # non-overlapping stride: chunk token counts re-add to the doc's
+    n_tok = {r.doc_id: r.n for r in toks.select(
+        "doc_id", F.size("tokens").alias("n")).collect()}
+    per_doc = {
+        r.doc_id: r.s
+        for r in chunks.groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    }
+    assert per_doc == n_tok
+    packs = pack_chunks(chunks, budget=48, canonical=True)
+    total = packs.agg(F.sum("n_tokens").alias("s")).collect()[0].s
+    assert total == sum(n_tok.values())
+    a = sorted(r.pack_id for r in packs.collect())
+    b = sorted(
+        r.pack_id
+        for r in pack_chunks(
+            chunks.repartition(5), budget=48, canonical=True
+        ).collect()
+    )
+    assert a == b

@@ -218,3 +218,54 @@ def test_ivf_pq_partition_independent(spark):
     )
     release_sketch_caches()
     assert a == b
+
+
+# --- multi-probe LSH ------------------------------------------------------
+
+
+def test_lsh_multiprobe_recall_superset(spark):
+    """nprobe>1 probes the query bucket plus Hamming-1 neighbors: the
+    candidate set is a superset of single-probe, so each query's
+    top-k cosine at nprobe=5 is >= its single-probe top-k cosine, and
+    at full probe width the misses that single-probe drops reappear."""
+    import pytest
+    from example_kafkastreams_spark.operators.knn import lsh_ann
+
+    emb, _ = _clustered(spark)
+    single = lsh_ann(emb, num_queries=4, k=3, nprobe=1).collect()
+    release_sketch_caches()
+    multi = lsh_ann(emb, num_queries=4, k=3, nprobe=5).collect()
+    release_sketch_caches()
+
+    def best(rows):
+        out = {}
+        for r in rows:
+            if r.knn_rank == 1:
+                out[r.query_id] = r.cosine
+        return out
+
+    s, m = best(single), best(multi)
+    assert set(m) >= set(s)  # multi-probe never loses a query
+    for q in s:
+        assert m[q] >= s[q]
+    # candidate counts grow (or stay equal) per query
+    from collections import Counter
+
+    cs, cm = Counter(r.query_id for r in single), Counter(
+        r.query_id for r in multi
+    )
+    assert all(cm[q] >= cs[q] for q in cs)
+    with pytest.raises(ValueError, match="nprobe"):
+        lsh_ann(emb, nprobe=99)
+
+
+def test_lsh_multiprobe_no_duplicate_candidates(spark):
+    """Probed buckets are distinct per query, so (query, neighbor)
+    pairs are unique before ranking."""
+    from example_kafkastreams_spark.operators.knn import lsh_ann
+
+    emb, _ = _clustered(spark)
+    rows = lsh_ann(emb, num_queries=3, k=50, nprobe=5).collect()
+    release_sketch_caches()
+    pairs = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(pairs) == len(set(pairs))
