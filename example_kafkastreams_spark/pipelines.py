@@ -247,6 +247,9 @@ def corpus_ingest_stream(
     languages: tuple[str, ...] = ("en",),
     scrub_pii: bool = True,
     neardup_gate: bool = False,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 5,
+    decontam_min_hits: int = 1,
 ) -> DataFrame:
     """Streaming ingest = the gate + CONTENT DEDUP: the stateful next
     stage a real streaming corpus ingest runs after the stateless
@@ -275,6 +278,11 @@ def corpus_ingest_stream(
     whenever arrival order is id order — the append-log normal case the
     golden test stages; an out-of-order ingest diverges only in WHICH
     duplicate survives, never in the survivor count.
+
+    ``benchmark``: compose the stream-static decontamination gate
+    (``corpus_decontaminate_stream``) between the stateless gate and
+    the stateful dedup — the full landing zone in one stream:
+    quality → language → decontaminate → content dedup → scrub.
     """
     gated = corpus_filter_stream(
         docs,
@@ -282,6 +290,13 @@ def corpus_ingest_stream(
         languages=languages,
         scrub_pii=False,  # scrub AFTER dedup — the batch funnel's order
     )
+    if benchmark is not None:
+        # decontamination is a landing-zone filter like quality/lang:
+        # stateless, so it slots BEFORE the stateful dedup and
+        # contaminated docs never enter the digest state store
+        gated = corpus_decontaminate_stream(
+            gated, benchmark, n=decontam_n, min_hits=decontam_min_hits
+        )
     deduped = (
         gated.withColumn("content_hash", F.md5(F.col("text")))
         .withWatermark(ts_col, watermark_delay)

@@ -962,3 +962,76 @@ def test_corpus_decontaminate_stream_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_corpus_ingest_stream_with_decontam_gate(spark, tmp_path):
+    """The FULL streamed landing zone in one stream — quality -> lang
+    -> decontaminate -> content dedup -> scrub: a benchmark near-copy
+    arriving mid-stream is dropped BEFORE it can occupy dedup state,
+    duplicates still dedup across micro-batches, and the survivor set
+    equals the batch composition decontaminate(quality->lang prefix)
+    -> exact dedup -> scrub."""
+    from example_kafkastreams_spark.functions import portable as P
+    from example_kafkastreams_spark.operators.decontam import decontaminate
+    from example_kafkastreams_spark.operators.neardup import (
+        exact_text_dedup,
+    )
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_stream,
+        corpus_stages,
+    )
+
+    bench_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    leak = (
+        "alpha beta gamma delta epsilon zeta prime two three four of the"
+        " house and the door by the sun"
+    )
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on to the"
+        " house of the friend"
+    )
+    other = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day"
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text, "s", at(0.0))], DOC_STREAM_SCHEMA
+    ).select("doc_id", "text")
+    rows = [
+        (1, good, "s", at(0.0)),
+        (2, leak, "s", at(1.0)),    # contaminated -> dropped
+        (3, good, "s", at(2.0)),    # dup of 1, same batch
+        (4, other, "s", at(10.0)),  # survives (later batch)
+        (5, good, "s", at(11.0)),   # dup of 1, later batch
+    ]
+    batch_docs = spark.createDataFrame(rows, DOC_STREAM_SCHEMA)
+
+    # batch twin: quality->lang prefix, decontaminate, dedup, scrub
+    prefix = corpus_stages(batch_docs)["language"].select("doc_id", "text")
+    decon = decontaminate(prefix, bench, n=5)
+    keep = exact_text_dedup(decon).select("doc_id")
+    want = {
+        (r.doc_id, r.text)
+        for r in decon.join(keep, "doc_id", "semi")
+        .withColumn("text", F.expr(P.pii_scrub("text", P.SPARK)))
+        .collect()
+    }
+    assert {d for d, _ in want} == {1, 4}
+
+    src = str(tmp_path / "in_ingest_decontam")
+    stage_replayable_batches(
+        spark, src, DOC_STREAM_SCHEMA, [rows[:3], rows[3:]]
+    )
+    stream = file_stream(
+        spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    out = corpus_ingest_stream(stream, ts_col="ts", benchmark=bench)
+    got = {
+        (r.doc_id, r.text)
+        for r in run_to_memory(
+            spark, out, "ingest_decontam", tmp_path
+        ).collect()
+    }
+    assert got == want
