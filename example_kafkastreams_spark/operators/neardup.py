@@ -163,6 +163,54 @@ def exact_dedup_with_delta(
     return full, incr
 
 
+def exact_dedup_with_delta_tagged(
+    docs: DataFrame,
+    delta_cond,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``exact_dedup_with_delta`` emitted as ONE mode-tagged frame in
+    ONE pass: each per-digest aggregate row explodes into its ``full``
+    row plus (when the group is delta-only) its ``incr`` row — no
+    cache, no second read, no union of two plan branches. This is the
+    single-consumer form (q40's merged driver row); the two-frame
+    variant remains for callers that feed the branches to different
+    sinks. A unit test pins the outputs equal.
+    """
+    # three aggregates suffice: a digest group is delta-only IFF every
+    # copy is delta (n_delta == n_all), and then its incremental
+    # survivor/count ARE the group's min/count — no separate
+    # delta-min/index-flag aggregates needed
+    g = docs.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("__min_all"),
+        F.count(F.lit(1)).alias("__n_all"),
+        F.count(F.when(delta_cond, F.lit(1))).alias("__n_delta"),
+    )
+    full_row = F.struct(
+        F.lit("full").alias("mode"),
+        F.col("__min_all").alias(id_col),
+        F.col("__n_all").alias("n_copies"),
+    )
+    incr_row = F.struct(
+        F.lit("incr").alias("mode"),
+        F.col("__min_all").alias(id_col),
+        F.col("__n_all").alias("n_copies"),
+    )
+    rows = F.when(
+        (F.col("__n_delta") == F.col("__n_all"))
+        & (F.col("__n_delta") > 0),
+        F.array(full_row, incr_row),
+    ).otherwise(F.array(full_row))
+    return g.select(
+        "content_hash", F.explode(rows).alias("__r")
+    ).select(
+        F.col("__r.mode").alias("mode"),
+        "content_hash",
+        F.col(f"__r.{id_col}").alias(id_col),
+        F.col("__r.n_copies").alias("n_copies"),
+    )
+
+
 # --- MinHash + LSH --------------------------------------------------------
 
 

@@ -75,18 +75,13 @@ def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries 32-hex-char digests, never text, so at 100 TB the
     historical corpus is never re-read or re-shuffled."""
     docs = load_table(spark, sf_dir, "documents")
-    # fused form: ONE scan + ONE digest-keyed agg yields both branches
-    # (conditional aggregates; the persisted frame is the tiny
-    # per-digest table, not the corpus) — result pinned equal to the
-    # exact_text_dedup + incremental_exact_dedup composition by unit
-    # test (tests/test_corpus_ops.py)
-    full, incr = ND.exact_dedup_with_delta(
-        docs, F.col("doc_id") % 3 == 0, persist=True
-    )
-    cols = ["content_hash", "doc_id", "n_copies"]
-    return full.select(F.lit("full").alias("mode"), *cols).unionByName(
-        incr.select(F.lit("incr").alias("mode"), *cols)
-    )
+    # fully fused: ONE scan + ONE digest-keyed agg, both branches
+    # EXPLODED from each aggregate row in the same pass (no cache, no
+    # second read) — pinned equal to the exact_text_dedup +
+    # incremental_exact_dedup composition by unit test
+    return ND.exact_dedup_with_delta_tagged(
+        docs, F.col("doc_id") % 3 == 0
+    ).select("mode", "content_hash", "doc_id", "n_copies")
 
 
 # --- q41: MinHash + LSH near-dup pairs ------------------------------------

@@ -584,3 +584,32 @@ def test_exact_dedup_with_delta_matches_composition(spark):
     assert sorted((r.doc_id, r.n_copies) for r in got.values()) == [
         (3, 3), (12, 1),
     ]
+
+
+def test_exact_dedup_with_delta_tagged_matches_two_frame(spark):
+    """The single-pass exploded form equals the two-frame variant's
+    tagged union, row for row."""
+    from example_kafkastreams_spark.operators.neardup import (
+        exact_dedup_with_delta,
+        exact_dedup_with_delta_tagged,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SMOKE, "documents")
+    cond = F.col("doc_id") % 3 == 0
+    full, incr = exact_dedup_with_delta(docs, cond)
+    cols = ["mode", "content_hash", "doc_id", "n_copies"]
+    want = (
+        full.select(F.lit("full").alias("mode"), "content_hash",
+                    "doc_id", "n_copies")
+        .unionByName(
+            incr.select(F.lit("incr").alias("mode"), "content_hash",
+                        "doc_id", "n_copies")
+        )
+        .select(cols)
+        .toPandas()
+    )
+    got = (
+        exact_dedup_with_delta_tagged(docs, cond).select(cols).toPandas()
+    )
+    assert compare_typed(got, want) == []
