@@ -330,22 +330,55 @@ _IVF_ANN_SQL = f"""
 """
 
 
+_LSH_MP_SQL = f"""
+    WITH b AS ({_bucket_cte(D)}),
+    q0 AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket
+      FROM b WHERE vec_id < 8
+    ), q AS (
+      SELECT query_id, qv,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2)]) AS qbucket
+      FROM q0
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b
+    ), j AS (
+      SELECT query_id, neighbor_id, {P.cosine('qv', 'cv', D)} AS cos_raw
+      FROM c JOIN q ON c.bucket = q.qbucket AND c.neighbor_id <> q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS knn_rank
+      FROM j
+    )
+    SELECT 'lsh_mp' AS method, query_id, neighbor_id,
+           {P.round_dbl('cos_raw', 6, D)} AS cosine, knn_rank
+    FROM r WHERE knn_rank <= 3
+"""
+
+
 @query(
     "q46_ann_lsh_ivf",
-    oracle=f"({_LSH_ANN_SQL}) UNION ALL ({_IVF_ANN_SQL})",
+    oracle=f"({_LSH_ANN_SQL}) UNION ALL ({_IVF_ANN_SQL})"
+    f" UNION ALL ({_LSH_MP_SQL})",
 )
 def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN index strategies in one driver row (round-5 slot merge,
-    same branch-merging the registry used for q12/q23): the LSH branch
-    is top-3 within the query's sign-projection bucket; the IVF branch
-    is top-3 within the query's coarse-quantizer cell. A ``method`` tag
-    keeps the branches distinguishable in the hashed result; both
-    operators remain independently unit-tested."""
+    """The ANN index strategies in one driver row (round-5 slot merge,
+    same branch-merging the registry used for q12/q23): ``lsh`` is
+    top-3 within the query's sign-projection bucket; ``ivf`` is top-3
+    within the query's coarse-quantizer cell; ``lsh_mp`` (second
+    batch) is MULTI-PROBE LSH — the query probes its own bucket plus
+    the two Hamming-1 flips of planes 0 and 1, the recall remedy
+    production LSH ships (same join shape, query side ×3). A
+    ``method`` tag keeps the branches distinguishable in the hashed
+    result; the operators stay independently unit-tested."""
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = KNN.lsh_ann(emb, num_queries=8, k=3, planes=_PLANES)
     ivf = KNN.ivf_ann(emb, num_queries=8, k=3, num_centroids=16)
-    return lsh.select(F.lit("lsh").alias("method"), "*").unionByName(
-        ivf.select(F.lit("ivf").alias("method"), "*")
+    mp = KNN.lsh_ann(emb, num_queries=8, k=3, planes=_PLANES, nprobe=3)
+    return (
+        lsh.select(F.lit("lsh").alias("method"), "*")
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
+        .unionByName(mp.select(F.lit("lsh_mp").alias("method"), "*"))
     )
 
 
