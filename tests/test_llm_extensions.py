@@ -272,3 +272,61 @@ def test_multimodal_features_feed_knn(spark):
     )
     knn = brute_force_knn(emb, num_queries=2, k=3)
     assert knn.count() == 2 * 3  # 2 queries x top-3 neighbors
+
+
+def test_grouped_agg_pandas_udaf_surface(spark):
+    """§2.8 grouped-agg pandas UDF: the Arrow UDAF path produces
+    exactly the built-in expression's values (median pin), and the
+    Gini UDAF obeys its defining bounds/invariants."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.functions.udafs import (
+        gini_udaf,
+        median_udaf,
+    )
+    from tests.conftest import SMOKE
+
+    docs = load_table(spark, SMOKE, "documents")
+    got = {
+        r.source: r.med
+        for r in docs.groupBy("source")
+        .agg(median_udaf("n_chars").alias("med"))
+        .collect()
+    }
+    want = {
+        r.source: r.med
+        for r in docs.groupBy("source")
+        .agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+        .collect()
+    }
+    assert got == want and len(got) > 1
+
+    gini = {
+        r.source: r.g
+        for r in docs.groupBy("source")
+        .agg(gini_udaf("n_chars").alias("g"))
+        .collect()
+    }
+    assert all(0.0 <= g < 1.0 for g in gini.values())
+    # invariance: a constant column has zero inequality
+    const = docs.select("source", F.lit(7).cast("long").alias("c"))
+    z = const.groupBy("source").agg(gini_udaf("c").alias("g")).collect()
+    assert all(abs(r.g) < 1e-12 for r in z)
+    # and a python reference recomputation on one group
+    import numpy as np
+
+    src = sorted(got)[0]
+    vals = np.sort(
+        np.array(
+            [
+                r.n_chars
+                for r in docs.filter(F.col("source") == src).collect()
+            ],
+            dtype=np.float64,
+        )
+    )
+    cum = np.cumsum(vals)
+    n = vals.size
+    ref = (n + 1 - 2 * (cum.sum() / cum[-1])) / n
+    assert abs(gini[src] - ref) < 1e-12
