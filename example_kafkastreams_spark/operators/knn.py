@@ -805,6 +805,106 @@ def _py_cosine(a: list[float], b: list[float]) -> float:
     return dot / math.sqrt(n2a * n2b)
 
 
+def ivf_pq_index(
+    emb: DataFrame,
+    num_centroids: int = 8,
+    m: int = 8,
+    num_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """The IVF-PQ INDEX build: (encoded frame (id, cell, codes),
+    centroids, residual codebook).
+
+    All map-side, zero corpus shuffle:
+    1. cell = argmax cosine against the spliced centroid literals
+       (deterministic first-``num_centroids`` sample, the ivf_ann
+       convention; ties → lowest cell via ``array_position`` of
+       ``array_max``),
+    2. residual = x − centroid[cell] (one ``zip_with`` against
+       ``element_at`` of the centroid array-of-arrays literal),
+    3. codes = per-subspace argmin against a residual codebook trained
+       from the first ``num_codes`` vectors' residuals (driver-side
+       sample, like ``pq_codebook``; the sample's cells are picked
+       with ``_py_cosine`` — the bit-exact Python twin of the SQL
+       cosine fold, so Python and SQL agree on every assignment).
+    """
+    cent_rows = (
+        emb.filter(F.col(id_col) < num_centroids)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in cent_rows]
+    dim = len(cents[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cents_lit = (
+        "array("
+        + ", ".join(P.vec_literal(c, P.SPARK) for c in cents)
+        + ")"
+    )
+
+    cos_arr = "array(" + ", ".join(
+        P.cosine(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
+        for c in cents
+    ) + ")"
+    cell_expr = (
+        f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+    )
+    residual_expr = (
+        f"zip_with({vec_col}, element_at({cents_lit}, cell + 1),"
+        f" (x, y) -> CAST(x AS DOUBLE) - y)"
+    )
+
+    def py_cell(v: list[float]) -> int:
+        best, best_c = None, -1
+        for ci, c in enumerate(cents):
+            cos = _py_cosine(v, c)
+            if best is None or cos > best:
+                best, best_c = cos, ci
+        return best_c
+
+    samp = (
+        emb.filter(F.col(id_col) < num_codes)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    residuals = []
+    for r in samp:
+        v = [float(x) for x in r[0]]
+        c = cents[py_cell(v)]
+        residuals.append([x - y for x, y in zip(v, c)])
+    codebook = [
+        [r[j * dsub:(j + 1) * dsub] for r in residuals] for j in range(m)
+    ]
+
+    code_exprs = []
+    for j in range(m):
+        sub = f"slice(__res, {j * dsub + 1}, {dsub})"
+        d2s = ", ".join(_l2sq_expr(sub, cw) for cw in codebook[j])
+        arr = f"array({d2s})"
+        code_exprs.append(
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+        )
+    enc = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("cell", F.expr(cell_expr))
+        .withColumn("__res", F.expr(residual_expr))
+        .select(
+            id_col,
+            "cell",
+            F.expr(f"array({', '.join(code_exprs)})").alias("codes"),
+        )
+    )
+    if persist:
+        enc = persist_tracked(enc)
+    return enc, cents, codebook
+
+
 def ivf_pq_ann(
     emb: DataFrame,
     num_queries: int = 8,
@@ -839,80 +939,10 @@ def ivf_pq_ann(
     cell picks replay SQL's exact IEEE fold (``_py_cosine``), so the
     probed cells match the stored cells bit-for-bit.
     """
-    import math
-
-    cent_rows = (
-        emb.filter(F.col(id_col) < num_centroids)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
+    enc, cents, codebook = ivf_pq_index(
+        emb, num_centroids, m, num_codes, id_col, vec_col
     )
-    cents = [[float(x) for x in r[0]] for r in cent_rows]
-    dim = len(cents[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    cents_lit = (
-        "array("
-        + ", ".join(P.vec_literal(c, P.SPARK) for c in cents)
-        + ")"
-    )
-
-    cos_arr = "array(" + ", ".join(
-        P.cosine(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
-        for c in cents
-    ) + ")"
-    cell_expr = (
-        f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
-    )
-    residual_expr = (
-        f"zip_with({vec_col}, element_at({cents_lit}, __cell + 1),"
-        f" (x, y) -> CAST(x AS DOUBLE) - y)"
-    )
-
-    def py_cell(v: list[float]) -> int:
-        best, best_c = None, -1
-        for ci, c in enumerate(cents):
-            cos = _py_cosine(v, c)
-            if best is None or cos > best:
-                best, best_c = cos, ci
-        return best_c
-
-    # residual codebook from the first num_codes vectors (driver-side
-    # sample, like pq_codebook)
-    samp = (
-        emb.filter(F.col(id_col) < num_codes)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
-    residuals = []
-    for r in samp:
-        v = [float(x) for x in r[0]]
-        c = cents[py_cell(v)]
-        residuals.append([x - y for x, y in zip(v, c)])
-    codebook = [
-        [r[j * dsub:(j + 1) * dsub] for r in residuals] for j in range(m)
-    ]
-
-    code_exprs = []
-    for j in range(m):
-        sub = f"slice(__res, {j * dsub + 1}, {dsub})"
-        d2s = ", ".join(_l2sq_expr(sub, cw) for cw in codebook[j])
-        arr = f"array({d2s})"
-        code_exprs.append(
-            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
-        )
-    enc = persist_tracked(
-        emb.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__cell", F.expr(cell_expr))
-        .withColumn("__res", F.expr(residual_expr))
-        .select(
-            id_col,
-            "__cell",
-            F.expr(f"array({', '.join(code_exprs)})").alias("codes"),
-        )
-    )
+    dsub = len(codebook[0][0])
 
     qrows = (
         emb.filter(F.col(id_col) < num_queries)
@@ -947,7 +977,7 @@ def ivf_pq_ann(
             )
             parts.append(
                 enc.filter(
-                    (F.col("__cell") == ci) & (F.col(id_col) != qid)
+                    (F.col("cell") == ci) & (F.col(id_col) != qid)
                 ).select(
                     F.lit(qid).alias("query_id"),
                     F.col(id_col).alias("neighbor_id"),

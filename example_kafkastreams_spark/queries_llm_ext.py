@@ -31,6 +31,7 @@ CHUNK_SIZE = 32
 PQ_M = 8
 PQ_DSUB = 8
 PQ_CODES = 16
+IVFPQ_CELLS = 8  # coarse cells for the ivfpq branch
 STRIDE = 24
 
 
@@ -172,6 +173,56 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id,
              string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS qvec
       FROM best WHERE rn = 1 GROUP BY vec_id
+    ),
+    cent8 AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {IVFPQ_CELLS}
+    ),
+    assn AS (
+      SELECT e.vec_id, e.embedding, cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {P.cosine('e.embedding', 'cv', D)} DESC, cid
+             ) AS rn
+      FROM embeddings e CROSS JOIN cent8
+    ),
+    cells2 AS (
+      SELECT vec_id, embedding, cid AS cell FROM assn WHERE rn = 1
+    ),
+    res AS (
+      SELECT c.vec_id, c.cell,
+             {P.transform_(
+                 P.seq_incl('1', 'len(c.embedding)', D), 'i',
+                 'CAST(c.embedding[i] AS DOUBLE)'
+                 ' - CAST(cv.cv[i] AS DOUBLE)', D)} AS r
+      FROM cells2 c JOIN cent8 cv ON cv.cid = c.cell
+    ),
+    rcb AS (
+      SELECT vec_id AS code, r AS crv FROM res WHERE vec_id < {PQ_CODES}
+    ),
+    sub2 AS (
+      SELECT r.vec_id, j.j, rcb.code,
+             {P.l2sq(
+                 P.slice_('r.r', f'j.j * {PQ_DSUB} + 1', PQ_DSUB, D),
+                 P.slice_('rcb.crv', f'j.j * {PQ_DSUB} + 1', PQ_DSUB, D),
+                 D)} AS d2
+      FROM res r
+      CROSS JOIN (SELECT unnest(range({PQ_M})) AS j) j
+      CROSS JOIN rcb
+    ),
+    best2 AS (
+      SELECT vec_id, j, code,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY d2, code) AS rn
+      FROM sub2
+    ),
+    ivfpq AS (
+      SELECT b.vec_id,
+             CAST(c.cell AS VARCHAR) || '|'
+               || string_agg(CAST(b.code AS VARCHAR), ',' ORDER BY b.j)
+               AS qvec
+      FROM best2 b JOIN cells2 c ON c.vec_id = b.vec_id
+      WHERE b.rn = 1 GROUP BY b.vec_id, c.cell
     )
     SELECT 'int8' AS mode, vec_id,
            round(CAST(l2_raw AS DOUBLE), 6) AS l2_norm,
@@ -186,10 +237,12 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base
     UNION ALL
     SELECT 'pq', vec_id, CAST(NULL AS DOUBLE), qvec, {PQ_M} FROM pq
+    UNION ALL
+    SELECT 'ivfpq', vec_id, CAST(NULL AS DOUBLE), qvec, {PQ_M} FROM ivfpq
     """,
 )
 def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding compression, both index formats in one driver row
+    """Embedding compression, every index format in one driver row
     (round-5 tag merge). ``int8``: per-vector L2-normalized int8 lanes
     — 4× smaller storage. ``pq``: product-quantization codes
     (KNN.pq_encode, m=8 subspaces × 16 codewords = 8 bytes/vector,
@@ -198,7 +251,11 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook (first 16 vectors' subvectors, the deterministic-sample
     convention) and the per-subspace argmin IN SQL, with ties falling
     to the lowest code in both engines (array_position-of-min vs
-    row_number ORDER BY d2, code over bit-identical d² folds)."""
+    row_number ORDER BY d2, code over bit-identical d² folds).
+    ``ivfpq``: the FAISS-style composition (KNN.ivf_pq_index) — coarse
+    cell + PQ codes of the RESIDUAL, serialized ``cell|c0,..,c7``; the
+    oracle re-derives cells, residuals, the residual codebook, and the
+    argmin entirely in SQL over the same IEEE folds."""
     emb = load_table(spark, sf_dir, "embeddings")
     int8 = KNN.quantize_embeddings(emb)
     cb = KNN.pq_codebook(emb, m=PQ_M, num_codes=PQ_CODES)
@@ -210,9 +267,24 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qvec"),
         F.lit(PQ_M).cast("int").alias("n_dims"),
     )
+    enc3, _, _ = KNN.ivf_pq_index(
+        emb, num_centroids=IVFPQ_CELLS, m=PQ_M, num_codes=PQ_CODES,
+        persist=False,
+    )
+    ivfpq = enc3.select(
+        F.col("vec_id"),
+        F.lit(None).cast("double").alias("l2_norm"),
+        F.expr(
+            "CAST(cell AS STRING) || '|' ||"
+            " concat_ws(',', transform(codes, c -> CAST(c AS STRING)))"
+        ).alias("qvec"),
+        F.lit(PQ_M).cast("int").alias("n_dims"),
+    )
     cols = ["vec_id", "l2_norm", "qvec", "n_dims"]
-    return int8.select(F.lit("int8").alias("mode"), *cols).unionByName(
-        pq.select(F.lit("pq").alias("mode"), *cols)
+    return (
+        int8.select(F.lit("int8").alias("mode"), *cols)
+        .unionByName(pq.select(F.lit("pq").alias("mode"), *cols))
+        .unionByName(ivfpq.select(F.lit("ivfpq").alias("mode"), *cols))
     )
 
 
