@@ -303,6 +303,7 @@ def ivf_ann(
     num_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantizer + within-cell search.
 
@@ -320,9 +321,25 @@ def ivf_ann(
     broadcast (no corpus shuffle); the within-cell join shuffles on the
     cell id — collisions scale with cell population, the IVF promise.
     """
-    cent = emb.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-    )
+    if centroids is not None:
+        # TRAINED quantizer (kmeans_train) as a drop-in: the promised
+        # "literal substitution" — same broadcast-assign plan, the
+        # centroid frame just comes from the trained list
+        from pyspark.sql import types as T
+
+        cent = emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            T.StructType(
+                [
+                    T.StructField("cid", T.LongType()),
+                    T.StructField("cv", T.ArrayType(T.DoubleType())),
+                ]
+            ),
+        )
+    else:
+        cent = emb.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        )
     # the |corpus| x |centroids| assignment map is the expensive stage;
     # spread it off the single-row-group scan partition (no-op when the
     # scan is already parallel)
@@ -997,4 +1014,92 @@ def ivf_pq_ann(
         "neighbor_id",
         F.expr(P.round_dbl("__d2", 6, P.SPARK)).alias("approx_d2"),
         "knn_rank",
+    )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means over the embedding column — the TRAINED coarse
+    quantizer for ``ivf_ann`` / ``ivf_pq_index`` (their docstrings
+    promise "swapping in trained centroids is a literal substitution";
+    this produces those literals).
+
+    Spark-first shape, one job per iteration:
+    * ASSIGN is map-side — current centroids splice into the scan as
+      exact double literals (the ivf_pq_index cell expression), so the
+      corpus never shuffles for assignment;
+    * UPDATE is a ``posexplode`` to (cell, dim, value) and one
+      partial-aggregated sum/count — the shuffle carries k·dim
+      aggregate rows, not vectors — collected (k·dim doubles) and
+      rebuilt driver-side.
+    Init = first-``k`` sample (the deterministic convention). Empty
+    cells keep their previous centroid. Exact reproducibility caveat:
+    the per-cell double sums are partition-order dependent at the ULP
+    level (like every floating k-means); oracle-checked rows therefore
+    keep the deterministic-sample quantizer, and trained centroids are
+    for recall, pinned by tolerance-based tests.
+    """
+    rows = (
+        emb.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in rows]
+    if len(cents) < k:
+        raise ValueError(f"need >= {k} vectors with {id_col} < {k}")
+    dim = len(cents[0])
+    for _ in range(iterations):
+        cos_arr = "array(" + ", ".join(
+            P.cosine(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
+            for c in cents
+        ) + ")"
+        cell = (
+            f"CAST(array_position({cos_arr}, array_max({cos_arr}))"
+            f" - 1 AS INT)"
+        )
+        agg = (
+            emb.select(
+                F.expr(cell).alias("__cell"),
+                F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
+            )
+            .groupBy("__cell", "__dim")
+            .agg(
+                F.sum(F.col("__v").cast("double")).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        counts = [0] * len(cents)
+        for r in agg:
+            new[r["__cell"]][r["__dim"]] = r["__s"] / r["__n"]
+            counts[r["__cell"]] = r["__n"]
+        cents = [
+            new[i] if counts[i] > 0 else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
+def kmeans_inertia(
+    emb: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Σ min-cell ‖x − c‖² — the Lloyd objective, one map-side pass."""
+    d2s = ", ".join(
+        P.l2sq(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
+        for c in cents
+    )
+    return (
+        emb.select(F.expr(f"array_min(array({d2s}))").alias("__d"))
+        .agg(F.sum("__d"))
+        .collect()[0][0]
     )
