@@ -1023,6 +1023,7 @@ def kmeans_train(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> list[list[float]]:
     """Lloyd's k-means over the embedding column — the TRAINED coarse
     quantizer for ``ivf_ann`` / ``ivf_pq_index`` (their docstrings
@@ -1038,7 +1039,9 @@ def kmeans_train(
       aggregate rows, not vectors — collected (k·dim doubles) and
       rebuilt driver-side.
     Init = first-``k`` sample (the deterministic convention). Empty
-    cells keep their previous centroid. Exact reproducibility caveat:
+    cells keep their previous centroid. ``metric``: "cosine" (the
+    coarse-quantizer convention the IVF operators assign by) or "l2"
+    (the subvector/residual convention PQ codebooks use). Exact reproducibility caveat:
     the per-cell double sums are partition-order dependent at the ULP
     level (like every floating k-means); oracle-checked rows therefore
     keep the deterministic-sample quantizer, and trained centroids are
@@ -1055,14 +1058,19 @@ def kmeans_train(
         raise ValueError(f"need >= {k} vectors with {id_col} < {k}")
     dim = len(cents[0])
     for _ in range(iterations):
-        cos_arr = "array(" + ", ".join(
-            P.cosine(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
-            for c in cents
-        ) + ")"
-        cell = (
-            f"CAST(array_position({cos_arr}, array_max({cos_arr}))"
-            f" - 1 AS INT)"
-        )
+        if metric == "cosine":
+            arr = "array(" + ", ".join(
+                P.cosine(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
+                for c in cents
+            ) + ")"
+            pick = f"array_position({arr}, array_max({arr}))"
+        else:  # l2 — the subvector/residual-codebook convention
+            arr = "array(" + ", ".join(
+                P.l2sq(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
+                for c in cents
+            ) + ")"
+            pick = f"array_position({arr}, array_min({arr}))"
+        cell = f"CAST({pick} - 1 AS INT)"
         agg = (
             emb.select(
                 F.expr(cell).alias("__cell"),
@@ -1103,3 +1111,44 @@ def kmeans_inertia(
         .agg(F.sum("__d"))
         .collect()[0][0]
     )
+
+
+def pq_codebook_trained(
+    emb: DataFrame,
+    m: int = 8,
+    num_codes: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """PQ codebooks TRAINED per subspace — L2 k-means over each
+    subvector slice (the production PQ training recipe; ``pq_codebook``
+    stays the deterministic-sample convention oracle rows use).
+
+    One ``kmeans_train(metric="l2")`` per subspace over a projected
+    frame (id, slice) — m small training runs, each with the map-side
+    assign / k·dsub-row update shape. Same return layout as
+    ``pq_codebook``, so ``pq_encode``/``pq_ann`` take it unchanged.
+    """
+    rows = emb.select(vec_col).limit(1).collect()
+    if not rows:
+        raise ValueError("empty corpus")
+    dim = len(rows[0][0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebook = []
+    for j in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.expr(
+                f"slice({vec_col}, {j * dsub + 1}, {dsub})"
+            ).alias(vec_col),
+        )
+        codebook.append(
+            kmeans_train(
+                sub, k=num_codes, iterations=iterations,
+                id_col=id_col, vec_col=vec_col, metric="l2",
+            )
+        )
+    return codebook

@@ -338,3 +338,39 @@ def test_kmeans_centroids_feed_ivf(spark):
     assert set(got) == set(exact)
     for q in exact:
         assert got[q] // per_cluster == exact[q] // per_cluster
+
+
+def test_trained_pq_codebook_reduces_quantization_error(spark):
+    """Per-subspace L2 k-means codebooks reconstruct the corpus with
+    at most the sample codebook's total squared error (Lloyd never
+    increases the objective it optimizes), and pq_encode/pq_ann accept
+    them unchanged."""
+    from example_kafkastreams_spark.operators.knn import (
+        pq_ann,
+        pq_codebook,
+        pq_codebook_trained,
+        pq_encode,
+    )
+
+    emb, _ = _clustered(spark, n_clusters=4, per_cluster=16)
+
+    def total_err(cb):
+        enc = {r.vec_id: list(r.codes) for r in pq_encode(emb, cb).collect()}
+        vecs = {r.vec_id: [float(x) for x in r.embedding]
+                for r in emb.collect()}
+        err = 0.0
+        for vid, codes in enc.items():
+            for j, c in enumerate(codes):
+                cw = cb[j][c]
+                seg = vecs[vid][j * 8:(j + 1) * 8]
+                err += sum((a - b) ** 2 for a, b in zip(seg, cw))
+        return err
+
+    sample_cb = pq_codebook(emb, m=8, num_codes=16)
+    trained_cb = pq_codebook_trained(emb, m=8, num_codes=16, iterations=3)
+    assert len(trained_cb) == 8 and all(len(s) == 16 for s in trained_cb)
+    assert total_err(trained_cb) <= total_err(sample_cb) + 1e-9
+    # drop-in: ann over the trained codebook still ranks sanely
+    out = pq_ann(emb, num_queries=2, k=3)
+    release_sketch_caches()
+    assert len(out.collect()) == 6
