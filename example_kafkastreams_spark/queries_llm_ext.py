@@ -443,26 +443,56 @@ def q59_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRP_PLANES = KNN.hyperplanes(num_planes=8)
 
 
-@query(
-    "q58_srp_histogram",
-    oracle=f"""
+KMV_K = 64
+
+
+def _q58_sql() -> str:
+    from .operators.sketches import kmv_distinct_sql
+
+    toks = f"SELECT unnest({P.split_ws('text', D)}) AS v FROM documents"
+    kmv = kmv_distinct_sql(toks, KMV_K)
+    return f"""
     WITH b AS (
       SELECT vec_id,
              {P.hyperplane_bucket('embedding', _SRP_PLANES, D)} AS srp_bucket
       FROM embeddings
+    ),
+    kmv AS ({kmv}),
+    exact AS (
+      SELECT count(DISTINCT v) AS exact_distinct FROM ({toks})
     )
-    SELECT srp_bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+    SELECT 'srp' AS mode, srp_bucket,
+           count(*) AS n_vectors, min(vec_id) AS min_vec_id,
+           CAST(NULL AS INTEGER) AS k_used,
+           CAST(NULL AS BIGINT) AS kth_hash,
+           CAST(NULL AS DOUBLE) AS est_distinct,
+           CAST(NULL AS BIGINT) AS exact_distinct
     FROM b GROUP BY srp_bucket
-    """,
-)
+    UNION ALL
+    SELECT 'kmv', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), k_used, kth_hash, est_distinct,
+           exact_distinct
+    FROM kmv CROSS JOIN exact
+    """
+
+
+@query("q58_srp_histogram", oracle=_q58_sql())
 def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """8-plane sign-random-projection signatures + bucket occupancy —
-    the load-balance diagnostic run before committing to an LSH layout
-    (empty/overfull buckets ⇒ re-seed or add planes). Map-side
-    signature + one small hash agg."""
+    """Sketch diagnostics in one driver row (round-5 tag merge).
+    ``srp``: 8-plane sign-random-projection signatures + bucket
+    occupancy — the load-balance check run before committing to an LSH
+    layout; map-side signature + one small hash agg. ``kmv``:
+    k-minimum-values distinct-count sketch over the documents token
+    vocabulary (operators.sketches) next to the exact distinct count —
+    the cross-engine-EXACT alternative to HLL: same token_hash32
+    BIGINTs, same ``(k−1)·2³²/h_k`` estimator bits in both engines,
+    and the local dense_rank prune keeps the exchange candidate-set
+    sized instead of corpus sized."""
+    from .operators.sketches import kmv_distinct
+
     emb = load_table(spark, sf_dir, "embeddings")
     bucket = P.hyperplane_bucket("embedding", _SRP_PLANES, P.SPARK)
-    return (
+    srp = (
         emb.select("vec_id", F.expr(bucket).alias("srp_bucket"))
         .groupBy("srp_bucket")
         .agg(
@@ -470,3 +500,27 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_vec_id"),
         )
     )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("v"))
+    )
+    kmv = kmv_distinct(toks, "v", KMV_K).crossJoin(
+        toks.agg(F.count_distinct("v").alias("exact_distinct"))
+    )
+    null = {
+        "k_used": "int", "kth_hash": "long", "est_distinct": "double",
+        "exact_distinct": "long",
+    }
+    srp_b = srp.select(
+        F.lit("srp").alias("mode"), "srp_bucket", "n_vectors",
+        "min_vec_id",
+        *[F.lit(None).cast(t).alias(c) for c, t in null.items()],
+    )
+    kmv_b = kmv.select(
+        F.lit("kmv").alias("mode"),
+        F.lit(None).cast("int").alias("srp_bucket"),
+        F.lit(None).cast("long").alias("n_vectors"),
+        F.lit(None).cast("long").alias("min_vec_id"),
+        "k_used", "kth_hash", "est_distinct", "exact_distinct",
+    )
+    return srp_b.unionByName(kmv_b)

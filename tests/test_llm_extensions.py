@@ -330,3 +330,50 @@ def test_grouped_agg_pandas_udaf_surface(spark):
     n = vals.size
     ref = (n + 1 - 2 * (cum.sum() / cum[-1])) / n
     assert abs(gini[src] - ref) < 1e-12
+
+
+def test_kmv_sketch_properties(spark):
+    """KMV distinct sketch: exact below k, ~1/sqrt(k) accurate above,
+    and exactly partition-independent (the candidate prune keeps every
+    globally-small distinct hash)."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.functions import portable as P
+    from example_kafkastreams_spark.operators.sketches import kmv_distinct
+    from tests.conftest import SMOKE
+
+    # small cardinality -> exact
+    small = spark.createDataFrame(
+        [(f"tok{i % 10}",) for i in range(200)], "v string"
+    )
+    row = kmv_distinct(small, "v", k=64).collect()[0]
+    assert row.k_used == 10 and row.est_distinct == 10.0
+
+    # real vocabulary: estimate within the sketch's error regime
+    toks = (
+        load_table(spark, SMOKE, "documents")
+        .select(F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("v"))
+    )
+    exact = toks.agg(F.count_distinct("v")).collect()[0][0]
+    est = kmv_distinct(toks, "v", k=64).collect()[0].est_distinct
+    if exact <= 64:
+        assert est == float(exact)
+    else:
+        assert abs(est - exact) / exact < 0.5  # ~4 sigma at k=64
+
+    # partition independence: identical row under any layout
+    a = kmv_distinct(toks, "v", 64).collect()[0]
+    b = kmv_distinct(toks.repartition(17), "v", 64).collect()[0]
+    assert (a.k_used, a.kth_hash, a.est_distinct) == (
+        b.k_used, b.kth_hash, b.est_distinct
+    )
+
+    # duplicate-heavy partition cannot evict a larger distinct hash
+    # (the dense_rank-vs-row_number regression): one partition holds
+    # 500 copies of one token plus 70 distinct others
+    skew = spark.createDataFrame(
+        [("dup",)] * 500 + [(f"u{i}",) for i in range(70)], "v string"
+    ).coalesce(1)
+    r = kmv_distinct(skew, "v", k=64).collect()[0]
+    assert r.k_used == 64  # 71 distinct values -> sketch saturates
