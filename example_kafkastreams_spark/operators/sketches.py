@@ -85,3 +85,104 @@ def kmv_distinct_sql(value_sql: str, k: int = 64) -> str:
       )
     )
     """
+
+
+def count_min_counters(
+    values: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch counters: (d, bucket, cnt), depth·width rows.
+
+    Each value emits ``depth`` (row, bucket) coordinates map-side —
+    bucket_d = token_hash32(d || ':' || v) % width — and ONE hash
+    aggregation builds every counter (partial agg collapses the
+    per-partition mass before the exchange, which carries at most
+    depth·width rows per partition). Counters are EXACT integers, so
+    the sketch is deterministic and cross-engine reproducible —
+    unlike sampled sketches, a CM sketch's content depends only on
+    the multiset, never on partitioning.
+    """
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        F.expr(
+                            P.token_hash32(
+                                f"CONCAT('{d}:', {value_col})", P.SPARK
+                            )
+                        )
+                        % width
+                    ).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("__c")
+    return (
+        values.select(coords)
+        .select(F.col("__c.d").alias("d"), F.col("__c.bucket").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimates(
+    values: DataFrame,
+    value_col: str,
+    probes: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(probe value, cms_est, exact_cnt) per probe — the point-query
+    side of the sketch: est = min over d of counter[d][bucket_d(v)],
+    always ≥ the true count (CM's one-sided guarantee; equality when
+    no collision). ``probes`` is a small one-column frame (broadcast);
+    the exact count joins in for quality reporting."""
+    counters = count_min_counters(values, value_col, depth, width)
+    pb = probes.select(
+        F.col(probes.columns[0]).alias("__pv")
+    ).distinct()
+    coords = pb.select(
+        "__pv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.expr(
+                                P.token_hash32(
+                                    f"CONCAT('{d}:', __pv)", P.SPARK
+                                )
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__c"),
+    ).select(
+        "__pv",
+        F.col("__c.d").alias("d"),
+        F.col("__c.bucket").alias("bucket"),
+    )
+    est = (
+        coords.join(counters, ["d", "bucket"], "left")
+        .groupBy("__pv")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        values.join(F.broadcast(pb), F.col(value_col) == F.col("__pv"))
+        .groupBy("__pv")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return est.join(exact, "__pv", "left").select(
+        F.col("__pv").alias("probe"),
+        "cms_est",
+        F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
+    )

@@ -444,6 +444,9 @@ _SRP_PLANES = KNN.hyperplanes(num_planes=8)
 
 
 KMV_K = 64
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PROBES = 3
 
 
 def _q58_sql() -> str:
@@ -451,6 +454,7 @@ def _q58_sql() -> str:
 
     toks = f"SELECT unnest({P.split_ws('text', D)}) AS v FROM documents"
     kmv = kmv_distinct_sql(toks, KMV_K)
+    bkt = P.token_hash32("CONCAT(CAST(j.j AS VARCHAR), ':', t.v)", D)
     return f"""
     WITH b AS (
       SELECT vec_id,
@@ -460,19 +464,56 @@ def _q58_sql() -> str:
     kmv AS ({kmv}),
     exact AS (
       SELECT count(DISTINCT v) AS exact_distinct FROM ({toks})
+    ),
+    counters AS (
+      SELECT j.j AS d, ({bkt}) % {CMS_WIDTH} AS bucket, count(*) AS cnt
+      FROM ({toks}) t
+      CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) j
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT v FROM (SELECT DISTINCT v FROM ({toks}))
+      ORDER BY md5(v), v LIMIT {CMS_PROBES}
+    ),
+    pcoord AS (
+      SELECT t.v, j.j AS d, ({bkt}) % {CMS_WIDTH} AS bucket
+      FROM probes t
+      CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) j
+    ),
+    cms AS (
+      SELECT p.v AS probe,
+             min(COALESCE(c.cnt, 0)) AS cms_est
+      FROM pcoord p LEFT JOIN counters c
+        ON c.d = p.d AND c.bucket = p.bucket
+      GROUP BY p.v
+    ),
+    pexact AS (
+      SELECT t.v AS probe, count(*) AS exact_cnt
+      FROM ({toks}) t JOIN probes pr ON pr.v = t.v GROUP BY t.v
     )
     SELECT 'srp' AS mode, srp_bucket,
            count(*) AS n_vectors, min(vec_id) AS min_vec_id,
            CAST(NULL AS INTEGER) AS k_used,
            CAST(NULL AS BIGINT) AS kth_hash,
            CAST(NULL AS DOUBLE) AS est_distinct,
-           CAST(NULL AS BIGINT) AS exact_distinct
+           CAST(NULL AS BIGINT) AS exact_distinct,
+           CAST(NULL AS VARCHAR) AS probe,
+           CAST(NULL AS BIGINT) AS cms_est,
+           CAST(NULL AS BIGINT) AS exact_cnt
     FROM b GROUP BY srp_bucket
     UNION ALL
     SELECT 'kmv', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), k_used, kth_hash, est_distinct,
-           exact_distinct
+           exact_distinct, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
     FROM kmv CROSS JOIN exact
+    UNION ALL
+    SELECT 'cms', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), c.probe, c.cms_est,
+           COALESCE(e.exact_cnt, 0)
+    FROM cms c LEFT JOIN pexact e ON e.probe = c.probe
     """
 
 
@@ -500,6 +541,8 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_vec_id"),
         )
     )
+    from .operators.sketches import count_min_estimates
+
     toks = (
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("v"))
@@ -507,20 +550,32 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmv = kmv_distinct(toks, "v", KMV_K).crossJoin(
         toks.agg(F.count_distinct("v").alias("exact_distinct"))
     )
+    probes = (
+        toks.select("v").distinct()
+        .orderBy(F.md5("v"), "v")
+        .limit(CMS_PROBES)
+    )
+    cms = count_min_estimates(
+        toks, "v", probes, depth=CMS_DEPTH, width=CMS_WIDTH
+    )
     null = {
         "k_used": "int", "kth_hash": "long", "est_distinct": "double",
-        "exact_distinct": "long",
+        "exact_distinct": "long", "probe": "string", "cms_est": "long",
+        "exact_cnt": "long",
     }
-    srp_b = srp.select(
-        F.lit("srp").alias("mode"), "srp_bucket", "n_vectors",
-        "min_vec_id",
-        *[F.lit(None).cast(t).alias(c) for c, t in null.items()],
+
+    def pad(df: DataFrame, mode: str, keep: list[str]) -> DataFrame:
+        base = {"srp_bucket": "int", "n_vectors": "long",
+                "min_vec_id": "long", **null}
+        cols = [F.lit(mode).alias("mode")] + [
+            F.col(c) if c in keep else F.lit(None).cast(t).alias(c)
+            for c, t in base.items()
+        ]
+        return df.select(*cols)
+
+    return (
+        pad(srp, "srp", ["srp_bucket", "n_vectors", "min_vec_id"])
+        .unionByName(pad(kmv, "kmv", ["k_used", "kth_hash",
+                                      "est_distinct", "exact_distinct"]))
+        .unionByName(pad(cms, "cms", ["probe", "cms_est", "exact_cnt"]))
     )
-    kmv_b = kmv.select(
-        F.lit("kmv").alias("mode"),
-        F.lit(None).cast("int").alias("srp_bucket"),
-        F.lit(None).cast("long").alias("n_vectors"),
-        F.lit(None).cast("long").alias("min_vec_id"),
-        "k_used", "kth_hash", "est_distinct", "exact_distinct",
-    )
-    return srp_b.unionByName(kmv_b)

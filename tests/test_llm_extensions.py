@@ -377,3 +377,42 @@ def test_kmv_sketch_properties(spark):
     ).coalesce(1)
     r = kmv_distinct(skew, "v", k=64).collect()[0]
     assert r.k_used == 64  # 71 distinct values -> sketch saturates
+
+
+def test_count_min_sketch_properties(spark):
+    """CM sketch: one-sided (est >= exact always), exact at generous
+    width, deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.functions import portable as P
+    from example_kafkastreams_spark.operators.sketches import (
+        count_min_estimates,
+    )
+    from tests.conftest import SMOKE
+
+    toks = (
+        load_table(spark, SMOKE, "documents")
+        .select(F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("v"))
+    )
+    probes = toks.select("v").distinct().orderBy(F.md5("v"), "v").limit(8)
+    rows = count_min_estimates(toks, "v", probes, depth=4, width=64).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt >= 1  # one-sided guarantee
+    # generous width -> no collisions on this vocab -> exact
+    wide = count_min_estimates(
+        toks, "v", probes, depth=4, width=1 << 16
+    ).collect()
+    assert all(r.cms_est == r.exact_cnt for r in wide)
+    # deterministic under layout
+    a = sorted(map(tuple, rows))
+    b = sorted(
+        map(
+            tuple,
+            count_min_estimates(
+                toks.repartition(13), "v", probes, depth=4, width=64
+            ).collect(),
+        )
+    )
+    assert a == b
