@@ -15,10 +15,13 @@ Reproduces the correctness driver as faithfully as we can observe it:
 
 Prints one JSON line per query plus a summary; exit 1 on any mismatch.
 
-Usage:  python driver_sim.py [sf_dir] [--double]
+Usage:  python driver_sim.py [sf_dir] [--double] [--only q40,q63]
         (default sf_dir /root/testdata/sf0.01; --double re-executes each
         green query and requires identical typed values — determinism
-        probe for partition-order-sensitive tie-breaks)
+        probe for partition-order-sensitive tie-breaks; --only limits
+        the sweep to queries whose name contains any of the
+        comma-separated substrings — the fast inner loop when
+        iterating on one oracle)
 """
 
 from __future__ import annotations
@@ -32,8 +35,22 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = None
+    positional = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--only" and i + 1 < len(argv):
+            only = argv[i + 1].split(",")
+            i += 2
+            continue
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+        elif not a.startswith("--"):
+            positional.append(a)
+        i += 1
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
 
     import importlib.util
 
@@ -60,6 +77,11 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        queries = {
+            n: f for n, f in queries.items()
+            if any(sub in n for sub in only)
+        }
 
     n_fail = 0
     results: dict[str, dict] = {}
