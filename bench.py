@@ -351,6 +351,91 @@ def main() -> None:
         }
     shutil.rmtree(part_path, ignore_errors=True)
 
+    # Multi-dimensional clustering (Z-order): date partitioning prunes
+    # ONE dimension; a 2-D box query (part AND supplier range) over a
+    # 100 TB lineitem needs the LAYOUT to cluster both. Three copies of
+    # lineitem, same small row groups, same box query; input_records is
+    # again the honest metric (parquet row-group min/max stats skip
+    # groups the box cannot intersect):
+    #   * unsorted      — natural order: every row group straddles the
+    #     box in both dims, nothing skips;
+    #   * sorted_1d     — sorted by l_partkey: perfect pruning on the
+    #     part range, none on the supplier range within it;
+    #   * zorder        — sorted by the Morton interleave of both key's
+    #     bits: row groups are 2-D tiles, so groups outside EITHER
+    #     range skip. The interleave is a pure column expression
+    #     (shiftright/&/shiftleft folds) — computed once at write time,
+    #     the layout is just a sort order.
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    stats = li.agg(
+        F.expr("approx_percentile(l_partkey, array(0.4, 0.6))").alias("p"),
+        F.expr("approx_percentile(l_suppkey, array(0.4, 0.6))").alias("s"),
+        F.max("l_partkey").alias("pmax"),
+        F.max("l_suppkey").alias("smax"),
+    ).first()
+    (p_lo, p_hi), (s_lo, s_hi) = stats["p"], stats["s"]
+    # normalize BOTH keys to 16 bits before interleaving — with raw
+    # values the wider key's high bits dominate the code and the curve
+    # degenerates to (a worse) single-column sort
+    pn = f"CAST(l_partkey * 65535 DIV {stats['pmax']} AS BIGINT)"
+    sn = f"CAST(l_suppkey * 65535 DIV {stats['smax']} AS BIGINT)"
+    zbits = " + ".join(
+        f"(shiftleft(shiftright({pn}, {i}) & 1, {2 * i})"
+        f" + shiftleft(shiftright({sn}, {i}) & 1, {2 * i + 1}))"
+        for i in range(16)
+    )
+
+    def box(src):
+        return (
+            src.filter(
+                (F.col("l_partkey") >= p_lo) & (F.col("l_partkey") <= p_hi)
+                & (F.col("l_suppkey") >= s_lo) & (F.col("l_suppkey") <= s_hi)
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("q"),
+            )
+        )
+
+    z_rows: dict[str, dict] = {}
+    for label, writer in (
+        ("unsorted", lambda d: d),
+        ("sorted_1d", lambda d: d.repartitionByRange(16, "l_partkey")
+            .sortWithinPartitions("l_partkey")),
+        ("zorder", lambda d: d.withColumn("__z", F.expr(zbits))
+            .repartitionByRange(16, "__z").sortWithinPartitions("__z")
+            .drop("__z")),
+    ):
+        path = os.path.join(
+            tempfile.gettempdir(), f"bench_li_{label}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            writer(li).write
+            .option("parquet.block.size", 128 * 1024)
+            .mode("overwrite").parquet(path)
+        )
+        src = spark.read.parquet(path)
+        best = float("inf")
+        read = None
+        for i in range(3):
+            before = input_totals(spark)
+            t0 = time.perf_counter()
+            run_noop(box(src))
+            best = min(best, time.perf_counter() - t0)
+            after = input_totals(spark)
+            if i == 0 and before is not None and after is not None:
+                read = (after[0] - before[0], after[1] - before[1])
+        z_rows[label] = {
+            "sec": round(best, 3),
+            "input_records": read[0] if read else None,
+            "input_bytes": read[1] if read else None,
+        }
+        shutil.rmtree(path, ignore_errors=True)
+    compare["zorder_box_query"] = z_rows
+
     # Skew survival (VERDICT r3 item 5): machinery (q37) is not
     # evidence — this measures the straggler being FLATTENED. One
     # synthetic hot user owns ~10% of events; the same fact⋈agg

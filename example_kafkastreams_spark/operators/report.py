@@ -1,0 +1,93 @@
+"""Per-source corpus report — the "data card" a training-data release
+ships (composition of the shipped profiling operators into one table).
+
+One row per source: volume (docs, tokens), quality (mean composite
+score, the q48 expression), language purity (share of docs whose
+PREDICTED language — the operator's lang-ID, not the label column —
+matches the expected language), duplication (1 − distinct-texts/docs,
+the exact-dedup rate at source grain), and inequality of document
+length (``udafs.gini_udaf`` — how concentrated the token budget is in
+a few long documents).
+
+Scale shape: every per-doc metric is a pure column expression fused
+into the scan; the single aggregation groups by source, with
+``count_distinct(md5(text))`` carrying 32-hex digests (never text)
+through its distinct path and the Gini UDAF being the one full-group
+Arrow aggregation (documented cost in functions/udafs.py — per-source
+groups are the small grain this report runs at).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import portable as P
+from ..functions.udafs import gini_udaf
+from ..queries_llm import _quality_exprs
+
+
+def corpus_report(
+    docs: DataFrame,
+    expected_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, distinct_texts, dup_rate,
+    mean_quality, pct_lang_pure, gini_chars) — one row per source."""
+    exprs = _quality_exprs(P.SPARK)
+    scores = P.lang_scores(text_col, P.SPARK)
+    # scores materialize in their own projection first: lang_predict's
+    # CASE chain references each score O(L) times, and only a named
+    # column keeps the regex counts evaluated once per doc (the q48
+    # pattern)
+    scored = docs.select(
+        F.col(source_col),
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("__digest"),
+        F.expr(exprs["n_tokens"]).alias("__n_tok"),
+        F.expr(exprs["quality_score"]).alias("__q"),
+        *[
+            F.expr(e).alias(f"__s_{lang}")
+            for lang, e in scores.items()
+        ],
+    )
+    profiled = scored.withColumn(
+        "__pred",
+        F.expr(
+            P.lang_predict({l: f"__s_{l}" for l in P.LANG_MARKERS})
+        ),
+    )
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT): the Gini
+    # column aggregates separately over a slim (source, chars)
+    # projection and joins back at source grain (a handful of rows)
+    gini = docs.select(
+        F.col(source_col), F.length(F.col(text_col)).alias("__n_chars")
+    ).groupBy(source_col).agg(
+        F.round(gini_udaf("__n_chars"), 6).alias("gini_chars")
+    )
+    return (
+        profiled.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").alias("n_tokens"),
+            F.count_distinct("__digest").alias("distinct_texts"),
+            F.round(F.avg("__q"), 6).alias("mean_quality"),
+            F.round(
+                F.avg((F.col("__pred") == expected_lang).cast("double")),
+                6,
+            ).alias("pct_lang_pure"),
+        )
+        .join(gini, source_col)
+        .withColumn(
+            "dup_rate",
+            F.round(
+                1.0 - F.col("distinct_texts") / F.col("n_docs"), 6
+            ),
+        )
+        .select(
+            source_col, "n_docs", "n_tokens", "distinct_texts",
+            "dup_rate", "mean_quality", "pct_lang_pure", "gini_chars",
+        )
+    )

@@ -416,3 +416,31 @@ def test_count_min_sketch_properties(spark):
         )
     )
     assert a == b
+
+
+def test_corpus_report_data_card(spark):
+    """The per-source data card composes the shipped profiling
+    operators: volumes add up, dup_rate reflects injected duplicates,
+    language purity and Gini stay in bounds."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.report import corpus_report
+    from tests.conftest import SMOKE
+
+    docs = load_table(spark, SMOKE, "documents")
+    rep = {r.source: r for r in corpus_report(docs).collect()}
+    assert sum(r.n_docs for r in rep.values()) == docs.count()
+    for r in rep.values():
+        assert 0.0 <= r.dup_rate < 1.0
+        assert 0.0 <= r.gini_chars < 1.0
+        assert 0.0 <= r.pct_lang_pure <= 1.0
+        assert r.n_tokens > r.n_docs  # multi-token docs
+
+    # injected duplicates move dup_rate exactly
+    base = docs.filter(F.col("source") == sorted(rep)[0])
+    n = base.count()
+    dup = base.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    r2 = corpus_report(base.unionByName(dup)).collect()[0]
+    assert r2.n_docs == n + 5 and r2.distinct_texts == n
+    assert abs(r2.dup_rate - round(1 - n / (n + 5), 6)) < 1e-9
