@@ -417,3 +417,69 @@ def corpus_decontaminate_stream(
         )
         .drop("__bench_grams")
     )
+
+
+def corpus_ingest_with_index(
+    docs: DataFrame,
+    spark,
+    index_path: str,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **ingest_kwargs,
+):
+    """Streaming ingest with a PERSISTENT digest index — the cross-JOB
+    memory ``corpus_ingest_stream`` alone lacks.
+
+    In-stream ``dropDuplicatesWithinWatermark`` state lives inside ONE
+    query's checkpoint and watermark horizon; a re-ingest next week (a
+    fresh query) would re-admit everything. The stored index closes
+    the loop, composing the streaming gate with
+    ``neardup.incremental_exact_dedup``'s contract:
+
+    * at query START the existing index (one 32-hex ``content_hash``
+      column, parquet) joins STREAM-STATIC left-anti against each
+      micro-batch — docs whose content any PREVIOUS run admitted never
+      even reach the dedup state store;
+    * the returned ``sink`` (a foreachBatch function) appends each
+      micro-batch's survivors to ``out_path`` AND their
+      (id, content_hash) rows to the index — so ``index' = index ∪
+      admitted``, exactly ``incremental_exact_dedup``'s update rule,
+      maintained incrementally by the stream itself.
+
+    Returns ``(stream_df, make_sink)`` — start with::
+
+        df, mk = corpus_ingest_with_index(stream, spark, idx)
+        q = df.writeStream.foreachBatch(mk(out_path)).option(
+            "checkpointLocation", ckpt).start()
+
+    Scale notes: the static index side re-reads only at query start
+    (admitted-this-run dups are the stream state's job); the anti join
+    carries digests, never text; the per-batch index append is the
+    same digest-only layout a nightly batch job would write.
+    """
+    import os
+
+    out = corpus_ingest_stream(
+        docs, ts_col=ts_col, **ingest_kwargs
+    ).withColumn("content_hash", F.md5(F.col(text_col)))
+    if os.path.isdir(index_path):
+        idx = spark.read.parquet(index_path).select("content_hash")
+        out = out.join(idx, "content_hash", "left_anti")
+
+    def make_sink(out_path: str):
+        def sink(batch_df, batch_id: int):
+            batch_df.persist()
+            try:
+                batch_df.drop("content_hash").write.mode("append").parquet(
+                    out_path
+                )
+                batch_df.select(id_col, "content_hash").write.mode(
+                    "append"
+                ).parquet(index_path)
+            finally:
+                batch_df.unpersist()
+
+        return sink
+
+    return out, make_sink

@@ -359,3 +359,20 @@ def test_components_converges_under_iteration_cap(spark):
     comp = connected_components(edges, nodes, node_col="doc_id")
     assert comp.agg(F.countDistinct("component_id")).first()[0] == 1
     assert comp.agg(F.min("component_id"), F.max("component_id")).first() == (0, 0)
+
+
+def test_merged_row_plan_shapes(spark):
+    """Exchange-count pins for the round-5 merged rows: the fused q40
+    runs its two branches off ONE digest aggregation (1 exchange +
+    the union's explode), q34's strat branch adds exactly the stratum
+    window exchange, and q56's three encode branches stay scan-shaped
+    (zero exchanges - int8/pq/ivfpq are all map-side)."""
+    from example_kafkastreams_spark.plans import count_exchanges
+    from example_kafkastreams_spark.queries import QUERIES
+    from tests.conftest import SMOKE
+
+    assert count_exchanges(QUERIES["q40_dedup_exact_text"](spark, SMOKE)) == 1
+    assert count_exchanges(QUERIES["q34_hash_sample"](spark, SMOKE)) == 1
+    assert count_exchanges(
+        QUERIES["q56_quantize_embeddings"](spark, SMOKE)
+    ) == 0

@@ -1035,3 +1035,67 @@ def test_corpus_ingest_stream_with_decontam_gate(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_corpus_ingest_with_index_across_jobs(spark, tmp_path):
+    """The persistent digest index gives the streaming ingest
+    CROSS-JOB memory: run 2 (fresh checkpoint, new query) anti-joins
+    its batches against the index run 1 wrote, so replayed content is
+    dropped without any shared state store — and after both runs the
+    index equals the batch digest set of everything admitted."""
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_with_index,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on to the"
+        " house of the friend"
+    )
+    other = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day"
+    )
+    third = (
+        "the friend of the house walks a long road to the door in the"
+        " warm sun of the day"
+    )
+    idx = str(tmp_path / "digest_index")
+    out = str(tmp_path / "admitted")
+
+    def run(tag, batches):
+        src = str(tmp_path / f"in_{tag}")
+        stage_replayable_batches(spark, src, DOC_STREAM_SCHEMA, batches)
+        stream = file_stream(
+            spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+        )
+        df, mk = corpus_ingest_with_index(stream, spark, idx, ts_col="ts")
+        q = (
+            df.writeStream.foreachBatch(mk(out))
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    # run 1: good admitted once (in-stream dedup), other admitted
+    run("one", [
+        [(1, good, "s", at(0.0)), (2, good, "s", at(1.0))],
+        [(3, other, "s", at(10.0))],
+    ])
+    admitted1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted1 == {1, 3}
+    idx1 = {r.content_hash for r in spark.read.parquet(idx).collect()}
+    assert len(idx1) == 2
+
+    # run 2: replays of good/other (new ids) must be dropped by the
+    # INDEX (fresh checkpoint — stream state cannot remember run 1);
+    # the new doc survives and extends the index
+    run("two", [
+        [(11, good, "s", at(100.0)), (12, third, "s", at(101.0))],
+        [(13, other, "s", at(110.0))],
+    ])
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted == {1, 3, 12}
+    idx2 = {r.content_hash for r in spark.read.parquet(idx).collect()}
+    assert len(idx2) == 3 and idx1 < idx2
