@@ -41,7 +41,12 @@ def kmv_distinct(
     the standard small-cardinality degenerate case).
     """
     h = P.token_hash32(value_col, P.SPARK)
-    hashed = values.select(F.expr(h).alias("__h"))
+    # NULL values hash to NULL and would sort FIRST under Spark's
+    # ascending NULL ordering, inflating k_used — drop them (a NULL is
+    # not a distinct value in count-distinct semantics either)
+    hashed = values.select(F.expr(h).alias("__h")).filter(
+        F.col("__h").isNotNull()
+    )
     local = W.partitionBy(F.spark_partition_id()).orderBy("__h")
     cand = (
         hashed.withColumn("__r", F.dense_rank().over(local))
@@ -123,7 +128,8 @@ def count_min_counters(
         )
     ).alias("__c")
     return (
-        values.select(coords)
+        values.filter(F.col(value_col).isNotNull())
+        .select(coords)
         .select(F.col("__c.d").alias("d"), F.col("__c.bucket").alias("bucket"))
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
