@@ -142,7 +142,17 @@ def input_totals(spark) -> tuple[int, int] | None:
 
 def main() -> None:
     # UI on: the plan-compare shuffle metrics come from the status REST API
-    spark = get_spark(app_name="bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the plan-compare rows diff CUMULATIVE stage metrics from
+            # the status store; at the default retainedStages (1000) the
+            # store evicts early stages mid-run and the diffs go
+            # negative — keep every stage of the bench resident
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     # warmup: JVM + codegen, then one tiny read per table so parquet
     # footer/listing caches and the scan codegen path are warm — without
     # this the alphabetically-first queries (q01/q02) are billed the
@@ -366,26 +376,16 @@ def main() -> None:
     #     range skip. The interleave is a pure column expression
     #     (shiftright/&/shiftleft folds) — computed once at write time,
     #     the layout is just a sort order.
+    from example_kafkastreams_spark.sources.zorder import zorder_sorted
+
     li = load_table(spark, SF_DIR, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
     stats = li.agg(
         F.expr("approx_percentile(l_partkey, array(0.4, 0.6))").alias("p"),
         F.expr("approx_percentile(l_suppkey, array(0.4, 0.6))").alias("s"),
-        F.max("l_partkey").alias("pmax"),
-        F.max("l_suppkey").alias("smax"),
     ).first()
     (p_lo, p_hi), (s_lo, s_hi) = stats["p"], stats["s"]
-    # normalize BOTH keys to 16 bits before interleaving — with raw
-    # values the wider key's high bits dominate the code and the curve
-    # degenerates to (a worse) single-column sort
-    pn = f"CAST(l_partkey * 65535 DIV {stats['pmax']} AS BIGINT)"
-    sn = f"CAST(l_suppkey * 65535 DIV {stats['smax']} AS BIGINT)"
-    zbits = " + ".join(
-        f"(shiftleft(shiftright({pn}, {i}) & 1, {2 * i})"
-        f" + shiftleft(shiftright({sn}, {i}) & 1, {2 * i + 1}))"
-        for i in range(16)
-    )
 
     def box(src):
         return (
@@ -404,9 +404,8 @@ def main() -> None:
         ("unsorted", lambda d: d),
         ("sorted_1d", lambda d: d.repartitionByRange(16, "l_partkey")
             .sortWithinPartitions("l_partkey")),
-        ("zorder", lambda d: d.withColumn("__z", F.expr(zbits))
-            .repartitionByRange(16, "__z").sortWithinPartitions("__z")
-            .drop("__z")),
+        ("zorder", lambda d: zorder_sorted(
+            d, ["l_partkey", "l_suppkey"], bits=16, partitions=16)),
     ):
         path = os.path.join(
             tempfile.gettempdir(), f"bench_li_{label}"
@@ -636,6 +635,31 @@ def main() -> None:
         time.perf_counter() - t0, 3
     )
     compare["unskewed_aggjoin_autosalt"]["hot_keys_detected"] = len(unskew_hot)
+
+    # Amortized probe (VERDICT r5 item 5): with a CACHED detection
+    # (here the empty list the probe just produced) the auto path pays
+    # nothing — wall time ≈ plain, because it IS the plain join.
+    def unskew_auto_cached(src):
+        agg = (
+            src.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("user_total"))
+            .withColumnRenamed("user_id", "dim_user_id")
+        )
+        return salted_equijoin_auto(
+            src, agg, fact_key="user_id", dim_key="dim_user_id",
+            salt_source="event_id", salts=16, hot_keys=unskew_hot,
+        )
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_noop(unskew_auto_cached(unskewed))
+        best = min(best, time.perf_counter() - t0)
+    compare["unskewed_aggjoin_autosalt_cached"] = {
+        "sec": round(best, 3),
+        "exchanges": count_exchanges(unskew_auto_cached(unskewed)),
+        "hot_keys_cached": len(unskew_hot),
+    }
     spark.conf.set("spark.sql.adaptive.enabled", aqe_prior)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
 
@@ -784,6 +808,111 @@ def main() -> None:
     index.unpersist()
     compare["incremental_dedup"] = inc_rows
 
+    # Incremental NEAR-dup (VERDICT r5 item 2): same 10% delta, this
+    # time against the persisted MinHash BAND index of the other 90%
+    # (neardup.minhash_band_index, read back from parquet like a real
+    # prior-ingest artifact) vs one-shot minhash_components_edges over
+    # the full corpus. The claim under measurement: incremental shuffle
+    # is delta-proportional — the corpus never re-sketches; only its
+    # band rows (id + k ints) move, and a band_key-bucketed index
+    # would not even move those.
+    from example_kafkastreams_spark.operators.neardup import (
+        incremental_minhash_edges,
+        minhash_band_index,
+        minhash_components_edges,
+    )
+
+    nd_index_path = os.path.join(tempfile.gettempdir(), "bench_nd_index")
+    shutil.rmtree(nd_index_path, ignore_errors=True)
+    minhash_band_index(hist).write.mode("overwrite").parquet(nd_index_path)
+    release_sketch_caches()
+    nd_index = spark.read.parquet(nd_index_path)
+    nd_rows: dict[str, dict] = {}
+    for label, thunk in (
+        ("one_shot_full", lambda: minhash_components_edges(docs)),
+        (
+            "incremental_delta",
+            lambda: incremental_minhash_edges(delta, nd_index)[0],
+        ),
+    ):
+        before = shuffle_totals(spark)
+        t0 = time.perf_counter()
+        run_noop(thunk())
+        sec = round(time.perf_counter() - t0, 3)
+        after = shuffle_totals(spark)
+        release_sketch_caches()
+        nd_rows[label] = {
+            "sec": sec,
+            "shuffle_write_records": (
+                after[0] - before[0]
+                if before is not None and after is not None
+                else None
+            ),
+            "shuffle_write_bytes": (
+                after[1] - before[1]
+                if before is not None and after is not None
+                else None
+            ),
+        }
+    shutil.rmtree(nd_index_path, ignore_errors=True)
+    nd_rows["delta_fraction"] = 0.1
+    compare["incremental_neardup"] = nd_rows
+
+    # ANN recall/cost (VERDICT r5 item 3): recall is unit-asserted on
+    # fixtures but a USER picks an index by the recall-vs-wall curve at
+    # data scale. Each method scores the same num_queries against the
+    # cosine ground truth of brute_force_knn; recall@10 = mean fraction
+    # of true top-10 recovered. Wall time includes each method's index
+    # build (bucket tables, codebooks — the cost a fresh query session
+    # pays). Note the PQ family ranks by approximate L2 of raw vectors
+    # while ground truth ranks by cosine — their recall ceiling depends
+    # on norm spread, which is part of what the row reports.
+    from example_kafkastreams_spark.operators.knn import (
+        brute_force_knn,
+        ivf_ann,
+        ivf_pq_ann,
+        lsh_ann,
+        pq_ann,
+    )
+
+    # NQ=8 (not more): the PQ family compiles one scoring branch per
+    # (query, probed cell) — LUT literals in the plan — so wall time at
+    # sandbox scale is plan-compile-bound and linear in NQ
+    embt = load_table(spark, SF_DIR, "embeddings")
+    NQ, K = 8, 10
+    t0 = time.perf_counter()
+    truth_rows = brute_force_knn(embt, num_queries=NQ, k=K).collect()
+    bf_sec = round(time.perf_counter() - t0, 3)
+    truth: dict = {}
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann_rows: dict[str, dict] = {
+        "brute_force": {"sec": bf_sec, "recall_at_10": 1.0},
+        "num_queries": NQ,
+    }
+    for label, thunk in (
+        ("lsh", lambda: lsh_ann(embt, num_queries=NQ, k=K)),
+        ("lsh_mp", lambda: lsh_ann(embt, num_queries=NQ, k=K, nprobe=3)),
+        ("ivf", lambda: ivf_ann(embt, num_queries=NQ, k=K)),
+        ("pq", lambda: pq_ann(embt, num_queries=NQ, k=K)),
+        ("ivfpq", lambda: ivf_pq_ann(embt, num_queries=NQ, k=K)),
+    ):
+        t0 = time.perf_counter()
+        got_rows = thunk().collect()
+        sec = round(time.perf_counter() - t0, 3)
+        release_sketch_caches()
+        got: dict = {}
+        for r in got_rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(
+            len(got.get(q, set()) & neigh) for q, neigh in truth.items()
+        )
+        ann_rows[label] = {
+            "sec": sec,
+            "recall_at_10": round(hits / (len(truth) * K), 4),
+        }
+    compare["ann_recall"] = ann_rows
+
     out = {
         "metric": "total_declared_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
@@ -794,6 +923,30 @@ def main() -> None:
         "plan_compare": compare,
     }
     print(json.dumps(out))
+    # The driver records only the tail of this process's output, which
+    # truncates the big line above before its per-query map.  Print a
+    # SECOND, final, compact line holding just the per-query timings so
+    # the tail window always captures a parseable baseline for every
+    # query, and persist the full result as a committed artifact.
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_wall_seconds",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            },
+            separators=(",", ":"),
+        )
+    )
+    self_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+    )
+    try:
+        with open(self_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

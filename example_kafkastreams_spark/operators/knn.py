@@ -760,6 +760,8 @@ def pq_ann(
         .select(id_col, vec_col)
         .collect()
     )
+    if not qrows:
+        return _empty_ann_result(emb, id_col)
     dsub = len(codebook[0][0])
     scored_parts = []
     for qr in qrows:
@@ -802,6 +804,19 @@ def pq_ann(
         F.expr(P.round_dbl("__d2", 6, P.SPARK)).alias("approx_d2"),
         "knn_rank",
     )
+
+
+def _empty_ann_result(emb: DataFrame, id_col: str) -> DataFrame:
+    """Empty (query_id, neighbor_id, approx_d2, knn_rank) frame typed
+    off the corpus id column — what the PQ ANN operators return when
+    the query collect finds no rows (empty corpus, or no ids below
+    ``num_queries``) instead of an IndexError on ``parts[0]``."""
+    return emb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.lit(0.0).cast("double").alias("approx_d2"),
+        F.lit(0).cast("int").alias("knn_rank"),
+    ).limit(0)
 
 
 def _py_cosine(a: list[float], b: list[float]) -> float:
@@ -967,6 +982,8 @@ def ivf_pq_ann(
         .select(id_col, vec_col)
         .collect()
     )
+    if not qrows:
+        return _empty_ann_result(emb, id_col)
     parts = []
     for qr in qrows:
         qid, qv = qr[0], [float(x) for x in qr[1]]
@@ -1086,6 +1103,11 @@ def kmeans_train(
         new = [list(c) for c in cents]
         counts = [0] * len(cents)
         for r in agg:
+            # NULL cell = degenerate vector (e.g. all-zero → every
+            # cosine NaN → array_position NULL): skip the row — it
+            # contributes to no centroid — rather than abort training.
+            if r["__cell"] is None:
+                continue
             new[r["__cell"]][r["__dim"]] = r["__s"] / r["__n"]
             counts[r["__cell"]] = r["__n"]
         cents = [

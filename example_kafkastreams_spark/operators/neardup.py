@@ -703,3 +703,166 @@ def minhash_components_edges(
         sig_df=reps.select(F.col("rep").alias(id_col), "sig"),
     ).select("doc_a", "doc_b")
     return star.unionAll(rep_pairs)
+
+
+# --- incremental near-dup: persistent band index --------------------------
+
+
+def _bands_with_sig(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+) -> DataFrame:
+    """(id, sig, band_idx, band_key) — ``lsh_bands`` keeping the
+    signature column alongside each band row, the index layout."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(P.band_key("sig", b, rows_per_band, P.SPARK)).alias(
+                    "band_key"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig_df.select(
+        F.col(id_col), F.col("sig"), F.explode(entries).alias("band")
+    ).select(id_col, "sig", "band.band_idx", "band.band_key")
+
+
+def minhash_band_index(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    sig_df: DataFrame | None = None,
+) -> DataFrame:
+    """The PERSISTENT near-dup index: (doc_id, sig, band_idx,
+    band_key), one row per (band, distinct-signature representative)
+    — the near-dup analog of ``incremental_exact_dedup``'s digest
+    index (VERDICT r5 item 2).
+
+    Exact dedup already composes across jobs via the digest index;
+    without THIS index a new delta must re-sketch and re-band the full
+    corpus to find near-duplicates against it. Storing the corpus's
+    banded representative table turns that into a delta-proportional
+    join (``incremental_minhash_edges``).
+
+    Only REPS ship (one per distinct signature, min id — the
+    ``minhash_components_edges`` contraction), so amplified duplicate
+    runs cost one row, and index size is |distinct sigs| × bands ×
+    (id + k ints + key) — digests-not-documents, like every shuffle in
+    this module. Store it parquet; bucketed on (band_idx,
+    band_key) (sources.bucketed) the index side of every future delta
+    join needs no exchange at all (plan-proved in
+    tests/test_incremental_neardup.py). Pass ``sig_df`` (an already-materialized
+    (id, sig) table, e.g. a shared scan with the pairs pipeline) to
+    skip the sketch pass.
+    """
+    if sig_df is None:
+        sig_df = persist_tracked(with_minhash(
+            docs=_rebalance(docs, id_col),
+            id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ))
+    reps = sig_df.groupBy("sig").agg(F.min(id_col).alias(id_col))
+    return _bands_with_sig(reps, id_col, bands, num_hashes // bands)
+
+
+def incremental_minhash_edges(
+    delta: DataFrame | None,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    sig_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup a NEW batch against an existing corpus WITHOUT
+    re-reading the corpus: returns ``(edges, index_delta)`` where
+
+    * ``edges`` — (doc_a, doc_b) whose union with the edges of
+      previous runs has the SAME transitive closure as a one-shot
+      ``minhash_components_edges`` over corpus ∪ delta (unit-proved on
+      a two-delta ingest);
+    * ``index_delta`` — band rows for the delta's NEW distinct
+      signatures: ``index' = index ∪ index_delta``, exactly the digest
+      index's update rule.
+
+    Edge set = within-delta star + rep pairs (``minhash_components_
+    edges`` on the delta alone) ∪ CROSS edges: delta reps' band rows
+    equi-joined against the index on (band_idx, band_key), verified by
+    signature agreement ≥ threshold — the same collide-then-verify
+    contract as the one-shot path, so decisions are identical.
+
+    Closure equality argument (same shape as the contraction proofs):
+    a corpus doc x (sig S, corpus rep r) near a delta doc d — the
+    index carries r with S, so (r, rep(d)) collides in the same band
+    with the same agreement as (x, d); the corpus star (r, x) and
+    delta star (rep(d), d) bridge the rest. A delta sig IDENTICAL to a
+    corpus sig agrees at 1.0 ≥ threshold in every band, so the cross
+    edge always lands — which is why identical sigs need no new index
+    row.
+
+    Scale: the corpus never re-sketches — the index join moves band
+    rows (id + k ints per band), delta-side sized after bucket
+    pruning; with the index stored bucketed on (band_idx, band_key)
+    the index-side exchange disappears entirely (plan-proved unit) and
+    the incremental cost is delta-proportional (bench row
+    ``incremental_neardup``).
+    """
+    rows_per_band = num_hashes // bands
+    if sig_df is None:
+        sig_df = persist_tracked(with_minhash(
+            docs=_rebalance(delta, id_col),
+            id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ))
+    reps = persist_tracked(
+        sig_df.groupBy("sig").agg(F.min(id_col).alias(id_col))
+    )
+    star = (
+        sig_df.withColumnRenamed(id_col, "__m")
+        .join(reps.withColumnRenamed(id_col, "rep"), "sig")
+        .filter(F.col("__m") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("__m").alias("doc_b"))
+    )
+    rep_pairs = minhash_lsh_pairs(
+        delta, id_col, text_col, num_hashes, bands, shingle_n,
+        threshold=threshold, sig_df=reps,
+    ).select("doc_a", "doc_b")
+
+    delta_bands = _bands_with_sig(reps, id_col, bands, rows_per_band)
+    idx = band_index.select(
+        F.col(id_col).alias("__idx_id"),
+        F.col("sig").alias("__idx_sig"),
+        "band_idx",
+        "band_key",
+    )
+    cross = (
+        delta_bands.join(idx, ["band_idx", "band_key"])
+        .select(
+            F.least("__idx_id", F.col(id_col)).alias("doc_a"),
+            F.greatest("__idx_id", F.col(id_col)).alias("doc_b"),
+            F.expr(
+                P.sig_agreement("__idx_sig", "sig", num_hashes, P.SPARK)
+            ).alias("__agree"),
+        )
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("__agree") >= threshold)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edges = star.unionAll(rep_pairs).unionAll(cross)
+    index_delta = delta_bands.join(
+        band_index.select("sig").distinct(), "sig", "left_anti"
+    ).select(id_col, "sig", "band_idx", "band_key")
+    return edges, index_delta

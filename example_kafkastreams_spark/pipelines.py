@@ -457,8 +457,24 @@ def corpus_ingest_with_index(
     (admitted-this-run dups are the stream state's job); the anti join
     carries digests, never text; the per-batch index append is the
     same digest-only layout a nightly batch job would write.
+
+    Exactly-once contract: foreachBatch is at-least-once — after a
+    crash, Structured Streaming re-runs the last batch id. The sink is
+    therefore IDEMPOTENT per (run, batch_id): both outputs are written
+    as dynamic partition OVERWRITES into ``ingest_run=<run>/
+    ingest_batch=<batch_id>`` directories, so a replayed batch rewrites
+    its own partition byte-for-byte instead of double-appending, and a
+    failure between the two writes is repaired when the replay
+    overwrites both. Pass ``make_sink(out_path, run_id=<checkpoint
+    path>)`` so the run token survives a query RESTART from the same
+    checkpoint (the default is a fresh uuid, which is idempotent
+    within one ``start()`` but would treat a restarted query as a new
+    run); distinct runs (fresh checkpoints) get distinct tokens, so
+    batch ids restarting at 0 never clobber a previous run's data.
     """
+    import hashlib
     import os
+    import uuid
 
     out = corpus_ingest_stream(
         docs, ts_col=ts_col, **ingest_kwargs
@@ -467,16 +483,35 @@ def corpus_ingest_with_index(
         idx = spark.read.parquet(index_path).select("content_hash")
         out = out.join(idx, "content_hash", "left_anti")
 
-    def make_sink(out_path: str):
+    def make_sink(out_path: str, run_id: str | None = None):
+        token = (
+            hashlib.md5(run_id.encode()).hexdigest()[:16]
+            if run_id
+            else uuid.uuid4().hex[:16]
+        )
+
         def sink(batch_df, batch_id: int):
+            batch_df = batch_df.withColumn(
+                "ingest_run", F.lit(token)
+            ).withColumn("ingest_batch", F.lit(int(batch_id)))
             batch_df.persist()
             try:
-                batch_df.drop("content_hash").write.mode("append").parquet(
-                    out_path
+                (
+                    batch_df.drop("content_hash")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest_run", "ingest_batch")
+                    .parquet(out_path)
                 )
-                batch_df.select(id_col, "content_hash").write.mode(
-                    "append"
-                ).parquet(index_path)
+                (
+                    batch_df.select(
+                        id_col, "content_hash", "ingest_run", "ingest_batch"
+                    )
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest_run", "ingest_batch")
+                    .parquet(index_path)
+                )
             finally:
                 batch_df.unpersist()
 

@@ -133,14 +133,104 @@ def _minhash_pairs_sql(threshold: float) -> str:
     """
 
 
-@query("q41_dedup_minhash_lsh", oracle=_minhash_pairs_sql(0.5))
-def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs: 12-hash MinHash, 4-band LSH, est. Jaccard ≥ 0.5."""
-    return ND.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"),
-        num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
-        threshold=0.5,
+def _bands_sig_cte(src: str, d: str) -> str:
+    """Band rows KEEPING the signature column (the band-index layout)."""
+    parts = [
+        f"SELECT doc_id, sig, {b} AS band_idx,"
+        f" {P.band_key('sig', b, ROWS_PER_BAND, d)} AS band_key FROM {src}"
+        for b in range(BANDS)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def _minhash_pairs_incr_sql(threshold: float) -> str:
+    """q41's merged oracle: the one-shot ``pairs`` branch plus the
+    INCREMENTAL branch — delta (doc_id % 3 = 0) near-dup'd against the
+    corpus remainder's persistent band index, re-derived entirely in
+    SQL: corpus reps (min id per distinct signature) band-joined
+    against delta reps, star + rep-pair edges within the delta, the
+    same collide-then-verify contract as the Spark operator."""
+    est = P.round_dbl(P.sig_agreement("sig_a", "sig_b", NUM_HASHES, D), 6, D)
+    agree = P.sig_agreement("ca.sig", "da.sig", NUM_HASHES, D)
+    dagree = P.sig_agreement("sa.sig", "sb.sig", NUM_HASHES, D)
+    return f"""
+    WITH {_sig_ctes(D)},
+    bands AS ({_bands_cte(D)}),
+    cand AS ({_CAND_SQL}),
+    pairsig AS ({_PAIRSIG_SQL}),
+    csig AS (SELECT * FROM sig WHERE doc_id % 3 <> 0),
+    crep AS (SELECT sig, min(doc_id) AS doc_id FROM csig GROUP BY sig),
+    dsig AS (SELECT * FROM sig WHERE doc_id % 3 = 0),
+    drep AS (SELECT sig, min(doc_id) AS doc_id FROM dsig GROUP BY sig),
+    cbands AS ({_bands_sig_cte('crep', D)}),
+    dbands AS ({_bands_sig_cte('drep', D)}),
+    star AS (
+      SELECT r.doc_id AS doc_a, s.doc_id AS doc_b
+      FROM dsig s JOIN drep r ON s.sig = r.sig AND s.doc_id <> r.doc_id
+    ),
+    dcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM dbands a JOIN dbands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    dpairs AS (
+      SELECT c.doc_a, c.doc_b FROM dcand c
+      JOIN drep sa ON sa.doc_id = c.doc_a
+      JOIN drep sb ON sb.doc_id = c.doc_b
+      WHERE {dagree} >= {threshold}
+    ),
+    xedges AS (
+      SELECT DISTINCT least(ca.doc_id, da.doc_id) AS doc_a,
+             greatest(ca.doc_id, da.doc_id) AS doc_b
+      FROM dbands da JOIN cbands ca
+        ON da.band_idx = ca.band_idx AND da.band_key = ca.band_key
+      WHERE ca.doc_id <> da.doc_id AND {agree} >= {threshold}
     )
+    SELECT 'pairs' AS mode, doc_a, doc_b, est_jaccard FROM (
+      SELECT doc_a, doc_b, {est} AS est_jaccard FROM pairsig
+    ) WHERE est_jaccard >= {threshold}
+    UNION ALL SELECT 'incr', doc_a, doc_b, CAST(NULL AS DOUBLE)
+    FROM (SELECT * FROM star UNION ALL SELECT * FROM dpairs
+          UNION ALL SELECT * FROM xedges)
+    """
+
+
+@query("q41_dedup_minhash_lsh", oracle=_minhash_pairs_incr_sql(0.5))
+def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup, both ingestion regimes in one row (the q40 tag-merge
+    shape): ``pairs`` = one-shot 12-hash MinHash, 4-band LSH, est.
+    Jaccard ≥ 0.5; ``incr`` = the delta split (doc_id % 3 = 0)
+    near-dup'd against the remainder's PERSISTENT band index
+    (neardup.minhash_band_index + incremental_minhash_edges) — the
+    delta-proportional path where the historical corpus never
+    re-sketches. One shared persisted signature scan feeds both
+    branches (the corpus/delta sig tables are filters of it), so the
+    merged row costs one text pass, not three."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig_all = ND.persist_tracked(ND.with_minhash(
+        docs=ND._rebalance(docs, "doc_id"),
+        num_hashes=NUM_HASHES, shingle_n=SHINGLE_N,
+    ))
+    pairs = ND.minhash_lsh_pairs(
+        docs, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+        threshold=0.5, sig_df=sig_all,
+    ).select(
+        F.lit("pairs").alias("mode"), "doc_a", "doc_b", "est_jaccard"
+    )
+    idx = ND.minhash_band_index(
+        None, num_hashes=NUM_HASHES, bands=BANDS,
+        sig_df=sig_all.filter(F.col("doc_id") % 3 != 0),
+    )
+    edges, _ = ND.incremental_minhash_edges(
+        None, idx, num_hashes=NUM_HASHES, bands=BANDS, threshold=0.5,
+        sig_df=sig_all.filter(F.col("doc_id") % 3 == 0),
+    )
+    incr = edges.select(
+        F.lit("incr").alias("mode"), "doc_a", "doc_b",
+        F.lit(None).cast("double").alias("est_jaccard"),
+    )
+    return pairs.unionByName(incr)
 
 
 # q42_dedup_simhash (the per-doc SimHash map) was retired from the

@@ -1,0 +1,191 @@
+"""Incremental near-dup band index (VERDICT r5 item 2): a two-delta
+ingest through the persistent (band_key -> rep, sig) index must reach
+EXACTLY the transitive closure a one-shot ``minhash_components_edges``
+over the full corpus reaches — the near-dup analog of the digest
+index's cross-job contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from example_kafkastreams_spark.operators.neardup import (
+    incremental_minhash_edges,
+    minhash_band_index,
+    minhash_components_edges,
+)
+
+KW = dict(num_hashes=12, bands=4, shingle_n=3)
+
+BASE = [
+    "the quick brown fox jumps over the lazy dog near the old river bank",
+    "a tall green tree stands alone on the wide open hill above the town",
+    "many small boats sail across the calm blue sea under a bright sky",
+    "the old stone house at the end of the road has a red wooden door",
+    "fresh bread and warm soup wait on the long table in the quiet room",
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _closure(edge_rows, nodes):
+    """Partition of ``nodes`` under the collected edge list (plain
+    union-find — independent of the components operator under test)."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, set] = {}
+    for n in nodes:
+        groups.setdefault(find(n), set()).add(n)
+    return sorted(map(frozenset, groups.values()), key=min)
+
+
+def _variant(text: str, i: int) -> str:
+    toks = text.split()
+    toks[i % len(toks)] = f"tok{i}"
+    return " ".join(toks)
+
+
+def test_two_delta_ingest_equals_one_shot_closure(spark):
+    # corpus: each base text + an exact copy; delta1: near-variants of
+    # corpus texts + one new unique; delta2: exact copies of corpus
+    # AND delta1 content + its own variant chain
+    corpus_rows = [(i, BASE[i % 5]) for i in range(10)]
+    delta1_rows = (
+        [(20 + i, _variant(BASE[i], 1)) for i in range(5)]
+        + [(25, "completely novel words about winter snow and ice falls")]
+    )
+    delta2_rows = (
+        [(40, BASE[2]), (41, _variant(BASE[2], 1)), (42, _variant(BASE[2], 2))]
+        + [(43, "completely novel words about winter snow and ice falls")]
+        + [(44, "another fully distinct document text with singular content here")]
+    )
+    all_rows = corpus_rows + delta1_rows + delta2_rows
+    nodes = [r[0] for r in all_rows]
+
+    one_shot = minhash_components_edges(_docs(spark, all_rows), **KW)
+    want = _closure(
+        [(r.doc_a, r.doc_b) for r in one_shot.collect()], nodes
+    )
+
+    corpus = _docs(spark, corpus_rows)
+    idx0 = minhash_band_index(corpus, **KW).persist()
+    e0 = minhash_components_edges(corpus, **KW)
+    e1, d1 = incremental_minhash_edges(_docs(spark, delta1_rows), idx0, **KW)
+    idx1 = idx0.unionByName(d1).persist()
+    e2, d2 = incremental_minhash_edges(_docs(spark, delta2_rows), idx1, **KW)
+
+    got_edges = [
+        (r.doc_a, r.doc_b)
+        for e in (e0, e1, e2)
+        for r in e.collect()
+    ]
+    assert _closure(got_edges, nodes) == want
+
+    # index invariant: sigs(index') == distinct sigs of everything
+    # ingested so far — identical delta sigs add NO rows
+    from example_kafkastreams_spark.operators.neardup import (
+        _rebalance,
+        with_minhash,
+    )
+
+    idx2 = idx1.unionByName(d2)
+    want_sigs = {
+        tuple(r.sig)
+        for r in with_minhash(_rebalance(_docs(spark, all_rows), "doc_id"))
+        .select("sig")
+        .distinct()
+        .collect()
+    }
+    got_sigs = {tuple(r.sig) for r in idx2.select("sig").distinct().collect()}
+    assert got_sigs == want_sigs
+    # one rep per distinct sig, `bands` band rows each
+    per_sig = idx2.groupBy("sig").agg(
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    bad = per_sig.filter(
+        (F.col("n_ids") != 1) | (F.col("n_rows") != KW["bands"])
+    ).count()
+    assert bad == 0
+    idx0.unpersist()
+    idx1.unpersist()
+
+
+def test_cross_edges_require_agreement(spark):
+    """A band collision alone is not an edge: cross pairs verify
+    signature agreement >= threshold, so raising the threshold to an
+    impossible level keeps only the identical-sig cross edges."""
+    corpus = _docs(spark, [(0, BASE[0]), (1, BASE[1])])
+    idx = minhash_band_index(corpus, **KW)
+    delta = _docs(
+        spark, [(10, BASE[0]), (11, _variant(BASE[0], 1))]
+    )
+    e_lo, _ = incremental_minhash_edges(delta, idx, threshold=0.5, **KW)
+    e_hi, _ = incremental_minhash_edges(delta, idx, threshold=1.0, **KW)
+    lo = {(r.doc_a, r.doc_b) for r in e_lo.collect()}
+    hi = {(r.doc_a, r.doc_b) for r in e_hi.collect()}
+    assert (0, 10) in lo  # exact copy bridges corpus and delta
+    assert (0, 10) in hi  # agreement 1.0 survives any threshold
+    assert hi <= lo  # tightening can only drop edges
+
+
+def test_bucketed_band_index_saves_index_exchange(spark, tmp_path):
+    """The docstring's scale claim, plan-proved: with the band index
+    stored BUCKETED on its join keys, the index side of the delta
+    cross-join needs no exchange — the incremental plan has exactly
+    one fewer shuffle than with a plain parquet index, and identical
+    edges."""
+    import shutil
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.plans import count_exchanges
+    from example_kafkastreams_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    idx_df = minhash_band_index(corpus, **KW)
+
+    plain_path = str(tmp_path / "band_index")
+    idx_df.write.parquet(plain_path)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    spark.sql("DROP TABLE IF EXISTS bkt_band_index")
+    shutil.rmtree(f"{warehouse}/bkt_band_index", ignore_errors=True)
+    write_bucketed(
+        idx_df, "bkt_band_index", ["band_idx", "band_key"], num_buckets=8
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e_plain, _ = incremental_minhash_edges(
+            delta, spark.read.parquet(plain_path), **KW
+        )
+        e_bkt, _ = incremental_minhash_edges(
+            delta, read_bucketed(spark, "bkt_band_index"), **KW
+        )
+        assert (
+            count_exchanges(e_bkt) == count_exchanges(e_plain) - 1
+        ), e_bkt._jdf.queryExecution().toString()
+        assert sorted(map(tuple, e_bkt.collect())) == sorted(
+            map(tuple, e_plain.collect())
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )

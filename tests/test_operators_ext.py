@@ -301,6 +301,40 @@ def test_autosalt_no_hot_keys_returns_plain_plan(spark):
     assert auto.count() == 4000
 
 
+def test_detect_hot_keys_cache_tag_memoizes(spark):
+    """cache_tag amortizes the probe: the second call returns the
+    SAME list without running a job (we poison the input — a cached
+    hit cannot see the poison), and clear_hot_key_cache() re-probes."""
+    from example_kafkastreams_spark.operators.salted import (
+        _HOT_KEY_CACHE,
+        clear_hot_key_cache,
+        detect_hot_keys,
+    )
+
+    fact, _ = _skewed_fixture(spark)
+    clear_hot_key_cache()
+    hot = detect_hot_keys(
+        fact, "user_id", sample_fraction=0.5, cache_tag="fact"
+    )
+    assert hot == [-1]
+    assert _HOT_KEY_CACHE[("fact", "user_id")] == [-1]
+    # a DIFFERENT frame with no skew: the cached tag must win
+    unskewed = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(500)).alias("user_id"),
+    )
+    assert detect_hot_keys(
+        unskewed, "user_id", sample_fraction=0.5, cache_tag="fact"
+    ) == [-1]
+    # no tag -> fresh probe; cleared cache -> fresh probe
+    assert detect_hot_keys(unskewed, "user_id", sample_fraction=0.5) == []
+    clear_hot_key_cache()
+    assert detect_hot_keys(
+        unskewed, "user_id", sample_fraction=0.5, cache_tag="fact"
+    ) == []
+    clear_hot_key_cache()
+
+
 def test_autosalt_left_join_cold_dim_rows_not_duplicated(spark):
     """Hot-only salting must leave COLD keys on the single-salt path:
     a left join through the auto operator returns exactly one row per

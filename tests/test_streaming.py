@@ -1099,3 +1099,67 @@ def test_corpus_ingest_with_index_across_jobs(spark, tmp_path):
     assert admitted == {1, 3, 12}
     idx2 = {r.content_hash for r in spark.read.parquet(idx).collect()}
     assert len(idx2) == 3 and idx1 < idx2
+
+
+def test_corpus_ingest_index_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash re-runs the last batch
+    id. The sink must be exactly-once at the storage layer — invoking
+    it TWICE with the same batch id leaves both the survivor sink and
+    the digest index byte-identical (dynamic partition overwrite into
+    the (run, batch) directory, not an append), and batch ids
+    restarting at 0 in a different run never clobber this run's data
+    (distinct run tokens)."""
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_with_index,
+    )
+
+    idx = str(tmp_path / "digest_index")
+    out = str(tmp_path / "admitted")
+    src = str(tmp_path / "in")
+    stage_replayable_batches(
+        spark,
+        src,
+        DOC_STREAM_SCHEMA,
+        [[(1, "the quick brown fox jumps over the lazy dog and runs on"
+            " to the house of the friend", "s", at(0.0))]],
+    )
+    stream = file_stream(spark, src, DOC_STREAM_SCHEMA)
+    _, mk = corpus_ingest_with_index(stream, spark, idx, ts_col="ts")
+    sink = mk(out, run_id=str(tmp_path / "ckpt"))
+
+    # StructType.add mutates in place — copy before extending
+    batch_schema = T.StructType(
+        list(DOC_STREAM_SCHEMA.fields)
+        + [T.StructField("content_hash", T.StringType())]
+    )
+    batch = spark.createDataFrame(
+        [(1, "good doc text", "s", at(0.0), "a" * 32)],
+        batch_schema,
+    )
+    sink(batch, 7)
+    survivors1 = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    index1 = sorted(
+        (r.doc_id, r.content_hash)
+        for r in spark.read.parquet(idx).collect()
+    )
+    # replay of the SAME batch id: storage unchanged
+    sink(batch, 7)
+    assert sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    ) == survivors1
+    assert sorted(
+        (r.doc_id, r.content_hash)
+        for r in spark.read.parquet(idx).collect()
+    ) == index1
+    # a DIFFERENT run reusing batch id 7 adds rows instead of
+    # overwriting run 1's partition
+    batch2 = spark.createDataFrame(
+        [(2, "other doc text", "s", at(1.0), "b" * 32)],
+        batch_schema,
+    )
+    mk2 = corpus_ingest_with_index(stream, spark, idx, ts_col="ts")[1]
+    mk2(out, run_id=str(tmp_path / "ckpt2"))(batch2, 7)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    assert {r.doc_id for r in spark.read.parquet(idx).collect()} == {1, 2}
