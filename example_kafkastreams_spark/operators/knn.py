@@ -762,6 +762,21 @@ def pq_ann(
     )
     if not qrows:
         return _empty_ann_result(emb, id_col)
+    return pq_adc_score(enc, codebook, qrows, k, id_col)
+
+
+def pq_adc_score(
+    enc: DataFrame,
+    codebook: list[list[list[float]]],
+    qrows: list,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scoring over an ALREADY-ENCODED corpus — the query-time half
+    of PQ, shared by ``pq_ann`` (fresh build) and the persistent-index
+    path (``operators.ann_index``). ``qrows`` are collected
+    (id, vector) rows; per query a k×m LUT of exact subspace distances
+    splices into a map-side projection over the codes column."""
     dsub = len(codebook[0][0])
     scored_parts = []
     for qr in qrows:
@@ -974,8 +989,6 @@ def ivf_pq_ann(
     enc, cents, codebook = ivf_pq_index(
         emb, num_centroids, m, num_codes, id_col, vec_col
     )
-    dsub = len(codebook[0][0])
-
     qrows = (
         emb.filter(F.col(id_col) < num_queries)
         .orderBy(id_col)
@@ -984,6 +997,25 @@ def ivf_pq_ann(
     )
     if not qrows:
         return _empty_ann_result(emb, id_col)
+    return ivfpq_adc_score(enc, cents, codebook, qrows, k, nprobe, id_col)
+
+
+def ivfpq_adc_score(
+    enc: DataFrame,
+    cents: list[list[float]],
+    codebook: list[list[list[float]]],
+    qrows: list,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual-ADC scoring over an already-built IVF-PQ index — the
+    query-time half shared by ``ivf_pq_ann`` and the persistent-index
+    path (``operators.ann_index``). Python cell picks replay SQL's
+    exact IEEE cosine fold (``_py_cosine``), so probed cells match the
+    stored ``cell`` column bit-for-bit."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
     parts = []
     for qr in qrows:
         qid, qv = qr[0], [float(x) for x in qr[1]]
