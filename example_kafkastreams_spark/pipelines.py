@@ -518,3 +518,153 @@ def corpus_ingest_with_index(
         return sink
 
     return out, make_sink
+
+
+def corpus_ingest_with_neardup_index(
+    docs: DataFrame,
+    spark,
+    index_path: str,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    **ingest_kwargs,
+):
+    """Streaming ingest with a persistent NEAR-dup index — the MinHash
+    band-index analog of ``corpus_ingest_with_index``'s digest index,
+    closing the last cross-job gap: exact replays are caught by the
+    digest index, but a PARAPHRASED re-ingest (token swaps, near-copy)
+    sails through any exact gate. Here each micro-batch is near-dup'd
+    against everything any previous batch or RUN admitted.
+
+    Per micro-batch (inside the returned foreachBatch sink, all batch
+    Spark — streaming joins can't express collide-then-verify +
+    components, batch can):
+
+    1. edges = ``incremental_minhash_edges(batch, stored index)`` —
+       within-batch star/rep pairs plus cross edges to admitted
+       content; the corpus side is the band index (reps only), so the
+       per-batch cost is batch-proportional (SCALE_PROBE
+       ``incremental_minhash_delta``: shuffle ratio 1.0 at 10x
+       corpus).
+    2. ``connected_components`` over batch ∪ edge endpoints; a
+       component touching ANY index doc is dropped wholesale (its
+       content is already represented); in a clean component the min
+       id — which IS ``component_id`` — survives.
+    3. survivors append to ``out_path``; survivors' component-mates'
+       NEW distinct signatures append to the index (admitting every
+       sig of an admitted component makes the future gate strictly
+       stronger: later copies of a dropped variant still collide).
+       Dropped (poisoned) components add nothing — future copies of
+       their docs collide with the same index entries that poisoned
+       them, deterministically.
+
+    Both writes use the (ingest_run, ingest_batch) dynamic-partition
+    overwrite of ``corpus_ingest_with_index`` — idempotent under
+    foreachBatch replay, crash between the two writes repaired by the
+    replay; pass ``run_id`` (e.g. the checkpoint path) for
+    restart-stable tokens.
+
+    The index is re-read per batch (not once at query start like the
+    digest version) because within-run cross-BATCH near-dups are only
+    visible through the index — the in-stream state covers exact
+    digests, not bands. The re-read is the band table of distinct-sig
+    reps: compact, and bucketed storage would drop its exchange
+    (tests/test_incremental_neardup.py).
+    """
+    import hashlib
+    import os
+    import uuid
+
+    from .operators.neardup import (
+        incremental_minhash_edges,
+        minhash_band_index,
+    )
+
+    out = corpus_ingest_stream(docs, ts_col=ts_col, **ingest_kwargs)
+
+    def make_sink(out_path: str, run_id: str | None = None):
+        token = (
+            hashlib.md5(run_id.encode()).hexdigest()[:16]
+            if run_id
+            else uuid.uuid4().hex[:16]
+        )
+
+        def sink(batch_df, batch_id: int):
+            batch_df = batch_df.persist()
+            try:
+                kw = dict(
+                    id_col=id_col, text_col=text_col,
+                    num_hashes=num_hashes, bands=bands,
+                    shingle_n=shingle_n,
+                )
+                if os.path.isdir(index_path):
+                    idx = spark.read.parquet(index_path)
+                    edges, index_new = incremental_minhash_edges(
+                        batch_df, idx, threshold=threshold, **kw
+                    )
+                else:
+                    edges = minhash_components_edges(
+                        batch_df, threshold=threshold, **kw
+                    )
+                    index_new = minhash_band_index(batch_df, **kw)
+                batch_ids = batch_df.select(id_col)
+                endpoints = (
+                    edges.select(F.col("doc_a").alias(id_col))
+                    .union(edges.select(F.col("doc_b").alias(id_col)))
+                    .distinct()
+                )
+                nodes = batch_ids.union(endpoints).distinct()
+                labels = connected_components(
+                    edges, nodes, id_col, broadcast=True
+                )
+                # components containing an endpoint OUTSIDE the batch
+                # touch previously-admitted content
+                poisoned = (
+                    labels.join(
+                        endpoints.join(batch_ids, id_col, "left_anti"),
+                        id_col,
+                    )
+                    .select("component_id")
+                    .distinct()
+                )
+                clean = (
+                    batch_df.join(labels, id_col)
+                    .join(poisoned, "component_id", "left_anti")
+                )
+                survivors = clean.filter(
+                    F.col(id_col) == F.col("component_id")
+                ).drop("component_id")
+                admitted_sigs = index_new.join(
+                    clean.select(id_col), id_col, "left_semi"
+                )
+                meta = [
+                    F.lit(token).alias("ingest_run"),
+                    F.lit(int(batch_id)).alias("ingest_batch"),
+                ]
+                (
+                    survivors.select("*", *meta)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest_run", "ingest_batch")
+                    .parquet(out_path)
+                )
+                (
+                    admitted_sigs.select("*", *meta)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest_run", "ingest_batch")
+                    .parquet(index_path)
+                )
+            finally:
+                batch_df.unpersist()
+                from .operators.cache import release_sketch_caches
+
+                release_sketch_caches()
+
+        return sink
+
+    return out, make_sink

@@ -1163,3 +1163,72 @@ def test_corpus_ingest_index_sink_replay_idempotent(spark, tmp_path):
     mk2(out, run_id=str(tmp_path / "ckpt2"))(batch2, 7)
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
     assert {r.doc_id for r in spark.read.parquet(idx).collect()} == {1, 2}
+
+
+def test_corpus_ingest_with_neardup_index_across_jobs(spark, tmp_path):
+    """The persistent BAND index catches what the digest index cannot:
+    a PARAPHRASED re-ingest. Batch 2 of run 1 replays a one-token
+    variant of batch 1's admitted doc (cross-BATCH near-dup — only the
+    index, updated after batch 1, can see it); run 2 (fresh
+    checkpoint) replays another variant, dropped by the index alone."""
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_with_neardup_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs on to"
+        " the house of the friend by the long road near the old mill"
+    )
+
+    def variant(i):
+        toks = base.split()
+        toks[-1] = f"tok{i}"
+        return " ".join(toks)
+
+    other = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day and then went away to sleep deeply"
+    )
+    third = (
+        "fresh bread and warm soup wait on the long table in the quiet"
+        " room where the family meets at the end of every single day"
+    )
+    idx = str(tmp_path / "band_index")
+    out = str(tmp_path / "admitted")
+
+    def run(tag, batches):
+        src = str(tmp_path / f"in_{tag}")
+        stage_replayable_batches(spark, src, DOC_STREAM_SCHEMA, batches)
+        stream = file_stream(
+            spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+        )
+        df, mk = corpus_ingest_with_neardup_index(
+            stream, spark, idx, ts_col="ts"
+        )
+        q = (
+            df.writeStream.foreachBatch(
+                mk(out, run_id=str(tmp_path / f"ckpt_{tag}"))
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    # run 1: exact copy dropped in-stream (digest state); the VARIANT
+    # arrives in the NEXT batch and must be dropped via the index
+    run("one", [
+        [(1, base, "s", at(0.0)), (2, base, "s", at(1.0))],
+        [(3, variant(1), "s", at(10.0)), (4, other, "s", at(11.0))],
+    ])
+    admitted1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted1 == {1, 4}
+
+    # run 2: fresh checkpoint — another paraphrase (new id) is dropped
+    # purely by the PERSISTENT index; genuinely new content survives
+    run("two", [
+        [(11, variant(2), "s", at(100.0)), (12, third, "s", at(101.0))],
+    ])
+    admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert admitted == {1, 4, 12}
