@@ -886,6 +886,41 @@ def main() -> None:
     truth: dict = {}
     for r in truth_rows:
         truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # L2 ground truth for the PQ family's documented regime: PQ/IVF-PQ
+    # approximate EUCLIDEAN distance, so their recall yardstick is the
+    # exact-L2 top-k, while lsh/ivf (cosine indexes) score against the
+    # cosine truth above. Both recalls are reported for the PQ rows.
+    from example_kafkastreams_spark.functions import portable as PF
+    from example_kafkastreams_spark.operators.knn import _two_phase_topk
+
+    qrows = (
+        embt.filter(F.col("vec_id") < NQ)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    l2_parts = []
+    for qr in qrows:
+        qv = [float(x) for x in qr[1]]
+        l2_parts.append(
+            embt.filter(F.col("vec_id") != qr[0]).select(
+                F.lit(qr[0]).alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(
+                    PF.l2sq(
+                        "embedding", PF.vec_literal(qv, PF.SPARK), PF.SPARK
+                    )
+                ).alias("__d2"),
+            )
+        )
+    l2_scored = l2_parts[0]
+    for p in l2_parts[1:]:
+        l2_scored = l2_scored.unionByName(p)
+    l2_truth: dict = {}
+    for r in _two_phase_topk(
+        l2_scored, "query_id", [F.col("__d2").asc(), F.col("neighbor_id")], K
+    ).collect():
+        l2_truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     ann_rows: dict[str, dict] = {
         "brute_force": {"sec": bf_sec, "recall_at_10": 1.0},
         "num_queries": NQ,
@@ -911,6 +946,14 @@ def main() -> None:
             "sec": sec,
             "recall_at_10": round(hits / (len(truth) * K), 4),
         }
+        if label in ("pq", "ivfpq"):
+            l2_hits = sum(
+                len(got.get(q, set()) & neigh)
+                for q, neigh in l2_truth.items()
+            )
+            ann_rows[label]["recall_at_10_l2"] = round(
+                l2_hits / (len(l2_truth) * K), 4
+            )
     compare["ann_recall"] = ann_rows
 
     out = {

@@ -563,23 +563,7 @@ def _simhash_band_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs from an (id, simhash) table via the
     byte-band candidate join + bit_count verify."""
-    bands = sh.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.expr(
-                            f"CAST(floor(simhash / {256 ** i}) AS BIGINT) % 256"
-                        ).alias("band_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+    bands = _simhash_bands(sh, id_col)
     a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     return (
         a.join(
@@ -865,4 +849,189 @@ def incremental_minhash_edges(
     index_delta = delta_bands.join(
         band_index.select("sig").distinct(), "sig", "left_anti"
     ).select(id_col, "sig", "band_idx", "band_key")
+    return edges, index_delta
+
+
+def admit_against_band_index(
+    delta: DataFrame,
+    band_index: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Batch ADMISSION against previously-admitted content: returns
+    ``(survivors, index_delta)`` — the day-2 ingest decision as one
+    batch operator (also the per-micro-batch body of the streaming
+    ``corpus_ingest_with_neardup_index`` sink).
+
+    Survivor rule (the admission contract):
+    * build edges — within-delta star/rep pairs plus, when an index
+      exists, cross edges to admitted content
+      (``incremental_minhash_edges``);
+    * a connected component touching ANY index doc is dropped
+      wholesale (its content is already represented in the corpus);
+    * a clean component keeps exactly its min-id doc — which IS the
+      component label, so no extra aggregation.
+
+    ``index_delta`` holds band rows for every NEW distinct signature
+    of ADMITTED components (not just survivors': admitting the sigs of
+    a survivor's dropped near-twins makes the future gate strictly
+    stronger, and dropped components add nothing — their future copies
+    collide with the same index entries that dropped them). Append it:
+    ``index' = index ∪ index_delta``.
+
+    ``band_index=None`` bootstraps an empty corpus (pure within-delta
+    dedup + a fresh index).
+
+    Scale: everything is delta-proportional — the corpus side is the
+    rep-contracted band index (SCALE_PROBE ``incremental_minhash_delta``
+    measures shuffle ratio 1.0 at 10x corpus), components iterate on
+    the delta's edge subgraph, and the index grows by distinct-sig
+    band rows only.
+    """
+    from .components import connected_components
+
+    kw = dict(
+        id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_n=shingle_n,
+    )
+    if band_index is None:
+        edges = minhash_components_edges(delta, threshold=threshold, **kw)
+        index_new = minhash_band_index(delta, **kw)
+    else:
+        edges, index_new = incremental_minhash_edges(
+            delta, band_index, threshold=threshold, **kw
+        )
+    delta_ids = delta.select(id_col)
+    endpoints = (
+        edges.select(F.col("doc_a").alias(id_col))
+        .union(edges.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    nodes = delta_ids.union(endpoints).distinct()
+    labels = connected_components(edges, nodes, id_col, broadcast=True)
+    poisoned = (
+        labels.join(endpoints.join(delta_ids, id_col, "left_anti"), id_col)
+        .select("component_id")
+        .distinct()
+    )
+    clean = delta.join(labels, id_col).join(
+        poisoned, "component_id", "left_anti"
+    )
+    survivors = clean.filter(
+        F.col(id_col) == F.col("component_id")
+    ).drop("component_id")
+    index_delta = index_new.join(
+        clean.select(id_col), id_col, "left_semi"
+    )
+    return survivors, index_delta
+
+
+def _simhash_bands(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, simhash, band_idx, band_val) — the 4 byte-bands of each
+    32-bit sketch, simhash kept alongside (the index layout)."""
+    return sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(
+                            f"CAST(floor(simhash / {256 ** i}) AS BIGINT)"
+                            " % 256"
+                        ).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
+
+
+def simhash_band_index(
+    docs: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sh_df: DataFrame | None = None,
+) -> DataFrame:
+    """The SimHash twin of ``minhash_band_index``: (doc_id, simhash,
+    band_idx, band_val), one row per (byte-band, distinct-sketch
+    representative) — 4 rows of (id + long + two small ints) per
+    distinct sketch, the persistent corpus artifact for incremental
+    Hamming-radius near-dup. Same contraction, same storage advice
+    (parquet; bucketed on (band_idx, band_val) the delta join's index
+    side needs no exchange)."""
+    if sh_df is None:
+        sh_df = persist_tracked(with_simhash(
+            _rebalance(docs, id_col), id_col, text_col
+        ))
+    reps = sh_df.groupBy("simhash").agg(F.min(id_col).alias(id_col))
+    return _simhash_bands(reps, id_col)
+
+
+def incremental_simhash_edges(
+    delta: DataFrame | None,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    sh_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``incremental_minhash_edges`` for the SimHash/Hamming notion of
+    "near": (edges, index_delta) such that the union of per-run edges
+    has the same transitive closure as a one-shot
+    ``simhash_components_edges`` over corpus ∪ delta (same proof
+    shape: reps carry identical sketches, Hamming-0 bridges stars, the
+    byte-band collide + ``bit_count(xor)`` verify makes identical
+    decisions in both paths).
+
+    Pick by the same rule as the batch operators: MinHash/Jaccard when
+    shingle OVERLAP defines near; SimHash/Hamming when token-vote
+    similarity does (the funnel's default)."""
+    if sh_df is None:
+        sh_df = persist_tracked(with_simhash(
+            _rebalance(delta, id_col), id_col, text_col
+        ))
+    reps = persist_tracked(
+        sh_df.groupBy("simhash").agg(F.min(id_col).alias(id_col))
+    )
+    star = (
+        sh_df.withColumnRenamed(id_col, "__m")
+        .join(reps.withColumnRenamed(id_col, "rep"), "simhash")
+        .filter(F.col("__m") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("__m").alias("doc_b"))
+    )
+    rep_pairs = _simhash_band_pairs(reps, id_col, max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    delta_bands = _simhash_bands(reps, id_col)
+    idx = band_index.select(
+        F.col(id_col).alias("__idx_id"),
+        F.col("simhash").alias("__idx_sh"),
+        "band_idx",
+        "band_val",
+    )
+    cross = (
+        delta_bands.join(idx, ["band_idx", "band_val"])
+        .select(
+            F.least("__idx_id", F.col(id_col)).alias("doc_a"),
+            F.greatest("__idx_id", F.col(id_col)).alias("doc_b"),
+            F.expr("bit_count(__idx_sh ^ simhash)").alias("__h"),
+        )
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("__h") <= max_hamming)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edges = star.unionAll(rep_pairs).unionAll(cross)
+    index_delta = delta_bands.join(
+        band_index.select("simhash").distinct(), "simhash", "left_anti"
+    ).select(id_col, "simhash", "band_idx", "band_val")
     return edges, index_delta

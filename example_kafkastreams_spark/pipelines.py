@@ -542,7 +542,8 @@ def corpus_ingest_with_neardup_index(
 
     Per micro-batch (inside the returned foreachBatch sink, all batch
     Spark — streaming joins can't express collide-then-verify +
-    components, batch can):
+    components, batch can; the admission decision itself is
+    ``neardup.admit_against_band_index``, the shared batch operator):
 
     1. edges = ``incremental_minhash_edges(batch, stored index)`` —
        within-batch star/rep pairs plus cross edges to admitted
@@ -579,10 +580,7 @@ def corpus_ingest_with_neardup_index(
     import os
     import uuid
 
-    from .operators.neardup import (
-        incremental_minhash_edges,
-        minhash_band_index,
-    )
+    from .operators.neardup import admit_against_band_index
 
     out = corpus_ingest_stream(docs, ts_col=ts_col, **ingest_kwargs)
 
@@ -596,50 +594,15 @@ def corpus_ingest_with_neardup_index(
         def sink(batch_df, batch_id: int):
             batch_df = batch_df.persist()
             try:
-                kw = dict(
-                    id_col=id_col, text_col=text_col,
+                idx = (
+                    spark.read.parquet(index_path)
+                    if os.path.isdir(index_path)
+                    else None
+                )
+                survivors, admitted_sigs = admit_against_band_index(
+                    batch_df, idx, id_col=id_col, text_col=text_col,
                     num_hashes=num_hashes, bands=bands,
-                    shingle_n=shingle_n,
-                )
-                if os.path.isdir(index_path):
-                    idx = spark.read.parquet(index_path)
-                    edges, index_new = incremental_minhash_edges(
-                        batch_df, idx, threshold=threshold, **kw
-                    )
-                else:
-                    edges = minhash_components_edges(
-                        batch_df, threshold=threshold, **kw
-                    )
-                    index_new = minhash_band_index(batch_df, **kw)
-                batch_ids = batch_df.select(id_col)
-                endpoints = (
-                    edges.select(F.col("doc_a").alias(id_col))
-                    .union(edges.select(F.col("doc_b").alias(id_col)))
-                    .distinct()
-                )
-                nodes = batch_ids.union(endpoints).distinct()
-                labels = connected_components(
-                    edges, nodes, id_col, broadcast=True
-                )
-                # components containing an endpoint OUTSIDE the batch
-                # touch previously-admitted content
-                poisoned = (
-                    labels.join(
-                        endpoints.join(batch_ids, id_col, "left_anti"),
-                        id_col,
-                    )
-                    .select("component_id")
-                    .distinct()
-                )
-                clean = (
-                    batch_df.join(labels, id_col)
-                    .join(poisoned, "component_id", "left_anti")
-                )
-                survivors = clean.filter(
-                    F.col(id_col) == F.col("component_id")
-                ).drop("component_id")
-                admitted_sigs = index_new.join(
-                    clean.select(id_col), id_col, "left_semi"
+                    shingle_n=shingle_n, threshold=threshold,
                 )
                 meta = [
                     F.lit(token).alias("ingest_run"),

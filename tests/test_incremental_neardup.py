@@ -189,3 +189,103 @@ def test_bucketed_band_index_saves_index_exchange(spark, tmp_path):
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+
+
+def test_admit_against_band_index_two_deltas(spark):
+    """The batch admission contract: delta-1 bootstraps (min-id per
+    component survives, index holds every admitted sig); delta-2 drops
+    near-dups of admitted content — INCLUDING a variant of a doc that
+    was itself dropped in delta-1 (its sig entered the index with its
+    admitted component) — and admits genuinely new content."""
+    from example_kafkastreams_spark.operators.neardup import (
+        admit_against_band_index,
+    )
+
+    d1 = _docs(spark, [
+        (1, BASE[0]),
+        (2, BASE[0]),            # exact copy -> dropped, sig admitted
+        (3, _variant(BASE[0], 1)),  # near-dup of 1 -> dropped if linked
+        (4, BASE[1]),
+    ])
+    s1, i1 = admit_against_band_index(d1, None, **KW)
+    surv1 = {r.doc_id for r in s1.collect()}
+    assert 1 in surv1 and 2 not in surv1 and 4 in surv1
+    idx = i1.persist()
+    # index = admitted components' sigs: at least the two base sigs
+    n_sigs1 = idx.select("sig").distinct().count()
+    assert n_sigs1 >= 2
+
+    d2 = _docs(spark, [
+        (10, BASE[0]),              # exact copy of admitted -> dropped
+        (11, _variant(BASE[0], 1)),  # copy of delta-1's DROPPED variant
+        (12, BASE[2]),              # new -> admitted
+    ])
+    s2, i2 = admit_against_band_index(d2, idx, **KW)
+    surv2 = {r.doc_id for r in s2.collect()}
+    assert 10 not in surv2
+    assert 12 in surv2
+    if 3 not in surv1:
+        # the variant's sig was admitted with component 1 -> its copy
+        # collides at agreement 1.0 and must drop
+        assert 11 not in surv2
+    # appended index keeps the one-rep-per-sig invariant
+    both = idx.unionByName(i2)
+    bad = (
+        both.groupBy("sig")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .filter(F.col("n") != 1)
+        .count()
+    )
+    assert bad == 0
+    idx.unpersist()
+
+
+def test_simhash_two_delta_ingest_equals_one_shot_closure(spark):
+    """The SimHash twin of the MinHash closure proof: two deltas
+    through simhash_band_index / incremental_simhash_edges reach the
+    one-shot simhash_components_edges closure."""
+    from example_kafkastreams_spark.operators.neardup import (
+        incremental_simhash_edges,
+        simhash_band_index,
+        simhash_components_edges,
+    )
+
+    corpus_rows = [(i, BASE[i % 5]) for i in range(10)]
+    delta1_rows = (
+        [(20 + i, _variant(BASE[i], 1)) for i in range(5)]
+        + [(25, "completely novel words about winter snow and ice falls")]
+    )
+    delta2_rows = (
+        [(40, BASE[2]), (41, _variant(BASE[2], 1)), (42, _variant(BASE[2], 2))]
+        + [(43, "completely novel words about winter snow and ice falls")]
+        + [(44, "another fully distinct document text with singular content here")]
+    )
+    all_rows = corpus_rows + delta1_rows + delta2_rows
+    nodes = [r[0] for r in all_rows]
+    H = 3
+
+    one_shot = simhash_components_edges(
+        _docs(spark, all_rows), max_hamming=H
+    )
+    want = _closure(
+        [(r.doc_a, r.doc_b) for r in one_shot.collect()], nodes
+    )
+
+    corpus = _docs(spark, corpus_rows)
+    idx0 = simhash_band_index(corpus).persist()
+    e0 = simhash_components_edges(corpus, max_hamming=H)
+    e1, d1 = incremental_simhash_edges(
+        _docs(spark, delta1_rows), idx0, max_hamming=H
+    )
+    idx1 = idx0.unionByName(d1).persist()
+    e2, _ = incremental_simhash_edges(
+        _docs(spark, delta2_rows), idx1, max_hamming=H
+    )
+    got_edges = [
+        (r.doc_a, r.doc_b)
+        for e in (e0, e1, e2)
+        for r in e.collect()
+    ]
+    assert _closure(got_edges, nodes) == want
+    idx0.unpersist()
+    idx1.unpersist()
