@@ -861,11 +861,18 @@ def admit_against_band_index(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    sketch: str = "minhash",
+    max_hamming: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Batch ADMISSION against previously-admitted content: returns
     ``(survivors, index_delta)`` — the day-2 ingest decision as one
     batch operator (also the per-micro-batch body of the streaming
     ``corpus_ingest_with_neardup_index`` sink).
+
+    ``sketch`` picks the near-dup notion and the index layout it
+    expects, same rule as the funnel: "minhash" (shingle-Jaccard ≥
+    ``threshold``, ``minhash_band_index`` rows) or "simhash" (Hamming
+    ≤ ``max_hamming``, ``simhash_band_index`` rows).
 
     Survivor rule (the admission contract):
     * build edges — within-delta star/rep pairs plus, when an index
@@ -894,16 +901,34 @@ def admit_against_band_index(
     """
     from .components import connected_components
 
-    kw = dict(
-        id_col=id_col, text_col=text_col, num_hashes=num_hashes,
-        bands=bands, shingle_n=shingle_n,
-    )
-    if band_index is None:
-        edges = minhash_components_edges(delta, threshold=threshold, **kw)
-        index_new = minhash_band_index(delta, **kw)
+    if sketch == "minhash":
+        kw = dict(
+            id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            bands=bands, shingle_n=shingle_n,
+        )
+        if band_index is None:
+            edges = minhash_components_edges(
+                delta, threshold=threshold, **kw
+            )
+            index_new = minhash_band_index(delta, **kw)
+        else:
+            edges, index_new = incremental_minhash_edges(
+                delta, band_index, threshold=threshold, **kw
+            )
+    elif sketch == "simhash":
+        if band_index is None:
+            edges = simhash_components_edges(
+                delta, id_col, text_col, max_hamming=max_hamming
+            )
+            index_new = simhash_band_index(delta, id_col, text_col)
+        else:
+            edges, index_new = incremental_simhash_edges(
+                delta, band_index, id_col, text_col,
+                max_hamming=max_hamming,
+            )
     else:
-        edges, index_new = incremental_minhash_edges(
-            delta, band_index, threshold=threshold, **kw
+        raise ValueError(
+            f"sketch must be 'minhash' or 'simhash', got {sketch!r}"
         )
     delta_ids = delta.select(id_col)
     endpoints = (

@@ -631,3 +631,94 @@ def corpus_ingest_with_neardup_index(
         return sink
 
     return out, make_sink
+
+
+def corpus_stages_delta(
+    delta: DataFrame,
+    digest_index: DataFrame | None,
+    band_index: DataFrame | None,
+    min_quality: float = 0.25,
+    languages: tuple[str, ...] = ("en",),
+    max_hamming: int = 3,
+    chunk_size: int = 32,
+    stride: int = 24,
+    scrub_pii: bool = True,
+    sketch: str = "simhash",
+    minhash_threshold: float = 0.5,
+) -> dict[str, DataFrame]:
+    """The DAY-2 funnel: run a new delta through the same
+    quality → language → exact-dedup → near-dup → scrub → chunks
+    stages as ``corpus_stages``, but with BOTH dedup stages checked
+    against the persistent indexes of everything previously admitted —
+    the historical corpus is never re-read, so the whole funnel costs
+    delta-proportional work (the 100 TB re-ingest story, completed).
+
+    Index contracts (both append-only):
+    * ``digest_index`` — any frame with a ``content_hash`` column of
+      admitted texts (``exact_text_dedup`` over the day-1 language
+      stage IS that index); update rule ``index' = index ∪
+      stages["digest_index_delta"]``.
+    * ``band_index`` — ``simhash_band_index`` (or
+      ``minhash_band_index`` with ``sketch="minhash"``) over the day-1
+      EXACT-dedup stage (every day-1 component admitted its min, so
+      the exact survivors are the admitted content); update rule
+      ``index' = index ∪ stages["band_index_delta"]``. Either index
+      ``None`` bootstraps day 1.
+
+    Equivalence (unit-pinned): when delta ids exceed corpus ids (the
+    append-log normal case) and no delta doc BRIDGES two previously
+    distinct admitted clusters, the admitted set equals the one-shot
+    funnel over corpus ∪ delta. A bridging delta doc drops while both
+    admitted survivors remain — admission is append-only, never
+    retroactive (the standard ingest contract; a full re-cluster is a
+    scheduled batch job, not a delta decision).
+    """
+    from .operators.neardup import (
+        admit_against_band_index,
+        incremental_exact_dedup,
+    )
+
+    exprs = _quality_exprs(P.SPARK)
+    scored = delta.withColumn(
+        "quality_score", F.expr(exprs["quality_score"])
+    )
+    quality = scored.filter(F.col("quality_score") >= min_quality)
+    scores = P.lang_scores("text", P.SPARK)
+    with_pred = quality.withColumns(
+        {f"score_{lang}": F.expr(e) for lang, e in scores.items()}
+    ).withColumn(
+        "pred_lang",
+        F.expr(P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})),
+    )
+    language = persist_tracked(
+        with_pred.filter(F.col("pred_lang").isin(*languages)).drop(
+            *[f"score_{lang}" for lang in scores]
+        )
+    )
+
+    if digest_index is None:
+        digest_new = exact_text_dedup(language)
+    else:
+        digest_new = incremental_exact_dedup(language, digest_index)
+    exact = persist_tracked(
+        language.join(digest_new.select("doc_id"), "doc_id", "semi")
+    )
+
+    admitted, band_delta = admit_against_band_index(
+        exact, band_index, sketch=sketch, max_hamming=max_hamming,
+        threshold=minhash_threshold,
+    )
+    if scrub_pii:
+        admitted = admitted.withColumn(
+            "text", F.expr(P.pii_scrub("text", P.SPARK))
+        )
+    chunks = chunk_documents(admitted, chunk_size=chunk_size, stride=stride)
+    return {
+        "quality": quality,
+        "language": language,
+        "exact_admitted": exact,
+        "neardup_admitted": admitted,
+        "chunks": chunks,
+        "digest_index_delta": digest_new,
+        "band_index_delta": band_delta,
+    }
