@@ -858,6 +858,60 @@ def main() -> None:
     nd_rows["delta_fraction"] = 0.1
     compare["incremental_neardup"] = nd_rows
 
+    # Day-2 FUNNEL (round 6): the full quality->lang->exact->near-dup->
+    # scrub->chunks pipeline for a 10% delta via corpus_stages_delta
+    # against the persistent digest + band indexes, vs re-running the
+    # one-shot funnel over the whole corpus. The indexes are built and
+    # materialized OUTSIDE the timed window (prior ingests' paid
+    # output). The deterministic claim is the SHUFFLE column (delta-
+    # proportional, like incremental_neardup above); sandbox WALL time
+    # is dominated by the admission path's fixed job count — the
+    # eager components loop runs a few convergence rounds regardless
+    # of data size — so the wall crossover sits above sandbox scale
+    # (at 100 TB the one-shot side re-sketches the corpus; the delta
+    # side never touches it).
+    from example_kafkastreams_spark.operators.neardup import (
+        simhash_band_index,
+    )
+    from example_kafkastreams_spark.pipelines import (
+        corpus_stages,
+        corpus_stages_delta,
+    )
+
+    day1 = corpus_stages(hist)
+    f_digest = exact_text_dedup(day1["language"]).persist()
+    f_band = simhash_band_index(day1["exact_dedup"]).persist()
+    f_digest.count()
+    f_band.count()
+    release_sketch_caches()
+    fd_rows: dict[str, dict] = {}
+    for label, thunk in (
+        ("one_shot_funnel", lambda: corpus_stages(docs)["chunks"]),
+        (
+            "delta_funnel",
+            lambda: corpus_stages_delta(delta, f_digest, f_band)["chunks"],
+        ),
+    ):
+        before = shuffle_totals(spark)
+        t0 = time.perf_counter()
+        n = thunk().count()
+        sec = round(time.perf_counter() - t0, 3)
+        after = shuffle_totals(spark)
+        release_sketch_caches()
+        fd_rows[label] = {
+            "sec": sec,
+            "chunk_rows": n,
+            "shuffle_write_records": (
+                after[0] - before[0]
+                if before is not None and after is not None
+                else None
+            ),
+        }
+    f_digest.unpersist()
+    f_band.unpersist()
+    fd_rows["delta_fraction"] = 0.1
+    compare["delta_funnel"] = fd_rows
+
     # ANN recall/cost (VERDICT r5 item 3): recall is unit-asserted on
     # fixtures but a USER picks an index by the recall-vs-wall curve at
     # data scale. Each method scores the same num_queries against the

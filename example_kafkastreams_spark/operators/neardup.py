@@ -757,7 +757,7 @@ def minhash_band_index(
     return _bands_with_sig(reps, id_col, bands, num_hashes // bands)
 
 
-def incremental_minhash_edges(
+def _incremental_minhash_parts(
     delta: DataFrame | None,
     band_index: DataFrame,
     id_col: str = "doc_id",
@@ -767,8 +767,15 @@ def incremental_minhash_edges(
     shingle_n: int = 3,
     threshold: float = 0.5,
     sig_df: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Near-dup a NEW batch against an existing corpus WITHOUT
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(within-delta edges, cross edges, index_delta) — the split form
+    ``admit_against_band_index`` consumes: the components loop only
+    needs the WITHIN-delta graph (cross edges merely mark poisoned
+    components), which keeps the iterative label table delta-sized
+    instead of dragging every touched index rep through each round.
+    ``incremental_minhash_edges`` is the unioned public form.
+
+    Near-dup a NEW batch against an existing corpus WITHOUT
     re-reading the corpus: returns ``(edges, index_delta)`` where
 
     * ``edges`` — (doc_a, doc_b) whose union with the edges of
@@ -845,11 +852,33 @@ def incremental_minhash_edges(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    edges = star.unionAll(rep_pairs).unionAll(cross)
     index_delta = delta_bands.join(
         band_index.select("sig").distinct(), "sig", "left_anti"
     ).select(id_col, "sig", "band_idx", "band_key")
-    return edges, index_delta
+    return star.unionAll(rep_pairs), cross, index_delta
+
+
+def incremental_minhash_edges(
+    delta: DataFrame | None,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    sig_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, index_delta) — the public unioned form of
+    ``_incremental_minhash_parts`` (full contract there): edges whose
+    union across runs closure-equals one-shot
+    ``minhash_components_edges`` over corpus ∪ delta, plus the band
+    rows to append (``index' = index ∪ index_delta``)."""
+    within, cross, index_delta = _incremental_minhash_parts(
+        delta, band_index, id_col, text_col, num_hashes, bands,
+        shingle_n, threshold, sig_df,
+    )
+    return within.unionAll(cross), index_delta
 
 
 def admit_against_band_index(
@@ -907,22 +936,24 @@ def admit_against_band_index(
             bands=bands, shingle_n=shingle_n,
         )
         if band_index is None:
-            edges = minhash_components_edges(
+            within = minhash_components_edges(
                 delta, threshold=threshold, **kw
             )
+            cross = None
             index_new = minhash_band_index(delta, **kw)
         else:
-            edges, index_new = incremental_minhash_edges(
+            within, cross, index_new = _incremental_minhash_parts(
                 delta, band_index, threshold=threshold, **kw
             )
     elif sketch == "simhash":
         if band_index is None:
-            edges = simhash_components_edges(
+            within = simhash_components_edges(
                 delta, id_col, text_col, max_hamming=max_hamming
             )
+            cross = None
             index_new = simhash_band_index(delta, id_col, text_col)
         else:
-            edges, index_new = incremental_simhash_edges(
+            within, cross, index_new = _incremental_simhash_parts(
                 delta, band_index, id_col, text_col,
                 max_hamming=max_hamming,
             )
@@ -930,22 +961,36 @@ def admit_against_band_index(
         raise ValueError(
             f"sketch must be 'minhash' or 'simhash', got {sketch!r}"
         )
+    # Components run on the WITHIN-delta graph only — the iterative
+    # label table stays delta-sized. Cross edges never enter the loop:
+    # a delta component is poisoned iff any member carries a cross
+    # edge, which is equivalent (an index node can only ever mark the
+    # components it touches, never merge two CLEAN ones into admission
+    # — both would be poisoned). within fans out into the loop and the
+    # poison/clean joins, clean into survivors + admitted sigs:
+    # persist both (release with operators.cache.release_sketch_caches).
+    within = persist_tracked(within)
     delta_ids = delta.select(id_col)
-    endpoints = (
-        edges.select(F.col("doc_a").alias(id_col))
-        .union(edges.select(F.col("doc_b").alias(id_col)))
-        .distinct()
-    )
-    nodes = delta_ids.union(endpoints).distinct()
-    labels = connected_components(edges, nodes, id_col, broadcast=True)
-    poisoned = (
-        labels.join(endpoints.join(delta_ids, id_col, "left_anti"), id_col)
-        .select("component_id")
-        .distinct()
-    )
-    clean = delta.join(labels, id_col).join(
-        poisoned, "component_id", "left_anti"
-    )
+    labels = connected_components(within, delta_ids, id_col, broadcast=True)
+    if cross is None:
+        clean = persist_tracked(delta.join(labels, id_col))
+    else:
+        touched = (
+            cross.select(F.col("doc_a").alias(id_col))
+            .union(cross.select(F.col("doc_b").alias(id_col)))
+            .join(delta_ids, id_col, "left_semi")
+            .distinct()
+        )
+        poisoned = (
+            labels.join(touched, id_col)
+            .select("component_id")
+            .distinct()
+        )
+        clean = persist_tracked(
+            delta.join(labels, id_col).join(
+                poisoned, "component_id", "left_anti"
+            )
+        )
     survivors = clean.filter(
         F.col(id_col) == F.col("component_id")
     ).drop("component_id")
@@ -999,15 +1044,18 @@ def simhash_band_index(
     return _simhash_bands(reps, id_col)
 
 
-def incremental_simhash_edges(
+def _incremental_simhash_parts(
     delta: DataFrame | None,
     band_index: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     sh_df: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """``incremental_minhash_edges`` for the SimHash/Hamming notion of
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(within, cross, index_delta) split — see
+    ``_incremental_minhash_parts`` for why admission wants the parts.
+
+    ``incremental_minhash_edges`` for the SimHash/Hamming notion of
     "near": (edges, index_delta) such that the union of per-run edges
     has the same transitive closure as a one-shot
     ``simhash_components_edges`` over corpus ∪ delta (same proof
@@ -1055,8 +1103,24 @@ def incremental_simhash_edges(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    edges = star.unionAll(rep_pairs).unionAll(cross)
     index_delta = delta_bands.join(
         band_index.select("simhash").distinct(), "simhash", "left_anti"
     ).select(id_col, "simhash", "band_idx", "band_val")
-    return edges, index_delta
+    return star.unionAll(rep_pairs), cross, index_delta
+
+
+def incremental_simhash_edges(
+    delta: DataFrame | None,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    sh_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(edges, index_delta) — public unioned form of
+    ``_incremental_simhash_parts``; the SimHash/Hamming twin of
+    ``incremental_minhash_edges``."""
+    within, cross, index_delta = _incremental_simhash_parts(
+        delta, band_index, id_col, text_col, max_hamming, sh_df
+    )
+    return within.unionAll(cross), index_delta

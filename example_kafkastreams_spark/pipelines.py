@@ -531,10 +531,14 @@ def corpus_ingest_with_neardup_index(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    sketch: str = "minhash",
+    max_hamming: int = 3,
     **ingest_kwargs,
 ):
     """Streaming ingest with a persistent NEAR-dup index — the MinHash
-    band-index analog of ``corpus_ingest_with_index``'s digest index,
+    band-index analog of ``corpus_ingest_with_index``'s digest index
+    (``sketch="simhash"`` switches notion and index layout, like the
+    batch funnel),
     closing the last cross-job gap: exact replays are caught by the
     digest index, but a PARAPHRASED re-ingest (token swaps, near-copy)
     sails through any exact gate. Here each micro-batch is near-dup'd
@@ -603,6 +607,7 @@ def corpus_ingest_with_neardup_index(
                     batch_df, idx, id_col=id_col, text_col=text_col,
                     num_hashes=num_hashes, bands=bands,
                     shingle_n=shingle_n, threshold=threshold,
+                    sketch=sketch, max_hamming=max_hamming,
                 )
                 meta = [
                     F.lit(token).alias("ingest_run"),
