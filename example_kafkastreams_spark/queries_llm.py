@@ -244,10 +244,11 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q43: SimHash near-dup pairs (byte-band + Hamming verify) -------------
 
-def _simhash_bands_sql() -> str:
+def _simhash_bands_sql(src: str = "sh") -> str:
     parts = [
         f"SELECT doc_id, simhash, {i} AS band_idx,"
-        f" CAST(floor(simhash / {256 ** i}) AS BIGINT) % 256 AS band_val FROM sh"
+        f" CAST(floor(simhash / {256 ** i}) AS BIGINT) % 256 AS band_val"
+        f" FROM {src}"
         for i in range(4)
     ]
     return " UNION ALL ".join(parts)

@@ -235,8 +235,87 @@ def _funnel_sql() -> str:
       FROM packfold p JOIN chunkstats c
         ON c.doc_id = p.doc_id AND c.rn = p.rn + 1
     ),
-    packs AS (SELECT DISTINCT doc_id, pack_seq FROM packfold)
-    SELECT
+    packs AS (SELECT DISTINCT doc_id, pack_seq FROM packfold),
+    -- ======== delta branch: the day-2 funnel (corpus_stages_delta) =======
+    -- hist = doc_id % 3 <> 0 is "yesterday's corpus"; its digest and
+    -- SimHash band indexes are re-derived here exactly as
+    -- exact_text_dedup(language) / simhash_band_index(exact) build
+    -- them, then the delta (doc_id % 3 = 0) runs the admission
+    -- contract: within-delta components (pairwise banded edges are
+    -- closure-equal to the operator's star contraction), a component
+    -- is poisoned iff any member's sketch band-collides with an index
+    -- sketch within the Hamming radius.
+    lang_h AS MATERIALIZED (SELECT * FROM lang WHERE doc_id % 3 <> 0),
+    -- the band index needs only the DISTINCT sketches of the day-1
+    -- language stage (dedup does not change the distinct-text set and
+    -- admission never reads index ids), so no exact_h pass is needed
+    thv_h AS (
+      SELECT doc_id, {P.token_hash_array('text', D)} AS thv FROM lang_h
+    ),
+    sh_h AS (
+      SELECT doc_id, {P.simhash_from_hashes('thv', D)} AS simhash FROM thv_h
+    ),
+    idx_sh AS MATERIALIZED (
+      SELECT min(doc_id) AS doc_id, simhash FROM sh_h GROUP BY simhash
+    ),
+    idxbands AS ({QL._simhash_bands_sql('idx_sh')}),
+    dig_idx AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM lang_h),
+    lang_d AS MATERIALIZED (SELECT * FROM lang WHERE doc_id % 3 = 0),
+    exact_d AS MATERIALIZED (
+      SELECT doc_id, text FROM lang_d
+      WHERE doc_id IN (SELECT min(doc_id) FROM lang_d GROUP BY md5(text))
+        AND md5(text) NOT IN (SELECT h FROM dig_idx)
+    ),
+    thv_d AS (
+      SELECT doc_id, {P.token_hash_array('text', D)} AS thv FROM exact_d
+    ),
+    sh_d AS MATERIALIZED (
+      SELECT doc_id, {P.simhash_from_hashes('thv', D)} AS simhash FROM thv_d
+    ),
+    dbands AS MATERIALIZED ({QL._simhash_bands_sql('sh_d')}),
+    dpairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM dbands a JOIN dbands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {_FUNNEL_MAX_HAMMING}
+    ),
+    dund AS (
+      SELECT doc_a AS src, doc_b AS dst FROM dpairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM dpairs
+    ),
+    dcomp(node, lab) AS (
+      SELECT doc_id, doc_id FROM exact_d
+      UNION
+      SELECT u.dst, c.lab FROM dcomp c JOIN dund u ON u.src = c.node
+    ),
+    dlabeled AS MATERIALIZED (
+      SELECT node AS doc_id, min(lab) AS component_id FROM dcomp GROUP BY node
+    ),
+    hit_sh AS (
+      SELECT DISTINCT db.simhash
+      FROM dbands db JOIN idxbands ib
+        ON db.band_idx = ib.band_idx AND db.band_val = ib.band_val
+      WHERE bit_count(xor(db.simhash, ib.simhash)) <= {_FUNNEL_MAX_HAMMING}
+    ),
+    dpoisoned AS (
+      SELECT DISTINCT l.component_id
+      FROM dlabeled l JOIN sh_d s USING (doc_id)
+      WHERE s.simhash IN (SELECT simhash FROM hit_sh)
+    ),
+    dadmit AS MATERIALIZED (
+      SELECT doc_id FROM dlabeled
+      WHERE doc_id = component_id
+        AND component_id NOT IN (SELECT component_id FROM dpoisoned)
+    ),
+    dsurv AS (
+      SELECT doc_id, {P.pii_scrub('text', D)} AS text FROM exact_d
+      WHERE doc_id IN (SELECT doc_id FROM dadmit)
+    ),
+    dtok AS (SELECT doc_id, {toks} AS toks FROM dsurv),
+    dex AS (SELECT doc_id, unnest({starts}) AS start FROM dtok)
+    SELECT 'full' AS mode,
       (SELECT count(*) FROM documents) AS n_raw,
       (SELECT count(*) FROM quality) AS n_quality,
       (SELECT count(*) FROM lang) AS n_language,
@@ -244,6 +323,15 @@ def _funnel_sql() -> str:
       (SELECT count(*) FROM keep) AS n_neardup_survivors,
       (SELECT count(*) FROM ex) AS n_chunks,
       (SELECT count(*) FROM packs) AS n_packs
+    UNION ALL
+    SELECT 'delta',
+      (SELECT count(*) FROM documents WHERE doc_id % 3 = 0),
+      (SELECT count(*) FROM quality WHERE doc_id % 3 = 0),
+      (SELECT count(*) FROM lang_d),
+      (SELECT count(*) FROM exact_d),
+      (SELECT count(*) FROM dadmit),
+      (SELECT count(*) FROM dex),
+      CAST(NULL AS BIGINT)
     """
 
 
@@ -260,7 +348,15 @@ def q63_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolation. n_packs hard-checks the CANONICAL packing mode through
     the driver (its per-document greedy fold is partition-independent,
     so the DuckDB recursive-fold twin reproduces the exact pack
-    count)."""
+    count).
+
+    Round-6 tag merge: the ``delta`` row runs the DAY-2 funnel
+    (pipelines.corpus_stages_delta) — the doc_id % 3 = 0 split
+    ingested against the remainder's persistent digest + SimHash band
+    indexes — so the incremental admission contract (within-delta
+    components, index-poisoned components dropped wholesale, min-id
+    survivor) is value-checked by the driver end-to-end, with the
+    oracle re-deriving both indexes and the admission in SQL."""
     docs = load_table(spark, sf_dir, "documents")
     stages = corpus_stages(
         docs,
@@ -272,7 +368,55 @@ def q63_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_pii=True,
         pack_budget=_FUNNEL_PACK_BUDGET,
     )
-    return corpus_funnel_counts(stages)
+    full_row = corpus_funnel_counts(stages).select(
+        F.lit("full").alias("mode"), "*"
+    )
+
+    from .operators.neardup import exact_text_dedup, simhash_band_index
+    from .pipelines import corpus_stages_delta
+
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    kw = dict(
+        min_quality=_FUNNEL_MIN_QUALITY,
+        languages=(_FUNNEL_LANG,),
+        max_hamming=_FUNNEL_MAX_HAMMING,
+        chunk_size=_FUNNEL_CHUNK,
+        stride=_FUNNEL_STRIDE,
+        scrub_pii=True,
+    )
+    # Day-1 index derivation WITHOUT a second funnel run: both indexes
+    # are functions of the distinct TEXTS of the day-1 language stage
+    # (the digest index stores content hashes; the band index stores
+    # one rep per distinct sketch, and the admission's poison check
+    # never reads index ids) — and the full funnel's persisted
+    # language stage filtered to the hist split IS that stage
+    # (row-wise filters commute).
+    lang_h = stages["language"].filter(F.col("doc_id") % 3 != 0)
+    d2 = corpus_stages_delta(
+        delta,
+        exact_text_dedup(lang_h),
+        simhash_band_index(lang_h),
+        sketch="simhash",
+        **kw,
+    )
+    delta_counts = {
+        "n_raw": delta,
+        "n_quality": d2["quality"],
+        "n_language": d2["language"],
+        "n_exact_dedup": d2["exact_admitted"],
+        "n_neardup_survivors": d2["neardup_admitted"],
+        "n_chunks": d2["chunks"],
+    }
+    delta_row = None
+    for name, df in delta_counts.items():
+        c = df.agg(F.count(F.lit(1)).alias(name))
+        delta_row = c if delta_row is None else delta_row.crossJoin(c)
+    delta_row = delta_row.select(
+        F.lit("delta").alias("mode"),
+        "*",
+        F.lit(None).cast("long").alias("n_packs"),
+    )
+    return full_row.unionByName(delta_row)
 
 
 # --- q64: benchmark decontamination (round 5) ------------------------------
