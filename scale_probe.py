@@ -208,6 +208,52 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         )
         return edges
 
+    # Day-2 funnel at scale: the SAME fixed delta through the whole
+    # incremental pipeline (quality -> lang -> digest-index dedup ->
+    # band-index admission -> scrub -> chunks) against indexes of the
+    # current-scale corpus — both indexes derived from the corpus's
+    # distinct texts, so on the duplicate-amplified copy they stay
+    # rep-contracted and the per-ingest curve should stay ~flat while
+    # corpus_funnel (above) re-pays the full corpus each run.
+    sb_idx_path = os.path.join(
+        tempfile.gettempdir(),
+        f"probe_sb_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(sb_idx_path, ignore_errors=True)
+    ND.simhash_band_index(docs).write.parquet(sb_idx_path)
+    dig_idx_path = sb_idx_path + "_dig"
+    shutil.rmtree(dig_idx_path, ignore_errors=True)
+    ND.exact_text_dedup(docs).write.parquet(dig_idx_path)
+    release_sketch_caches()
+
+    def delta_funnel():
+        from example_kafkastreams_spark.pipelines import (
+            corpus_stages_delta,
+        )
+
+        # fixed NEW content: base docs suffixed (so the digest index
+        # can't trivially drop them; some land near corpus sketches,
+        # some admit — the realistic mix), ids offset clear of every
+        # amplified copy. Indexes rep-contract to the same distinct
+        # sets at both scales, so admissions are scale-invariant and
+        # rows_ratio 1.0 is itself part of the claim.
+        delta = (
+            load_table(spark, bench_base, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" fresh probe ingest suffix")
+                ).alias("text"),
+                "source",
+            )
+        )
+        return corpus_stages_delta(
+            delta,
+            spark.read.parquet(dig_idx_path),
+            spark.read.parquet(sb_idx_path),
+        )["chunks"]
+
     def pq():
         # codebook = first 16 base ids (amplified copies are offset, so
         # the trained table is IDENTICAL across scales); the encode
@@ -224,6 +270,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("minhash_lsh_pairs", minhash_pairs),
         ("minhash_components_edges", minhash_edges),
         ("incremental_minhash_delta", incr_neardup),
+        ("delta_funnel", delta_funnel),
         ("neardup_components", components),
         ("ivf_ann", ivf),
         ("corpus_funnel", funnel),
@@ -247,6 +294,8 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             "shuffle_write_records": a_rec - b_rec,
         }
     shutil.rmtree(nd_idx_path, ignore_errors=True)
+    shutil.rmtree(sb_idx_path, ignore_errors=True)
+    shutil.rmtree(dig_idx_path, ignore_errors=True)
     return out
 
 
