@@ -1165,12 +1165,17 @@ def test_corpus_ingest_index_sink_replay_idempotent(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(idx).collect()} == {1, 2}
 
 
-def test_corpus_ingest_with_neardup_index_across_jobs(spark, tmp_path):
+@pytest.mark.parametrize("sketch", ["minhash", "simhash"])
+def test_corpus_ingest_with_neardup_index_across_jobs(
+    spark, tmp_path, sketch
+):
     """The persistent BAND index catches what the digest index cannot:
     a PARAPHRASED re-ingest. Batch 2 of run 1 replays a one-token
     variant of batch 1's admitted doc (cross-BATCH near-dup — only the
     index, updated after batch 1, can see it); run 2 (fresh
-    checkpoint) replays another variant, dropped by the index alone."""
+    checkpoint) replays another variant, dropped by the index alone.
+    Parametrized over both sketch notions (Jaccard bands / Hamming
+    byte-bands) — same admission decisions on this fixture."""
     from example_kafkastreams_spark.pipelines import (
         corpus_ingest_with_neardup_index,
     )
@@ -1203,7 +1208,7 @@ def test_corpus_ingest_with_neardup_index_across_jobs(spark, tmp_path):
             spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
         )
         df, mk = corpus_ingest_with_neardup_index(
-            stream, spark, idx, ts_col="ts"
+            stream, spark, idx, ts_col="ts", sketch=sketch
         )
         q = (
             df.writeStream.foreachBatch(
