@@ -668,7 +668,11 @@ def corpus_stages_delta(
       EXACT-dedup stage (every day-1 component admitted its min, so
       the exact survivors are the admitted content); update rule
       ``index' = index ∪ stages["band_index_delta"]``. Either index
-      ``None`` bootstraps day 1.
+      ``None`` bootstraps day 1. The band index must have been built
+      with the SAME sketch parameters this funnel uses (the defaults:
+      12 hashes / 4 bands / 3-shingles for minhash, 4 byte-bands for
+      simhash) — signature layouts are positional, so a mismatched
+      index would verify wrong agreements silently.
 
     Equivalence (unit-pinned): when delta ids exceed corpus ids (the
     append-log normal case) and no delta doc BRIDGES two previously

@@ -66,8 +66,12 @@ def zorder_code(
         if lo is None or hi is None or hi <= lo:
             norms.append("CAST(0 AS BIGINT)")
         else:
+            # clamp to [0, top]: cached/stale stats may not cover new
+            # rows, and an out-of-range value would otherwise alias
+            # into an unrelated tile (layout-only harm, but needless)
             norms.append(
-                f"(CAST({c} AS BIGINT) - ({lo})) * {top} DIV {hi - lo}"
+                f"greatest(CAST(0 AS BIGINT), least(CAST({top} AS BIGINT),"
+                f" (CAST({c} AS BIGINT) - ({lo})) * {top} DIV {hi - lo}))"
             )
     return " + ".join(
         f"shiftleft(shiftright({norms[c]}, {i}) & 1, {i * k + c})"

@@ -137,3 +137,18 @@ def test_zorder_stats_cached_reuse(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(p1).collect()))
     b = sorted(map(tuple, spark.read.parquet(p2).collect()))
     assert a == b
+
+
+def test_zorder_stale_stats_clamp(spark):
+    """Values outside the cached stats range clamp to the edge tiles
+    instead of aliasing into unrelated ones."""
+    from example_kafkastreams_spark.sources.zorder import zorder_code
+
+    expr = zorder_code(["a", "b"], {"a": (0, 3), "b": (0, 3)}, 2)
+    rows = (
+        spark.createDataFrame([(99, 0), (-5, 0), (3, 3)], "a long, b long")
+        .selectExpr(f"{expr} AS z")
+        .collect()
+    )
+    # a=99 clamps to 3 (0b0101), a=-5 clamps to 0, (3,3) -> 0b1111
+    assert [r["z"] for r in rows] == [0b0101, 0, 0b1111]
