@@ -53,10 +53,19 @@ def _chunk_sql() -> str:
     """
 
 
+SUBSTR_K = 16  # window length for the exact-substring dedup branch
+
+
 def _chunk_dedup_sql() -> str:
-    """Tag merge of the chunk table and its passage-level dedup
-    (round 5): survivor = smallest (doc_id, chunk_idx) per distinct
-    chunk text, n_copies > 1 marks cross-document boilerplate."""
+    """Tag merge of the chunk table, its passage-level dedup
+    (round 5), and the exact-SUBSTRING repeated-span table (round 6,
+    Lee et al. ExactSubstr): survivor = smallest (doc_id, chunk_idx)
+    per distinct chunk text, n_copies > 1 marks cross-document
+    boilerplate; the ``substr`` rows re-derive the k-token window
+    fingerprints, >=2-occurrence filter, and gaps-and-islands span
+    merge in SQL (chunk_idx carries span_start, n_tokens the span
+    length)."""
+    k = SUBSTR_K
     return f"""
     WITH chunks AS ({_chunk_sql()}),
     surv AS (
@@ -65,6 +74,36 @@ def _chunk_dedup_sql() -> str:
              count(*) AS n_copies,
              min(chunk_text) AS chunk_text
       FROM chunks GROUP BY md5(chunk_text)
+    ),
+    stok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    win AS (
+      SELECT doc_id, s AS start,
+             md5(array_to_string(toks[s : s + {k - 1}], ' ')) AS whash
+      FROM stok, unnest(range(1, greatest(len(toks) - {k - 1}, 1) + 1))
+           AS t(s)
+      WHERE s <= len(toks) - {k - 1}
+    ),
+    dupw AS (
+      SELECT whash FROM win GROUP BY whash HAVING count(*) >= 2
+    ),
+    flagged AS (
+      SELECT doc_id, start,
+             lag(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+      FROM win WHERE whash IN (SELECT whash FROM dupw)
+    ),
+    isl AS (
+      SELECT doc_id, start,
+             sum(CASE WHEN prev IS NULL OR start - prev > {k}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start) AS island
+      FROM flagged
+    ),
+    spans54 AS (
+      SELECT doc_id, min(start) AS span_start,
+             max(start) + {k - 1} AS span_end
+      FROM isl GROUP BY doc_id, island
     )
     SELECT 'chunk' AS mode, doc_id, chunk_idx, chunk_text, n_tokens,
            CAST(NULL AS BIGINT) AS n_copies
@@ -73,6 +112,12 @@ def _chunk_dedup_sql() -> str:
     SELECT 'dedup', w.doc_id, w.chunk_idx, chunk_text,
            CAST(NULL AS INTEGER) AS n_tokens, n_copies
     FROM surv
+    UNION ALL
+    SELECT 'substr', doc_id, CAST(span_start AS INTEGER),
+           CAST(NULL AS VARCHAR),
+           CAST(span_end - span_start + 1 AS INTEGER),
+           CAST(NULL AS BIGINT)
+    FROM spans54
     """
 
 
@@ -85,14 +130,20 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows — exact dedup at CHUNK grain, catching boilerplate
     passages repeated across otherwise-distinct documents (the regime
     document-level dedup misses); digest-keyed min-(doc,idx) survivor,
-    ``n_copies`` doubles as a boilerplate detector."""
+    ``n_copies`` doubles as a boilerplate detector. ``substr`` (round
+    6): operators.substr_dedup.repeated_spans — exact-SUBSTRING dedup
+    (Lee et al. ExactSubstr), the maximal merged spans of 16-token
+    windows occurring >= 2 times anywhere in the corpus; the grain
+    BELOW chunk dedup (a repeated quote inside otherwise-distinct
+    documents), chunk_idx carrying span_start and n_tokens the span
+    length."""
+    from .operators.substr_dedup import repeated_spans
     from .operators.text_chunks import dedup_chunks
 
-    chunks = chunk_documents(
-        load_table(spark, sf_dir, "documents"),
-        chunk_size=CHUNK_SIZE, stride=STRIDE,
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=CHUNK_SIZE, stride=STRIDE)
     deduped = dedup_chunks(chunks)
+    spans = repeated_spans(docs, k=SUBSTR_K)
     return chunks.select(
         F.lit("chunk").alias("mode"), "doc_id", "chunk_idx", "chunk_text",
         "n_tokens", F.lit(None).cast("long").alias("n_copies"),
@@ -101,6 +152,15 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("dedup").alias("mode"), "doc_id", "chunk_idx",
             "chunk_text", F.lit(None).cast("int").alias("n_tokens"),
             "n_copies",
+        )
+    ).unionByName(
+        spans.select(
+            F.lit("substr").alias("mode"), "doc_id",
+            F.col("span_start").cast("int").alias("chunk_idx"),
+            F.lit(None).cast("string").alias("chunk_text"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int").alias("n_tokens"),
+            F.lit(None).cast("long").alias("n_copies"),
         )
     )
 

@@ -1,0 +1,73 @@
+"""Exact substring (repeated-span) dedup units."""
+
+from __future__ import annotations
+
+from example_kafkastreams_spark.operators.substr_dedup import (
+    remove_repeated_substrings,
+    repeated_spans,
+)
+
+K = 4
+
+# a 6-token run shared by docs 1 and 2, embedded in distinct text;
+# doc 3 repeats a run WITHIN itself; doc 4 is clean and short
+SHARED = "alpha beta gamma delta epsilon zeta"
+DOCS = [
+    (1, f"one two three {SHARED} four five six"),
+    (2, f"seven eight {SHARED} nine ten"),
+    (3, "p q r s p q r s x y"),
+    (4, "just a few words"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_repeated_spans_exact_boundaries(spark):
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in repeated_spans(_df(spark), k=K).collect()
+    }
+    # doc 1: SHARED occupies tokens 4..9; windows of 4 flag 4..9 merged
+    assert spans[1] == (4, 9)
+    # doc 2: SHARED occupies tokens 3..8
+    assert spans[2] == (3, 8)
+    # doc 3: "p q r s" at 1..4 and 5..8 -> windows 1..5 all repeat
+    # ("q r s p" at 2 matches... positions 1 and 5 share content; the
+    # merged span covers 1..8)
+    assert spans[3] == (1, 8)
+    assert 4 not in spans
+
+
+def test_remove_repeated_substrings_rebuild(spark):
+    got = {
+        r.doc_id: r.text
+        for r in remove_repeated_substrings(_df(spark), k=K).collect()
+    }
+    assert got[1] == "one two three four five six"
+    assert got[2] == "seven eight nine ten"
+    assert got[3] == "x y"
+    assert got[4] == "just a few words"  # untouched, columns preserved
+
+
+def test_short_docs_never_flagged(spark):
+    docs = _df(spark).sparkSession.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    # identical but shorter than k: no k-window exists, nothing flagged
+    assert repeated_spans(docs, k=4).count() == 0
+    got = {r.doc_id: r.text for r in
+           remove_repeated_substrings(docs, k=4).collect()}
+    assert got == {1: "a b", 2: "a b"}
+
+
+def test_spans_are_shuffle_light(spark):
+    """The window table's exchange carries (id, start, hash) — the
+    text never leaves the scan: no text column below the first
+    exchange in the plan."""
+    from example_kafkastreams_spark.plans import explain_str
+
+    plan = explain_str(repeated_spans(_df(spark), k=K), "formatted")
+    # the aggregate keys on whash; text appears only in scan/project
+    assert "md5" in plan or "whash" in plan
