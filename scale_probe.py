@@ -254,6 +254,21 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             spark.read.parquet(sb_idx_path),
         )["chunks"]
 
+    def substr_spans():
+        # token-grain by nature (the ExactSubstr window table has one
+        # row per token position) — the claim is a TOKEN-COUNT BOUND:
+        # dup detection is one hash agg, not a pair join, so shuffle
+        # can never exceed ~2x the window table regardless of
+        # duplication. On the N-way-duplicated corpus the flagged
+        # FRACTION jumps to ~100% (every window IS a duplicate), so
+        # the measured ratio reflects base-rate x N, saturating at the
+        # linear worst case — not C(N,2) anything.
+        from example_kafkastreams_spark.operators.substr_dedup import (
+            repeated_spans,
+        )
+
+        return repeated_spans(docs, k=16)
+
     def pq():
         # codebook = first 16 base ids (amplified copies are offset, so
         # the trained table is IDENTICAL across scales); the encode
@@ -271,6 +286,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("minhash_components_edges", minhash_edges),
         ("incremental_minhash_delta", incr_neardup),
         ("delta_funnel", delta_funnel),
+        ("substr_spans", substr_spans),
         ("neardup_components", components),
         ("ivf_ann", ivf),
         ("corpus_funnel", funnel),
