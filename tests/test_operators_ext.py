@@ -358,8 +358,10 @@ def test_autosalt_left_join_cold_dim_rows_not_duplicated(spark):
 def test_chunking_is_shuffle_free(spark):
     """Chunking is embarrassingly parallel — the operator's plan must
     contain no shuffle exchange (scan → project → explode → project).
-    The q54 driver row adds the passage-dedup branch (round-5 tag
-    merge), whose digest groupBy is its ONE legitimate exchange."""
+    The q54 driver row's merged branches each add exactly one keyed
+    stage: the passage-dedup digest groupBy (round 5) plus the
+    substring branch's window-hash aggregation and per-doc span merge
+    (round 6) — three exchanges total, none carrying document text."""
     from example_kafkastreams_spark.catalog import load_table
     from example_kafkastreams_spark.operators.text_chunks import (
         chunk_documents,
@@ -370,7 +372,7 @@ def test_chunking_is_shuffle_free(spark):
 
     docs = load_table(spark, SMOKE, "documents")
     assert count_exchanges(chunk_documents(docs)) == 0
-    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 1
+    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 3
 
 
 def test_unnest_stats_single_exchange(spark):
