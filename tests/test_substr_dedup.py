@@ -71,3 +71,82 @@ def test_spans_are_shuffle_light(spark):
     plan = explain_str(repeated_spans(_df(spark), k=K), "formatted")
     # the aggregate keys on whash; text appears only in scan/project
     assert "md5" in plan or "whash" in plan
+
+
+# --- property tests (small alphabet forces repeats) ----------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_TOK = st.sampled_from(["a", "b", "c"])
+_PDOC = st.lists(_TOK, min_size=1, max_size=14).map(" ".join)
+_PDOCS = st.lists(_PDOC, min_size=1, max_size=5)
+_PSET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_spans(docs, k):
+    """Reference implementation: brute-force window counting + merge."""
+    from collections import Counter
+
+    wins = {}
+    counts = Counter()
+    for i, text in docs:
+        toks = text.split(" ")
+        ws = [
+            (s + 1, " ".join(toks[s:s + k]))
+            for s in range(len(toks) - k + 1)
+        ]
+        wins[i] = ws
+        counts.update(w for _, w in ws)
+    spans = {}
+    for i, ws in wins.items():
+        flagged = [s for s, w in ws if counts[w] >= 2]
+        merged = []
+        for s in flagged:
+            if merged and s <= merged[-1][1] - k + 1 + k:  # s <= prev_start + k
+                merged[-1] = (merged[-1][0], max(merged[-1][1], s + k - 1))
+            else:
+                merged.append((s, s + k - 1))
+        if merged:
+            spans[i] = merged
+    return spans
+
+
+@_PSET
+@given(docs=_PDOCS)
+def test_spans_match_reference_implementation(spark, docs):
+    k = 3
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in repeated_spans(df, k=k).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {i: sorted(v) for i, v in got.items()}
+    assert got == _py_spans(rows, k)
+
+
+@_PSET
+@given(docs=_PDOCS)
+def test_rebuild_is_subsequence_with_exact_coverage(spark, docs):
+    """Rebuilt text = original tokens minus exactly the span-covered
+    positions (so it is a subsequence, and removal is position-exact)."""
+    k = 3
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = _py_spans(rows, k)
+    got = {
+        r.doc_id: r.text
+        for r in remove_repeated_substrings(df, k=k).collect()
+    }
+    for i, text in rows:
+        toks = text.split(" ")
+        covered = set()
+        for s, e in spans.get(i, []):
+            covered.update(range(s, e + 1))
+        want = " ".join(
+            t for p, t in enumerate(toks, start=1) if p not in covered
+        )
+        assert got[i] == want
