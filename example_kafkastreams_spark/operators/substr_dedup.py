@@ -113,13 +113,17 @@ def remove_repeated_substrings(
     k: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Docs with every repeated span excised: same columns as the
     input, ``text_col`` rebuilt from the kept token positions (other
-    columns pass through). One-pass, the ExactSubstr convention."""
+    columns pass through). One-pass, the ExactSubstr convention. Pass
+    an already-computed (ideally persisted) ``repeated_spans`` frame
+    to share one fingerprint pass across consumers."""
+    if spans is None:
+        spans = repeated_spans(docs, k, id_col, text_col)
     spans = (
-        repeated_spans(docs, k, id_col, text_col)
-        .groupBy(id_col)
+        spans.groupBy(id_col)
         .agg(
             F.collect_list(
                 F.struct(

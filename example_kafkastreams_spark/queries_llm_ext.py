@@ -118,6 +118,19 @@ def _chunk_dedup_sql() -> str:
            CAST(span_end - span_start + 1 AS INTEGER),
            CAST(NULL AS BIGINT)
     FROM spans54
+    UNION ALL
+    SELECT 'rebuilt', st.doc_id, CAST(NULL AS INTEGER),
+           coalesce(array_to_string(
+             list_transform(
+               list_filter(range(1, len(st.toks) + 1),
+                 p -> sp.spans IS NULL OR len(list_filter(sp.spans,
+                        x -> p >= x.s AND p <= x.e)) = 0),
+               p -> st.toks[p]), ' '), ''),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT)
+    FROM stok st LEFT JOIN (
+      SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans
+      FROM spans54 GROUP BY doc_id
+    ) sp USING (doc_id)
     """
 
 
@@ -137,13 +150,20 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     BELOW chunk dedup (a repeated quote inside otherwise-distinct
     documents), chunk_idx carrying span_start and n_tokens the span
     length."""
-    from .operators.substr_dedup import repeated_spans
+    from .operators.cache import persist_tracked
+    from .operators.substr_dedup import (
+        remove_repeated_substrings,
+        repeated_spans,
+    )
     from .operators.text_chunks import dedup_chunks
 
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, chunk_size=CHUNK_SIZE, stride=STRIDE)
     deduped = dedup_chunks(chunks)
-    spans = repeated_spans(docs, k=SUBSTR_K)
+    # spans feed two branches (span table + rebuild): one fingerprint
+    # pass, persisted
+    spans = persist_tracked(repeated_spans(docs, k=SUBSTR_K))
+    rebuilt = remove_repeated_substrings(docs, k=SUBSTR_K, spans=spans)
     return chunks.select(
         F.lit("chunk").alias("mode"), "doc_id", "chunk_idx", "chunk_text",
         "n_tokens", F.lit(None).cast("long").alias("n_copies"),
@@ -160,6 +180,14 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("chunk_text"),
             (F.col("span_end") - F.col("span_start") + 1)
             .cast("int").alias("n_tokens"),
+            F.lit(None).cast("long").alias("n_copies"),
+        )
+    ).unionByName(
+        rebuilt.select(
+            F.lit("rebuilt").alias("mode"), "doc_id",
+            F.lit(None).cast("int").alias("chunk_idx"),
+            F.col("text").alias("chunk_text"),
+            F.lit(None).cast("int").alias("n_tokens"),
             F.lit(None).cast("long").alias("n_copies"),
         )
     )
