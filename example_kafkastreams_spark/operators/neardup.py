@@ -922,6 +922,11 @@ def admit_against_band_index(
     ``band_index=None`` bootstraps an empty corpus (pure within-delta
     dedup + a fresh index).
 
+    Assumes delta and index doc-id spaces are DISJOINT (the ingest
+    norm — new docs get new ids): cross-edge endpoints are classified
+    index-vs-delta by id membership, so a reused id would misattribute
+    its edges.
+
     Scale: everything is delta-proportional — the corpus side is the
     rep-contracted band index (SCALE_PROBE ``incremental_minhash_delta``
     measures shuffle ratio 1.0 at 10x corpus), components iterate on
