@@ -87,6 +87,13 @@ def repeated_spans(
         .select("whash")
     )
     flagged = win.join(dup, "whash", "left_semi")
+    return _merge_spans(flagged, k, id_col)
+
+
+def _merge_spans(flagged: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Gaps-and-islands merge of flagged (id, start) windows into
+    maximal (id, span_start, span_end) spans — fixed window length k
+    means windows merge iff start_next <= start_prev + k."""
     by_doc = W.partitionBy(id_col).orderBy("start")
     return (
         flagged.withColumn("__prev", F.lag("start").over(by_doc))
@@ -145,3 +152,67 @@ def remove_repeated_substrings(
         .select(*others, F.expr(rebuilt).alias(text_col))
         .select(*docs.columns)
     )
+
+
+def window_hash_index(
+    docs: DataFrame,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persistent ExactSubstr index: ONE column (``whash``) of the
+    corpus's DISTINCT k-token window fingerprints — 16 bytes per
+    distinct window, the substring-grain analog of the digest and
+    band indexes (neardup.py). Store parquet; bucketed on ``whash``
+    the delta membership probe's index side needs no exchange."""
+    return _windows(docs, k, id_col, text_col).select("whash").distinct()
+
+
+def incremental_repeated_spans(
+    delta: DataFrame,
+    whash_index: DataFrame | None,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """ExactSubstr for a NEW batch without re-reading the corpus:
+    ``(spans, index_delta)``.
+
+    A delta window is flagged iff it occurs >= 2 times WITHIN the
+    delta or AT ALL in the index — exactly the one-shot rule's
+    delta-side decision over corpus ∪ delta (a unit pins the delta
+    restriction of ``repeated_spans(corpus ∪ delta)`` equal to this).
+    Like every append-only incremental here, the corpus side is
+    settled: a corpus occurrence first duplicated BY the delta is not
+    retroactively flagged (the scheduled full re-run's job, not a
+    delta decision).
+
+    ``index_delta`` = the delta's distinct window hashes not yet in
+    the index; ``index' = index ∪ index_delta`` — after which a
+    future exact copy of ANY delta span is caught. ``None``
+    bootstraps.
+
+    Scale: delta windows probe the index with one digest-keyed semi
+    join (16-byte hashes, never text); everything else is
+    delta-proportional — the same delta-cost contract measured for
+    the digest/band indexes (SCALE_PROBE).
+    """
+    win = _windows(delta, k, id_col, text_col)
+    dup_within = (
+        win.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("whash")
+    )
+    if whash_index is None:
+        flagged = win.join(dup_within, "whash", "left_semi")
+        index_delta = win.select("whash").distinct()
+    else:
+        hits = whash_index.select("whash")
+        flagged = win.join(
+            dup_within.unionByName(hits).distinct(), "whash", "left_semi"
+        )
+        index_delta = (
+            win.select("whash").distinct().join(hits, "whash", "left_anti")
+        )
+    return _merge_spans(flagged, k, id_col), index_delta

@@ -150,3 +150,66 @@ def test_rebuild_is_subsequence_with_exact_coverage(spark, docs):
             t for p, t in enumerate(toks, start=1) if p not in covered
         )
         assert got[i] == want
+
+
+def test_incremental_spans_match_one_shot_delta_side(spark):
+    """incremental_repeated_spans against the corpus's window-hash
+    index must produce EXACTLY the delta restriction of the one-shot
+    span table over corpus ∪ delta (the delta-side decision rule is
+    identical: >=2 within delta OR present in the corpus)."""
+    from example_kafkastreams_spark.operators.substr_dedup import (
+        incremental_repeated_spans,
+        window_hash_index,
+    )
+
+    corpus_rows = [
+        (1, f"one two three {SHARED} four five six"),
+        (2, "seven eight nine ten eleven twelve"),
+    ]
+    delta_rows = [
+        (10, f"intro words {SHARED} outro words here"),  # hits the index
+        (11, "p q r s p q r s x y"),                     # within-delta
+        (12, "totally novel tokens with no repeats at all"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+
+    one_shot = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_spans(
+            corpus.unionByName(delta), k=K
+        ).collect()
+        if r.doc_id >= 10
+    }
+    idx = window_hash_index(corpus, k=K).persist()
+    spans, index_delta = incremental_repeated_spans(delta, idx, k=K)
+    got = {
+        (r.doc_id, r.span_start, r.span_end) for r in spans.collect()
+    }
+    assert got == one_shot and got  # non-empty: both regimes hit
+
+    # index update: idx' = idx ∪ delta's NEW hashes, no duplicates
+    n_idx = idx.count()
+    n_new = index_delta.count()
+    n_union = (
+        idx.unionByName(index_delta).select("whash").distinct().count()
+    )
+    assert n_union == n_idx + n_new
+    whole = window_hash_index(
+        corpus.unionByName(delta), k=K
+    ).count()
+    assert n_union == whole
+    idx.unpersist()
+
+
+def test_incremental_spans_bootstrap_equals_one_shot(spark):
+    from example_kafkastreams_spark.operators.substr_dedup import (
+        incremental_repeated_spans,
+    )
+
+    df = _df(spark)
+    spans, index_delta = incremental_repeated_spans(df, None, k=K)
+    assert sorted(map(tuple, spans.collect())) == sorted(
+        map(tuple, repeated_spans(df, k=K).collect())
+    )
+    assert index_delta.count() == index_delta.select("whash").distinct().count()
