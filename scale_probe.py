@@ -254,6 +254,41 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             spark.read.parquet(sb_idx_path),
         )["chunks"]
 
+    # Incremental ExactSubstr: the same fixed suffixed delta as
+    # delta_funnel, probed against the window-hash index of the
+    # current-scale corpus (index built/written untimed). The
+    # amplified corpus's distinct window set equals the base's (exact
+    # copies add no new fingerprints), so the membership probe — and
+    # with it the whole per-ingest cost — should stay flat at 10x.
+    wh_idx_path = os.path.join(
+        tempfile.gettempdir(),
+        f"probe_wh_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(wh_idx_path, ignore_errors=True)
+    from example_kafkastreams_spark.operators.substr_dedup import (
+        incremental_repeated_spans,
+        window_hash_index,
+    )
+
+    window_hash_index(docs, k=16).write.parquet(wh_idx_path)
+    release_sketch_caches()
+
+    def incr_substr():
+        delta = (
+            load_table(spark, bench_base, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" fresh probe ingest suffix")
+                ).alias("text"),
+            )
+        )
+        spans, _ = incremental_repeated_spans(
+            delta, spark.read.parquet(wh_idx_path), k=16
+        )
+        return spans
+
     def substr_spans():
         # token-grain by nature (the ExactSubstr window table has one
         # row per token position) — the claim is a TOKEN-COUNT BOUND:
@@ -287,6 +322,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("incremental_minhash_delta", incr_neardup),
         ("delta_funnel", delta_funnel),
         ("substr_spans", substr_spans),
+        ("incremental_substr_delta", incr_substr),
         ("neardup_components", components),
         ("ivf_ann", ivf),
         ("corpus_funnel", funnel),
@@ -312,6 +348,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
     shutil.rmtree(nd_idx_path, ignore_errors=True)
     shutil.rmtree(sb_idx_path, ignore_errors=True)
     shutil.rmtree(dig_idx_path, ignore_errors=True)
+    shutil.rmtree(wh_idx_path, ignore_errors=True)
     return out
 
 
