@@ -593,6 +593,7 @@ def simhash_components_edges(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    sh_df: DataFrame | None = None,
 ) -> DataFrame:
     """Star-contracted edge set whose transitive closure EQUALS the
     closure of ``simhash_neardup_pairs`` — the scale-correct input for
@@ -611,9 +612,10 @@ def simhash_components_edges(
     is ~100x the contracted edge set, and every components round
     shuffles that factor. Use ``simhash_neardup_pairs`` when the PAIRS
     themselves are the product (q43); use this when only the clusters
-    are (q57, corpus funnel).
+    are (q57, corpus funnel). Pass ``sh_df`` (a materialized (id,
+    simhash) table) to share the sketch pass with a sibling consumer.
     """
-    sh = persist_tracked(with_simhash(
+    sh = sh_df if sh_df is not None else persist_tracked(with_simhash(
         _rebalance(docs, id_col), id_col, text_col
     ))
     reps = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
@@ -638,6 +640,7 @@ def minhash_components_edges(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Star-contracted MinHash edge set whose transitive closure EQUALS
     the closure of ``minhash_lsh_pairs`` — the scale-correct
@@ -662,13 +665,17 @@ def minhash_components_edges(
     pairs, so no edge is added that the closure didn't imply.
 
     Use ``minhash_lsh_pairs`` when the PAIRS are the product (q41);
-    use this when only the clusters are.
+    use this when only the clusters are. Pass ``sig_df`` (a
+    materialized (id, sig) table) to share the sketch pass with a
+    sibling consumer (e.g. ``minhash_band_index`` in a bootstrap
+    admission batch).
     """
-    sig_df = persist_tracked(with_minhash(
-        docs=_rebalance(docs, id_col),
-        id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_n=shingle_n,
-    ))
+    if sig_df is None:
+        sig_df = persist_tracked(with_minhash(
+            docs=_rebalance(docs, id_col),
+            id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ))
     # reps fans out 5 ways (star build + the pair pipeline's bands×2 /
     # sig×2): persist so the distinct-signature agg runs once, not per
     # reference — it is |distinct sigs| × (k ints + id), tiny next to
@@ -941,22 +948,35 @@ def admit_against_band_index(
             bands=bands, shingle_n=shingle_n,
         )
         if band_index is None:
+            # One sketch pass shared by the edge builder and the index
+            # builder (the incremental branch already shares internally).
+            sig_df = persist_tracked(with_minhash(
+                docs=_rebalance(delta, id_col),
+                id_col=id_col, text_col=text_col,
+                num_hashes=num_hashes, shingle_n=shingle_n,
+            ))
             within = minhash_components_edges(
-                delta, threshold=threshold, **kw
+                delta, threshold=threshold, sig_df=sig_df, **kw
             )
             cross = None
-            index_new = minhash_band_index(delta, **kw)
+            index_new = minhash_band_index(None, sig_df=sig_df, **kw)
         else:
             within, cross, index_new = _incremental_minhash_parts(
                 delta, band_index, threshold=threshold, **kw
             )
     elif sketch == "simhash":
         if band_index is None:
+            sh_df = persist_tracked(with_simhash(
+                _rebalance(delta, id_col), id_col, text_col
+            ))
             within = simhash_components_edges(
-                delta, id_col, text_col, max_hamming=max_hamming
+                delta, id_col, text_col, max_hamming=max_hamming,
+                sh_df=sh_df,
             )
             cross = None
-            index_new = simhash_band_index(delta, id_col, text_col)
+            index_new = simhash_band_index(
+                None, id_col, text_col, sh_df=sh_df
+            )
         else:
             within, cross, index_new = _incremental_simhash_parts(
                 delta, band_index, id_col, text_col,

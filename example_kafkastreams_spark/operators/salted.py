@@ -65,10 +65,13 @@ def salted_equijoin(
     return joined.drop("__salt")
 
 
-# Session-scoped probe results, keyed by caller-chosen tag. A fact
-# table's hot keys change on ingest cadence, not per query — one probe
-# amortizes over every join in the session that names the same tag.
-_HOT_KEY_CACHE: dict[tuple[str, str], list] = {}
+# Session-scoped probe results, keyed by caller-chosen tag PLUS the
+# probe parameters (a later call with a different factor / fraction /
+# max_keys is a different question and must not get the stale list).
+# A fact table's hot keys change on ingest cadence, not per query —
+# one probe amortizes over every join in the session that names the
+# same tag and parameters.
+_HOT_KEY_CACHE: dict[tuple, list] = {}
 
 
 def clear_hot_key_cache() -> None:
@@ -109,8 +112,12 @@ def detect_hot_keys(
     off the table format's column stats — then pass the list straight
     to ``salted_equijoin_auto(hot_keys=...)``.
     """
-    if cache_tag is not None and (cache_tag, key) in _HOT_KEY_CACHE:
-        return _HOT_KEY_CACHE[(cache_tag, key)]
+    cache_key = (
+        cache_tag, key, sample_fraction, factor, min_sampled_rows,
+        max_keys, seed,
+    )
+    if cache_tag is not None and cache_key in _HOT_KEY_CACHE:
+        return _HOT_KEY_CACHE[cache_key]
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     counts = (
@@ -136,7 +143,7 @@ def detect_hot_keys(
     finally:
         counts.unpersist()
     if cache_tag is not None:
-        _HOT_KEY_CACHE[(cache_tag, key)] = hot
+        _HOT_KEY_CACHE[cache_key] = hot
     return hot
 
 

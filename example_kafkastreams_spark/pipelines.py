@@ -603,6 +603,21 @@ def corpus_ingest_with_neardup_index(
                     if os.path.isdir(index_path)
                     else None
                 )
+                if idx is not None:
+                    # Replay safety: a foreachBatch replay (crash after
+                    # the index write, before the offset commit) would
+                    # otherwise re-read this batch's OWN admitted sigs
+                    # under the same doc ids, violating the disjoint-id
+                    # assumption of admit_against_band_index — clean
+                    # multi-sig components would self-collide and drop.
+                    # (ingest_run, ingest_batch) are partition columns,
+                    # so this prunes rather than scans.
+                    idx = idx.filter(
+                        ~(
+                            (F.col("ingest_run") == token)
+                            & (F.col("ingest_batch") == int(batch_id))
+                        )
+                    )
                 survivors, admitted_sigs = admit_against_band_index(
                     batch_df, idx, id_col=id_col, text_col=text_col,
                     num_hashes=num_hashes, bands=bands,

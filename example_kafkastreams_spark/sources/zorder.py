@@ -66,12 +66,24 @@ def zorder_code(
         if lo is None or hi is None or hi <= lo:
             norms.append("CAST(0 AS BIGINT)")
         else:
-            # clamp to [0, top]: cached/stale stats may not cover new
-            # rows, and an out-of-range value would otherwise alias
-            # into an unrelated tile (layout-only harm, but needless)
+            # Clamp the VALUE into [lo, hi] before any arithmetic:
+            # cached/stale stats may not cover new rows, and an
+            # out-of-range value would otherwise alias into an
+            # unrelated tile — or overflow the multiply. The scaling
+            # itself runs in DECIMAL(38,0): (hi-lo) can approach the
+            # full bigint range, and (val-lo) * 65535 would wrap a
+            # signed 64-bit intermediate (silently scrambling the
+            # layout, or erroring under ANSI mode). 38 digits hold
+            # 2^64 * 2^16 with room to spare; the DIV result is back
+            # in [0, top] so the final cast to BIGINT is exact.
+            clamped = (
+                f"least(greatest(CAST({c} AS BIGINT),"
+                f" CAST({lo} AS BIGINT)), CAST({hi} AS BIGINT))"
+            )
             norms.append(
-                f"greatest(CAST(0 AS BIGINT), least(CAST({top} AS BIGINT),"
-                f" (CAST({c} AS BIGINT) - ({lo})) * {top} DIV {hi - lo}))"
+                f"CAST((CAST({clamped} AS DECIMAL(38,0))"
+                f" - CAST({lo} AS DECIMAL(38,0))) * {top}"
+                f" DIV CAST({hi - lo} AS DECIMAL(38,0)) AS BIGINT)"
             )
     return " + ".join(
         f"shiftleft(shiftright({norms[c]}, {i}) & 1, {i * k + c})"

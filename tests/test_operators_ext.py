@@ -317,7 +317,11 @@ def test_detect_hot_keys_cache_tag_memoizes(spark):
         fact, "user_id", sample_fraction=0.5, cache_tag="fact"
     )
     assert hot == [-1]
-    assert _HOT_KEY_CACHE[("fact", "user_id")] == [-1]
+    # the cache key carries the probe parameters too (a later call
+    # with different parameters is a different question)
+    assert [-1] in _HOT_KEY_CACHE.values()
+    assert all(k[0] == "fact" and k[1] == "user_id"
+               for k in _HOT_KEY_CACHE)
     # a DIFFERENT frame with no skew: the cached tag must win
     unskewed = spark.range(2000).select(
         F.col("id").alias("event_id"),
@@ -326,6 +330,11 @@ def test_detect_hot_keys_cache_tag_memoizes(spark):
     assert detect_hot_keys(
         unskewed, "user_id", sample_fraction=0.5, cache_tag="fact"
     ) == [-1]
+    # same tag, DIFFERENT parameters -> not a cache hit: the unskewed
+    # frame re-probes and finds nothing
+    assert detect_hot_keys(
+        unskewed, "user_id", sample_fraction=0.4, cache_tag="fact"
+    ) == []
     # no tag -> fresh probe; cleared cache -> fresh probe
     assert detect_hot_keys(unskewed, "user_id", sample_fraction=0.5) == []
     clear_hot_key_cache()

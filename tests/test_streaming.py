@@ -1166,6 +1166,92 @@ def test_corpus_ingest_index_sink_replay_idempotent(spark, tmp_path):
 
 
 @pytest.mark.parametrize("sketch", ["minhash", "simhash"])
+def test_corpus_ingest_neardup_sink_replay_idempotent(
+    spark, tmp_path, sketch
+):
+    """The near-dup sink's replay hazard is sharper than the digest
+    sink's: a foreachBatch replay (crash after the index write, before
+    the offset commit) re-reads an index that already holds THIS
+    batch's own admitted signatures under the same doc ids — violating
+    ``admit_against_band_index``'s disjoint-id-space assumption, so a
+    clean multi-sig component would self-collide, classify poisoned,
+    and the dynamic partition overwrite would REWRITE the survivors
+    partition with fewer rows (silently losing admitted docs). The
+    sink must therefore exclude its own (run, batch) partition from
+    the index read. Fixture is exactly the hazard shape: a clean
+    component with >= 2 distinct signatures (base + one-token variant)
+    plus an unrelated doc."""
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_with_neardup_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs on to"
+        " the house of the friend by the long road near the old mill"
+    )
+    # variant must carry a DISTINCT sketch that still near-dups base
+    # (else the component is single-sig and the hazard never arms):
+    # a last-token swap changes the shingle set (distinct MinHash sig,
+    # Jaccard still >= 0.5); a first-token swap is Hamming 1 on the
+    # 32-bit SimHash (empirically pinned; <= max_hamming 3).
+    toks = base.split()
+    toks[-1 if sketch == "minhash" else 0] = (
+        "tokx" if sketch == "minhash" else "stone"
+    )
+    variant = " ".join(toks)
+    other = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day and then went away to sleep deeply"
+    )
+
+    idx = str(tmp_path / "band_index")
+    out = str(tmp_path / "admitted")
+    src = str(tmp_path / "in")
+    stage_replayable_batches(
+        spark, src, DOC_STREAM_SCHEMA,
+        [[(1, base, "s", at(0.0))]],
+    )
+    stream = file_stream(spark, src, DOC_STREAM_SCHEMA)
+    _, mk = corpus_ingest_with_neardup_index(
+        stream, spark, idx, ts_col="ts", sketch=sketch
+    )
+    sink = mk(out, run_id=str(tmp_path / "ckpt"))
+
+    batch_schema = T.StructType(
+        list(DOC_STREAM_SCHEMA.fields)
+        + [T.StructField("content_hash", T.StringType())]
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base, "s", at(0.0), "a" * 32),
+            (2, variant, "s", at(1.0), "b" * 32),
+            (3, other, "s", at(2.0), "c" * 32),
+        ],
+        batch_schema,
+    )
+    sink(batch, 7)
+    survivors1 = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    # the clean two-sig component {1, 2} admits its min id; the
+    # unrelated doc survives alone
+    assert [d for d, _ in survivors1] == [1, 3]
+    index1 = sorted(
+        r.doc_id for r in spark.read.parquet(idx).collect()
+    )
+    assert set(index1) == {1, 2, 3}
+    # replay of the SAME batch id: both stores byte-identical — the
+    # batch must NOT near-dup against its own prior index write
+    sink(batch, 7)
+    assert sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    ) == survivors1
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(idx).collect()
+    ) == index1
+
+
+@pytest.mark.parametrize("sketch", ["minhash", "simhash"])
 def test_corpus_ingest_with_neardup_index_across_jobs(
     spark, tmp_path, sketch
 ):
