@@ -733,6 +733,7 @@ def pq_ann(
     num_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance ANN: (query_id, neighbor_id, approx_d2,
     knn_rank) — the memory-bound scale path of the ANN family.
@@ -751,8 +752,13 @@ def pq_ann(
     top-k reduction moves ≤ partitions·k rows per query. Memory: the
     scan reads m bytes per vector instead of 4·dim — the reason PQ
     indexes hold billions of vectors where raw floats cannot.
+
+    Pass ``codebook`` (e.g. ``pq_codebook_trained``'s k-means output)
+    to skip the deterministic-sample training — identical plan, better
+    recall.
     """
-    codebook = pq_codebook(emb, m, num_codes, id_col, vec_col)
+    if codebook is None:
+        codebook = pq_codebook(emb, m, num_codes, id_col, vec_col)
     enc = persist_tracked(pq_encode(emb, codebook, id_col, vec_col))
     qrows = (
         emb.filter(F.col(id_col) < num_queries)
@@ -765,6 +771,36 @@ def pq_ann(
     return pq_adc_score(enc, codebook, qrows, k, id_col)
 
 
+def _query_lut(
+    qv: list[float], codebook: list[list[list[float]]]
+) -> list[list[float]]:
+    """Exact per-subspace distances of one query to every codeword:
+    IEEE doubles, left-to-right — the same fold order the encoder's
+    SQL uses, so ADC scores are engine-replayable."""
+    dsub = len(codebook[0][0])
+    return [
+        [
+            sum(
+                (qv[j * dsub + i] - cw[i]) * (qv[j * dsub + i] - cw[i])
+                for i in range(dsub)
+            )
+            for cw in codebook[j]
+        ]
+        for j in range(len(codebook))
+    ]
+
+
+def _adc_lookup_expr(m: int) -> str:
+    """Σⱼ lut[j][codes[j]] as a fixed left-to-right sum — m element_at
+    lookups against the joined ``__lut`` column, the SAME fold order
+    (and therefore the same bits) as the former per-query spliced
+    literals."""
+    return " + ".join(
+        f"element_at(element_at(__lut, {j + 1}), codes[{j}] + 1)"
+        for j in range(m)
+    )
+
+
 def pq_adc_score(
     enc: DataFrame,
     codebook: list[list[list[float]]],
@@ -775,39 +811,35 @@ def pq_adc_score(
     """ADC scoring over an ALREADY-ENCODED corpus — the query-time half
     of PQ, shared by ``pq_ann`` (fresh build) and the persistent-index
     path (``operators.ann_index``). ``qrows`` are collected
-    (id, vector) rows; per query a k×m LUT of exact subspace distances
-    splices into a map-side projection over the codes column."""
-    dsub = len(codebook[0][0])
-    scored_parts = []
-    for qr in qrows:
-        qid, qv = qr[0], [float(x) for x in qr[1]]
-        # exact per-subspace distances to every codeword: IEEE doubles,
-        # left-to-right — the same fold order the encoder's SQL uses
-        lut = [
-            [
-                sum(
-                    (qv[j * dsub + i] - cw[i]) * (qv[j * dsub + i] - cw[i])
-                    for i in range(dsub)
-                )
-                for cw in codebook[j]
-            ]
-            for j in range(len(codebook))
-        ]
-        lookups = " + ".join(
-            f"element_at({P.vec_literal(lut[j], P.SPARK)},"
-            f" codes[{j}] + 1)"
-            for j in range(len(codebook))
+    (id, vector) rows.
+
+    Plan shape: ONE broadcast join, constant in the number of queries
+    (the FAISS serving convention). Each query's k×m LUT of exact
+    subspace distances becomes a ROW of a broadcast (query_id, lut)
+    frame — not a plan branch — and scoring is a single map-side
+    projection over codes ⨯ broadcast queries: m ``element_at``
+    lookups summed left-to-right (bit-identical to the former spliced
+    literals, which built one unioned sub-plan per query and hit
+    driver-side plan explosion at realistic batch sizes).
+    """
+    spark = enc.sparkSession
+    m = len(codebook)
+    qlut = spark.createDataFrame(
+        [
+            (int(qr[0]), _query_lut([float(x) for x in qr[1]], codebook))
+            for qr in qrows
+        ],
+        "query_id bigint, __lut array<array<double>>",
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qlut))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_adc_lookup_expr(m)).alias("__d2"),
         )
-        scored_parts.append(
-            enc.filter(F.col(id_col) != qid).select(
-                F.lit(qid).alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                F.expr(lookups).alias("__d2"),
-            )
-        )
-    scored = scored_parts[0]
-    for p in scored_parts[1:]:
-        scored = scored.unionByName(p)
+    )
     return _two_phase_topk(
         scored,
         "query_id",
@@ -852,6 +884,45 @@ def _py_cosine(a: list[float], b: list[float]) -> float:
     return dot / math.sqrt(n2a * n2b)
 
 
+def ivf_residuals(
+    emb: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, residual) — each vector minus its assigned coarse
+    centroid, the TRAINING SET for a residual PQ codebook
+    (``pq_codebook_trained(ivf_residuals(emb, cents))`` is the
+    production IVF-PQ training recipe; the deterministic-sample
+    fallback lives inside ``ivf_pq_index``). Map-side only: the same
+    argmax-cosine cell pick and ``zip_with`` subtraction the index
+    build splices, so training sees exactly the residuals the encoder
+    will quantize."""
+    cents_lit = (
+        "array("
+        + ", ".join(P.vec_literal(c, P.SPARK) for c in cents)
+        + ")"
+    )
+    cos_arr = "array(" + ", ".join(
+        P.cosine(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
+        for c in cents
+    ) + ")"
+    cell_expr = (
+        f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+    )
+    return (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__cell", F.expr(cell_expr))
+        .select(
+            id_col,
+            F.expr(
+                f"zip_with({vec_col}, element_at({cents_lit},"
+                f" __cell + 1), (x, y) -> CAST(x AS DOUBLE) - y)"
+            ).alias(vec_col),
+        )
+    )
+
+
 def ivf_pq_index(
     emb: DataFrame,
     num_centroids: int = 8,
@@ -860,9 +931,16 @@ def ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist: bool = True,
+    cents: list[list[float]] | None = None,
+    codebook: list[list[list[float]]] | None = None,
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
     """The IVF-PQ INDEX build: (encoded frame (id, cell, codes),
     centroids, residual codebook).
+
+    Pass ``cents`` (``kmeans_train`` output) and/or ``codebook``
+    (``pq_codebook_trained`` over ``ivf_residuals``) to swap the
+    deterministic samples for TRAINED parameters — the literal
+    substitution both docstrings promise; the plan is identical.
 
     All map-side, zero corpus shuffle:
     1. cell = argmax cosine against the spliced centroid literals
@@ -877,13 +955,14 @@ def ivf_pq_index(
        with ``_py_cosine`` — the bit-exact Python twin of the SQL
        cosine fold, so Python and SQL agree on every assignment).
     """
-    cent_rows = (
-        emb.filter(F.col(id_col) < num_centroids)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
-    cents = [[float(x) for x in r[0]] for r in cent_rows]
+    if cents is None:
+        cent_rows = (
+            emb.filter(F.col(id_col) < num_centroids)
+            .orderBy(id_col)
+            .select(vec_col)
+            .collect()
+        )
+        cents = [[float(x) for x in r[0]] for r in cent_rows]
     dim = len(cents[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -914,20 +993,22 @@ def ivf_pq_index(
                 best, best_c = cos, ci
         return best_c
 
-    samp = (
-        emb.filter(F.col(id_col) < num_codes)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
-    residuals = []
-    for r in samp:
-        v = [float(x) for x in r[0]]
-        c = cents[py_cell(v)]
-        residuals.append([x - y for x, y in zip(v, c)])
-    codebook = [
-        [r[j * dsub:(j + 1) * dsub] for r in residuals] for j in range(m)
-    ]
+    if codebook is None:
+        samp = (
+            emb.filter(F.col(id_col) < num_codes)
+            .orderBy(id_col)
+            .select(vec_col)
+            .collect()
+        )
+        residuals = []
+        for r in samp:
+            v = [float(x) for x in r[0]]
+            c = cents[py_cell(v)]
+            residuals.append([x - y for x, y in zip(v, c)])
+        codebook = [
+            [r[j * dsub:(j + 1) * dsub] for r in residuals]
+            for j in range(m)
+        ]
 
     code_exprs = []
     for j in range(m):
@@ -962,6 +1043,8 @@ def ivf_pq_ann(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
+    codebook: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse cells + PQ over RESIDUALS — the composition
     billion-vector indexes actually ship (FAISS IVFPQ; Jégou et al.
@@ -987,7 +1070,8 @@ def ivf_pq_ann(
     probed cells match the stored cells bit-for-bit.
     """
     enc, cents, codebook = ivf_pq_index(
-        emb, num_centroids, m, num_codes, id_col, vec_col
+        emb, num_centroids, m, num_codes, id_col, vec_col,
+        cents=cents, codebook=codebook,
     )
     qrows = (
         emb.filter(F.col(id_col) < num_queries)
@@ -1013,46 +1097,48 @@ def ivfpq_adc_score(
     query-time half shared by ``ivf_pq_ann`` and the persistent-index
     path (``operators.ann_index``). Python cell picks replay SQL's
     exact IEEE cosine fold (``_py_cosine``), so probed cells match the
-    stored ``cell`` column bit-for-bit."""
+    stored ``cell`` column bit-for-bit.
+
+    Plan shape: ONE broadcast equi-join on ``cell``, constant in both
+    the number of queries and ``nprobe`` — each (query, probed cell)
+    pair is a ROW of a broadcast (cell, query_id, residual-LUT) frame,
+    so an encoded row is scored exactly against the queries probing
+    its cell (the IVF promise as a join predicate) with the same
+    left-to-right ADC fold (bit-identical to the former per-(query,
+    cell) spliced sub-plans)."""
+    spark = enc.sparkSession
     m = len(codebook)
-    dsub = len(codebook[0][0])
-    parts = []
+    probe_rows = []
     for qr in qrows:
-        qid, qv = qr[0], [float(x) for x in qr[1]]
+        qid, qv = int(qr[0]), [float(x) for x in qr[1]]
         ranked = sorted(
             range(len(cents)),
             key=lambda ci: (-_py_cosine(qv, cents[ci]), ci),
         )[:nprobe]
         for ci in ranked:
             qres = [x - y for x, y in zip(qv, cents[ci])]
-            lut = [
-                [
-                    sum(
-                        (qres[j * dsub + i] - cw[i])
-                        * (qres[j * dsub + i] - cw[i])
-                        for i in range(dsub)
-                    )
-                    for cw in codebook[j]
-                ]
-                for j in range(m)
-            ]
-            lookups = " + ".join(
-                f"element_at({P.vec_literal(lut[j], P.SPARK)},"
-                f" codes[{j}] + 1)"
-                for j in range(m)
-            )
-            parts.append(
-                enc.filter(
-                    (F.col("cell") == ci) & (F.col(id_col) != qid)
-                ).select(
-                    F.lit(qid).alias("query_id"),
-                    F.col(id_col).alias("neighbor_id"),
-                    F.expr(lookups).alias("__d2"),
-                )
-            )
-    scored = parts[0]
-    for p in parts[1:]:
-        scored = scored.unionByName(p)
+            probe_rows.append((ci, qid, _query_lut(qres, codebook)))
+    probes = spark.createDataFrame(
+        probe_rows,
+        "cell int, query_id bigint, __lut array<array<double>>",
+    )
+    # Static cell prefilter: the join alone would SCAN every cell and
+    # discard; an IN over the distinct probed cells (≤ num_centroids
+    # values — bounded by the quantizer, not the query count) reaches
+    # the parquet scan as a pushed filter, so unprobed cells are never
+    # read (the IVF promise survives storage — plan-asserted in
+    # tests/test_ann_index.py).
+    probed_cells = sorted({r[0] for r in probe_rows})
+    scored = (
+        enc.filter(F.col("cell").isin(probed_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(_adc_lookup_expr(m)).alias("__d2"),
+        )
+    )
     return _two_phase_topk(
         scored,
         "query_id",

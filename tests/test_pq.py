@@ -374,3 +374,38 @@ def test_trained_pq_codebook_reduces_quantization_error(spark):
     out = pq_ann(emb, num_queries=2, k=3)
     release_sketch_caches()
     assert len(out.collect()) == 6
+
+
+def test_adc_plan_constant_in_query_count(spark):
+    """The serving-path contract: ADC scoring is ONE broadcast join —
+    the number of queries (and probed cells) changes broadcast ROWS,
+    never plan BRANCHES. The former shape unioned one sub-plan per
+    query (per probed cell for IVF-PQ), which is driver-side plan
+    explosion at realistic batch sizes; pin the rewrite by comparing
+    physical plans at two query counts."""
+    from example_kafkastreams_spark.operators.knn import ivf_pq_ann
+
+    emb, _ = _clustered(spark, n_clusters=4, per_cluster=16)
+
+    def shape(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # pq: BroadcastNestedLoopJoin (every query scores every code
+        # row); ivfpq: BroadcastHashJoin on cell — both broadcast the
+        # query side
+        return (
+            plan.count("Union"),
+            plan.count("BroadcastHashJoin")
+            + plan.count("BroadcastNestedLoopJoin"),
+            plan.count("Scan "),
+        )
+
+    for fn in (
+        lambda nq: pq_ann(emb, num_queries=nq, k=3),
+        lambda nq: ivf_pq_ann(emb, num_queries=nq, k=3, nprobe=2),
+    ):
+        small, big = shape(fn(2)), shape(fn(8))
+        release_sketch_caches()
+        assert small == big, (small, big)
+        unions, joins, _ = big
+        assert unions == 0
+        assert joins >= 1
