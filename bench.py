@@ -922,28 +922,40 @@ def main() -> None:
     # while ground truth ranks by cosine — their recall ceiling depends
     # on norm spread, which is part of what the row reports.
     from example_kafkastreams_spark.operators.knn import (
+        _py_cosine,
         brute_force_knn,
         ivf_ann,
         ivf_pq_ann,
+        ivf_pq_ann_trained,
+        ivf_pq_encode_local,
+        kmeans_train_local,
         lsh_ann,
         pq_ann,
+        pq_ann_trained,
+        pq_codebook_local,
+        sample_vectors,
     )
 
-    # NQ=8 (not more): the PQ family compiles one scoring branch per
-    # (query, probed cell) — LUT literals in the plan — so wall time at
-    # sandbox scale is plan-compile-bound and linear in NQ
+    # NQ=64 is serving-realistic since the r7 broadcast-LUT rewrite
+    # made every ADC plan constant in the query count. The deterministic
+    # pq/ivfpq rows keep oracle-convention parameters (m=8, 16 codes);
+    # the *_trained rows are the serving recipe (sampled k-means
+    # training, Arrow encode, ADC shortlist + exact refine).
     embt = load_table(spark, SF_DIR, "embeddings")
-    NQ, K = 8, 10
+    NQ, K = 64, 10
     t0 = time.perf_counter()
     truth_rows = brute_force_knn(embt, num_queries=NQ, k=K).collect()
     bf_sec = round(time.perf_counter() - t0, 3)
     truth: dict = {}
     for r in truth_rows:
         truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    # L2 ground truth for the PQ family's documented regime: PQ/IVF-PQ
-    # approximate EUCLIDEAN distance, so their recall yardstick is the
-    # exact-L2 top-k, while lsh/ivf (cosine indexes) score against the
-    # cosine truth above. Both recalls are reported for the PQ rows.
+    # L2 ground truth for the RAW-ADC PQ rows' documented regime:
+    # PQ/IVF-PQ approximate EUCLIDEAN distance, so their recall
+    # yardstick is the exact-L2 top-k (one broadcast join — constant
+    # plan in NQ), while every cosine-ranked row scores against the
+    # cosine truth above. Both recalls are reported for those rows.
+    from pyspark.sql import types as T
+
     from example_kafkastreams_spark.functions import portable as PF
     from example_kafkastreams_spark.operators.knn import _two_phase_topk
 
@@ -953,23 +965,24 @@ def main() -> None:
         .select("vec_id", "embedding")
         .collect()
     )
-    l2_parts = []
-    for qr in qrows:
-        qv = [float(x) for x in qr[1]]
-        l2_parts.append(
-            embt.filter(F.col("vec_id") != qr[0]).select(
-                F.lit(qr[0]).alias("query_id"),
-                F.col("vec_id").alias("neighbor_id"),
-                F.expr(
-                    PF.l2sq(
-                        "embedding", PF.vec_literal(qv, PF.SPARK), PF.SPARK
-                    )
-                ).alias("__d2"),
-            )
+    qdf = spark.createDataFrame(
+        [(qr[0], [float(x) for x in qr[1]]) for qr in qrows],
+        T.StructType(
+            [
+                T.StructField("query_id", embt.schema["vec_id"].dataType),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    l2_scored = (
+        embt.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(PF.l2sq("embedding", "__qv", PF.SPARK)).alias("__d2"),
         )
-    l2_scored = l2_parts[0]
-    for p in l2_parts[1:]:
-        l2_scored = l2_scored.unionByName(p)
+    )
     l2_truth: dict = {}
     for r in _two_phase_topk(
         l2_scored, "query_id", [F.col("__d2").asc(), F.col("neighbor_id")], K
@@ -985,6 +998,11 @@ def main() -> None:
         ("ivf", lambda: ivf_ann(embt, num_queries=NQ, k=K)),
         ("pq", lambda: pq_ann(embt, num_queries=NQ, k=K)),
         ("ivfpq", lambda: ivf_pq_ann(embt, num_queries=NQ, k=K)),
+        ("pq_trained", lambda: pq_ann_trained(embt, num_queries=NQ, k=K)),
+        (
+            "ivfpq_trained",
+            lambda: ivf_pq_ann_trained(embt, num_queries=NQ, k=K),
+        ),
     ):
         t0 = time.perf_counter()
         got_rows = thunk().collect()
@@ -1008,6 +1026,48 @@ def main() -> None:
             ann_rows[label]["recall_at_10_l2"] = round(
                 l2_hits / (len(l2_truth) * K), 4
             )
+    # Measured per-query scan fraction of the trained IVF-PQ code
+    # table (the IVF promise): rebuild the deterministic trained
+    # parameters (sampled k-means is driver-side and replayable, so
+    # these ARE the cells ivf_pq_ann_trained stored), histogram the
+    # cells, and average each query's probed-cell mass.
+    NC, NPROBE = 64, 16
+    Xs = sample_vectors(embt)
+    cents_s = kmeans_train_local(Xs, NC, 10, "cosine")
+    import numpy as _np
+
+    _C = _np.asarray(cents_s)
+    _asg = (
+        (Xs @ _C.T)
+        / (
+            _np.sqrt((Xs * Xs).sum(1))[:, None]
+            * _np.sqrt((_C * _C).sum(1))[None, :]
+        )
+    ).argmax(1)
+    cb_s = pq_codebook_local(Xs - _C[_asg])
+    hist = {
+        r["cell"]: r["count"]
+        for r in ivf_pq_encode_local(embt, cents_s, cb_s)
+        .groupBy("cell")
+        .count()
+        .collect()
+    }
+    total = sum(hist.values())
+    fracs = []
+    for qr in qrows:
+        qv = [float(x) for x in qr[1]]
+        probed = sorted(
+            range(NC), key=lambda ci: (-_py_cosine(qv, cents_s[ci]), ci)
+        )[:NPROBE]
+        fracs.append(sum(hist.get(c, 0) for c in probed) / total)
+    ann_rows["ivfpq_trained"]["scan_frac"] = round(
+        sum(fracs) / len(fracs), 4
+    )
+    ann_rows["ivfpq_trained"]["config"] = (
+        f"nc={NC} nprobe={NPROBE} m=16 codes=256 refine=100"
+    )
+    ann_rows["pq_trained"]["config"] = "m=16 codes=256 refine=100"
+    release_sketch_caches()
     compare["ann_recall"] = ann_rows
 
     out = {

@@ -824,12 +824,24 @@ def pq_adc_score(
     """
     spark = enc.sparkSession
     m = len(codebook)
+    # query_id is typed off the CORPUS id column — ann_index_query
+    # accepts arbitrary id_col types (string uuids included), and a
+    # hardcoded bigint would raise at query time for them.
+    from pyspark.sql import types as T
+
     qlut = spark.createDataFrame(
         [
-            (int(qr[0]), _query_lut([float(x) for x in qr[1]], codebook))
+            (qr[0], _query_lut([float(x) for x in qr[1]], codebook))
             for qr in qrows
         ],
-        "query_id bigint, __lut array<array<double>>",
+        T.StructType(
+            [
+                T.StructField("query_id", enc.schema[id_col].dataType),
+                T.StructField(
+                    "__lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
     )
     scored = (
         enc.crossJoin(F.broadcast(qlut))
@@ -1110,7 +1122,7 @@ def ivfpq_adc_score(
     m = len(codebook)
     probe_rows = []
     for qr in qrows:
-        qid, qv = int(qr[0]), [float(x) for x in qr[1]]
+        qid, qv = qr[0], [float(x) for x in qr[1]]
         ranked = sorted(
             range(len(cents)),
             key=lambda ci: (-_py_cosine(qv, cents[ci]), ci),
@@ -1118,9 +1130,19 @@ def ivfpq_adc_score(
         for ci in ranked:
             qres = [x - y for x, y in zip(qv, cents[ci])]
             probe_rows.append((ci, qid, _query_lut(qres, codebook)))
+    from pyspark.sql import types as T
+
     probes = spark.createDataFrame(
         probe_rows,
-        "cell int, query_id bigint, __lut array<array<double>>",
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("query_id", enc.schema[id_col].dataType),
+                T.StructField(
+                    "__lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+            ]
+        ),
     )
     # Static cell prefilter: the join alone would SCAN every cell and
     # discard; an IN over the distinct probed cells (≤ num_centroids
@@ -1292,3 +1314,338 @@ def pq_codebook_trained(
             )
         )
     return codebook
+
+
+# ---------------------------------------------------------------------------
+# Sampled (driver-side) training + exact re-rank — the SERVING-GRADE
+# ANN recipe.
+#
+# The distributed trainers above are oracle-grade (every fold is the
+# engine's own IEEE sequence) but spend a full Spark job per Lloyd
+# iteration — at 256 codes x m subspaces that is plan-compile-bound
+# long before it is data-bound.  Production vector indexes do not
+# train that way: FAISS trains codebooks on a BOUNDED host-side sample
+# (~100k vectors regardless of corpus size) and only the ENCODE pass
+# is data-scale.  The same split here: `sample_vectors` takes a
+# deterministic hash-ordered sample (map-side partial top-n — the
+# driver never sees more than `n` rows no matter the corpus size),
+# numpy Lloyd's runs on the driver in milliseconds, and the trained
+# literals feed the distributed Arrow-vectorized encoders.
+#
+# Recall at serving quality additionally needs the FAISS "refine"
+# stage (IndexRefineFlat): ADC ranks a SHORTLIST (refine >> k), and
+# the true top-k is recovered by exact scoring of only the shortlist's
+# raw vectors — NQ*refine rows, a broadcast-joined point lookup
+# against the corpus, never a second full scan of raw floats.
+# ---------------------------------------------------------------------------
+
+
+def sample_vectors(
+    emb: DataFrame,
+    n: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic bounded training sample as a (n, dim) float64
+    array.
+
+    Hash-ordered ``limit`` — Spark plans ``orderBy(hash).limit(n)`` as
+    TakeOrdered: each partition keeps its local top-``n`` by xxhash64
+    and only those reach the driver, so the collect is bounded by
+    ``n`` at any corpus size and the sample is an unbiased,
+    replayable pseudo-random draw (no ``Math.random``/sampleBy seed
+    drift across retries). Rows are re-sorted by id driver-side so
+    k-means' first-``k`` init is stable regardless of hash order."""
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    rows.sort(key=lambda r: r[0])
+    return np.array(
+        [[float(x) for x in r[1]] for r in rows], dtype=np.float64
+    )
+
+
+def kmeans_train_local(
+    X: np.ndarray,
+    k: int,
+    iterations: int = 10,
+    metric: str = "l2",
+) -> list[list[float]]:
+    """Lloyd's k-means on a driver-side sample (numpy float64) — the
+    bounded-sample twin of ``kmeans_train``; same conventions
+    (first-``k`` init, empty cells keep their previous centroid,
+    ``metric`` = "l2" argmin distance / "cosine" argmax cosine)."""
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} rows cannot seed k={k}")
+    C = X[:k].copy()
+    for _ in range(iterations):
+        if metric == "cosine":
+            cn = np.sqrt((C * C).sum(1))
+            xn = np.sqrt((X * X).sum(1))
+            a = ((X @ C.T) / (xn[:, None] * cn[None, :])).argmax(1)
+        else:
+            # ‖x−c‖² via the expanded form: argmin unaffected by ‖x‖²
+            d2 = (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
+            a = d2.argmin(1)
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                C[c] = X[sel].mean(0)
+    return C.tolist()
+
+
+def pq_codebook_local(
+    X: np.ndarray, m: int = 16, num_codes: int = 256, iterations: int = 10
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means over a driver-side sample — the
+    bounded-sample twin of ``pq_codebook_trained``; same return layout,
+    so every encoder/scorer takes it unchanged."""
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        kmeans_train_local(
+            X[:, j * dsub:(j + 1) * dsub], num_codes, iterations, "l2"
+        )
+        for j in range(m)
+    ]
+
+
+def _np_codes(X: np.ndarray, cb: list[np.ndarray]) -> np.ndarray:
+    """Per-subspace argmin codes for a batch — direct (x−c)² like the
+    expression path (NOT the expanded form: same fold, same argmin on
+    near-ties), chunked so the (rows, codes, dsub) broadcast temp stays
+    small."""
+    m = len(cb)
+    dsub = X.shape[1] // m
+    codes = np.empty((X.shape[0], m), dtype=np.int32)
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        for lo in range(0, len(sub), 1024):
+            blk = sub[lo:lo + 1024]
+            d2 = ((blk[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+            codes[lo:lo + 1024, j] = d2.argmin(1)
+    return codes
+
+
+def pq_encode_vectorized(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — ``pq_encode``'s Arrow twin for LARGE codebooks.
+
+    The expression encoder splices m·num_codes literal folds into one
+    projection — perfect at oracle scale (16 codes), but at the
+    serving scale this engine trains (256 codes x m=16 = 4096 spliced
+    folds) the generated code blows past JIT limits. Here the codebook
+    rides the closure as a numpy constant and each Arrow batch is one
+    BLAS-shaped argmin — still map-side, still zero corpus shuffle,
+    still embarrassingly parallel."""
+    import pandas as pd
+
+    cb = [np.asarray(sub, dtype=np.float64) for sub in codebook]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": [c.tolist() for c in _np_codes(X, cb)],
+                }
+            )
+
+    schema = (
+        f"{id_col} {emb.schema[id_col].dataType.simpleString()},"
+        " codes array<int>"
+    )
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def ivf_pq_encode_local(
+    emb: DataFrame,
+    cents: list[list[float]],
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes) — the IVF-PQ index build as ONE Arrow pass
+    for trained (large) parameters: cosine cell pick, residual
+    subtraction, and per-subspace argmin in a single batch kernel.
+    Same output contract as ``ivf_pq_index``'s encoded frame, so
+    ``ivfpq_adc_score`` takes it unchanged (scoring joins on the
+    STORED cell, so probe/store cell picks only need self-consistency,
+    not bit-agreement)."""
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=np.float64)
+    cb = [np.asarray(sub, dtype=np.float64) for sub in codebook]
+
+    def gen(batches):
+        cn = np.sqrt((C * C).sum(1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            xn = np.sqrt((X * X).sum(1))
+            cell = ((X @ C.T) / (xn[:, None] * cn[None, :])).argmax(1)
+            R = X - C[cell]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell.astype(np.int32),
+                    "codes": [c.tolist() for c in _np_codes(R, cb)],
+                }
+            )
+
+    schema = (
+        f"{id_col} {emb.schema[id_col].dataType.simpleString()},"
+        " cell int, codes array<int>"
+    )
+    return emb.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def exact_rerank(
+    shortlist: DataFrame,
+    emb: DataFrame,
+    qrows: list,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS-refine stage: exact cosine top-``k`` over an ADC
+    SHORTLIST. Output: (query_id, neighbor_id, cosine, knn_rank) —
+    the ``brute_force_knn`` contract, because with the true top-k in
+    the shortlist the result IS the brute-force answer.
+
+    Scale shape: the shortlist (NQ·refine rows, driver-known small) is
+    broadcast into a hash join against the corpus — a map-side point
+    lookup of raw vectors, never a second full-corpus float scan; the
+    query vectors ride a second broadcast; exact scoring is the same
+    portable cosine fold as brute force; the reduction is the shared
+    two-phase top-k."""
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(qr[0], [float(x) for x in qr[1]]) for qr in qrows],
+        T.StructType(
+            [
+                T.StructField("query_id", emb.schema[id_col].dataType),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    cand = shortlist.select("query_id", "neighbor_id")
+    scored = (
+        emb.join(
+            F.broadcast(cand),
+            F.col(id_col) == F.col("neighbor_id"),
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("__cos", F.expr(P.cosine(vec_col, "__qv", P.SPARK)))
+    )
+    return _two_phase_topk(
+        scored,
+        "query_id",
+        [F.col("__cos").desc(), F.col("neighbor_id")],
+        k,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(P.round_dbl("__cos", 6, P.SPARK)).alias("cosine"),
+        "knn_rank",
+    )
+
+
+def pq_ann_trained(
+    emb: DataFrame,
+    num_queries: int = 64,
+    k: int = 10,
+    m: int = 16,
+    num_codes: int = 256,
+    refine: int = 100,
+    sample_n: int = 16384,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving-grade PQ: sampled k-means codebooks (m=16 x 256 codes
+    = 16 bytes/vector), Arrow encode, broadcast-LUT ADC shortlist of
+    ``refine`` candidates, exact re-rank. Returns the
+    ``brute_force_knn`` contract (query_id, neighbor_id, cosine,
+    knn_rank)."""
+    X = sample_vectors(emb, sample_n, id_col, vec_col)
+    cb = pq_codebook_local(X, m, num_codes, iterations)
+    enc = persist_tracked(pq_encode_vectorized(emb, cb, id_col, vec_col))
+    qrows = (
+        emb.filter(F.col(id_col) < num_queries)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not qrows:
+        return _empty_ann_result(emb, id_col)
+    shortlist = pq_adc_score(enc, cb, qrows, refine, id_col)
+    return exact_rerank(shortlist, emb, qrows, k, id_col, vec_col)
+
+
+def ivf_pq_ann_trained(
+    emb: DataFrame,
+    num_queries: int = 64,
+    k: int = 10,
+    num_centroids: int = 64,
+    m: int = 16,
+    num_codes: int = 256,
+    nprobe: int = 16,
+    refine: int = 100,
+    sample_n: int = 16384,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving-grade IVF-PQ (FAISS IVFPQ + IndexRefineFlat): sampled
+    k-means coarse quantizer, RESIDUAL codebooks trained on the same
+    sample's residuals, one-pass Arrow index build, per-cell ADC
+    shortlist (touches ~nprobe/num_centroids of the code table), exact
+    re-rank of the shortlist. Returns the ``brute_force_knn``
+    contract.
+
+    Config note: recall at fixed scan fraction rises with
+    num_centroids (smaller cells rank better under a fixed probe
+    budget) — defaults (64 cells, 16 probes, refine=100) sit at ~25%
+    of the code table per query."""
+    X = sample_vectors(emb, sample_n, id_col, vec_col)
+    cents = kmeans_train_local(X, num_centroids, iterations, "cosine")
+    C = np.asarray(cents, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(1))
+    xn = np.sqrt((X * X).sum(1))
+    assign = ((X @ C.T) / (xn[:, None] * cn[None, :])).argmax(1)
+    cb = pq_codebook_local(X - C[assign], m, num_codes, iterations)
+    enc = persist_tracked(
+        ivf_pq_encode_local(emb, cents, cb, id_col, vec_col)
+    )
+    qrows = (
+        emb.filter(F.col(id_col) < num_queries)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not qrows:
+        return _empty_ann_result(emb, id_col)
+    shortlist = ivfpq_adc_score(enc, cents, cb, qrows, refine, nprobe, id_col)
+    return exact_rerank(shortlist, emb, qrows, k, id_col, vec_col)
