@@ -647,6 +647,182 @@ def semantic_dedup(
     )
 
 
+def srp_bucket_index(
+    emb: DataFrame,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTENT semantic-dedup index: (id, embedding, bucket),
+    one row per DISTINCT embedding (min-id representative) — the
+    embedding-domain twin of ``neardup.minhash_band_index`` (VERDICT
+    r6 item 3).
+
+    Without it every day-2 ingest re-buckets the full corpus
+    (``semantic_dedup`` is one-shot); stored, a delta near-dups
+    against admitted content via a bucket equi-join whose corpus side
+    is this rep table. Unlike the text sketches the index must carry
+    the VECTOR (cross edges verify exact cosine ≥ threshold), so a
+    row is id + dim floats + one int — still |distinct vectors|, not
+    |corpus|, and duplicate-heavy corpora contract hard. Store
+    parquet; bucketed on ``bucket`` (sources.bucketed) the delta
+    join's index side needs no exchange. Identical vectors always
+    share a bucket (the bucket is a function of the vector), so the
+    min-id contraction loses no edges.
+    """
+    planes = planes or hyperplanes()
+    keyed = _rebalance(emb, id_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.md5(F.col(vec_col).cast("string")).alias("__vkey"),
+    )
+    reps = keyed.groupBy("__vkey").agg(
+        F.min(id_col).alias(id_col),
+        F.min_by(F.col(vec_col), F.col(id_col)).alias(vec_col),
+    )
+    return with_bucket(reps, planes, id_col, vec_col).select(
+        id_col, vec_col, "bucket"
+    )
+
+
+def admit_against_srp_index(
+    delta: DataFrame,
+    srp_index: DataFrame | None,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Batch ADMISSION of an embedding delta against previously
+    admitted content: returns ``(survivors, index_delta)`` — the
+    semantic twin of ``neardup.admit_against_band_index``, same
+    poisoned-component contract:
+
+    * within-delta edges: same-bucket rep pairs with cosine ≥
+      ``threshold`` plus rep→member star edges for exact-duplicate
+      vectors (identical vectors share a bucket, so contraction is
+      lossless);
+    * cross edges: delta reps × index reps on the bucket equi-join,
+      cosine ≥ ``threshold`` (the same ``_pair_cosine_expr`` fold the
+      one-shot uses — symmetric bitwise, so thresholds agree);
+    * a connected component touching ANY index vector is dropped
+      wholesale; a clean component keeps its min-id doc;
+    * ``index_delta`` = this delta's distinct-vector rep rows for
+      every ADMITTED (clean) component — append it:
+      ``index' = index ∪ index_delta``.
+
+    ``srp_index=None`` bootstraps an empty corpus.
+
+    Append-only caveat (shared with the band-index admission,
+    unit-pinned there): a delta doc that BRIDGES two admitted
+    clusters poisons-and-drops, leaving both admitted survivors —
+    one-shot re-clustering would merge them. Equality tests need
+    bridge-free fixtures.
+
+    Scale: everything is delta-proportional — the corpus side is the
+    distinct-vector rep table joined per-bucket, the component loop
+    sees only within-delta edges (labels delta-sized), and the index
+    grows by the delta's distinct vectors only (SCALE_PROBE
+    ``incremental_srp`` measures the flat probe).
+    """
+    from .components import connected_components
+
+    planes = planes or hyperplanes()
+    keyed = _rebalance(delta, id_col).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.md5(F.col(vec_col).cast("string")).alias("__vkey"),
+    )
+    members = persist_tracked(
+        keyed.select(
+            F.col(id_col),
+            F.min(id_col).over(W.partitionBy("__vkey")).alias("__rep"),
+        )
+    )
+    reps = keyed.join(
+        members.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    b = persist_tracked(
+        with_bucket(reps, planes, id_col, vec_col)
+        .withColumn("__n2", F.expr(P.dot(vec_col, vec_col, P.SPARK)))
+    )
+    left = b.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        F.col("bucket"), F.col("__n2").alias("__n2a"),
+    )
+    right = b.hint("shuffle_hash").select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        F.col("bucket").alias("bucket_b"), F.col("__n2").alias("__n2b"),
+    )
+    within = (
+        left.join(
+            right,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn(
+            "__cos",
+            F.expr(_pair_cosine_expr("va", "vb", "__n2a", "__n2b")),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("vec_a", "vec_b")
+        .unionByName(
+            members.filter(F.col(id_col) != F.col("__rep")).select(
+                F.col("__rep").alias("vec_a"),
+                F.col(id_col).alias("vec_b"),
+            )
+        )
+    )
+    within = persist_tracked(within)
+    delta_ids = delta.select(id_col)
+    labels = connected_components(
+        within, delta_ids, id_col, src="vec_a", dst="vec_b",
+        broadcast=True,
+    )
+    if srp_index is None:
+        clean = persist_tracked(delta_ids.join(labels, id_col))
+    else:
+        idx_b = srp_index.select(
+            F.col(id_col).alias("vec_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("bucket").alias("bucket_b"),
+        ).withColumn("__n2b", F.expr(P.dot("vb", "vb", P.SPARK)))
+        touched = (
+            left.join(idx_b, F.col("bucket") == F.col("bucket_b"))
+            .withColumn(
+                "__cos",
+                F.expr(_pair_cosine_expr("va", "vb", "__n2a", "__n2b")),
+            )
+            .filter(F.col("__cos") >= threshold)
+            .select(F.col("vec_a").alias(id_col))
+            .distinct()
+        )
+        poisoned = (
+            labels.join(touched, id_col)
+            .select("component_id")
+            .distinct()
+        )
+        clean = persist_tracked(
+            delta_ids.join(labels, id_col).join(
+                poisoned, "component_id", "left_anti"
+            )
+        )
+    survivors = (
+        delta.join(
+            clean.filter(F.col(id_col) == F.col("component_id"))
+            .select(id_col),
+            id_col,
+            "left_semi",
+        )
+    )
+    index_delta = b.select(id_col, vec_col, "bucket").join(
+        clean.select(id_col), id_col, "left_semi"
+    )
+    return survivors, index_delta
+
+
 # --- product quantization (PQ) -------------------------------------------
 
 

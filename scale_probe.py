@@ -304,6 +304,43 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
 
         return repeated_spans(docs, k=16)
 
+    # Incremental semantic dedup: a FIXED embedding delta against the
+    # persistent SRP-bucket rep index of the current-scale corpus
+    # (index built/written untimed — previous ingests' paid output).
+    # The amplified embeddings are exact duplicates, so the rep index
+    # is IDENTICAL across scales and the per-ingest cost should stay
+    # flat. Half the delta duplicates corpus vectors (cross-collides
+    # at cosine 1 → dropped), half is negated (cosine −1 → admitted) —
+    # the realistic mixed admission.
+    srp_idx_path = os.path.join(
+        tempfile.gettempdir(),
+        f"probe_srp_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(srp_idx_path, ignore_errors=True)
+    KNN.srp_bucket_index(emb).write.parquet(srp_idx_path)
+    release_sketch_caches()
+
+    def incr_srp():
+        delta = (
+            load_table(spark, bench_base, "embeddings")
+            .filter(F.col("vec_id") % 10 == 0)
+            .select(
+                (F.col("vec_id") + 10_000_000).alias("vec_id"),
+                F.when(
+                    F.col("vec_id") % 20 == 0,
+                    F.expr(
+                        "transform(embedding, x -> -x)"
+                    ).cast("array<float>"),
+                )
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+            )
+        )
+        surv, _ = KNN.admit_against_srp_index(
+            delta, spark.read.parquet(srp_idx_path), threshold=0.98
+        )
+        return surv
+
     def pq():
         # codebook = first 16 base ids (amplified copies are offset, so
         # the trained table is IDENTICAL across scales); the encode
@@ -329,6 +366,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("decontaminate", decontam),
         ("lm_score", lm),
         ("semantic_dedup", semdedup),
+        ("incremental_srp_delta", incr_srp),
         ("pq_encode", pq),
     ):
         before = _stages_json(spark) or []
@@ -349,6 +387,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
     shutil.rmtree(sb_idx_path, ignore_errors=True)
     shutil.rmtree(dig_idx_path, ignore_errors=True)
     shutil.rmtree(wh_idx_path, ignore_errors=True)
+    shutil.rmtree(srp_idx_path, ignore_errors=True)
     return out
 
 
