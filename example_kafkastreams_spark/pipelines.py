@@ -57,6 +57,7 @@ def corpus_stages(
     sketch: str = "simhash",
     minhash_threshold: float = 0.5,
     line_clean: dict | None = None,
+    substr_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -76,6 +77,15 @@ def corpus_stages(
     would otherwise drag whole documents under the quality floor); the
     rebuilt corpus flows into the unchanged funnel and a
     ``line_cleaned`` stage entry is added.
+
+    ``substr_k``: enable the ExactSubstr stage (Lee et al. 2022
+    placement — after the line clean, BEFORE document-level quality,
+    so boilerplate spans repeated across documents are excised before
+    they distort quality scores): every span of ≥ ``substr_k`` tokens
+    occurring twice anywhere in the corpus is removed
+    (``operators.substr_dedup.remove_repeated_substrings``) and a
+    ``substr_cleaned`` stage entry is added. Default ``None`` keeps
+    the funnel (and the q63 oracle path) bit-unchanged.
     """
     raw = docs
     line_cleaned = None
@@ -84,6 +94,12 @@ def corpus_stages(
 
         line_cleaned = clean_documents(docs, **line_clean)
         docs = line_cleaned.drop("n_lines_kept")
+    substr_cleaned = None
+    if substr_k is not None:
+        from .operators.substr_dedup import remove_repeated_substrings
+
+        substr_cleaned = remove_repeated_substrings(docs, k=substr_k)
+        docs = substr_cleaned
     exprs = _quality_exprs(P.SPARK)
     scored = docs.withColumn(
         "quality_score", F.expr(exprs["quality_score"])
@@ -181,6 +197,8 @@ def corpus_stages(
     }
     if line_cleaned is not None:
         stages["line_cleaned"] = line_cleaned
+    if substr_cleaned is not None:
+        stages["substr_cleaned"] = substr_cleaned
     if pack_budget is not None:
         from .operators.packing import pack_chunks
 
@@ -665,6 +683,8 @@ def corpus_stages_delta(
     scrub_pii: bool = True,
     sketch: str = "simhash",
     minhash_threshold: float = 0.5,
+    substr_k: int | None = None,
+    whash_index: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The DAY-2 funnel: run a new delta through the same
     quality → language → exact-dedup → near-dup → scrub → chunks
@@ -672,6 +692,19 @@ def corpus_stages_delta(
     against the persistent indexes of everything previously admitted —
     the historical corpus is never re-read, so the whole funnel costs
     delta-proportional work (the 100 TB re-ingest story, completed).
+
+    ``substr_k`` enables the incremental ExactSubstr stage (same
+    placement as ``corpus_stages``: before quality): delta spans
+    repeated within the delta OR present in ``whash_index`` (the
+    ``window_hash_index`` of everything previously ingested;
+    ``None`` bootstraps) are excised
+    (``incremental_repeated_spans`` — delta-side decisions unit-equal
+    to the one-shot rule), adding ``substr_cleaned`` and
+    ``whash_index_delta`` stage entries; update rule ``whash_index' =
+    whash_index ∪ whash_index_delta``. The membership probe is a
+    digest-keyed semi join — 16-byte hashes, never text — so the
+    stage keeps the funnel delta-proportional (SCALE_PROBE
+    ``incremental_substr_delta``).
 
     Index contracts (both append-only):
     * ``digest_index`` — any frame with a ``content_hash`` column of
@@ -701,6 +734,21 @@ def corpus_stages_delta(
         admit_against_band_index,
         incremental_exact_dedup,
     )
+
+    substr_cleaned = whash_delta = None
+    if substr_k is not None:
+        from .operators.substr_dedup import (
+            incremental_repeated_spans,
+            remove_repeated_substrings,
+        )
+
+        spans, whash_delta = incremental_repeated_spans(
+            delta, whash_index, k=substr_k
+        )
+        substr_cleaned = remove_repeated_substrings(
+            delta, k=substr_k, spans=persist_tracked(spans)
+        )
+        delta = substr_cleaned
 
     exprs = _quality_exprs(P.SPARK)
     scored = delta.withColumn(
@@ -737,7 +785,7 @@ def corpus_stages_delta(
             "text", F.expr(P.pii_scrub("text", P.SPARK))
         )
     chunks = chunk_documents(admitted, chunk_size=chunk_size, stride=stride)
-    return {
+    stages = {
         "quality": quality,
         "language": language,
         "exact_admitted": exact,
@@ -746,3 +794,7 @@ def corpus_stages_delta(
         "digest_index_delta": digest_new,
         "band_index_delta": band_delta,
     }
+    if substr_cleaned is not None:
+        stages["substr_cleaned"] = substr_cleaned
+        stages["whash_index_delta"] = whash_delta
+    return stages

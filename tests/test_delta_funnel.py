@@ -133,3 +133,96 @@ def test_delta_funnel_bootstraps_without_indexes(spark):
     one = corpus_stages(docs)
     boot = corpus_stages_delta(docs, None, None)
     assert _ids(boot["neardup_admitted"]) == _ids(one["neardup_survivors"])
+
+
+def test_funnel_substr_stage(spark):
+    """ExactSubstr as a funnel stage (VERDICT r6 item 4): with
+    ``substr_k`` the cross-document repeated span is excised BEFORE
+    quality (the Lee et al. placement), the stage output equals the
+    standalone operator, funnel counts stay monotone, and the default
+    path's stage dict is unchanged."""
+    from example_kafkastreams_spark.operators.substr_dedup import (
+        remove_repeated_substrings,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "first document begins right here " + span
+            + " and then ends with its very own words"),
+        (2, "second text has a totally other start " + span
+            + " plus a unique ending of fresh tokens"),
+        (3, "third standalone document with entirely distinct content"
+            " words only and nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = _funnel_kw()
+    stages = corpus_stages(docs, substr_k=8, **kw)
+    assert "substr_cleaned" in stages
+    want = {
+        r.doc_id: r.text
+        for r in remove_repeated_substrings(docs, k=8).collect()
+    }
+    got = {
+        r.doc_id: r.text
+        for r in stages["substr_cleaned"].select("doc_id", "text").collect()
+    }
+    assert got == want
+    assert span not in got[1] and span not in got[2]
+    n = {
+        s: stages[s].count()
+        for s in (
+            "raw", "quality", "language", "exact_dedup",
+            "neardup_survivors",
+        )
+    }
+    assert (
+        n["raw"] >= n["quality"] >= n["language"]
+        >= n["exact_dedup"] >= n["neardup_survivors"]
+    )
+    assert "substr_cleaned" not in corpus_stages(docs, **kw)
+
+
+def test_delta_funnel_substr_incremental(spark):
+    """Day-2 ExactSubstr: a delta span present ONCE in the window-hash
+    index is excised (the incremental rule), the index delta holds
+    only NEW window hashes, and the default path has no substr
+    entries."""
+    from example_kafkastreams_spark.operators.substr_dedup import (
+        window_hash_index,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [(1, "corpus document text leading up to " + span
+             + " and closing words of day one record")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "fresh delta document reusing " + span
+                 + " inside otherwise brand new material today"),
+            (11, "wholly novel delta text with not one borrowed"
+                 " window of any previously ingested content"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = _funnel_kw()
+    widx = window_hash_index(corpus, k=8).persist()
+    d2 = corpus_stages_delta(
+        delta, None, None, substr_k=8, whash_index=widx, **kw
+    )
+    assert "substr_cleaned" in d2 and "whash_index_delta" in d2
+    texts = {
+        r.doc_id: r.text
+        for r in d2["substr_cleaned"].select("doc_id", "text").collect()
+    }
+    assert span not in texts[10]
+    assert "wholly novel delta text" in texts[11]
+    # index delta: only hashes the corpus index does not already hold
+    new_h = {r.whash for r in d2["whash_index_delta"].collect()}
+    old_h = {r.whash for r in widx.collect()}
+    assert new_h and not (new_h & old_h)
+    widx.unpersist()
+    assert "substr_cleaned" not in corpus_stages_delta(
+        delta, None, None, **kw
+    )
