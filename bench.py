@@ -140,6 +140,48 @@ def input_totals(spark) -> tuple[int, int] | None:
     )
 
 
+def load_baselines() -> tuple[dict, dict, dict]:
+    """Earliest committed per-query baselines for the regression gate
+    (VERDICT r6 item 5): wall seconds and shuffle-write records, each
+    taken from the FIRST committed artifact that recorded the query —
+    the driver-recorded ``BENCH_r{N}.json`` files (r01 earliest), then
+    the clean self-runs ``BENCH_SELF_r{N}.json`` (the only source of
+    shuffle baselines). Returns (wall, shuffle_records, source_tag)."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(repo, "BENCH_r[0-9]*.json")))
+    files += sorted(
+        glob.glob(os.path.join(repo, "BENCH_SELF_r[0-9]*.json"))
+    )
+    wall: dict = {}
+    shuf: dict = {}
+    src: dict = {}
+    for path in files:
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        tag = os.path.basename(path)
+        # driver records wrap the bench line under "parsed" — which is
+        # null when a round's bench crashed; fall back to the raw dict
+        body = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
+        for k, v in (body.get("queries") or {}).items():
+            if isinstance(v, (int, float)) and k not in wall:
+                wall[k] = float(v)
+                src[k] = tag
+        for k, v in (body.get("query_shuffle") or {}).items():
+            rec = (
+                v.get("shuffle_write_records")
+                if isinstance(v, dict)
+                else None
+            )
+            if isinstance(rec, int) and k not in shuf:
+                shuf[k] = rec
+    return wall, shuf, src
+
+
 def main() -> None:
     # UI on: the plan-compare shuffle metrics come from the status REST API
     spark = get_spark(
@@ -191,6 +233,31 @@ def main() -> None:
                 "shuffle_write_records": after[0] - before[0],
                 "shuffle_write_bytes": after[1] - before[1],
             }
+
+    # Per-branch wall inside the merged slots (VERDICT r6 item 6):
+    # filtering on the union discriminator folds every other branch's
+    # lit(mode) predicate to false, so Catalyst prunes those union
+    # children and each timing runs ONLY that branch's sub-plan —
+    # attributing the slot's wall without restructuring the registry.
+    from pyspark.sql import functions as _F
+
+    branch_timings: dict[str, dict] = {}
+    for qname, modes in (
+        ("q54_chunk_documents", ("chunk", "dedup", "substr", "rebuilt")),
+        ("q56_quantize_embeddings", ("int8", "pq", "ivfpq")),
+        ("q63_corpus_funnel", ("full", "delta")),
+    ):
+        if qname not in QUERIES:
+            continue
+        rows: dict[str, float] = {}
+        for m in modes:
+            t0 = time.perf_counter()
+            run_noop(
+                QUERIES[qname](spark, SF_DIR).filter(_F.col("mode") == m)
+            )
+            rows[m] = round(time.perf_counter() - t0, 3)
+            release_sketch_caches()
+        branch_timings[qname] = rows
 
     # Translated 10x claim (BASELINE.md): the declarative co-partitioned
     # flagship plan vs the reference-DSL-style re-keyed plan with its
@@ -1070,12 +1137,42 @@ def main() -> None:
     release_sketch_caches()
     compare["ann_recall"] = ann_rows
 
+    # Regression gate (VERDICT r6 item 5): flag queries slower than
+    # 1.5x their earliest committed baseline wall (with a 0.3 s
+    # absolute floor so sub-second slots don't trip on jitter) or
+    # shuffling more than 1.3x their baseline records (10k-row floor).
+    # Shuffle records are deterministic; wall on a loaded box is not —
+    # a wall flag says "re-run clean and profile", a shuffle flag says
+    # "the plan changed".
+    wall_base, shuf_base, base_src = load_baselines()
+    regressions: dict[str, dict] = {"wall": {}, "shuffle": {}}
+    for k, sec in timings.items():
+        b = wall_base.get(k)
+        if b and sec > 1.5 * b and sec - b > 0.3:
+            regressions["wall"][k] = {
+                "sec": sec,
+                "baseline_sec": b,
+                "ratio": round(sec / b, 2),
+                "baseline_src": base_src.get(k),
+            }
+    for k, s in shuffles.items():
+        rec = s.get("shuffle_write_records")
+        b = shuf_base.get(k)
+        if b and rec is not None and rec > 1.3 * b and rec - b > 10_000:
+            regressions["shuffle"][k] = {
+                "records": rec,
+                "baseline_records": b,
+                "ratio": round(rec / b, 2),
+            }
+
     out = {
         "metric": "total_declared_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "query_shuffle": shuffles,
+        "branch_timings": branch_timings,
+        "regressions": regressions,
         "sf": sf_from_dir(SF_DIR),
         "plan_compare": compare,
     }
