@@ -503,6 +503,73 @@ _SEM_THRESHOLD = "0.4"  # spliced via CAST('…' AS DOUBLE) both dialects
     ),
     labeled AS (
       SELECT node AS vec_id, min(lab) AS kept_id FROM comp GROUP BY node
+    ),
+    -- day-2 SRP admission (the 'delta'/'deltaidx' branches): corpus =
+    -- vec_id % 5 <> 0 holds the persistent rep index, the delta is
+    -- admitted against it with the poisoned-component contract --
+    -- mirroring admit_against_srp_index step for step
+    dcorp AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    ddelta AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    crep AS (
+      SELECT min(vec_id) AS vec_id, embedding FROM dcorp
+      GROUP BY embedding
+    ),
+    cb2 AS (
+      SELECT vec_id, embedding,
+             {P.hyperplane_bucket('embedding', _PLANES, D)} AS bucket
+      FROM crep
+    ),
+    dmap AS (
+      SELECT vec_id,
+             min(vec_id) OVER (PARTITION BY embedding) AS rep
+      FROM ddelta
+    ),
+    drep AS (
+      SELECT min(vec_id) AS vec_id, embedding FROM ddelta
+      GROUP BY embedding
+    ),
+    db2 AS (
+      SELECT vec_id, embedding,
+             {P.hyperplane_bucket('embedding', _PLANES, D)} AS bucket
+      FROM drep
+    ),
+    wedge AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM db2 a JOIN db2 b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {P.round_dbl(P.cosine('a.embedding', 'b.embedding', D), 6, D)}
+            >= CAST('{_SEM_THRESHOLD}' AS DOUBLE)
+      UNION ALL
+      SELECT rep, vec_id FROM dmap WHERE vec_id <> rep
+    ),
+    wund AS (
+      SELECT src, dst FROM wedge
+      UNION ALL SELECT dst, src FROM wedge
+    ),
+    dcomp(node, lab) AS (
+      SELECT vec_id, vec_id FROM ddelta
+      UNION
+      SELECT u.dst, c.lab FROM dcomp c JOIN wund u ON u.src = c.node
+    ),
+    dlab AS (
+      SELECT node AS vec_id, min(lab) AS comp FROM dcomp GROUP BY node
+    ),
+    touched AS (
+      SELECT DISTINCT a.vec_id
+      FROM db2 a JOIN cb2 c ON a.bucket = c.bucket
+      WHERE {P.round_dbl(P.cosine('a.embedding', 'c.embedding', D), 6, D)}
+            >= CAST('{_SEM_THRESHOLD}' AS DOUBLE)
+    ),
+    dclean AS (
+      SELECT l.vec_id, l.comp FROM dlab l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dlab p JOIN touched t ON p.vec_id = t.vec_id
+        WHERE p.comp = l.comp
+      )
     )
     SELECT 'pair' AS mode, id_a, id_b, score FROM (
       SELECT vec_a AS id_a, vec_b AS id_b,
@@ -511,6 +578,13 @@ _SEM_THRESHOLD = "0.4"  # spliced via CAST('…' AS DOUBLE) both dialects
     )
     UNION ALL
     SELECT 'sem', vec_id, kept_id, CAST(NULL AS DOUBLE) FROM labeled
+    UNION ALL
+    SELECT 'delta', vec_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM dclean WHERE vec_id = comp
+    UNION ALL
+    SELECT 'deltaidx', d.vec_id, CAST(d.bucket AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM db2 d JOIN dclean c ON d.vec_id = c.vec_id
     """,
 )
 def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,7 +597,15 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the closure with a recursive CTE (fine at
     sf0.01); the Spark side is the O(diameter) component loop that
     closes billion-edge graphs, with exact-duplicate vectors
-    contracted to one representative before the pair join."""
+    contracted to one representative before the pair join.
+
+    ``delta``/``deltaidx`` (round 8): INCREMENTAL semantic dedup —
+    vec_id % 5 partitions the table into a day-1 corpus and a day-2
+    delta; the corpus's ``srp_bucket_index`` rep table gates the delta
+    through ``admit_against_srp_index`` (poisoned-component contract).
+    ``delta`` rows are the admitted survivor ids; ``deltaidx`` rows
+    are the appended index rows (rep id, bucket) — so the oracle pins
+    BOTH admission decisions and the index update rule."""
     emb = load_table(spark, sf_dir, "embeddings")
     # shared-scan composition: one bucket build + one scored pair join
     # feeds both branches; equivalence to the standalone operators is
@@ -531,17 +613,45 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, sem = KNN.pairs_with_semantic(
         emb, top_n=20, threshold=float(_SEM_THRESHOLD), planes=_PLANES
     )
-    return pairs.select(
-        F.lit("pair").alias("mode"),
-        F.col("vec_a").alias("id_a"),
-        F.col("vec_b").alias("id_b"),
-        F.col("cosine").alias("score"),
-    ).unionByName(
-        sem.select(
-            F.lit("sem").alias("mode"),
-            F.col("vec_id").alias("id_a"),
-            F.col("kept_id").alias("id_b"),
-            F.lit(None).cast("double").alias("score"),
+    srp_idx = KNN.srp_bucket_index(
+        emb.filter(F.col("vec_id") % 5 != 0), planes=_PLANES
+    )
+    surv, idx_delta = KNN.admit_against_srp_index(
+        emb.filter(F.col("vec_id") % 5 == 0),
+        srp_idx,
+        threshold=float(_SEM_THRESHOLD),
+        planes=_PLANES,
+    )
+    return (
+        pairs.select(
+            F.lit("pair").alias("mode"),
+            F.col("vec_a").alias("id_a"),
+            F.col("vec_b").alias("id_b"),
+            F.col("cosine").alias("score"),
+        )
+        .unionByName(
+            sem.select(
+                F.lit("sem").alias("mode"),
+                F.col("vec_id").alias("id_a"),
+                F.col("kept_id").alias("id_b"),
+                F.lit(None).cast("double").alias("score"),
+            )
+        )
+        .unionByName(
+            surv.select(
+                F.lit("delta").alias("mode"),
+                F.col("vec_id").alias("id_a"),
+                F.lit(None).cast("bigint").alias("id_b"),
+                F.lit(None).cast("double").alias("score"),
+            )
+        )
+        .unionByName(
+            idx_delta.select(
+                F.lit("deltaidx").alias("mode"),
+                F.col("vec_id").alias("id_a"),
+                F.col("bucket").cast("bigint").alias("id_b"),
+                F.lit(None).cast("double").alias("score"),
+            )
         )
     )
 
