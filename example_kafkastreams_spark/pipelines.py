@@ -671,6 +671,123 @@ def corpus_ingest_with_neardup_index(
     return out, make_sink
 
 
+def embedding_ingest_with_srp_index(
+    emb: DataFrame,
+    spark,
+    index_path: str,
+    ts_col: str = "ts",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    watermark_delay: str = "10 seconds",
+):
+    """Streaming EMBEDDING ingest with a persistent SRP-bucket index —
+    the semantic-dedup member of the ingest family
+    (``corpus_ingest_with_index`` = exact digests,
+    ``corpus_ingest_with_neardup_index`` = MinHash/SimHash bands,
+    this = embedding cosine via ``knn.admit_against_srp_index``):
+    each micro-batch of vectors is admitted against every vector any
+    previous batch or RUN admitted, so a paraphrase that ships a
+    near-identical EMBEDDING (the case token sketches miss when the
+    surface form changes entirely) is dropped cross-job.
+
+    Stream side: exact-duplicate vectors are dropped in-stream by
+    ``dropDuplicatesWithinWatermark`` on a MAP-SIDE md5 of the vector
+    — the state store and the dedup exchange carry a 32-char digest,
+    never the float array, and the watermark reaps digests (state
+    bounded by distinct-vector arrival rate × horizon).
+
+    Sink side (returned ``make_sink``; all batch Spark — the
+    collide-then-verify + component loop is not expressible as a
+    streaming join): per batch, the stored index minus the batch's OWN
+    ``(ingest_run, ingest_batch)`` partition (foreachBatch replay
+    exclusion — partition pruning, not a scan) gates the batch through
+    ``admit_against_srp_index``; survivors and the index delta (rep
+    id, vector, bucket) land via the same idempotent dynamic-partition
+    overwrite as the text sinks. Per-batch cost is batch-proportional:
+    the corpus side is the distinct-vector rep table joined per
+    bucket (SCALE_PROBE ``incremental_srp_delta``).
+    """
+    import hashlib
+    import os
+    import uuid
+
+    from .operators.knn import admit_against_srp_index
+
+    out = (
+        emb.withColumn(
+            "__vdigest", F.md5(F.col(vec_col).cast("string"))
+        )
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["__vdigest"])
+        .drop("__vdigest")
+    )
+
+    def make_sink(out_path: str, run_id: str | None = None):
+        token = (
+            hashlib.md5(run_id.encode()).hexdigest()[:16]
+            if run_id
+            else uuid.uuid4().hex[:16]
+        )
+
+        def sink(batch_df, batch_id: int):
+            batch_df = batch_df.persist()
+            try:
+                idx = (
+                    spark.read.parquet(index_path)
+                    if os.path.isdir(index_path)
+                    else None
+                )
+                if idx is not None:
+                    idx = idx.filter(
+                        ~(
+                            (F.col("ingest_run") == token)
+                            & (F.col("ingest_batch") == int(batch_id))
+                        )
+                    )
+                survivors, idx_delta = admit_against_srp_index(
+                    batch_df.select(id_col, vec_col),
+                    idx,
+                    threshold=threshold,
+                    planes=planes,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+                # survivors keep the full batch row (ts etc.), not the
+                # projected admission columns
+                survivors = batch_df.join(
+                    survivors.select(id_col), id_col, "left_semi"
+                )
+                meta = [
+                    F.lit(token).alias("ingest_run"),
+                    F.lit(int(batch_id)).alias("ingest_batch"),
+                ]
+                (
+                    survivors.select("*", *meta)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest_run", "ingest_batch")
+                    .parquet(out_path)
+                )
+                (
+                    idx_delta.select("*", *meta)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ingest_run", "ingest_batch")
+                    .parquet(index_path)
+                )
+            finally:
+                batch_df.unpersist()
+                from .operators.cache import release_sketch_caches
+
+                release_sketch_caches()
+
+        return sink
+
+    return out, make_sink
+
+
 def corpus_stages_delta(
     delta: DataFrame,
     digest_index: DataFrame | None,

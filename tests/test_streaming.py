@@ -1323,3 +1323,134 @@ def test_corpus_ingest_with_neardup_index_across_jobs(
     ])
     admitted = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert admitted == {1, 4, 12}
+
+
+VEC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+# mutually orthogonal dim-4 fixtures (cosine 0 < any threshold); a
+# scaled copy has cosine exactly 1 and provably the same SRP bucket
+# (sign(s * v . p) == sign(v . p) for s > 0)
+_V1 = [1.0, 0.25, -0.5, 2.0]
+_V_ORTH = [-0.25, 1.0, 2.0, 0.5]
+_V_NEW = [0.5, -2.0, 1.0, 0.25]
+
+
+def _scaled(v, s):
+    return [s * x for x in v]
+
+
+def test_embedding_ingest_with_srp_index_across_jobs(spark, tmp_path):
+    """The persistent SRP index catches what the token sketches
+    cannot: a re-ingest whose EMBEDDING is near-identical while the
+    surface form changed entirely. Batch 2 of run 1 ships a scaled
+    copy (cosine 1, distinct digest — passes the in-stream exact
+    gate) of batch 1's admitted vector: only the index, updated after
+    batch 1, can see it. Run 2 (fresh checkpoint) ships another
+    scaled copy, dropped purely by the persistent index; an
+    orthogonal vector is admitted."""
+    from example_kafkastreams_spark.operators.knn import hyperplanes
+    from example_kafkastreams_spark.pipelines import (
+        embedding_ingest_with_srp_index,
+    )
+
+    planes = hyperplanes(4, 4)
+    idx = str(tmp_path / "srp_index")
+    out = str(tmp_path / "admitted")
+
+    def run(tag, batches):
+        src = str(tmp_path / f"in_{tag}")
+        stage_replayable_batches(spark, src, VEC_STREAM_SCHEMA, batches)
+        stream = file_stream(
+            spark, src, VEC_STREAM_SCHEMA, max_files_per_trigger=1
+        )
+        df, mk = embedding_ingest_with_srp_index(
+            stream, spark, idx, threshold=0.9, planes=planes
+        )
+        q = (
+            df.writeStream.foreachBatch(
+                mk(out, run_id=str(tmp_path / f"ckpt_{tag}"))
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    # run 1: exact copy dropped in-stream (vector-digest state); the
+    # scaled copy arrives in the NEXT batch — cross-batch, index-only
+    run("one", [
+        [(1, _V1, at(0.0)), (2, _V1, at(1.0))],
+        [(3, _scaled(_V1, 2.0), at(10.0)), (4, _V_ORTH, at(11.0))],
+    ])
+    assert {
+        r.vec_id for r in spark.read.parquet(out).collect()
+    } == {1, 4}
+
+    # run 2: fresh checkpoint — another scaled copy (new id) dropped
+    # purely by the PERSISTENT index; genuinely new content survives
+    run("two", [
+        [(5, _scaled(_V1, 3.0), at(100.0)), (6, _V_NEW, at(101.0))],
+    ])
+    assert {
+        r.vec_id for r in spark.read.parquet(out).collect()
+    } == {1, 4, 6}
+    # index = one rep row per admitted distinct vector, bucket carried
+    irows = spark.read.parquet(idx).collect()
+    assert {r.vec_id for r in irows} == {1, 4, 6}
+    assert all(r.bucket is not None for r in irows)
+
+
+def test_embedding_ingest_srp_replay_idempotent(spark, tmp_path):
+    """foreachBatch replay of the SAME batch id must leave both stores
+    byte-identical — the hazard shape is a clean component with TWO
+    distinct vectors (base + scaled copy, both of whose reps enter the
+    index): without the own-(run,batch) exclusion the replayed batch
+    would collide against its own prior index write and drop its own
+    admitted doc."""
+    from example_kafkastreams_spark.operators.knn import hyperplanes
+    from example_kafkastreams_spark.pipelines import (
+        embedding_ingest_with_srp_index,
+    )
+
+    planes = hyperplanes(4, 4)
+    idx = str(tmp_path / "srp_index")
+    out = str(tmp_path / "admitted")
+    src = str(tmp_path / "in")
+    stage_replayable_batches(
+        spark, src, VEC_STREAM_SCHEMA, [[(1, _V1, at(0.0))]]
+    )
+    stream = file_stream(spark, src, VEC_STREAM_SCHEMA)
+    _, mk = embedding_ingest_with_srp_index(
+        stream, spark, idx, threshold=0.9, planes=planes
+    )
+    sink = mk(out, run_id=str(tmp_path / "ckpt"))
+
+    batch = spark.createDataFrame(
+        [
+            (1, _V1, at(0.0)),
+            (2, _scaled(_V1, 2.0), at(1.0)),
+            (3, _V_ORTH, at(2.0)),
+        ],
+        VEC_STREAM_SCHEMA,
+    )
+    sink(batch, 7)
+    surv1 = sorted(r.vec_id for r in spark.read.parquet(out).collect())
+    # clean component {1, 2} admits its min id; both distinct-vector
+    # reps enter the index alongside the unrelated vector
+    assert surv1 == [1, 3]
+    idx1 = sorted(r.vec_id for r in spark.read.parquet(idx).collect())
+    assert idx1 == [1, 2, 3]
+    sink(batch, 7)
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(out).collect()
+    ) == surv1
+    assert sorted(
+        r.vec_id for r in spark.read.parquet(idx).collect()
+    ) == idx1
