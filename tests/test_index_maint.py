@@ -400,3 +400,74 @@ def test_ingest_and_frontier_replay_across_compaction(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(out).collect()
     } == {1, 3, 5}
+
+
+def test_srp_admission_identical_after_compaction(spark, tmp_path):
+    """The embedding grain: admit_against_srp_index must make the SAME
+    decisions against the compacted path and the bucketed catalog as
+    against the raw per-batch layout. Keys here are (embedding,
+    bucket) — compaction groups on a float-array column, the one grain
+    whose canonical-rep key is not a scalar hash."""
+    from example_kafkastreams_spark.operators.knn import (
+        admit_against_srp_index,
+        hyperplanes,
+        srp_bucket_index,
+    )
+
+    planes = hyperplanes(4, 4)
+    path = str(tmp_path / "srp_index")
+
+    def emb(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    v1 = [1.0, 0.25, -0.5, 2.0]
+    v2 = [-0.25, 1.0, 2.0, 0.5]       # orthogonal to v1
+    v3 = [0.5, -2.0, 1.0, 0.25]       # orthogonal to both
+    sc = lambda v, s: [s * x for x in v]  # noqa: E731
+    _write_part(
+        srp_bucket_index(emb([(1, v1), (2, v2)]), planes=planes),
+        path, RUN_A, 0,
+    )
+    # scaled copy of v1: distinct vector, same bucket — a second rep
+    # for v1's direction lands in a LATER batch, so the folded
+    # partition and a held-back frontier partition carry colliding
+    # buckets (the dedup across partitions must not merge reps of
+    # DISTINCT vectors)
+    _write_part(
+        srp_bucket_index(emb([(3, sc(v1, 2.0))]), planes=planes),
+        path, RUN_A, 1,
+    )
+    _write_part(
+        srp_bucket_index(emb([(4, v3)]), planes=planes),
+        path, RUN_B, 0,
+    )
+
+    delta = emb([(30, sc(v1, 3.0)), (31, sc(v2, 2.0)), (32, sc(v3, 0.5)),
+                 (33, [1.0, 1.0, 1.0, 1.0])])
+
+    def decide(idx):
+        surv, idx_delta = admit_against_srp_index(
+            delta, idx, threshold=0.9, planes=planes
+        )
+        return (
+            sorted(r.vec_id for r in surv.collect()),
+            sorted(r.vec_id for r in idx_delta.collect()),
+        )
+
+    before = decide(spark.read.parquet(path))
+    rows_before = spark.read.parquet(path).count()
+
+    catalog = compact_index(
+        spark, path, ["bucket"], id_col="vec_id",
+        table_name="idx_t_srp",
+    )
+    reread = spark.read.parquet(path)
+    # all distinct vectors are distinct reps — nothing merges, every
+    # rep survives the fold (frontier partitions held back unchanged)
+    assert reread.count() == rows_before
+    assert {r.vec_id for r in reread.collect()} == {1, 2, 3, 4}
+    for idx in (reread, catalog):
+        assert decide(idx) == before
+    spark.sql("DROP TABLE IF EXISTS idx_t_srp")
