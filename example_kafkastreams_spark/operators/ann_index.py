@@ -32,15 +32,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .knn import (
     _empty_ann_result,
+    exact_rerank,
+    ivf_pq_encode_local,
     ivf_pq_index,
     ivfpq_adc_score,
     pq_adc_score,
     pq_codebook,
     pq_encode,
+    pq_encode_vectorized,
 )
 
 _META = "meta.json"
 _CODES = "codes"
+
+# Above this many codes per subspace the expression encoder's spliced
+# literal folds (m * num_codes of them) blow past JIT method limits —
+# switch to the Arrow argmin encoder (same codes, pinned by
+# tests/test_ann_trained.py::test_vectorized_encode_matches_expression).
+_VECTORIZE_ABOVE = 32
 
 
 def pq_index_write(
@@ -50,12 +59,24 @@ def pq_index_write(
     num_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: list | None = None,
 ) -> None:
     """Encode ``emb`` with a PQ codebook and persist both halves under
     ``path``. The encode is the scan-shaped zero-shuffle pass of
-    ``pq_encode``; the write is the only data movement."""
-    codebook = pq_codebook(emb, m, num_codes, id_col, vec_col)
-    pq_encode(emb, codebook, id_col, vec_col).write.mode(
+    ``pq_encode``; the write is the only data movement.
+
+    Pass ``codebook`` (e.g. ``pq_codebook_local`` over a
+    ``sample_vectors`` draw) to persist a TRAINED index — the
+    serving-grade build ``pq_ann_trained`` runs in-session. Large
+    codebooks encode through the Arrow path automatically."""
+    if codebook is None:
+        codebook = pq_codebook(emb, m, num_codes, id_col, vec_col)
+    else:
+        m, num_codes = len(codebook), len(codebook[0])
+    encode = (
+        pq_encode_vectorized if num_codes > _VECTORIZE_ABOVE else pq_encode
+    )
+    encode(emb, codebook, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, _CODES))
     with open(os.path.join(path, _META), "w") as f:
@@ -79,20 +100,38 @@ def ivfpq_index_write(
     num_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list | None = None,
+    codebook: list | None = None,
 ) -> None:
     """IVF-PQ variant: (id, cell, codes) parquet + centroids and the
-    residual codebook in the meta artifact."""
-    enc, cents, codebook = ivf_pq_index(
-        emb, num_centroids, m, num_codes, id_col, vec_col, persist=False
-    )
+    residual codebook in the meta artifact.
+
+    Pass BOTH ``cents`` (``kmeans_train_local``) and ``codebook``
+    (``pq_codebook_local`` over the sample's residuals) to persist the
+    serving-grade trained index ``ivf_pq_ann_trained`` builds
+    in-session; the encode then runs as the one-pass Arrow build."""
+    if cents is not None and codebook is not None:
+        enc = ivf_pq_encode_local(emb, cents, codebook, id_col, vec_col)
+    else:
+        enc, cents, codebook = ivf_pq_index(
+            emb,
+            num_centroids,
+            m,
+            num_codes,
+            id_col,
+            vec_col,
+            persist=False,
+            cents=cents,
+            codebook=codebook,
+        )
     enc.write.mode("overwrite").parquet(os.path.join(path, _CODES))
     with open(os.path.join(path, _META), "w") as f:
         json.dump(
             {
                 "kind": "ivfpq",
-                "m": m,
-                "num_codes": num_codes,
-                "num_centroids": num_centroids,
+                "m": len(codebook),
+                "num_codes": len(codebook[0]),
+                "num_centroids": len(cents),
                 "id_col": id_col,
                 "centroids": cents,
                 "codebook": codebook,
@@ -117,6 +156,8 @@ def ann_index_query(
     nprobe: int = 2,
     id_col: str | None = None,
     vec_col: str = "embedding",
+    refine: int | None = None,
+    rerank_against: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k neighbors for each row of ``queries`` (an (id, vector)
     frame, collected driver-side — the bounded small side, same
@@ -129,16 +170,36 @@ def ann_index_query(
     encode cost disappears: queries against 100 TB touch the m-bytes/
     vector codes parquet (nprobe/num_centroids of it for IVF-PQ),
     never the raw vectors.
-    """
+
+    Pass ``refine`` + ``rerank_against`` (the raw-vector frame the
+    index was built from) for the FAISS IndexRefineFlat serving shape
+    ``*_ann_trained`` runs in-session: an ADC shortlist of ``refine``
+    candidates per query, then exact cosine re-rank down to ``k`` via
+    a broadcast point-lookup of just those NQ*refine raw vectors —
+    output switches to the ``brute_force_knn`` contract
+    (query_id, neighbor_id, cosine, knn_rank)."""
     enc, meta = ann_index_read(spark, path)
     idc = id_col or meta["id_col"]
     qrows = queries.orderBy(idc).select(idc, vec_col).collect()
     if not qrows:
         return _empty_ann_result(enc.select(F.col(idc)), idc)
+    shortlist_k = refine if refine is not None else k
     if meta["kind"] == "pq":
-        return pq_adc_score(enc, meta["codebook"], qrows, k, idc)
-    if meta["kind"] == "ivfpq":
-        return ivfpq_adc_score(
-            enc, meta["centroids"], meta["codebook"], qrows, k, nprobe, idc
+        out = pq_adc_score(enc, meta["codebook"], qrows, shortlist_k, idc)
+    elif meta["kind"] == "ivfpq":
+        out = ivfpq_adc_score(
+            enc,
+            meta["centroids"],
+            meta["codebook"],
+            qrows,
+            shortlist_k,
+            nprobe,
+            idc,
         )
-    raise ValueError(f"unknown index kind {meta['kind']!r}")
+    else:
+        raise ValueError(f"unknown index kind {meta['kind']!r}")
+    if refine is not None:
+        if rerank_against is None:
+            raise ValueError("refine requires rerank_against")
+        out = exact_rerank(out, rerank_against, qrows, k, idc, vec_col)
+    return out

@@ -1780,6 +1780,32 @@ def pq_ann_trained(
     return exact_rerank(shortlist, emb, qrows, k, id_col, vec_col)
 
 
+def train_ivfpq_local(
+    emb: DataFrame,
+    num_centroids: int = 64,
+    m: int = 16,
+    num_codes: int = 256,
+    sample_n: int = 16384,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(centroids, residual codebook) — the sampled training step of
+    ``ivf_pq_ann_trained``, factored out so a persistent index build
+    (``ann_index.ivfpq_index_write(cents=…, codebook=…)``) trains the
+    EXACT same parameters the in-session operator would: cosine
+    k-means coarse quantizer over a deterministic sample, per-subspace
+    L2 codebooks over that sample's residuals."""
+    X = sample_vectors(emb, sample_n, id_col, vec_col)
+    cents = kmeans_train_local(X, num_centroids, iterations, "cosine")
+    C = np.asarray(cents, dtype=np.float64)
+    cn = np.sqrt((C * C).sum(1))
+    xn = np.sqrt((X * X).sum(1))
+    assign = ((X @ C.T) / (xn[:, None] * cn[None, :])).argmax(1)
+    cb = pq_codebook_local(X - C[assign], m, num_codes, iterations)
+    return cents, cb
+
+
 def ivf_pq_ann_trained(
     emb: DataFrame,
     num_queries: int = 64,
@@ -1805,13 +1831,10 @@ def ivf_pq_ann_trained(
     num_centroids (smaller cells rank better under a fixed probe
     budget) — defaults (64 cells, 16 probes, refine=100) sit at ~25%
     of the code table per query."""
-    X = sample_vectors(emb, sample_n, id_col, vec_col)
-    cents = kmeans_train_local(X, num_centroids, iterations, "cosine")
-    C = np.asarray(cents, dtype=np.float64)
-    cn = np.sqrt((C * C).sum(1))
-    xn = np.sqrt((X * X).sum(1))
-    assign = ((X @ C.T) / (xn[:, None] * cn[None, :])).argmax(1)
-    cb = pq_codebook_local(X - C[assign], m, num_codes, iterations)
+    cents, cb = train_ivfpq_local(
+        emb, num_centroids, m, num_codes, sample_n, iterations,
+        id_col, vec_col,
+    )
     enc = persist_tracked(
         ivf_pq_encode_local(emb, cents, cb, id_col, vec_col)
     )

@@ -68,6 +68,84 @@ def test_ivfpq_index_query_prunes_cells(spark, tmp_path):
     assert "EqualTo(cell" in pushed or "In(cell" in pushed, pushed
 
 
+def test_trained_ivfpq_index_serve_matches_fresh_build(spark, tmp_path):
+    """The deployable split: train + encode + persist ONCE
+    (``ivfpq_index_write(cents=…, codebook=…)``), then serve with
+    ADC-shortlist + exact refine from the artifact — bit-identical to
+    the in-session ``ivf_pq_ann_trained`` (same deterministic sample,
+    literally shared scoring/refine code, floats round-trip JSON
+    exactly)."""
+    from example_kafkastreams_spark.operators.knn import (
+        ivf_pq_ann_trained,
+        train_ivfpq_local,
+    )
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    cfg = dict(num_centroids=4, m=8, num_codes=16, sample_n=256,
+               iterations=4)
+    cents, cb = train_ivfpq_local(emb, **cfg)
+    path = str(tmp_path / "ivfpq_trained")
+    ivfpq_index_write(emb, path, cents=cents, codebook=cb)
+
+    _, meta = ann_index_read(spark, path)
+    assert meta["num_centroids"] == 4 and meta["m"] == 8
+    assert meta["centroids"] == cents and meta["codebook"] == cb
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = ann_index_query(
+        spark, path, queries, k=3, nprobe=2, refine=20,
+        rerank_against=emb,
+    )
+    assert got.columns == ["query_id", "neighbor_id", "cosine", "knn_rank"]
+    want = ivf_pq_ann_trained(
+        emb, num_queries=6, k=3, nprobe=2, refine=20, **cfg
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_trained_pq_index_uses_arrow_encoder_above_threshold(spark, tmp_path):
+    """A >32-code trained codebook must persist through the Arrow
+    encoder (the expression path would splice m*num_codes literal
+    folds past JIT limits at serving scale) and still round-trip:
+    loaded refine+rerank == in-session ``pq_ann_trained``."""
+    from example_kafkastreams_spark.operators.knn import (
+        pq_ann_trained,
+        pq_codebook_local,
+        sample_vectors,
+    )
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    X = sample_vectors(emb, 256)
+    cb = pq_codebook_local(X, m=8, num_codes=48, iterations=4)
+    path = str(tmp_path / "pq_trained")
+    pq_index_write(emb, path, codebook=cb)
+
+    _, meta = ann_index_read(spark, path)
+    assert meta["m"] == 8 and meta["num_codes"] == 48
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = ann_index_query(
+        spark, path, queries, k=3, refine=20, rerank_against=emb
+    )
+    want = pq_ann_trained(
+        emb, num_queries=6, k=3, m=8, num_codes=48, refine=20,
+        sample_n=256, iterations=4,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_refine_requires_rerank_frame(spark, tmp_path):
+    import pytest
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    path = str(tmp_path / "pq_idx4")
+    pq_index_write(emb, path)
+    with pytest.raises(ValueError, match="rerank_against"):
+        ann_index_query(
+            spark, path, emb.filter(F.col("vec_id") < 2), k=3, refine=10
+        )
+
+
 def test_empty_query_frame_returns_typed_empty(spark, tmp_path):
     emb = load_table(spark, SMOKE, "embeddings")
     path = str(tmp_path / "pq_idx3")
