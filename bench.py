@@ -1021,6 +1021,7 @@ def main() -> None:
         _py_cosine,
         brute_force_knn,
         ivf_ann,
+        ivf_flat_ann_trained,
         ivf_pq_ann,
         ivf_pq_ann_trained,
         lsh_ann,
@@ -1095,6 +1096,10 @@ def main() -> None:
             "ivfpq_trained",
             lambda: ivf_pq_ann_trained(embt, num_queries=NQ, k=K),
         ),
+        (
+            "ivfflat_trained",
+            lambda: ivf_flat_ann_trained(embt, num_queries=NQ, k=K),
+        ),
     ):
         t0 = time.perf_counter()
         got_rows = thunk().collect()
@@ -1167,6 +1172,44 @@ def main() -> None:
             "recall_at_10": round(hits / (len(truth) * K), 4),
             "config": f"nc={NC} nprobe={NPROBE} m=16 codes=256 refine=100",
         }
+        # IVF-Flat serve from the SAME coarse quantizer (the raw-vector
+        # quadrant: exact cosine inside probed cells, no refine) — its
+        # build reuses cents_t, so build_sec here is encode + write
+        # only; training is billed once above.
+        from example_kafkastreams_spark.operators.ann_index import (
+            ivfflat_index_write,
+        )
+
+        flat_dir = tempfile.mkdtemp(prefix="bench_ivfflat_idx_")
+        try:
+            t0 = time.perf_counter()
+            ivfflat_index_write(embt, flat_dir, cents_t)
+            flat_build = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            got_rows = ann_index_query(
+                spark,
+                flat_dir,
+                embt.filter(F.col("vec_id") < NQ),
+                k=K,
+                nprobe=8,
+            ).collect()
+            flat_serve = round(time.perf_counter() - t0, 3)
+            release_sketch_caches()
+            got = {}
+            for r in got_rows:
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            hits = sum(
+                len(got.get(q, set()) & neigh)
+                for q, neigh in truth.items()
+            )
+            ann_rows["ivfflat_trained_index"] = {
+                "build_sec": flat_build,
+                "serve_sec": flat_serve,
+                "recall_at_10": round(hits / (len(truth) * K), 4),
+                "config": f"nc={NC} nprobe=8 raw-vector cells",
+            }
+        finally:
+            shutil.rmtree(flat_dir, ignore_errors=True)
         # Measured per-query scan fraction of the trained IVF-PQ code
         # table (the IVF promise): histogram the PERSISTED cells and
         # average each query's probed-cell mass.

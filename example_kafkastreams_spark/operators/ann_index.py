@@ -33,8 +33,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .knn import (
     _empty_ann_result,
     exact_rerank,
+    ivf_flat_encode,
     ivf_pq_encode_local,
     ivf_pq_index,
+    ivfflat_score,
     ivfpq_adc_score,
     pq_adc_score,
     pq_codebook,
@@ -140,6 +142,36 @@ def ivfpq_index_write(
         )
 
 
+def ivfflat_index_write(
+    emb: DataFrame,
+    path: str,
+    cents: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-Flat variant (FAISS IndexIVFFlat): (id, cell, raw vector)
+    parquet + trained centroids in the meta artifact. The high-recall
+    serving option — exact cosine inside probed cells, no refine
+    stage — trading 4·dim bytes/vector of index storage for zero
+    quantization loss. ``cents`` comes from ``kmeans_train_local``
+    (cosine metric), the same coarse quantizer an IVF-PQ index
+    trains."""
+    ivf_flat_encode(emb, cents, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, _CODES))
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(
+            {
+                "kind": "ivfflat",
+                "num_centroids": len(cents),
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "centroids": cents,
+            },
+            f,
+        )
+
+
 def ann_index_read(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """(encoded corpus, meta dict). The codes frame is a plain parquet
     scan — filters (e.g. the probed-cell predicate) push down to it."""
@@ -183,6 +215,21 @@ def ann_index_query(
     qrows = queries.orderBy(idc).select(idc, vec_col).collect()
     if not qrows:
         return _empty_ann_result(enc.select(F.col(idc)), idc)
+    if meta["kind"] == "ivfflat":
+        if refine is not None:
+            raise ValueError(
+                "ivfflat scores exact cosine inside probed cells; "
+                "refine/rerank does not apply"
+            )
+        return ivfflat_score(
+            enc,
+            meta["centroids"],
+            qrows,
+            k,
+            nprobe,
+            idc,
+            meta.get("vec_col", vec_col),
+        )
     shortlist_k = refine if refine is not None else k
     if meta["kind"] == "pq":
         out = pq_adc_score(enc, meta["codebook"], qrows, shortlist_k, idc)

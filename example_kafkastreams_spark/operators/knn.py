@@ -1848,3 +1848,128 @@ def ivf_pq_ann_trained(
         return _empty_ann_result(emb, id_col)
     shortlist = ivfpq_adc_score(enc, cents, cb, qrows, refine, nprobe, id_col)
     return exact_rerank(shortlist, emb, qrows, k, id_col, vec_col)
+
+
+def ivf_flat_encode(
+    emb: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, vector) — the IVF-Flat index build (FAISS
+    IndexIVFFlat): every vector tagged with its nearest trained
+    centroid, raw vectors KEPT, so search is exact cosine inside
+    probed cells — no compression loss, no refine stage. The cell pick
+    is ``ivf_pq_index``'s spliced-literal argmax: map-side, zero
+    corpus shuffle, and the vector column passes through untouched so
+    query-time scoring folds the exact bits the corpus shipped with.
+
+    The index quadrant this completes (storage bytes/vector vs
+    query-time distances): brute force (4·dim, exact, full scan) /
+    IVF-Flat (4·dim, exact, probed cells) / PQ (m, approximate, full
+    code scan) / IVF-PQ (m, approximate, probed codes)."""
+    cos_arr = "array(" + ", ".join(
+        P.cosine(vec_col, P.vec_literal(c, P.SPARK), P.SPARK)
+        for c in cents
+    ) + ")"
+    cell_expr = (
+        f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+    )
+    return emb.select(
+        F.col(id_col), F.expr(cell_expr).alias("cell"), F.col(vec_col)
+    )
+
+
+def ivfflat_score(
+    enc: DataFrame,
+    cents: list[list[float]],
+    qrows: list,
+    k: int,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-``k`` within probed cells of a built IVF-Flat
+    index — the ``brute_force_knn`` contract (query_id, neighbor_id,
+    cosine, knn_rank). Same serving plan as ``ivfpq_adc_score``: each
+    (query, probed cell) pair is a ROW of one broadcast
+    (cell, query_id, query-vector) frame joined once on ``cell``
+    (constant plan in the query count), with the static IN prefilter
+    over the ≤ num_centroids distinct probed cells reaching the
+    parquet scan as a pushed filter. Python cell picks replay SQL's
+    exact IEEE cosine fold (``_py_cosine``), so probed cells match the
+    stored ``cell`` column bit-for-bit; with
+    ``nprobe = num_centroids`` the result IS brute force."""
+    from pyspark.sql import types as T
+
+    spark = enc.sparkSession
+    probe_rows = []
+    for qr in qrows:
+        qid, qv = qr[0], [float(x) for x in qr[1]]
+        ranked = sorted(
+            range(len(cents)),
+            key=lambda ci: (-_py_cosine(qv, cents[ci]), ci),
+        )[:nprobe]
+        probe_rows.extend((ci, qid, qv) for ci in ranked)
+    probes = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("query_id", enc.schema[id_col].dataType),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    probed_cells = sorted({r[0] for r in probe_rows})
+    scored = (
+        enc.filter(F.col("cell").isin(probed_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(P.cosine(vec_col, "__qv", P.SPARK)).alias("__cos"),
+        )
+    )
+    return _two_phase_topk(
+        scored,
+        "query_id",
+        [F.col("__cos").desc(), F.col("neighbor_id")],
+        k,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(P.round_dbl("__cos", 6, P.SPARK)).alias("cosine"),
+        "knn_rank",
+    )
+
+
+def ivf_flat_ann_trained(
+    emb: DataFrame,
+    num_queries: int = 64,
+    k: int = 10,
+    num_centroids: int = 64,
+    nprobe: int = 8,
+    sample_n: int = 16384,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving-grade IVF-Flat: sampled cosine k-means coarse
+    quantizer, map-side cell tagging, exact cosine inside ``nprobe``
+    probed cells. The high-recall serving option — recall loss comes
+    ONLY from the probe budget (no quantization error), at the cost of
+    storing raw vectors (4·dim bytes each vs IVF-PQ's m)."""
+    X = sample_vectors(emb, sample_n, id_col, vec_col)
+    cents = kmeans_train_local(X, num_centroids, iterations, "cosine")
+    enc = persist_tracked(ivf_flat_encode(emb, cents, id_col, vec_col))
+    qrows = (
+        emb.filter(F.col(id_col) < num_queries)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not qrows:
+        return _empty_ann_result(emb, id_col)
+    return ivfflat_score(enc, cents, qrows, k, nprobe, id_col, vec_col)

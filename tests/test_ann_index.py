@@ -134,6 +134,104 @@ def test_trained_pq_index_uses_arrow_encoder_above_threshold(spark, tmp_path):
     assert _rows(got) == _rows(want)
 
 
+def test_ivfflat_index_roundtrip_matches_fresh_build(spark, tmp_path):
+    """IVF-Flat (raw vectors, exact cosine within probed cells): the
+    loaded artifact serves bit-identically to the in-session
+    ``ivf_flat_ann_trained`` — raw vectors round-trip parquet exactly,
+    centroids round-trip JSON exactly, probed cells are the same
+    driver-side ``_py_cosine`` picks."""
+    from example_kafkastreams_spark.operators.ann_index import (
+        ivfflat_index_write,
+    )
+    from example_kafkastreams_spark.operators.knn import (
+        ivf_flat_ann_trained,
+        kmeans_train_local,
+        sample_vectors,
+    )
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    X = sample_vectors(emb, 256)
+    cents = kmeans_train_local(X, 4, 4, "cosine")
+    path = str(tmp_path / "ivfflat_idx")
+    ivfflat_index_write(emb, path, cents)
+
+    enc, meta = ann_index_read(spark, path)
+    assert meta["kind"] == "ivfflat" and meta["num_centroids"] == 4
+    assert enc.columns == ["vec_id", "cell", "embedding"]
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = ann_index_query(spark, path, queries, k=3, nprobe=2)
+    assert got.columns == ["query_id", "neighbor_id", "cosine", "knn_rank"]
+    want = ivf_flat_ann_trained(
+        emb, num_queries=6, k=3, num_centroids=4, nprobe=2,
+        sample_n=256, iterations=4,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_ivfflat_full_probe_is_brute_force(spark, tmp_path):
+    """With nprobe = num_centroids the probe set covers every cell and
+    exact in-cell scoring makes the result THE brute-force answer —
+    the correctness anchor: recall loss in IVF-Flat comes only from
+    the probe budget."""
+    from example_kafkastreams_spark.operators.knn import (
+        brute_force_knn,
+        ivf_flat_ann_trained,
+    )
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    got = ivf_flat_ann_trained(
+        emb, num_queries=6, k=3, num_centroids=4, nprobe=4,
+        sample_n=256, iterations=4,
+    )
+    want = brute_force_knn(emb, num_queries=6, k=3)
+    assert _rows(got) == _rows(want)
+
+
+def test_ivfflat_index_query_prunes_cells(spark, tmp_path):
+    from example_kafkastreams_spark.operators.ann_index import (
+        ivfflat_index_write,
+    )
+    from example_kafkastreams_spark.operators.knn import (
+        kmeans_train_local,
+        sample_vectors,
+    )
+    from example_kafkastreams_spark.plans import pushed_filters
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    X = sample_vectors(emb, 256)
+    cents = kmeans_train_local(X, 4, 4, "cosine")
+    path = str(tmp_path / "ivfflat_idx2")
+    ivfflat_index_write(emb, path, cents)
+    out = ann_index_query(
+        spark, path, emb.filter(F.col("vec_id") < 2), k=3, nprobe=1
+    )
+    pushed = " ".join(pushed_filters(out))
+    assert "EqualTo(cell" in pushed or "In(cell" in pushed, pushed
+
+
+def test_ivfflat_refine_raises(spark, tmp_path):
+    import pytest
+
+    from example_kafkastreams_spark.operators.ann_index import (
+        ivfflat_index_write,
+    )
+    from example_kafkastreams_spark.operators.knn import (
+        kmeans_train_local,
+        sample_vectors,
+    )
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    cents = kmeans_train_local(sample_vectors(emb, 256), 4, 2, "cosine")
+    path = str(tmp_path / "ivfflat_idx3")
+    ivfflat_index_write(emb, path, cents)
+    with pytest.raises(ValueError, match="refine"):
+        ann_index_query(
+            spark, path, emb.filter(F.col("vec_id") < 2), k=3,
+            refine=10, rerank_against=emb,
+        )
+
+
 def test_refine_requires_rerank_frame(spark, tmp_path):
     import pytest
 
