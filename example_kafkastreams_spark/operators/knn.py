@@ -966,6 +966,51 @@ def _query_lut(
     ]
 
 
+def _query_lut_np(
+    qv: list[float], cb_np: list[np.ndarray]
+) -> list[list[float]]:
+    """``_query_lut``'s vectorized twin — BIT-IDENTICAL output
+    (unit-pinned): elementwise numpy float64 ops are the same IEEE
+    mul/sub/add, and the accumulation walks the dsub axis in the same
+    left-to-right order as ``sum()``'s fold (which starts 0 + t0 = t0
+    exactly). ~10x faster per query at serving-scale codebooks
+    (m=16 x 256 codes), which is what makes the driver-side LUT build
+    disappear from the serve wall."""
+    out = []
+    q = np.asarray(qv, dtype=np.float64)
+    dsub = cb_np[0].shape[1]
+    for j, sub in enumerate(cb_np):
+        d = q[j * dsub:(j + 1) * dsub][None, :] - sub
+        t = d * d
+        acc = t[:, 0].copy()
+        for i in range(1, dsub):
+            acc += t[:, i]
+        out.append(acc.tolist())
+    return out
+
+
+def _probes_frame(spark, probe_rows: list, schema) -> DataFrame:
+    """Broadcast-side (probe metadata, per-query payload) frame built
+    through Arrow when possible — serializing 1k rows of m x codes
+    LUT doubles through the default pickle row path costs seconds of
+    serve latency; an arrow Table ships the same bits ~5x faster.
+    Falls back to the row path for id types Arrow can't map."""
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        pa_schema = pa.schema(
+            [(f.name, to_arrow_type(f.dataType)) for f in schema.fields]
+        )
+        names = [f.name for f in schema.fields]
+        tbl = pa.Table.from_pylist(
+            [dict(zip(names, r)) for r in probe_rows], schema=pa_schema
+        )
+        return spark.createDataFrame(tbl)
+    except Exception:
+        return spark.createDataFrame(probe_rows, schema)
+
+
 def _adc_lookup_expr(m: int) -> str:
     """Σⱼ lut[j][codes[j]] as a fixed left-to-right sum — m element_at
     lookups against the joined ``__lut`` column, the SAME fold order
@@ -1005,9 +1050,11 @@ def pq_adc_score(
     # hardcoded bigint would raise at query time for them.
     from pyspark.sql import types as T
 
-    qlut = spark.createDataFrame(
+    cb_np = [np.asarray(sub, dtype=np.float64) for sub in codebook]
+    qlut = _probes_frame(
+        spark,
         [
-            (qr[0], _query_lut([float(x) for x in qr[1]], codebook))
+            (qr[0], _query_lut_np([float(x) for x in qr[1]], cb_np))
             for qr in qrows
         ],
         T.StructType(
@@ -1296,6 +1343,7 @@ def ivfpq_adc_score(
     cell) spliced sub-plans)."""
     spark = enc.sparkSession
     m = len(codebook)
+    cb_np = [np.asarray(sub, dtype=np.float64) for sub in codebook]
     probe_rows = []
     for qr in qrows:
         qid, qv = qr[0], [float(x) for x in qr[1]]
@@ -1305,10 +1353,11 @@ def ivfpq_adc_score(
         )[:nprobe]
         for ci in ranked:
             qres = [x - y for x, y in zip(qv, cents[ci])]
-            probe_rows.append((ci, qid, _query_lut(qres, codebook)))
+            probe_rows.append((ci, qid, _query_lut_np(qres, cb_np)))
     from pyspark.sql import types as T
 
-    probes = spark.createDataFrame(
+    probes = _probes_frame(
+        spark,
         probe_rows,
         T.StructType(
             [
@@ -1911,7 +1960,8 @@ def ivfflat_score(
             key=lambda ci: (-_py_cosine(qv, cents[ci]), ci),
         )[:nprobe]
         probe_rows.extend((ci, qid, qv) for ci in ranked)
-    probes = spark.createDataFrame(
+    probes = _probes_frame(
+        spark,
         probe_rows,
         T.StructType(
             [

@@ -447,10 +447,43 @@ _LSH_MP_SQL = f"""
 """
 
 
+_IVFFLAT_MP_SQL = f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ), ass AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {P.cosine('embedding', 'cv', D)} DESC, cid
+             ) AS cent_rank
+      FROM embeddings, cent
+    ), cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM ass WHERE cent_rank = 1
+    ), q AS (
+      -- nprobe=2: each query probes its top-2 cells (rank by the same
+      -- (cosine DESC, cid) key the operator's _py_cosine picks use)
+      SELECT vec_id AS query_id, embedding AS qv, cid AS qcell
+      FROM ass WHERE vec_id < 8 AND cent_rank <= 2
+    ), j AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {P.cosine('qv', 'c.embedding', D)} AS cos_raw
+      FROM cells c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS knn_rank
+      FROM j
+    )
+    SELECT 'ivfflat_mp' AS method, query_id, neighbor_id,
+           {P.round_dbl('cos_raw', 6, D)} AS cosine, knn_rank
+    FROM r WHERE knn_rank <= 3
+"""
+
+
 @query(
     "q46_ann_lsh_ivf",
     oracle=f"({_LSH_ANN_SQL}) UNION ALL ({_IVF_ANN_SQL})"
-    f" UNION ALL ({_LSH_MP_SQL})",
+    f" UNION ALL ({_LSH_MP_SQL}) UNION ALL ({_IVFFLAT_MP_SQL})",
 )
 def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index strategies in one driver row (round-5 slot merge,
@@ -461,15 +494,40 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two Hamming-1 flips of planes 0 and 1, the recall remedy
     production LSH ships (same join shape, query side ×3). A
     ``method`` tag keeps the branches distinguishable in the hashed
-    result; the operators stay independently unit-tested."""
+    result; the operators stay independently unit-tested.
+
+    ``ivfflat_mp`` (round 8): MULTI-PROBE IVF-Flat — the serving plan
+    of ``ivfflat_score`` (one broadcast (cell, query, vector) probe
+    frame, static IN prefilter, exact in-cell cosine) driven by the
+    oracle-reproducible deterministic quantizer (first 16 vectors, the
+    ``ivf`` branch's convention) at nprobe=2, so the driver
+    value-checks the probe-ranking/join/top-k logic the trained path
+    serves with."""
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = KNN.lsh_ann(emb, num_queries=8, k=3, planes=_PLANES)
     ivf = KNN.ivf_ann(emb, num_queries=8, k=3, num_centroids=16)
     mp = KNN.lsh_ann(emb, num_queries=8, k=3, planes=_PLANES, nprobe=3)
+    cent_rows = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r[0]] for r in cent_rows]
+    qrows = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    flat = KNN.ivfflat_score(
+        KNN.ivf_flat_encode(emb, cents), cents, qrows, k=3, nprobe=2
+    )
     return (
         lsh.select(F.lit("lsh").alias("method"), "*")
         .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
         .unionByName(mp.select(F.lit("lsh_mp").alias("method"), "*"))
+        .unionByName(flat.select(F.lit("ivfflat_mp").alias("method"), "*"))
     )
 
 

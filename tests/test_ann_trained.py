@@ -233,3 +233,25 @@ def test_adc_score_string_ids(spark):
     assert {r.query_id for r in rows} == {"doc-0", "doc-1"}
     assert all(isinstance(r.neighbor_id, str) for r in rows)
     assert all(r.query_id != r.neighbor_id for r in rows)
+
+
+def test_query_lut_np_bitwise_equals_reference():
+    """The vectorized LUT builder must reproduce _query_lut's exact
+    IEEE doubles — elementwise numpy ops with a manual left-to-right
+    dsub accumulation are the same fold — or ADC scores would drift
+    between the fresh path and the serve path."""
+    from example_kafkastreams_spark.operators.knn import (
+        _query_lut,
+        _query_lut_np,
+    )
+
+    rng = np.random.default_rng(7)
+    for m, codes, dsub in ((8, 16, 8), (16, 256, 4), (4, 48, 3)):
+        cb = [
+            [list(map(float, rng.normal(size=dsub))) for _ in range(codes)]
+            for _ in range(m)
+        ]
+        cb_np = [np.asarray(sub, dtype=np.float64) for sub in cb]
+        for _ in range(5):
+            qv = list(map(float, rng.normal(size=m * dsub) * 10))
+            assert _query_lut(qv, cb) == _query_lut_np(qv, cb_np)
