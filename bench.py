@@ -148,6 +148,8 @@ def input_totals(spark) -> tuple[int, int] | None:
 # changed, or later; per-branch drift inside them is attributed by
 # ``branch_timings``.
 _MERGED_SINCE = {
+    "q41_dedup_minhash_lsh": 6,   # +incr (r6)
+    "q46_ann_lsh_ivf": 8,         # +ivfflat_mp (r8)
     "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
     "q54_chunk_documents": 6,     # +substr/+rebuilt (r6)
     "q63_corpus_funnel": 6,       # +delta (r6)
@@ -270,11 +272,13 @@ def main() -> None:
     from pyspark.sql import functions as _F
 
     branch_timings: dict[str, dict] = {}
-    for qname, modes in (
-        ("q47_embedding_neardup", ("pair", "sem", "delta", "deltaidx")),
-        ("q54_chunk_documents", ("chunk", "dedup", "substr", "rebuilt")),
-        ("q56_quantize_embeddings", ("int8", "pq", "ivfpq")),
-        ("q63_corpus_funnel", ("full", "delta")),
+    for qname, disc, modes in (
+        ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr")),
+        ("q46_ann_lsh_ivf", "method", ("lsh", "ivf", "lsh_mp", "ivfflat_mp")),
+        ("q47_embedding_neardup", "mode", ("pair", "sem", "delta", "deltaidx")),
+        ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt")),
+        ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq")),
+        ("q63_corpus_funnel", "mode", ("full", "delta")),
     ):
         if qname not in QUERIES:
             continue
@@ -282,7 +286,7 @@ def main() -> None:
         for m in modes:
             t0 = time.perf_counter()
             run_noop(
-                QUERIES[qname](spark, SF_DIR).filter(_F.col("mode") == m)
+                QUERIES[qname](spark, SF_DIR).filter(_F.col(disc) == m)
             )
             rows[m] = round(time.perf_counter() - t0, 3)
             release_sketch_caches()
