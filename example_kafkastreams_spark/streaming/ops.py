@@ -394,3 +394,144 @@ def dedup_emission_anchored_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def pack_chunks_stream(
+    chunks: DataFrame,
+    budget: int,
+    shards: int = 8,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    order_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+    tokens_col: str = "n_tokens",
+    sep: str = "\n\n",
+    watermark_delay: str = "30 seconds",
+    linger_seconds: float = 60.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.packing.pack_chunks`` (greedy
+    mode): chunks arrive on a stream, fixed-budget training sequences
+    leave it — the packing stage of a CONTINUOUS ingest pipeline,
+    where the batch packer would re-pack the whole corpus per ingest.
+
+    Chunks hash into ``shards`` independent packers
+    (``pmod(xxhash64(doc_id), shards)`` — all chunks of a document
+    reach one packer, mirroring the batch packer's doc-locality).
+    Each shard's state is ITS ONE OPEN PACK (seq, n_chunks, n_tokens,
+    joined text, last event µs): micro-batches append chunks in
+    (event-time, doc, order) order through the SAME
+    close-if-won't-fit / append / close-if-full fold as the batch
+    packer, emit every pack that closes, and carry the open pack to
+    the next batch — exactly the open-pack carry ``pack_chunks``
+    performs across Arrow batches, so a stream of N micro-batches
+    packs bit-identically to one batch pass over the same ordered
+    chunks (unit-pinned). An event-time timeout flushes the open pack
+    once the watermark passes last activity + ``linger_seconds`` (a
+    trainer wants the tail, not an eternally open pack); pack ids
+    namespace by shard (``s{shard}-{seq}``), globally unique with no
+    global counter.
+
+    100 TB shape: one shuffle (the groupBy on the shard key), state
+    per shard is a single sub-budget pack (O(shards · budget) total,
+    independent of stream length), and emission is append-mode —
+    downstream ``write_training_shards`` consumes it unchanged.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    out_schema = T.StructType(
+        [
+            T.StructField("pack_id", T.StringType()),
+            T.StructField("n_chunks", T.IntegerType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("n_chunks", T.IntegerType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+    linger_ms = int(linger_seconds * 1000)
+    cols = ["pack_id", "n_chunks", "n_tokens", "text"]
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        shard = key[0]
+
+        def row(seq: int, n: int, ntok: int, text: str) -> dict:
+            return {
+                "pack_id": f"s{shard}-{seq}",
+                "n_chunks": n,
+                "n_tokens": ntok,
+                "text": text,
+            }
+
+        if state.hasTimedOut:
+            seq, n, ntok, text, last_us = state.get
+            # keep (seq+1, empty pack) instead of remove(): pack ids
+            # stay unique across flushes, and the state keyspace is
+            # O(shards) by construction — a constant, not stream-bound
+            # — so never reaping it costs nothing. No new timeout: an
+            # empty pack has nothing to flush; the next chunk re-arms.
+            state.update((seq + 1, 0, 0, "", last_us))
+            if n:  # flush the open tail pack
+                yield pd.DataFrame([row(seq, n, ntok, text)], columns=cols)
+            return
+        seq, n, ntok, text, last_us = (
+            state.get if state.exists else (0, 0, 0, "", 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(
+                [ts_col, id_col, order_col], kind="mergesort"
+            )
+            ts_us = (
+                pdf[ts_col].astype("datetime64[us]").astype("int64")
+            )
+            last_us = max(last_us, int(ts_us.max()))
+            rows: list[dict] = []
+            for t_text, t_tok in zip(pdf[text_col], pdf[tokens_col]):
+                t_tok = int(t_tok)
+                # the batch packer's exact fold (packing.py pack()):
+                # close if it won't fit, append, close if full
+                if n and ntok + t_tok > budget:
+                    rows.append(row(seq, n, ntok, text))
+                    seq, n, ntok, text = seq + 1, 0, 0, ""
+                text = t_text if not n else text + sep + t_text
+                n += 1
+                ntok += t_tok
+                if ntok >= budget:  # full (or oversized singleton)
+                    rows.append(row(seq, n, ntok, text))
+                    seq, n, ntok, text = seq + 1, 0, 0, ""
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        state.update((seq, n, ntok, text, last_us))
+        # flush the tail once the watermark passes inactivity + linger
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + linger_ms,
+                state.getCurrentWatermarkMs() + 1)
+        )
+
+    return (
+        chunks.withColumn(
+            "__shard",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int"),
+        )
+        .withWatermark(ts_col, watermark_delay)
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

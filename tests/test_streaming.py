@@ -1454,3 +1454,110 @@ def test_embedding_ingest_srp_replay_idempotent(spark, tmp_path):
     assert sorted(
         r.vec_id for r in spark.read.parquet(idx).collect()
     ) == idx1
+
+
+# --- pack_chunks_stream: streaming sequence packing -----------------------
+
+_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("chunk_text", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _chunk(doc, idx, tokens, sec):
+    return (doc, idx, f"d{doc}c{idx}", tokens, at(sec))
+
+
+def test_pack_chunks_stream_multi_batch_equals_one_shot_batch(
+    spark, tmp_path
+):
+    """The open-pack carry across micro-batches must reproduce the
+    batch packer's single greedy pass bit-for-bit: same ordered chunks
+    split over three micro-batches -> same (n_chunks, n_tokens, text)
+    packs (ids namespace differently: s{shard} vs p{partition}). The
+    last chunk exactly fills its pack, so nothing stays open and no
+    timeout is involved."""
+    from example_kafkastreams_spark.operators.packing import pack_chunks
+    from example_kafkastreams_spark.streaming.ops import pack_chunks_stream
+
+    batches = [
+        [_chunk(1, 0, 3, 0), _chunk(1, 1, 4, 1), _chunk(1, 2, 5, 2)],
+        [
+            _chunk(2, 0, 6, 3),
+            _chunk(2, 1, 2, 4),
+            _chunk(2, 2, 9, 5),
+            _chunk(3, 0, 10, 6),
+            _chunk(3, 1, 1, 7),
+        ],
+        [_chunk(4, 0, 10, 8)],
+    ]
+    src = str(tmp_path / "pack_src")
+    stage_replayable_batches(spark, src, _CHUNK_SCHEMA, batches)
+    stream = file_stream(spark, src, _CHUNK_SCHEMA, max_files_per_trigger=1)
+    got = run_to_memory(
+        spark,
+        pack_chunks_stream(stream, budget=10, shards=1),
+        "packs_eq",
+        tmp_path,
+    )
+    got_rows = got.collect()
+    # greedy trace: 7, 5, 8, 9, 10, 1+?=closed by sentinel, 10
+    assert sorted(r.pack_id for r in got_rows) == [
+        f"s0-{i}" for i in range(7)
+    ]
+    want = pack_chunks(
+        spark.createDataFrame(
+            [c for b in batches for c in b], _CHUNK_SCHEMA
+        ).coalesce(1),
+        budget=10,
+    ).collect()
+    key = lambda r: (r.n_chunks, r.n_tokens, r.text)  # noqa: E731
+    assert sorted(map(key, got_rows)) == sorted(map(key, want))
+
+
+def test_pack_chunks_stream_timeout_flushes_tail(spark, tmp_path):
+    """An idle shard's open pack flushes once the watermark passes
+    last activity + linger — driven here by a late chunk on a
+    DIFFERENT shard advancing the global watermark."""
+    from example_kafkastreams_spark.streaming.ops import pack_chunks_stream
+
+    # two doc ids landing on different shards of 2
+    ids = spark.sql(
+        "SELECT id FROM range(0, 64) WHERE pmod(xxhash64(id), 2) = 0"
+        " ORDER BY id LIMIT 1"
+    ).collect() + spark.sql(
+        "SELECT id FROM range(0, 64) WHERE pmod(xxhash64(id), 2) = 1"
+        " ORDER BY id LIMIT 1"
+    ).collect()
+    doc_a, doc_b = ids[0][0], ids[1][0]
+    batches = [
+        [_chunk(doc_a, 0, 4, 0), _chunk(doc_a, 1, 3, 1)],
+        [_chunk(doc_b, 0, 10, 300)],
+    ]
+    src = str(tmp_path / "pack_src_to")
+    stage_replayable_batches(spark, src, _CHUNK_SCHEMA, batches)
+    stream = file_stream(spark, src, _CHUNK_SCHEMA, max_files_per_trigger=1)
+    got = run_to_memory(
+        spark,
+        pack_chunks_stream(
+            stream,
+            budget=10,
+            shards=2,
+            watermark_delay="1 second",
+            linger_seconds=1.0,
+        ),
+        "packs_to",
+        tmp_path,
+    ).collect()
+    by_tokens = {r.n_tokens: r for r in got}
+    # doc_b's oversize-exact chunk closed inline; doc_a's open 7-token
+    # pack flushed by the event-time timeout
+    assert set(by_tokens) == {10, 7}
+    assert by_tokens[7].n_chunks == 2
+    assert by_tokens[7].text == f"d{doc_a}c0\n\nd{doc_a}c1"
+    assert len(got) == 2
