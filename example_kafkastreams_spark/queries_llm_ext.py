@@ -32,6 +32,7 @@ PQ_M = 8
 PQ_DSUB = 8
 PQ_CODES = 16
 IVFPQ_CELLS = 8  # coarse cells for the ivfpq branch
+ADC_NQ = 4  # queries scored by the adc serving branch
 STRIDE = 24
 
 
@@ -311,6 +312,34 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS qvec
       FROM best2 b JOIN cells2 c ON c.vec_id = b.vec_id
       WHERE b.rn = 1 GROUP BY b.vec_id, c.cell
+    ),
+    -- ADC serving: `sub` restricted to query ids IS the per-query
+    -- LUT (exact subspace distances to every codeword); a neighbor's
+    -- approx d2 is the j-ordered left fold of its codes' LUT entries
+    -- -- the same fold order pq_adc_score's m-term '+' chain uses
+    qlut AS (
+      SELECT vec_id AS query_id, j, code, d2 FROM sub
+      WHERE vec_id < {ADC_NQ}
+    ),
+    ncode AS (
+      SELECT vec_id AS neighbor_id, j, code FROM best WHERE rn = 1
+    ),
+    aterm AS (
+      SELECT q.query_id, n.neighbor_id, q.j, q.d2
+      FROM qlut q JOIN ncode n ON n.j = q.j AND n.code = q.code
+      WHERE q.query_id <> n.neighbor_id
+    ),
+    afold AS (
+      SELECT query_id, neighbor_id,
+             {P.fold('list(d2 ORDER BY j)', 'CAST(0 AS DOUBLE)',
+                     'acc', 'x', 'acc + x', D)} AS d2s
+      FROM aterm GROUP BY query_id, neighbor_id
+    ),
+    arank AS (
+      SELECT query_id, neighbor_id, d2s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2s, neighbor_id) AS rn
+      FROM afold
     )
     SELECT 'int8' AS mode, vec_id,
            round(CAST(l2_raw AS DOUBLE), 6) AS l2_norm,
@@ -327,6 +356,10 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'pq', vec_id, CAST(NULL AS DOUBLE), qvec, {PQ_M} FROM pq
     UNION ALL
     SELECT 'ivfpq', vec_id, CAST(NULL AS DOUBLE), qvec, {PQ_M} FROM ivfpq
+    UNION ALL
+    SELECT 'adc', query_id, round(CAST(d2s AS DOUBLE), 6),
+           CAST(neighbor_id AS VARCHAR), CAST(rn AS INTEGER)
+    FROM arank WHERE rn <= 3
     """,
 )
 def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,11 +376,34 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ivfpq``: the FAISS-style composition (KNN.ivf_pq_index) — coarse
     cell + PQ codes of the RESIDUAL, serialized ``cell|c0,..,c7``; the
     oracle re-derives cells, residuals, the residual codebook, and the
-    argmin entirely in SQL over the same IEEE folds."""
+    argmin entirely in SQL over the same IEEE folds.
+
+    ``adc`` (round 8): the SERVING half — ``KNN.pq_adc_score`` top-3
+    per query over the same encoded corpus (the broadcast-LUT plan the
+    persistent-index path serves with); the oracle re-derives each
+    query's LUT (the ``sub`` CTE restricted to query ids), folds each
+    neighbor's code lookups j-ordered (``list_reduce`` = the scorer's
+    left-to-right '+' chain), and ranks by (d2, neighbor) — the ADC
+    scorer is now driver-value-checked, not just expression-twin
+    pinned. Columns shoehorn into the slot contract: vec_id=query,
+    l2_norm=approx_d2, qvec=neighbor id, n_dims=rank."""
     emb = load_table(spark, sf_dir, "embeddings")
     int8 = KNN.quantize_embeddings(emb)
     cb = KNN.pq_codebook(emb, m=PQ_M, num_codes=PQ_CODES)
-    pq = KNN.pq_encode(emb, cb).select(
+    enc_pq = KNN.pq_encode(emb, cb)
+    qrows = (
+        emb.filter(F.col("vec_id") < ADC_NQ)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    adc = KNN.pq_adc_score(enc_pq, cb, qrows, k=3).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("approx_d2").alias("l2_norm"),
+        F.col("neighbor_id").cast("string").alias("qvec"),
+        F.col("knn_rank").cast("int").alias("n_dims"),
+    )
+    pq = enc_pq.select(
         F.col("vec_id"),
         F.lit(None).cast("double").alias("l2_norm"),
         F.expr(
@@ -373,6 +429,7 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         int8.select(F.lit("int8").alias("mode"), *cols)
         .unionByName(pq.select(F.lit("pq").alias("mode"), *cols))
         .unionByName(ivfpq.select(F.lit("ivfpq").alias("mode"), *cols))
+        .unionByName(adc.select(F.lit("adc").alias("mode"), *cols))
     )
 
 

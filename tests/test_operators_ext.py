@@ -413,13 +413,20 @@ def test_merged_row_plan_shapes(spark):
     runs its two branches off ONE digest aggregation (1 exchange +
     the union's explode), q34's strat branch adds exactly the stratum
     window exchange, and q56's three encode branches stay scan-shaped
-    (zero exchanges - int8/pq/ivfpq are all map-side)."""
+    (zero exchanges - int8/pq/ivfpq are all map-side; filtering the
+    union discriminator prunes the other branches' children, so each
+    branch is pinned on its own sub-plan). The round-8 adc branch is
+    the one allowed to shuffle: the two-phase top-k's partial/final
+    exchange pair and nothing else."""
     from example_kafkastreams_spark.plans import count_exchanges
     from example_kafkastreams_spark.queries import QUERIES
     from tests.conftest import SMOKE
 
     assert count_exchanges(QUERIES["q40_dedup_exact_text"](spark, SMOKE)) == 1
     assert count_exchanges(QUERIES["q34_hash_sample"](spark, SMOKE)) == 1
-    assert count_exchanges(
-        QUERIES["q56_quantize_embeddings"](spark, SMOKE)
-    ) == 0
+    q56 = QUERIES["q56_quantize_embeddings"](spark, SMOKE)
+    for enc_mode in ("int8", "pq", "ivfpq"):
+        assert count_exchanges(q56.filter(F.col("mode") == enc_mode)) == 0, (
+            enc_mode
+        )
+    assert count_exchanges(q56.filter(F.col("mode") == "adc")) == 2
