@@ -24,6 +24,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_size: int = 32,
     stride: int = 24,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, chunk_idx, chunk_text, n_tokens) — overlapping token windows.
 
@@ -33,14 +34,20 @@ def chunk_documents(
     rows per doc. The 100 TB shape is exactly this (chunking is
     embarrassingly parallel); downstream repartitioning is the
     consumer's choice.
+
+    ``carry_cols``: extra columns replicated onto every chunk row —
+    e.g. the event-time column a downstream streaming stage (the
+    packer's watermark/timeout) keys on.
     """
     S = P.SPARK
     toks = docs.select(
-        F.col(id_col), F.expr(P.split_ws(text_col, S)).alias("toks")
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.expr(P.split_ws(text_col, S)).alias("toks"),
     )
     return chunk_token_arrays(
         toks, id_col=id_col, tokens_col="toks",
-        chunk_size=chunk_size, stride=stride,
+        chunk_size=chunk_size, stride=stride, carry_cols=carry_cols,
     )
 
 
@@ -50,6 +57,7 @@ def chunk_token_arrays(
     tokens_col: str = "tokens",
     chunk_size: int = 32,
     stride: int = 24,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``chunk_documents`` over a PRE-TOKENIZED column — the chunking
     grain for any tokenizer whose output isn't whitespace words:
@@ -63,13 +71,17 @@ def chunk_token_arrays(
     n = P.size_(tokens_col, S)
     starts = P.seq_step("1", n, stride, S)
     ex = df.select(
-        id_col, tokens_col, F.explode(F.expr(starts)).alias("start")
+        id_col,
+        *carry_cols,
+        tokens_col,
+        F.explode(F.expr(starts)).alias("start"),
     )
     chunk_text = P.join_str(
         P.slice_(tokens_col, "start", chunk_size, S), " ", S
     )
     return ex.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         (F.expr(P.idiv("start - 1", str(stride), S)) + 1).alias("chunk_idx"),
         F.expr(chunk_text).alias("chunk_text"),
         F.least(

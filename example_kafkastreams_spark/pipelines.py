@@ -385,6 +385,63 @@ def corpus_ingest_chunks_stream(
     return chunk_documents(deduped, chunk_size=chunk_size, stride=stride)
 
 
+def corpus_ingest_packs_stream(
+    docs: DataFrame,
+    budget: int,
+    ts_col: str = "ts",
+    watermark_delay: str = "10 seconds",
+    min_quality: float = 0.25,
+    languages: tuple[str, ...] = ("en",),
+    scrub_pii: bool = True,
+    chunk_size: int = 32,
+    stride: int = 24,
+    shards: int = 8,
+    pack_linger_seconds: float = 60.0,
+) -> DataFrame:
+    """The WHOLE continuous pretrain pipeline as ONE streaming query:
+    quality → language → exact-dedup → PII-scrub gates
+    (``corpus_ingest_stream``) → overlapping chunks (stateless
+    explode, event-time carried onto every chunk) → fixed-budget
+    sequence packing (``streaming.ops.pack_chunks_stream``) — raw
+    documents in, training-ready (pack_id, n_chunks, n_tokens, text)
+    sequences out, per micro-batch.
+
+    Two stateful operators share the query: the dedup gate's
+    ``dropDuplicatesWithinWatermark`` DEFINES the watermark and the
+    packer inherits it (``watermark_delay=None`` — Spark forbids
+    redefining one mid-query); the packer's tail-flush timeout rides
+    the same watermark. State stays bounded by construction: digests
+    within the watermark horizon + one open pack per shard.
+
+    Golden equality (tests): with in-order arrival the emitted packs
+    equal ``pack_chunks`` over ``chunk_documents`` of the batch
+    funnel's quality→lang→exact-dedup→scrub prefix — the stage-by-
+    stage equality of ``corpus_ingest_chunks_stream`` extended through
+    its first STATEFUL post-dedup stage."""
+    from .streaming.ops import pack_chunks_stream
+
+    deduped = corpus_ingest_stream(
+        docs,
+        ts_col=ts_col,
+        watermark_delay=watermark_delay,
+        min_quality=min_quality,
+        languages=languages,
+        scrub_pii=scrub_pii,
+    )
+    chunks = chunk_documents(
+        deduped, chunk_size=chunk_size, stride=stride,
+        carry_cols=(ts_col,),
+    )
+    return pack_chunks_stream(
+        chunks,
+        budget,
+        shards=shards,
+        ts_col=ts_col,
+        watermark_delay=None,
+        linger_seconds=pack_linger_seconds,
+    )
+
+
 def corpus_funnel_counts(stages: dict[str, DataFrame]) -> DataFrame:
     """1-row funnel report (n_raw, n_quality, ... n_chunks) — a single
     action evaluating every stage once, for pipeline observability."""

@@ -406,7 +406,7 @@ def pack_chunks_stream(
     text_col: str = "chunk_text",
     tokens_col: str = "n_tokens",
     sep: str = "\n\n",
-    watermark_delay: str = "30 seconds",
+    watermark_delay: str | None = "30 seconds",
     linger_seconds: float = 60.0,
 ) -> DataFrame:
     """Streaming twin of ``operators.packing.pack_chunks`` (greedy
@@ -520,13 +520,18 @@ def pack_chunks_stream(
                 state.getCurrentWatermarkMs() + 1)
         )
 
+    sharded = chunks.withColumn(
+        "__shard",
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int"),
+    )
+    # None = the input already carries a watermark (an upstream
+    # stateful stage defined it — Spark forbids redefining one), e.g.
+    # the ingest gate's dropDuplicatesWithinWatermark feeding chunks
+    # into this packer within a single query
+    if watermark_delay is not None:
+        sharded = sharded.withWatermark(ts_col, watermark_delay)
     return (
-        chunks.withColumn(
-            "__shard",
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(shards)).cast("int"),
-        )
-        .withWatermark(ts_col, watermark_delay)
-        .groupBy("__shard")
+        sharded.groupBy("__shard")
         .applyInPandasWithState(
             fn,
             outputStructType=out_schema,

@@ -1561,3 +1561,83 @@ def test_pack_chunks_stream_timeout_flushes_tail(spark, tmp_path):
     assert by_tokens[7].n_chunks == 2
     assert by_tokens[7].text == f"d{doc_a}c0\n\nd{doc_a}c1"
     assert len(got) == 2
+
+
+def test_corpus_ingest_packs_stream_matches_batch(spark, tmp_path):
+    """The full continuous pipeline (gates -> dedup -> scrub -> chunk
+    -> pack) in ONE query must emit exactly pack_chunks() over
+    chunk_documents() of the batch funnel's survivor prefix — the
+    stage-by-stage golden equality extended through the stateful
+    packer. The last doc is a 24-token "closer" whose chunks merge
+    with the open tail and land every pack on an exact budget
+    boundary, so the full greedy trace closes inline and the
+    comparison needs no timeout (idle-tail flushing has its own
+    golden above); dedup/quality/PII behavior is exercised by the
+    duplicate, junk, and pii rows as in the ingest golden."""
+    from example_kafkastreams_spark.functions import portable as P
+    from example_kafkastreams_spark.operators.packing import pack_chunks
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+    )
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_packs_stream,
+        corpus_stages,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on to the"
+        " house of the friend"
+    )
+    pii = (
+        "contact me at alice@example.com for the plan of the day and the"
+        " rest of the week in the house"
+    )
+    other = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day"
+    )
+    junk = "the the the the the"  # quality-gated out
+    closer = (
+        "the old man walks down the long road with his dog every day"
+        " while the sun sets slowly far behind the tall green hills"
+    )
+    rows = [
+        (1, good, "s", at(0.0)),
+        (2, junk, "s", at(1.0)),
+        (3, good, "s", at(2.0)),   # dup, same micro-batch
+        (4, pii, "s", at(3.0)),    # survives; scrubbed
+        (5, good, "s", at(10.0)),  # dup, later micro-batch
+        (6, other, "s", at(11.0)),
+        (7, closer, "s", at(12.0)),
+    ]
+
+    batch_docs = spark.createDataFrame(rows, DOC_STREAM_SCHEMA)
+    survivors = (
+        corpus_stages(batch_docs)["exact_dedup"]
+        .withColumn("text", F.expr(P.pii_scrub("text", P.SPARK)))
+    )
+    want = pack_chunks(
+        chunk_documents(survivors, chunk_size=8, stride=8).coalesce(1),
+        budget=16,
+    ).collect()
+
+    src = str(tmp_path / "in_packs")
+    stage_replayable_batches(
+        spark, src, DOC_STREAM_SCHEMA, [rows[:4], rows[4:6], rows[6:]]
+    )
+    stream = file_stream(
+        spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    out = corpus_ingest_packs_stream(
+        stream,
+        budget=16,
+        watermark_delay="30 seconds",
+        chunk_size=8,
+        stride=8,
+        shards=1,
+        pack_linger_seconds=1.0,
+    )
+    got = run_to_memory(spark, out, "ingest_packs", tmp_path).collect()
+    key = lambda r: (r.n_chunks, r.n_tokens, r.text)  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) > 1  # the fixture actually spans several packs
