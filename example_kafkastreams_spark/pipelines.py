@@ -442,6 +442,71 @@ def corpus_ingest_packs_stream(
     )
 
 
+def training_shards_sink(
+    path: str,
+    num_shards: int,
+    key_col: str = "pack_id",
+    run_id: str | None = None,
+):
+    """The streaming last mile: a ``foreachBatch`` sink writing each
+    micro-batch's packed sequences into fixed training shards — the
+    continuous twin of ``operators.packing.write_training_shards``,
+    sharing its contract exactly: shard id is a PURE FUNCTION of the
+    row key (first 8 md5 hex digits mod ``num_shards``), so a pack
+    lands in the same shard whether it was written by the nightly
+    batch job, this stream, or a crash-replayed micro-batch.
+
+    Layout: ``__shard=k/ingest_run=<token>/ingest_batch=<id>/`` with
+    dynamic partition OVERWRITE — foreachBatch is at-least-once, so a
+    replayed batch rewrites its own (run, batch) leaves byte-for-byte
+    instead of double-appending (the ``corpus_ingest_with_index`` sink
+    discipline). Within a leaf, rows sort by the full md5 (the same
+    seedless decorrelated order). A data loader reads ``__shard=k/``
+    recursively; distinct runs get distinct tokens so restarts never
+    clobber prior data. Pass ``run_id=<checkpoint path>`` so the token
+    survives a query restart from the same checkpoint.
+
+    Wire as::
+
+        packs = corpus_ingest_packs_stream(docs, budget=4096)
+        q = packs.writeStream.foreachBatch(
+            training_shards_sink(out, num_shards=64, run_id=ckpt)
+        ).option("checkpointLocation", ckpt).start()
+    """
+    import hashlib
+    import uuid
+
+    token = (
+        hashlib.md5(run_id.encode()).hexdigest()[:16]
+        if run_id
+        else uuid.uuid4().hex[:16]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        keyed = batch_df.withColumns(
+            {
+                "__shard_ord": F.md5(F.col(key_col).cast("string")),
+                "__shard": F.expr(
+                    f"CAST(conv(substr(md5(CAST({key_col} AS STRING)),"
+                    f" 1, 8), 16, 10) AS BIGINT) % {num_shards}"
+                ),
+                "ingest_run": F.lit(token),
+                "ingest_batch": F.lit(int(batch_id)),
+            }
+        )
+        (
+            keyed.repartition(num_shards, F.col("__shard"))
+            .sortWithinPartitions("__shard", "__shard_ord")
+            .drop("__shard_ord")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__shard", "ingest_run", "ingest_batch")
+            .parquet(path)
+        )
+
+    return sink
+
+
 def corpus_funnel_counts(stages: dict[str, DataFrame]) -> DataFrame:
     """1-row funnel report (n_raw, n_quality, ... n_chunks) — a single
     action evaluating every stage once, for pipeline observability."""

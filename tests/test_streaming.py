@@ -1641,3 +1641,67 @@ def test_corpus_ingest_packs_stream_matches_batch(spark, tmp_path):
     key = lambda r: (r.n_chunks, r.n_tokens, r.text)  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) > 1  # the fixture actually spans several packs
+
+
+def test_training_shards_sink_end_to_end(spark, tmp_path):
+    """The continuous pipeline's last mile: packs streamed through
+    training_shards_sink land in the SAME shard write_training_shards
+    would assign (shard id is a pure function of pack_id), the stored
+    pack set equals the memory-sink golden, and a replayed micro-batch
+    overwrites its own partitions instead of double-appending."""
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_packs_stream,
+        training_shards_sink,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on to the"
+        " house of the friend"
+    )
+    other = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day"
+    )
+    rows = [
+        (1, good, "s", at(0.0)),
+        (2, other, "s", at(1.0)),
+    ]
+    src = str(tmp_path / "in_shards")
+    stage_replayable_batches(spark, src, DOC_STREAM_SCHEMA, [rows])
+    stream = file_stream(
+        spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    packs = corpus_ingest_packs_stream(
+        stream, budget=16, chunk_size=8, stride=8, shards=1
+    )
+    out = str(tmp_path / "shards_out")
+    ckpt = str(tmp_path / "shards_ckpt")
+    sink = training_shards_sink(out, num_shards=4, run_id=ckpt)
+    q = (
+        packs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    stored = spark.read.parquet(out)
+    got = {(r.pack_id, r.n_chunks, r.n_tokens, r.text) for r in stored.collect()}
+    assert len(got) >= 2  # the fixture spans several closed packs
+    # pure-function shard assignment == the batch writer's formula
+    for r in stored.collect():
+        import hashlib
+
+        want_shard = int(hashlib.md5(r.pack_id.encode()).hexdigest()[:8], 16) % 4
+        assert r["__shard"] == want_shard, (r.pack_id, want_shard)
+    # replay idempotence: re-running a batch rewrites, never appends
+    one_batch = stored.drop(
+        "__shard", "ingest_run", "ingest_batch"
+    ).where(F.lit(True))
+    sink(one_batch, 0)
+    again = {
+        (r.pack_id, r.n_chunks, r.n_tokens, r.text)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == got
