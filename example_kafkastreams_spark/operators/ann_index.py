@@ -46,6 +46,7 @@ from .knn import (
 
 _META = "meta.json"
 _CODES = "codes"
+_DELTA = "codes_delta"
 
 # Above this many codes per subspace the expression encoder's spliced
 # literal folds (m * num_codes of them) blow past JIT method limits —
@@ -174,10 +175,87 @@ def ivfflat_index_write(
 
 def ann_index_read(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """(encoded corpus, meta dict). The codes frame is a plain parquet
-    scan — filters (e.g. the probed-cell predicate) push down to it."""
+    scan — filters (e.g. the probed-cell predicate) push down to it.
+    When a ``codes_delta`` tree exists (``ann_index_append_sink``
+    ingests), its rows union in — same columns, same pushdown — so a
+    loaded index always serves base ∪ everything appended."""
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
-    return spark.read.parquet(os.path.join(path, _CODES)), meta
+    enc = spark.read.parquet(os.path.join(path, _CODES))
+    delta_dir = os.path.join(path, _DELTA)
+    if os.path.isdir(delta_dir):
+        cols = enc.columns
+        enc = enc.unionByName(
+            spark.read.parquet(delta_dir).select(*cols)
+        )
+    return enc, meta
+
+
+def ann_index_append_sink(
+    spark: SparkSession,
+    path: str,
+    run_id: str | None = None,
+):
+    """Streaming ANN index maintenance — the embedding-index member of
+    the ingest-sink family (digest / band / window-hash / SRP indexes
+    all have one): a ``foreachBatch`` function that encodes each
+    micro-batch of newly-arrived (id, vector) rows with the stored
+    index's FROZEN trained parameters and appends the codes, so the
+    artifact a query session loads always covers everything ingested.
+
+    Parameters are frozen by design: encode is row-wise in them, so
+    base ∪ appended codes are BIT-IDENTICAL to a one-shot encode of
+    the full corpus with the same parameters (golden-pinned) — the
+    FAISS ``add()`` contract. Re-TRAINING on drifted data is a
+    scheduled batch rebuild (``*_index_write``), not a delta decision
+    — the same append-only/rebuild split every dedup index here uses.
+
+    Encode dispatch matches the writers: ivfflat → spliced-literal
+    cell tag; ivfpq → one-pass Arrow build; pq → Arrow above 32 codes,
+    expression below. All map-side; the parquet write is the only data
+    movement. At-least-once safety: rows land under
+    ``codes_delta/ingest_run=<token>/ingest_batch=<id>/`` with dynamic
+    partition overwrite, so a crash-replayed batch rewrites its own
+    leaf byte-for-byte (the ``training_shards_sink`` discipline)."""
+    import hashlib
+    import uuid
+
+    with open(os.path.join(path, _META)) as f:
+        meta = json.load(f)
+    token = (
+        hashlib.md5(run_id.encode()).hexdigest()[:16]
+        if run_id
+        else uuid.uuid4().hex[:16]
+    )
+    idc = meta["id_col"]
+    vec_col = meta.get("vec_col", "embedding")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if meta["kind"] == "ivfflat":
+            enc = ivf_flat_encode(batch_df, meta["centroids"], idc, vec_col)
+        elif meta["kind"] == "ivfpq":
+            enc = ivf_pq_encode_local(
+                batch_df, meta["centroids"], meta["codebook"], idc, vec_col
+            )
+        elif meta["kind"] == "pq":
+            encode = (
+                pq_encode_vectorized
+                if meta["num_codes"] > _VECTORIZE_ABOVE
+                else pq_encode
+            )
+            enc = encode(batch_df, meta["codebook"], idc, vec_col)
+        else:
+            raise ValueError(f"unknown index kind {meta['kind']!r}")
+        (
+            enc.withColumn("ingest_run", F.lit(token))
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_run", "ingest_batch")
+            .parquet(os.path.join(path, _DELTA))
+        )
+
+    return sink
 
 
 def ann_index_query(

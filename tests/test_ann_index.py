@@ -253,3 +253,108 @@ def test_empty_query_frame_returns_typed_empty(spark, tmp_path):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "approx_d2", "knn_rank"]
+
+
+def test_ann_index_append_sink_matches_full_encode(spark, tmp_path):
+    """Streaming index maintenance: day-1 trained build + two appended
+    micro-batches must serve BIT-IDENTICALLY to a one-shot encode of
+    the full corpus with the same frozen parameters (encode is
+    row-wise in them — the FAISS add() contract), a replayed batch
+    must leave the store unchanged, and the probed-cell pushdown must
+    survive the base∪delta union."""
+    from example_kafkastreams_spark.operators.ann_index import (
+        ann_index_append_sink,
+    )
+    from example_kafkastreams_spark.operators.knn import (
+        exact_rerank,
+        ivf_pq_encode_local,
+        ivfpq_adc_score,
+        train_ivfpq_local,
+    )
+    from example_kafkastreams_spark.plans import pushed_filters
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 3 != 0)
+    cents, cb = train_ivfpq_local(
+        day1, num_centroids=4, m=8, num_codes=16, sample_n=256,
+        iterations=4,
+    )
+    path = str(tmp_path / "ivfpq_live")
+    ivfpq_index_write(day1, path, cents=cents, codebook=cb)
+
+    sink = ann_index_append_sink(spark, path, run_id="run-1")
+    batch0 = emb.filter(F.col("vec_id") % 6 == 0)
+    sink(batch0, 0)
+    sink(emb.filter(F.col("vec_id") % 6 == 3), 1)
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = ann_index_query(
+        spark, path, queries, k=3, nprobe=2, refine=20,
+        rerank_against=emb,
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 6)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    want = exact_rerank(
+        ivfpq_adc_score(
+            ivf_pq_encode_local(emb, cents, cb), cents, cb, qrows, 20, 2
+        ),
+        emb,
+        qrows,
+        3,
+    )
+    assert _rows(got) == _rows(want)
+
+    # crash replay of batch 0: dynamic overwrite rewrites its own
+    # leaf; the served result is unchanged
+    sink(batch0, 0)
+    again = ann_index_query(
+        spark, path, queries, k=3, nprobe=2, refine=20,
+        rerank_against=emb,
+    )
+    assert _rows(again) == _rows(got)
+
+    # the In(cell) prefilter still reaches BOTH scans of the union
+    shortlist = ann_index_query(spark, path, queries, k=3, nprobe=1)
+    pushed = " ".join(pushed_filters(shortlist))
+    assert "EqualTo(cell" in pushed or "In(cell" in pushed, pushed
+
+
+def test_ann_index_append_sink_ivfflat(spark, tmp_path):
+    """Same contract for the raw-vector kind: appended IVF-Flat rows
+    serve identically to the full-corpus encode under frozen
+    centroids."""
+    from example_kafkastreams_spark.operators.ann_index import (
+        ann_index_append_sink,
+        ivfflat_index_write,
+    )
+    from example_kafkastreams_spark.operators.knn import (
+        ivf_flat_encode,
+        ivfflat_score,
+        kmeans_train_local,
+        sample_vectors,
+    )
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 3 != 0)
+    cents = kmeans_train_local(sample_vectors(day1, 256), 4, 4, "cosine")
+    path = str(tmp_path / "ivfflat_live")
+    ivfflat_index_write(day1, path, cents)
+    sink = ann_index_append_sink(spark, path, run_id="run-1")
+    sink(emb.filter(F.col("vec_id") % 3 == 0), 0)
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = ann_index_query(spark, path, queries, k=3, nprobe=2)
+    qrows = (
+        emb.filter(F.col("vec_id") < 6)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    want = ivfflat_score(
+        ivf_flat_encode(emb, cents), cents, qrows, k=3, nprobe=2
+    )
+    assert _rows(got) == _rows(want)
