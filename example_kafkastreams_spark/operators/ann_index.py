@@ -231,6 +231,10 @@ def ann_index_append_sink(
     vec_col = meta.get("vec_col", "embedding")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            # an empty batch must not materialize a dataless delta
+            # tree (an empty parquet dir has no inferable schema)
+            return
         if meta["kind"] == "ivfflat":
             enc = ivf_flat_encode(batch_df, meta["centroids"], idc, vec_col)
         elif meta["kind"] == "ivfpq":
@@ -256,6 +260,58 @@ def ann_index_append_sink(
         )
 
     return sink
+
+
+def ann_index_compact(spark: SparkSession, path: str) -> None:
+    """Fold ``codes_delta`` (the append sink's per-batch leaves) back
+    into one base ``codes`` tree — the between-runs maintenance an
+    always-on ingest needs so the served scan stays a few large files
+    instead of thousands of micro-batch leaves. Codes are already
+    canonical (frozen-parameter encode), so compaction is a pure
+    rewrite: serve results are bit-identical before and after
+    (golden-pinned). Run only while no append query is writing (the
+    ``index_maint.compact_index`` contract).
+
+    Crash discipline (same shape as ``compact_index``): recover-on-
+    entry + park-then-promote renames, so every intermediate state is
+    either fully recoverable or already serving correct results, and
+    no state ever serves DUPLICATED rows (which would corrupt top-k
+    ranks, unlike the dedup indexes' harmless supersets):
+
+    1. entry recovery — a parked ``.__pre_compact__`` twin with its
+       live dir missing is restored before anything is read;
+    2. the compacted tree (base ∪ delta, partition columns dropped)
+       writes to ``codes.__compacting__`` while both live dirs still
+       serve;
+    3. park ``codes_delta``, park ``codes``, promote the new tree,
+       prune the parked twins. A crash between renames leaves at
+       worst a briefly delta-less (stale, never wrong) index that the
+       next entry restores."""
+    from .index_maint import _require_local
+
+    local = _require_local(path, "index path").rstrip("/")
+    codes = os.path.join(local, _CODES)
+    delta = os.path.join(local, _DELTA)
+    codes_pre = codes + ".__pre_compact__"
+    delta_pre = delta + ".__pre_compact__"
+    tmp = codes + ".__compacting__"
+    # entry recovery for a prior crash between renames
+    if not os.path.isdir(codes) and os.path.isdir(codes_pre):
+        os.rename(codes_pre, codes)
+    if not os.path.isdir(delta) and os.path.isdir(delta_pre):
+        os.rename(delta_pre, delta)
+    if not os.path.isdir(delta):
+        return  # nothing appended since the last compaction
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # stale attempt
+    enc, _ = ann_index_read(spark, local)
+    enc.write.parquet(tmp)
+    os.rename(delta, delta_pre)
+    os.rename(codes, codes_pre)
+    os.rename(tmp, codes)
+    shutil.rmtree(delta_pre, ignore_errors=True)
+    shutil.rmtree(codes_pre, ignore_errors=True)
 
 
 def ann_index_query(
