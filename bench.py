@@ -152,7 +152,8 @@ _MERGED_SINCE = {
     "q46_ann_lsh_ivf": 8,         # +ivfflat_mp (r8)
     "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
     "q56_quantize_embeddings": 8, # +adc (r8)
-    "q54_chunk_documents": 6,     # +substr/+rebuilt (r6)
+    "q54_chunk_documents": 8,     # +shard (r8)
+    "q55_tfidf_top_term": 8,      # +bm25 (r8)
     "q63_corpus_funnel": 6,       # +delta (r6)
 }
 
@@ -277,7 +278,8 @@ def main() -> None:
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr")),
         ("q46_ann_lsh_ivf", "method", ("lsh", "ivf", "lsh_mp", "ivfflat_mp")),
         ("q47_embedding_neardup", "mode", ("pair", "sem", "delta", "deltaidx")),
-        ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt")),
+        ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt", "shard")),
+        ("q55_tfidf_top_term", "mode", ("tfidf", "bm25")),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
     ):

@@ -174,6 +174,38 @@ def pack_chunks(
     return ordered.mapInPandas(pack, PACKED_SCHEMA)
 
 
+def shard_assignment(
+    df: DataFrame,
+    num_shards: int,
+    key_col: str = "pack_id",
+) -> DataFrame:
+    """The shard writers' placement columns, as ONE shared expression:
+
+    * ``__shard``  — first 8 md5 hex digits of the row key, mod
+      ``num_shards``: a pure function of the key, so assignment is
+      identical across runs, sessions, engines, and cluster layouts.
+    * ``__shard_ord`` — the full md5: a seedless reproducible
+      permutation within the shard (any shard prefix is a uniform
+      corpus sample).
+
+    Factored out of ``write_training_shards`` /
+    ``pipelines.training_shards_sink`` so the batch job, the stream,
+    and the driver-checked query (q54's ``shard`` branch) provably
+    compute the SAME placement — the q54 oracle re-derives this exact
+    expression in DuckDB (hex digits folded left-to-right), so the
+    contract is value-checked, not just shared by convention.
+    """
+    return df.withColumns(
+        {
+            "__shard_ord": F.md5(F.col(key_col).cast("string")),
+            "__shard": F.expr(
+                f"CAST(conv(substr(md5(CAST({key_col} AS STRING)), 1, 8),"
+                f" 16, 10) AS BIGINT) % {num_shards}"
+            ),
+        }
+    )
+
+
 def write_training_shards(
     packs: DataFrame,
     path: str,
@@ -201,15 +233,7 @@ def write_training_shards(
     Scale shape: one exchange on the shard id moves each row to its
     writer; the within-shard sort is shard-sized by construction.
     """
-    keyed = packs.withColumns(
-        {
-            "__shard_ord": F.md5(F.col(key_col).cast("string")),
-            "__shard": F.expr(
-                f"CAST(conv(substr(md5(CAST({key_col} AS STRING)), 1, 8),"
-                f" 16, 10) AS BIGINT) % {num_shards}"
-            ),
-        }
-    )
+    keyed = shard_assignment(packs, num_shards, key_col)
     (
         keyed.repartition(num_shards, F.col("__shard"))
         .sortWithinPartitions("__shard", "__shard_ord")

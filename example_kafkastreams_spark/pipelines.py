@@ -483,13 +483,10 @@ def training_shards_sink(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        keyed = batch_df.withColumns(
+        from .operators.packing import shard_assignment
+
+        keyed = shard_assignment(batch_df, num_shards, key_col).withColumns(
             {
-                "__shard_ord": F.md5(F.col(key_col).cast("string")),
-                "__shard": F.expr(
-                    f"CAST(conv(substr(md5(CAST({key_col} AS STRING)),"
-                    f" 1, 8), 16, 10) AS BIGINT) % {num_shards}"
-                ),
                 "ingest_run": F.lit(token),
                 "ingest_batch": F.lit(int(batch_id)),
             }

@@ -55,6 +55,10 @@ def _chunk_sql() -> str:
 
 
 SUBSTR_K = 16  # window length for the exact-substring dedup branch
+# shard branch: canonical per-doc packing then the shard writers'
+# placement formula (operators.packing.shard_assignment)
+SHARD_PACK_BUDGET = 96
+NUM_SHARDS = 8
 
 
 def _chunk_dedup_sql() -> str:
@@ -65,10 +69,15 @@ def _chunk_dedup_sql() -> str:
     boilerplate; the ``substr`` rows re-derive the k-token window
     fingerprints, >=2-occurrence filter, and gaps-and-islands span
     merge in SQL (chunk_idx carries span_start, n_tokens the span
-    length)."""
+    length). The ``shard`` rows (round 8) re-derive canonical per-doc
+    packing (the q63 recursive fold) and the shard writers' placement
+    formula — first 8 md5 hex digits folded to an integer mod
+    NUM_SHARDS, within-shard order by the full md5 — as one
+    order-sensitive fingerprint per shard."""
     k = SUBSTR_K
+    B = SHARD_PACK_BUDGET
     return f"""
-    WITH chunks AS ({_chunk_sql()}),
+    WITH RECURSIVE chunks AS MATERIALIZED ({_chunk_sql()}),
     surv AS (
       SELECT md5(chunk_text) AS h,
              min({{'doc_id': doc_id, 'chunk_idx': chunk_idx}}) AS w,
@@ -105,6 +114,53 @@ def _chunk_dedup_sql() -> str:
       SELECT doc_id, min(start) AS span_start,
              max(start) + {k - 1} AS span_end
       FROM isl GROUP BY doc_id, island
+    ),
+    -- shard branch: canonical per-doc greedy packing (the q63 fold —
+    -- chunk_idx IS the fold order), then the writers' placement
+    cstats AS MATERIALIZED (
+      SELECT doc_id, chunk_idx AS rn, n_tokens FROM chunks
+    ),
+    packfold(doc_id, rn, pack_seq, open_cum) AS (
+      SELECT doc_id, rn, 0,
+             CASE WHEN n_tokens >= {B} THEN 0 ELSE n_tokens END
+      FROM cstats WHERE rn = 1
+      UNION ALL
+      SELECT c.doc_id, c.rn,
+             CASE WHEN p.open_cum = 0 OR p.open_cum + c.n_tokens > {B}
+                  THEN p.pack_seq + 1 ELSE p.pack_seq END,
+             CASE WHEN (CASE WHEN p.open_cum = 0
+                               OR p.open_cum + c.n_tokens > {B}
+                             THEN c.n_tokens
+                             ELSE p.open_cum + c.n_tokens END) >= {B}
+                  THEN 0
+                  ELSE (CASE WHEN p.open_cum = 0
+                               OR p.open_cum + c.n_tokens > {B}
+                             THEN c.n_tokens
+                             ELSE p.open_cum + c.n_tokens END) END
+      FROM packfold p JOIN cstats c
+        ON c.doc_id = p.doc_id AND c.rn = p.rn + 1
+    ),
+    packstats AS MATERIALIZED (
+      SELECT CAST(p.doc_id AS VARCHAR) || '-'
+               || CAST(p.pack_seq AS VARCHAR) AS pack_id,
+             sum(c.n_tokens) AS pack_tokens
+      FROM packfold p JOIN cstats c
+        ON c.doc_id = p.doc_id AND c.rn = p.rn
+      GROUP BY p.doc_id, p.pack_seq
+    ),
+    placed AS (
+      SELECT pack_id, pack_tokens, md5(pack_id) AS shard_ord,
+             list_reduce(
+               list_transform(
+                 string_split(substr(md5(pack_id), 1, 8), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (acc, x) -> acc * 16 + x) % {NUM_SHARDS} AS shard
+      FROM packstats
+    ),
+    shards AS (
+      SELECT shard, count(*) AS n_packs, sum(pack_tokens) AS tot_tokens,
+             md5(string_agg(pack_id, ',' ORDER BY shard_ord)) AS fp
+      FROM placed GROUP BY shard
     )
     SELECT 'chunk' AS mode, doc_id, chunk_idx, chunk_text, n_tokens,
            CAST(NULL AS BIGINT) AS n_copies
@@ -132,6 +188,10 @@ def _chunk_dedup_sql() -> str:
       SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans
       FROM spans54 GROUP BY doc_id
     ) sp USING (doc_id)
+    UNION ALL
+    SELECT 'shard', shard, CAST(n_packs AS INTEGER), fp,
+           CAST(tot_tokens AS INTEGER), CAST(NULL AS BIGINT)
+    FROM shards
     """
 
 
@@ -150,8 +210,21 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows occurring >= 2 times anywhere in the corpus; the grain
     BELOW chunk dedup (a repeated quote inside otherwise-distinct
     documents), chunk_idx carrying span_start and n_tokens the span
-    length."""
+    length. ``shard`` (round 8): the training-shard writers' placement
+    contract, driver-VALUE-checked — canonical per-doc packing of the
+    chunk table, then ``operators.packing.shard_assignment`` (the
+    exact expression ``write_training_shards`` and the streaming
+    ``training_shards_sink`` share) aggregated to one row per shard
+    with an ORDER-SENSITIVE fingerprint: md5 of the pack ids
+    concatenated in within-shard ``__shard_ord`` order. A hash match
+    proves both the mod-hash placement AND the seedless decorrelated
+    order, so "a pack lands in the same shard and position whether
+    written by the batch job, the stream, or a replay" is checked
+    against an independent engine, not just asserted. doc_id carries
+    the shard id, chunk_idx the pack count, n_tokens the shard's
+    token total."""
     from .operators.cache import persist_tracked
+    from .operators.packing import pack_chunks, shard_assignment
     from .operators.substr_dedup import (
         remove_repeated_substrings,
         repeated_spans,
@@ -165,6 +238,40 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass, persisted
     spans = persist_tracked(repeated_spans(docs, k=SUBSTR_K))
     rebuilt = remove_repeated_substrings(docs, k=SUBSTR_K, spans=spans)
+    # shard branch: canonical packing (partition-independent pack ids)
+    # through the writers' shared placement expression, folded to one
+    # order-sensitive fingerprint per shard (md5 of the __shard_ord-
+    # sorted pack-id sequence — collect_list order is free, array_sort
+    # on (ord, id) structs pins it; ord is unique per pack).
+    placed = shard_assignment(
+        pack_chunks(chunks, budget=SHARD_PACK_BUDGET, canonical=True),
+        NUM_SHARDS,
+    )
+    shard_rows = (
+        placed.groupBy(F.col("__shard").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("chunk_idx"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("__shard_ord", "pack_id")
+                            )
+                        ),
+                        lambda s: s["pack_id"],
+                    ),
+                    ",",
+                )
+            ).alias("chunk_text"),
+            F.sum("n_tokens").cast("int").alias("n_tokens"),
+        )
+        .select(
+            F.lit("shard").alias("mode"), "doc_id", "chunk_idx",
+            "chunk_text", "n_tokens",
+            F.lit(None).cast("long").alias("n_copies"),
+        )
+    )
     return chunks.select(
         F.lit("chunk").alias("mode"), "doc_id", "chunk_idx", "chunk_text",
         "n_tokens", F.lit(None).cast("long").alias("n_copies"),
@@ -191,14 +298,24 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("n_tokens"),
             F.lit(None).cast("long").alias("n_copies"),
         )
-    )
+    ).unionByName(shard_rows)
 
 
-# --- q55: TF-IDF top term per document ------------------------------------
+# --- q55: TF-IDF top term per document + BM25 retrieval -------------------
 
-@query(
-    "q55_tfidf_top_term",
-    oracle=f"""
+# BM25 branch: fixed two-term queries over the corpus vocabulary;
+# terms within each query are DISTINCT by construction (the operator
+# dedupes, the oracle's unnest relies on it).
+BM25_QUERIES = ("hash join", "scan filter", "stream window")
+BM25_TOP_K = 5
+
+
+def _q55_sql() -> str:
+    from .operators.retrieval import BM25_B, BM25_K1
+
+    k1, b, k1p1 = BM25_K1, BM25_B, BM25_K1 + 1.0
+    qvals = ", ".join(f"('{q}')" for q in BM25_QUERIES)
+    return f"""
     WITH tok AS (
       SELECT doc_id, unnest({P.split_ws('text', D)}) AS term FROM documents
     ),
@@ -217,15 +334,86 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf_raw DESC, term) AS rn
       FROM scored
+    ),
+    -- bm25 branch: per-term Okapi score, TERM-ORDER left fold per
+    -- (query, doc) = the operator's F.aggregate chain, rank by
+    -- (score DESC, doc_id)
+    btok AS (SELECT doc_id, {P.split_ws('text', D)} AS toks FROM documents),
+    bstats AS (
+      SELECT count(*) AS n_docs, sum({P.size_('toks', D)}) AS tot_dl
+      FROM btok
+    ),
+    bexp AS (
+      SELECT doc_id, {P.size_('toks', D)} AS dl, unnest(toks) AS term
+      FROM btok
+    ),
+    btf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM bexp GROUP BY doc_id, dl, term
+    ),
+    qt AS (
+      SELECT query, unnest(string_split(query, ' ')) AS term
+      FROM (VALUES {qvals}) q(query)
+    ),
+    bdf AS (
+      SELECT term, count(*) AS df_count FROM btf
+      WHERE term IN (SELECT term FROM qt) GROUP BY term
+    ),
+    bsc AS (
+      SELECT qt.query, tf.doc_id, tf.term,
+             ln(1.0 + (s.n_docs - d.df_count + 0.5) / (d.df_count + 0.5))
+               * ((tf.tf * {k1p1}) / (tf.tf + {k1} * (1.0 - {b}
+                    + ({b} * tf.dl) / (s.tot_dl / s.n_docs)))) AS ts
+      FROM btf tf JOIN bdf d USING (term) JOIN qt USING (term)
+      CROSS JOIN bstats s
+    ),
+    bagg AS (
+      SELECT query, doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(ts ORDER BY term)),
+               (acc, x) -> acc + x) AS score
+      FROM bsc GROUP BY query, doc_id
+    ),
+    br AS (
+      SELECT *, row_number() OVER (PARTITION BY query
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM bagg
     )
-    SELECT doc_id, term AS top_term, tf_count,
+    SELECT 'tfidf' AS mode, doc_id, term AS top_term, tf_count,
            round(CAST(tfidf_raw AS DOUBLE), 6) AS tfidf
     FROM r WHERE rn = 1
-    """,
-)
+    UNION ALL
+    SELECT 'bm25', doc_id, query, CAST(rn AS BIGINT), round(score, 6)
+    FROM br WHERE rn <= {BM25_TOP_K}
+    """
+
+
+@query("q55_tfidf_top_term", oracle=_q55_sql())
 def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Highest-tf-idf term per document (tie → lexicographic)."""
-    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+    """``tfidf``: highest-tf-idf term per document (tie →
+    lexicographic). ``bm25`` (round 8): operators.retrieval
+    .bm25_top_docs — top-5 documents per fixed two-term query by Okapi
+    BM25 over the same whitespace tokens; the inverted-index serving
+    shape (broadcast query terms, candidate-pruned postings,
+    term-ordered IEEE score fold) driver-VALUE-checked against
+    DuckDB's independent rederivation. top_term carries the query
+    string, tf_count the rank."""
+    from .operators.retrieval import bm25_top_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    tfidf = tfidf_top_terms(docs).select(
+        F.lit("tfidf").alias("mode"), "doc_id", "top_term", "tf_count",
+        "tfidf",
+    )
+    bm = bm25_top_docs(docs, list(BM25_QUERIES), top_k=BM25_TOP_K).select(
+        F.lit("bm25").alias("mode"),
+        "doc_id",
+        F.col("query").alias("top_term"),
+        F.col("rank").cast("long").alias("tf_count"),
+        F.round("score", 6).alias("tfidf"),
+    )
+    return tfidf.unionByName(bm)
 
 
 # --- q56: embedding L2-normalize + int8 quantization ----------------------

@@ -237,3 +237,48 @@ def test_write_training_shards_deterministic(spark, tmp_path):
         1 for x, y in zip(docs_seq, docs_seq[1:]) if x == y
     )
     assert adjacent_same < len(docs_seq) / 2
+
+
+def test_shard_assignment_is_the_writer_placement(spark, tmp_path):
+    """shard_assignment (the q54 'shard' branch expression) IS the
+    layout write_training_shards puts on disk, and both match a pure
+    Python hashlib reference — placement is a function of the key,
+    independent of engine, partitioning, and run."""
+    import glob
+    import hashlib
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.packing import (
+        pack_chunks,
+        shard_assignment,
+        write_training_shards,
+    )
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+    )
+    from tests.conftest import SMOKE
+
+    docs = load_table(spark, SMOKE, "documents").limit(100)
+    packs = pack_chunks(
+        chunk_documents(docs, chunk_size=16, stride=16),
+        budget=64,
+        canonical=True,
+    )
+    placed = {
+        r.pack_id: (r["__shard"], r["__shard_ord"])
+        for r in shard_assignment(packs, num_shards=4).collect()
+    }
+    # pure-Python reference: first 8 md5 hex digits mod n, full md5 ord
+    for pid, (shard, ord_) in placed.items():
+        h = hashlib.md5(pid.encode()).hexdigest()
+        assert shard == int(h[:8], 16) % 4, pid
+        assert ord_ == h, pid
+
+    out = str(tmp_path / "shards")
+    write_training_shards(packs, out, num_shards=4)
+    on_disk = {
+        r.pack_id: int(d.split("=")[-1])
+        for d in glob.glob(out + "/__shard=*")
+        for r in spark.read.parquet(d).select("pack_id").collect()
+    }
+    assert on_disk == {p: s for p, (s, _) in placed.items()}

@@ -1,0 +1,79 @@
+"""BM25 retrieval: scores match a pure-Python reference, ranking is
+deterministic under repartitioning, and only candidate docs appear."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from example_kafkastreams_spark.operators.retrieval import bm25_top_docs
+
+DOCS = [
+    (1, "spark runs fast joins fast"),
+    (2, "slow scans hurt joins"),
+    (3, "fast fast fast scans"),
+    (4, "totally unrelated words here"),
+    (5, "joins and scans and joins"),
+]
+QUERIES = ["fast joins", "scans"]
+
+
+def _py_bm25(k1=1.2, b=0.75):
+    toks = {d: t.split(" ") for d, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for q in QUERIES:
+        scores = {}
+        for d, tk in toks.items():
+            s = 0.0
+            for term in sorted(set(q.split())):
+                tf = tk.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for v in toks.values() if term in v)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(tk) / avgdl)
+                )
+            if s > 0.0:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[q] = [(d, r + 1, s) for r, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.query, r.doc_id): (r.rank, r.score)
+        for r in bm25_top_docs(docs, QUERIES, top_k=10).collect()
+    }
+    want = _py_bm25()
+    assert set(got) == {
+        (q, d) for q, rows in want.items() for d, _, _ in rows
+    }
+    for q, rows in want.items():
+        for d, rank, score in rows:
+            grank, gscore = got[(q, d)]
+            assert grank == rank, (q, d)
+            assert abs(gscore - score) < 1e-9, (q, d)
+
+
+def test_bm25_partition_independent(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = bm25_top_docs(docs, QUERIES, top_k=3).collect()
+    b = bm25_top_docs(docs.repartition(7), QUERIES, top_k=3).collect()
+    key = lambda rows: sorted((r.query, r.doc_id, r.rank, r.score) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_bm25_only_candidates_and_topk(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = bm25_top_docs(docs, QUERIES, top_k=2).collect()
+    # doc 4 shares no query term — never a candidate
+    assert all(r.doc_id != 4 for r in out)
+    for q in QUERIES:
+        ranks = sorted(r.rank for r in out if r.query == q)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
