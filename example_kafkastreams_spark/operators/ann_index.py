@@ -55,6 +55,20 @@ _DELTA = "codes_delta"
 _VECTORIZE_ABOVE = 32
 
 
+def _prune_superseded_trees(path: str) -> None:
+    """A (re)build supersedes every appended leaf: the trained
+    parameters change, so ``codes_delta`` rows (encoded under the OLD
+    parameters) must never union into the new base, and drift stats
+    measured against the old baseline no longer apply. Pruned BEFORE
+    the new encode lands — a crash mid-rebuild then leaves the old
+    base delta-less (stale, never mixed-generation wrong), the same
+    worst-window discipline as ``ann_index_compact``."""
+    import shutil
+
+    for d in (_DELTA, "drift"):
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
 def pq_index_write(
     emb: DataFrame,
     path: str,
@@ -72,6 +86,7 @@ def pq_index_write(
     ``sample_vectors`` draw) to persist a TRAINED index — the
     serving-grade build ``pq_ann_trained`` runs in-session. Large
     codebooks encode through the Arrow path automatically."""
+    _prune_superseded_trees(path)
     if codebook is None:
         codebook = pq_codebook(emb, m, num_codes, id_col, vec_col)
     else:
@@ -113,6 +128,7 @@ def ivfpq_index_write(
     (``pq_codebook_local`` over the sample's residuals) to persist the
     serving-grade trained index ``ivf_pq_ann_trained`` builds
     in-session; the encode then runs as the one-pass Arrow build."""
+    _prune_superseded_trees(path)
     if cents is not None and codebook is not None:
         enc = ivf_pq_encode_local(emb, cents, codebook, id_col, vec_col)
     else:
@@ -157,6 +173,7 @@ def ivfflat_index_write(
     quantization loss. ``cents`` comes from ``kmeans_train_local``
     (cosine metric), the same coarse quantizer an IVF-PQ index
     trains."""
+    _prune_superseded_trees(path)
     ivf_flat_encode(emb, cents, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(path, _CODES))
@@ -195,6 +212,7 @@ def ann_index_append_sink(
     spark: SparkSession,
     path: str,
     run_id: str | None = None,
+    track_drift: bool = False,
 ):
     """Streaming ANN index maintenance — the embedding-index member of
     the ingest-sink family (digest / band / window-hash / SRP indexes
@@ -216,7 +234,14 @@ def ann_index_append_sink(
     movement. At-least-once safety: rows land under
     ``codes_delta/ingest_run=<token>/ingest_batch=<id>/`` with dynamic
     partition overwrite, so a crash-replayed batch rewrites its own
-    leaf byte-for-byte (the ``training_shards_sink`` discipline)."""
+    leaf byte-for-byte (the ``training_shards_sink`` discipline).
+
+    ``track_drift=True`` additionally records each batch's
+    quantization stats (``ann_drift.quantization_stats`` — the raw
+    vectors are in hand exactly here, never again) under
+    ``drift/ingest_run/ingest_batch`` with the same replay-idempotent
+    layout, feeding ``ann_drift.ann_index_drift``'s rebuild
+    decision."""
     import hashlib
     import uuid
 
@@ -258,6 +283,18 @@ def ann_index_append_sink(
             .partitionBy("ingest_run", "ingest_batch")
             .parquet(os.path.join(path, _DELTA))
         )
+        if track_drift:
+            from .ann_drift import quantization_stats
+
+            (
+                quantization_stats(batch_df, meta, vec_col)
+                .withColumn("ingest_run", F.lit(token))
+                .withColumn("ingest_batch", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_run", "ingest_batch")
+                .parquet(os.path.join(path, "drift"))
+            )
 
     return sink
 
