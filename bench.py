@@ -279,7 +279,7 @@ def main() -> None:
         ("q46_ann_lsh_ivf", "method", ("lsh", "ivf", "lsh_mp", "ivfflat_mp")),
         ("q47_embedding_neardup", "mode", ("pair", "sem", "delta", "deltaidx")),
         ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt", "shard")),
-        ("q55_tfidf_top_term", "mode", ("tfidf", "bm25")),
+        ("q55_tfidf_top_term", "mode", ("tfidf", "bm25", "rrf")),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
     ):

@@ -6,10 +6,22 @@ from .dedup import (
 from .asof_join import asof_lookback_left_join, interval_left_join
 from .enrich import enrich_clickstream, split_clickstream
 from .index_maint import COMPACTED_RUN, compact_index
+from .retrieval import bm25_top_docs
+from .ann_drift import (
+    ann_index_drift,
+    quantization_stats,
+    record_train_stats,
+    should_rebuild,
+)
 
 __all__ = [
     "COMPACTED_RUN",
     "compact_index",
+    "bm25_top_docs",
+    "ann_index_drift",
+    "quantization_stats",
+    "record_train_stats",
+    "should_rebuild",
     "dedup_tumbling_window",
     "dedup_exact",
     "dedup_emission_anchored",

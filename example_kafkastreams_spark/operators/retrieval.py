@@ -113,3 +113,90 @@ def bm25_top_docs(
         .filter(F.col("rank") <= top_k)
         .select("query", "doc_id", "rank", "score")
     )
+
+
+def term_overlap_top_docs(
+    docs: DataFrame,
+    queries: list[str],
+    top_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query, doc_id, rank, hits) — the integer-exact lexical
+    baseline ranker: total occurrences of the query's distinct terms
+    in the document (ties → lower doc id). Same inverted-index shape
+    as BM25 minus the statistics; exists mostly as the second voice
+    for ``rrf_fuse`` and as an exact-arithmetic cross-check."""
+    spark = docs.sparkSession
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q in queries for t in sorted(set(q.split()))],
+        "query string, term string",
+    )
+    agg = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("query", "doc_id")
+        .agg(F.sum("tf").alias("hits"))
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("hits"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query", "doc_id", "rank", "hits")
+    )
+
+
+RRF_K = 60
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = RRF_K,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(query, doc_id, rank, score) — reciprocal rank fusion (Cormack
+    et al. 2009): score(q, d) = Σ_r 1/(k + rank_r(d)), summed over the
+    rankers that listed d for q. Ranker-agnostic: each input is any
+    (query, doc_id, rank) frame — BM25, term overlap, an ANN ranking
+    mapped onto doc ids — making this the hybrid-retrieval combiner.
+
+    Scale shape: inputs are top-k-bounded PER QUERY by construction
+    (they are rankings), so the union and the (query, doc) aggregation
+    are candidate-sized — never corpus-sized — regardless of corpus
+    growth. Determinism: contributions fold in RANKER-INDEX order,
+    left to right (the BM25 term-fold discipline), and the fused rank
+    tie-breaks on doc id; with ≤ a handful of rankers the double is
+    bit-stable under any partitioning."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            "query",
+            "doc_id",
+            F.lit(i).alias("ridx"),
+            (F.lit(1.0) / (F.lit(k) + F.col("rank"))).alias("contrib"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    agg = tagged.groupBy("query", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ridx", "contrib"))),
+                lambda s: s["contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    out = agg.withColumn("rank", F.row_number().over(w))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out.select("query", "doc_id", "rank", "score")

@@ -268,6 +268,7 @@ def corpus_ingest_stream(
     benchmark: DataFrame | None = None,
     decontam_n: int = 5,
     decontam_min_hits: int = 1,
+    observe: bool = False,
 ) -> DataFrame:
     """Streaming ingest = the gate + CONTENT DEDUP: the stateful next
     stage a real streaming corpus ingest runs after the stateless
@@ -301,7 +302,22 @@ def corpus_ingest_stream(
     (``corpus_decontaminate_stream``) between the stateless gate and
     the stateful dedup — the full landing zone in one stream:
     quality → language → decontaminate → content dedup → scrub.
+
+    ``observe=True``: per-micro-batch ingest observability through
+    Spark's OWN metrics channel — ``Dataset.observe`` aggregates ride
+    the normal execution (ZERO extra passes or actions, unlike a
+    foreachBatch recount) and surface per batch in
+    ``StreamingQueryProgress.observedMetrics``. Three observation
+    points (``ingest_raw`` / ``ingest_gated`` / ``ingest_admitted``)
+    bracket the stateless gate and the stateful dedup;
+    ``ingest_batch_metrics(query)`` turns the progress history into
+    per-batch gate/dedup drop counts with a conservation identity
+    (raw − gate_dropped − dedup_dropped = admitted). Observation
+    names are per-query unique — compose at most one observed ingest
+    per streaming query.
     """
+    if observe:
+        docs = docs.observe("ingest_raw", F.count(F.lit(1)).alias("n"))
     gated = corpus_filter_stream(
         docs,
         min_quality=min_quality,
@@ -314,6 +330,10 @@ def corpus_ingest_stream(
         # contaminated docs never enter the digest state store
         gated = corpus_decontaminate_stream(
             gated, benchmark, n=decontam_n, min_hits=decontam_min_hits
+        )
+    if observe:
+        gated = gated.observe(
+            "ingest_gated", F.count(F.lit(1)).alias("n")
         )
     deduped = (
         gated.withColumn("content_hash", F.md5(F.col("text")))
@@ -344,11 +364,56 @@ def corpus_ingest_stream(
             .dropDuplicatesWithinWatermark(["__simhash"])
             .drop("__simhash")
         )
+    if observe:
+        deduped = deduped.observe(
+            "ingest_admitted", F.count(F.lit(1)).alias("n")
+        )
     if scrub_pii:
         deduped = deduped.withColumn(
             "text", F.expr(P.pii_scrub("text", P.SPARK))
         )
     return deduped
+
+
+def ingest_batch_metrics(query) -> list[dict]:
+    """Per-micro-batch ingest report from a query running a
+    ``corpus_ingest_stream(observe=True)`` plan: one dict per batch
+    that actually observed data, ::
+
+        {"batch_id", "raw", "gated", "admitted",
+         "gate_dropped",   # quality/language/decontam drops
+         "dedup_dropped"}  # content-dedup (and neardup-gate) drops
+
+    sourced from ``query.recentProgress`` — the metrics Spark already
+    computed inline (no extra action touched the stream). Batches are
+    at-least-once like the data: a crash-replayed batch reports again
+    under the same batch_id; consumers keep the last report per id
+    (the dynamic-overwrite convention, applied to telemetry)."""
+    import json as _json
+
+    out = []
+    for p in query.recentProgress:
+        # recentProgress yields StreamingQueryProgress (observedMetrics
+        # values are Rows) or plain dicts depending on version — the
+        # JSON form is the stable common denominator
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        om = d.get("observedMetrics") or {}
+        if "ingest_raw" not in om:
+            continue  # no-data finalization batch
+        raw = int(om["ingest_raw"]["n"])
+        gated = int(om.get("ingest_gated", {"n": 0})["n"])
+        admitted = int(om.get("ingest_admitted", {"n": 0})["n"])
+        out.append(
+            {
+                "batch_id": int(d["batchId"]),
+                "raw": raw,
+                "gated": gated,
+                "admitted": admitted,
+                "gate_dropped": raw - gated,
+                "dedup_dropped": gated - admitted,
+            }
+        )
+    return out
 
 
 def corpus_ingest_chunks_stream(
@@ -360,6 +425,7 @@ def corpus_ingest_chunks_stream(
     scrub_pii: bool = True,
     chunk_size: int = 32,
     stride: int = 24,
+    observe: bool = False,
 ) -> DataFrame:
     """The streamed funnel through its LAST stateless stage: gate →
     content dedup → PII scrub → overlapping chunks, emitting
@@ -381,6 +447,7 @@ def corpus_ingest_chunks_stream(
         min_quality=min_quality,
         languages=languages,
         scrub_pii=scrub_pii,
+        observe=observe,
     )
     return chunk_documents(deduped, chunk_size=chunk_size, stride=stride)
 
@@ -397,6 +464,7 @@ def corpus_ingest_packs_stream(
     stride: int = 24,
     shards: int = 8,
     pack_linger_seconds: float = 60.0,
+    observe: bool = False,
 ) -> DataFrame:
     """The WHOLE continuous pretrain pipeline as ONE streaming query:
     quality → language → exact-dedup → PII-scrub gates
@@ -427,6 +495,7 @@ def corpus_ingest_packs_stream(
         min_quality=min_quality,
         languages=languages,
         scrub_pii=scrub_pii,
+        observe=observe,
     )
     chunks = chunk_documents(
         deduped, chunk_size=chunk_size, stride=stride,

@@ -311,7 +311,7 @@ BM25_TOP_K = 5
 
 
 def _q55_sql() -> str:
-    from .operators.retrieval import BM25_B, BM25_K1
+    from .operators.retrieval import BM25_B, BM25_K1, RRF_K
 
     k1, b, k1p1 = BM25_K1, BM25_B, BM25_K1 + 1.0
     qvals = ", ".join(f"('{q}')" for q in BM25_QUERIES)
@@ -379,6 +379,39 @@ def _q55_sql() -> str:
       SELECT *, row_number() OVER (PARTITION BY query
                                    ORDER BY score DESC, doc_id) AS rn
       FROM bagg
+    ),
+    -- rrf branch: reciprocal rank fusion of the bm25 ranking with the
+    -- integer-exact term-overlap ranking; contributions fold in
+    -- ranker-index order (the operator's F.aggregate chain)
+    ov AS (
+      SELECT qt.query, tf.doc_id, sum(tf.tf) AS hits
+      FROM btf tf JOIN qt USING (term)
+      GROUP BY qt.query, tf.doc_id
+    ),
+    ovr AS (
+      SELECT *, row_number() OVER (PARTITION BY query
+                                   ORDER BY hits DESC, doc_id) AS rn
+      FROM ov
+    ),
+    contrib AS (
+      SELECT query, doc_id, 0 AS ridx, 1.0 / ({RRF_K} + rn) AS c
+      FROM br WHERE rn <= {BM25_TOP_K}
+      UNION ALL
+      SELECT query, doc_id, 1, 1.0 / ({RRF_K} + rn)
+      FROM ovr WHERE rn <= {BM25_TOP_K}
+    ),
+    fused AS (
+      SELECT query, doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(c ORDER BY ridx)),
+               (acc, x) -> acc + x) AS score
+      FROM contrib GROUP BY query, doc_id
+    ),
+    fr AS (
+      SELECT *, row_number() OVER (PARTITION BY query
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM fused
     )
     SELECT 'tfidf' AS mode, doc_id, term AS top_term, tf_count,
            round(CAST(tfidf_raw AS DOUBLE), 6) AS tfidf
@@ -386,6 +419,9 @@ def _q55_sql() -> str:
     UNION ALL
     SELECT 'bm25', doc_id, query, CAST(rn AS BIGINT), round(score, 6)
     FROM br WHERE rn <= {BM25_TOP_K}
+    UNION ALL
+    SELECT 'rrf', doc_id, query, CAST(rn AS BIGINT), round(score, 6)
+    FROM fr WHERE rn <= {BM25_TOP_K}
     """
 
 
@@ -398,22 +434,46 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (broadcast query terms, candidate-pruned postings,
     term-ordered IEEE score fold) driver-VALUE-checked against
     DuckDB's independent rederivation. top_term carries the query
-    string, tf_count the rank."""
-    from .operators.retrieval import bm25_top_docs
+    string, tf_count the rank. ``rrf`` (round 8): hybrid-retrieval
+    fusion — ``rrf_fuse`` over the bm25 ranking and the integer-exact
+    ``term_overlap_top_docs`` ranking, the ranker-agnostic combiner a
+    BM25+ANN hybrid deploys, with the oracle re-deriving both voters
+    and the ranker-ordered contribution fold."""
+    from .operators.retrieval import (
+        bm25_top_docs,
+        rrf_fuse,
+        term_overlap_top_docs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     tfidf = tfidf_top_terms(docs).select(
         F.lit("tfidf").alias("mode"), "doc_id", "top_term", "tf_count",
         "tfidf",
     )
-    bm = bm25_top_docs(docs, list(BM25_QUERIES), top_k=BM25_TOP_K).select(
+    bmr = bm25_top_docs(docs, list(BM25_QUERIES), top_k=BM25_TOP_K)
+    bm = bmr.select(
         F.lit("bm25").alias("mode"),
         "doc_id",
         F.col("query").alias("top_term"),
         F.col("rank").cast("long").alias("tf_count"),
         F.round("score", 6).alias("tfidf"),
     )
-    return tfidf.unionByName(bm)
+    fused = rrf_fuse(
+        [
+            bmr,
+            term_overlap_top_docs(
+                docs, list(BM25_QUERIES), top_k=BM25_TOP_K
+            ),
+        ],
+        top_k=BM25_TOP_K,
+    ).select(
+        F.lit("rrf").alias("mode"),
+        "doc_id",
+        F.col("query").alias("top_term"),
+        F.col("rank").cast("long").alias("tf_count"),
+        F.round("score", 6).alias("tfidf"),
+    )
+    return tfidf.unionByName(bm).unionByName(fused)
 
 
 # --- q56: embedding L2-normalize + int8 quantization ----------------------

@@ -378,6 +378,18 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
     ivfflat_index_write(emb, flat_idx_path, flat_cents)
     release_sketch_caches()
 
+    def bm25():
+        # fixed query set against the N× corpus: the broadcast side is
+        # constant, candidate postings (and the one score exchange)
+        # grow ~N, output stays top-k-bounded at 15 rows regardless
+        from example_kafkastreams_spark.operators.retrieval import (
+            bm25_top_docs,
+        )
+
+        return bm25_top_docs(
+            docs, ["hash join", "scan filter", "stream window"], top_k=5
+        )
+
     def ivfflat_serve():
         return ann_index_query(
             spark,
@@ -408,6 +420,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("incremental_srp_delta", incr_srp),
         ("pq_encode", pq),
         ("ivfflat_serve", ivfflat_serve),
+        ("bm25_retrieval", bm25),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)

@@ -77,3 +77,67 @@ def test_bm25_only_candidates_and_topk(spark):
     for q in QUERIES:
         ranks = sorted(r.rank for r in out if r.query == q)
         assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    from example_kafkastreams_spark.operators.retrieval import (
+        rrf_fuse,
+        term_overlap_top_docs,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bmr = bm25_top_docs(docs, QUERIES, top_k=3)
+    ovr = term_overlap_top_docs(docs, QUERIES, top_k=3)
+    fused = {
+        (r.query, r.doc_id): (r.rank, r.score)
+        for r in rrf_fuse([bmr, ovr], top_k=3).collect()
+    }
+
+    # pure-Python RRF over the two collected rankings
+    contribs = {}
+    for rdf in (bmr, ovr):
+        for r in rdf.collect():
+            contribs.setdefault((r.query, r.doc_id), 0.0)
+            contribs[(r.query, r.doc_id)] += 1.0 / (60 + r.rank)
+    want = {}
+    for q in QUERIES:
+        ranked = sorted(
+            ((d, s) for (qq, d), s in contribs.items() if qq == q),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+        for i, (d, s) in enumerate(ranked):
+            want[(q, d)] = (i + 1, s)
+    assert set(fused) == set(want)
+    for key, (rank, score) in want.items():
+        assert fused[key][0] == rank, key
+        assert abs(fused[key][1] - score) < 1e-12, key
+
+
+def test_rrf_single_ranker_preserves_order(spark):
+    from example_kafkastreams_spark.operators.retrieval import rrf_fuse
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bmr = bm25_top_docs(docs, QUERIES, top_k=4)
+    fused = rrf_fuse([bmr]).collect()
+    orig = {(r.query, r.doc_id): r.rank for r in bmr.collect()}
+    # 1/(k+rank) is strictly decreasing in rank: fusion of one ranker
+    # is the identity on ranks
+    assert {(r.query, r.doc_id): r.rank for r in fused} == orig
+
+
+def test_term_overlap_is_exact_counts(spark):
+    from example_kafkastreams_spark.operators.retrieval import (
+        term_overlap_top_docs,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.query, r.doc_id): r.hits
+        for r in term_overlap_top_docs(docs, QUERIES, top_k=10).collect()
+    }
+    toks = {d: t.split(" ") for d, t in DOCS}
+    for q in QUERIES:
+        for d, tk in toks.items():
+            hits = sum(tk.count(t) for t in set(q.split()))
+            if hits:
+                assert got[(q, d)] == hits, (q, d)

@@ -1705,3 +1705,60 @@ def test_training_shards_sink_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == got
+
+
+def test_corpus_ingest_observed_metrics_conserve(spark, tmp_path):
+    """observe=True must report every micro-batch's gate/dedup drops
+    through Spark's own observedMetrics channel (no extra actions),
+    with the conservation identity raw - gate_dropped - dedup_dropped
+    == admitted holding per batch and the admitted total equal to the
+    sink's row count."""
+    import time
+
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_stream,
+        ingest_batch_metrics,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on to the"
+        " house of the friend"
+    )
+    other = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day"
+    )
+    rows = [
+        (1, good, "s", at(0.0)),
+        (2, "the the the the the", "s", at(1.0)),  # quality-dropped
+        (3, good, "s", at(2.0)),                   # dup, same batch
+        (4, other, "s", at(3.0)),
+        (5, good, "s", at(10.0)),                  # dup, later batch
+        (6, other, "s", at(11.0)),                 # dup, later batch
+    ]
+    src = str(tmp_path / "in_obs")
+    stage_replayable_batches(
+        spark, src, DOC_STREAM_SCHEMA, [rows[:4], rows[4:]]
+    )
+    stream = file_stream(
+        spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    out = corpus_ingest_stream(stream, ts_col="ts", observe=True)
+    q = start_memory_sink(out, "obs_ingest", str(tmp_path / "ckpt_obs"))
+    q.processAllAvailable()
+    time.sleep(2)
+    q.processAllAvailable()
+    metrics = [m for m in ingest_batch_metrics(q) if m["raw"] > 0]
+    q.stop()
+    q.awaitTermination()
+
+    assert [
+        (m["raw"], m["gated"], m["admitted"]) for m in metrics
+    ] == [(4, 3, 2), (2, 2, 0)]
+    for m in metrics:
+        assert m["raw"] - m["gate_dropped"] - m["dedup_dropped"] == (
+            m["admitted"]
+        ), m
+    assert sum(m["admitted"] for m in metrics) == (
+        spark.table("obs_ingest").count()
+    )
