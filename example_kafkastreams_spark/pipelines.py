@@ -573,6 +573,93 @@ def training_shards_sink(
     return sink
 
 
+def compact_training_shards(
+    spark, path: str, key_col: str = "pack_id"
+) -> None:
+    """Fold the streaming shard writer's per-batch leaves
+    (``__shard=k/ingest_run=…/ingest_batch=…``) into one
+    ``ingest_run=__compacted__/ingest_batch=0`` leaf per shard — the
+    between-runs maintenance an always-on ingest needs so a data
+    loader's shard read stays a few large files instead of thousands
+    of micro-batch leaves. Run only while no ingest query is writing
+    (the ``index_maint.compact_index`` contract).
+
+    Three disciplines, inherited from the two existing compactors:
+
+    * **Never-duplicated intermediates** (``ann_index_compact``):
+      duplicate rows here are DUPLICATED TRAINING DATA, so the swap is
+      park-then-promote over a whole new tree — recover-on-entry of a
+      parked ``.__pre_compact__`` twin, write to ``.__compacting__``
+      while the live tree still serves, then two renames. No state
+      ever serves a row twice; the worst crash window leaves the old
+      tree parked for the next entry to restore.
+    * **Frontier hold-back** (``compact_index``): foreachBatch can
+      replay at most each run's LAST batch, and a replayed batch must
+      find its own (run, batch) leaf to dynamic-overwrite — folding it
+      away would turn the replay into a double-append. Each live run's
+      max-``ingest_batch`` leaf is therefore held back verbatim and
+      folds only on a later compaction once the run has moved past it.
+      ``__compacted__`` contains non-hex characters, unmatchable by
+      any real 16-hex run token, so no replay ever targets it.
+    * **Decorrelated order, improved**: the within-leaf md5 sort is a
+      pure function of the key, so the folded leaf re-sorts by the
+      full md5 and carries the seedless decorrelated order across its
+      whole shard — a compacted shard prefix is a BETTER uniform
+      sample than the per-batch leaves it replaced.
+    """
+    import os
+    import shutil
+
+    from .operators.index_maint import COMPACTED_RUN, _require_local
+
+    local = _require_local(path, "shards path").rstrip("/")
+    pre = local + ".__pre_compact__"
+    tmp = local + ".__compacting__"
+    # entry recovery: promote a parked twin whose live dir vanished
+    # mid-swap; prune a parked twin the last promote superseded
+    if not os.path.isdir(local) and os.path.isdir(pre):
+        os.rename(pre, local)
+    elif os.path.isdir(local) and os.path.isdir(pre):
+        shutil.rmtree(pre)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.isdir(local):
+        return
+    df = spark.read.parquet(local)
+    frontier = (
+        df.filter(F.col("ingest_run") != COMPACTED_RUN)
+        .groupBy("ingest_run")
+        .agg(F.max("ingest_batch").alias("ingest_batch"))
+    )
+    foldable = df.join(
+        F.broadcast(frontier), ["ingest_run", "ingest_batch"], "left_anti"
+    )
+    already = foldable.filter(F.col("ingest_run") == COMPACTED_RUN)
+    if foldable.count() == already.count():
+        return  # nothing new to fold — idempotent no-op
+    held = df.join(
+        F.broadcast(frontier), ["ingest_run", "ingest_batch"], "left_semi"
+    )
+    merged = foldable.withColumns(
+        {
+            "ingest_run": F.lit(COMPACTED_RUN),
+            "ingest_batch": F.lit(0),
+        }
+    ).unionByName(held)
+    (
+        merged.withColumn("__ord", F.md5(F.col(key_col).cast("string")))
+        .repartition("__shard", "ingest_run", "ingest_batch")
+        .sortWithinPartitions(
+            "__shard", "ingest_run", "ingest_batch", "__ord"
+        )
+        .drop("__ord")
+        .write.partitionBy("__shard", "ingest_run", "ingest_batch")
+        .parquet(tmp)
+    )
+    os.rename(local, pre)
+    os.rename(tmp, local)
+    shutil.rmtree(pre, ignore_errors=True)
+
+
 def corpus_funnel_counts(stages: dict[str, DataFrame]) -> DataFrame:
     """1-row funnel report (n_raw, n_quality, ... n_chunks) — a single
     action evaluating every stage once, for pipeline observability."""

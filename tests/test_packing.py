@@ -282,3 +282,90 @@ def test_shard_assignment_is_the_writer_placement(spark, tmp_path):
         for r in spark.read.parquet(d).select("pack_id").collect()
     }
     assert on_disk == {p: s for p, (s, _) in placed.items()}
+
+
+def test_compact_training_shards(spark, tmp_path):
+    """Folding the streaming shard store's per-batch leaves must keep
+    the row set identical, hold back each run's frontier leaf (the
+    only replayable one), re-sort the compacted leaf into the full
+    md5 decorrelated order, stay idempotent, survive a crash-parked
+    tree, and never break replay overwrite."""
+    import glob
+    import hashlib
+    import os
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.packing import pack_chunks
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+    )
+    from example_kafkastreams_spark.pipelines import (
+        compact_training_shards,
+        training_shards_sink,
+    )
+    from tests.conftest import SMOKE
+
+    docs = load_table(spark, SMOKE, "documents").limit(60)
+    packs = pack_chunks(
+        chunk_documents(docs, chunk_size=16, stride=16),
+        budget=64,
+        canonical=True,
+    ).cache()
+    b0 = packs.filter(F.crc32(F.col("pack_id")) % 3 == 0)
+    b1 = packs.filter(F.crc32(F.col("pack_id")) % 3 == 1)
+    b2 = packs.filter(F.crc32(F.col("pack_id")) % 3 == 2)
+    assert b0.count() and b1.count() and b2.count()
+
+    out = str(tmp_path / "shard_store")
+    sink_a = training_shards_sink(out, num_shards=4, run_id="ra")
+    sink_a(b0, 0)
+    sink_a(b1, 1)
+    sink_b = training_shards_sink(out, num_shards=4, run_id="rb")
+    sink_b(b2, 0)
+
+    def rows():
+        return {
+            (r.pack_id, r["__shard"], r.n_tokens, r.text)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def leaves():
+        return sorted(
+            os.path.relpath(p, out)
+            for p in glob.glob(out + "/__shard=*/ingest_run=*/ingest_batch=*")
+        )
+
+    before = rows()
+    compact_training_shards(spark, out)
+    assert rows() == before
+    tok_a = hashlib.md5(b"ra").hexdigest()[:16]
+    tok_b = hashlib.md5(b"rb").hexdigest()[:16]
+    after = leaves()
+    # ra batch 0 folded; frontiers (ra/1, rb/0) held back verbatim
+    assert not any(f"ingest_run={tok_a}/ingest_batch=0" in p for p in after)
+    assert any(f"ingest_run={tok_a}/ingest_batch=1" in p for p in after)
+    assert any(f"ingest_run={tok_b}/ingest_batch=0" in p for p in after)
+    assert any("ingest_run=__compacted__" in p for p in after)
+
+    # the compacted leaf carries the full-shard md5 order
+    leaf = glob.glob(out + "/__shard=*/ingest_run=__compacted__/ingest_batch=0")[0]
+    files = glob.glob(leaf + "/*.parquet")
+    assert len(files) == 1
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(files[0], columns=["pack_id"])["pack_id"].to_pylist()
+    assert [hashlib.md5(i.encode()).hexdigest() for i in ids] == sorted(
+        hashlib.md5(i.encode()).hexdigest() for i in ids
+    )
+
+    # idempotent no-op; replay still overwrites its held-back leaf
+    compact_training_shards(spark, out)
+    assert rows() == before and leaves() == after
+    sink_a(b1, 1)
+    assert rows() == before
+
+    # crash recovery: a parked tree with no live dir is restored
+    os.rename(out, out + ".__pre_compact__")
+    compact_training_shards(spark, out)
+    assert rows() == before
+    packs.unpersist()
