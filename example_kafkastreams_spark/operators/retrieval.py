@@ -54,6 +54,25 @@ def bm25_top_docs(
     DISTINCT terms present in d, in term order.
     """
     spark = docs.sparkSession
+    tf, stats = _bm25_postings(docs, id_col, text_col)
+    qt = _query_terms_frame(spark, queries)
+    # candidate postings: only docs sharing a query term survive
+    qtf = tf.join(F.broadcast(qt.select("term").distinct()), "term")
+    dfq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    scored = (
+        qtf.join(F.broadcast(dfq), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query", "doc_id", "term", _bm25_term_score(k1, b).alias("ts")
+        )
+    )
+    return _fold_and_rank(scored, top_k)
+
+
+def _bm25_postings(docs: DataFrame, id_col: str, text_col: str):
+    """((doc_id, dl, term, tf) postings, 1-row (n_docs, tot_dl) stats)
+    — shared by the in-session scorer and the index builder."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("toks"),
@@ -71,14 +90,21 @@ def bm25_top_docs(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    qt = spark.createDataFrame(
+    return tf, stats
+
+
+def _query_terms_frame(spark, queries: list[str]) -> DataFrame:
+    return spark.createDataFrame(
         [(q, t) for q in queries for t in sorted(set(q.split()))],
         "query string, term string",
     )
-    # candidate postings: only docs sharing a query term survive
-    qtf = tf.join(F.broadcast(qt.select("term").distinct()), "term")
-    dfq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
 
+
+def _bm25_term_score(k1: float, b: float):
+    """The per-term Okapi score as ONE fixed expression tree over
+    columns (tf, dl, df_count, n_docs, tot_dl) — shared verbatim by
+    the in-session path and the stored-index path, so a loaded index
+    serves bit-identical scores."""
     avgdl = F.col("tot_dl") / F.col("n_docs")
     idf = F.log(
         1.0
@@ -89,14 +115,13 @@ def bm25_top_docs(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0) - F.lit(b) + (F.lit(b) * F.col("dl")) / avgdl)
     )
-    scored = (
-        qtf.join(F.broadcast(dfq), "term")
-        .join(F.broadcast(qt), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("query", "doc_id", "term", (idf * tfnorm).alias("ts"))
-    )
-    # ordered fold: term-sorted left-to-right '+' chain (bit-stable
-    # under any partitioning; terms are unique per (query, doc))
+    return idf * tfnorm
+
+
+def _fold_and_rank(scored: DataFrame, top_k: int) -> DataFrame:
+    """Term-sorted left-to-right '+' fold per (query, doc) (bit-stable
+    under any partitioning; terms are unique per pair), then rank by
+    (score DESC, doc_id)."""
     agg = scored.groupBy("query", "doc_id").agg(
         F.aggregate(
             F.transform(
@@ -113,6 +138,114 @@ def bm25_top_docs(
         .filter(F.col("rank") <= top_k)
         .select("query", "doc_id", "rank", "score")
     )
+
+
+def bm25_index_write(
+    docs: DataFrame,
+    path: str,
+    num_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the inverted index — the retrieval twin of the ANN
+    build/serve split: tokenize/aggregate the 100 TB corpus ONCE,
+    serve queries from the artifact forever.
+
+    Layout under ``path``:
+
+    * ``postings/__bucket=k/`` — (term, doc_id, dl, tf, df_count)
+      parquet, partitioned by a DETERMINISTIC term bucket (the shard
+      writers' first-8-md5-hex-mod-n formula, on the term), rows
+      term-sorted within each bucket. A query touches only its own
+      terms' buckets (partition pruning) and inside them only the
+      row groups whose term min/max straddle a query term — the
+      parquet analog of postings-list seek.
+    * ``stats.json`` — corpus constants (n_docs, tot_dl, num_buckets).
+
+    ``df_count`` is computed per term at BUILD time and denormalized
+    onto every posting row, so serving needs no corpus-wide aggregate
+    — the one piece of global state a posting needs rides with it."""
+    import json
+    import os
+
+    from .packing import shard_assignment
+
+    tf, stats = _bm25_postings(docs, id_col, text_col)
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+    rows = shard_assignment(
+        tf.join(dfq, "term"), num_buckets, key_col="term"
+    ).withColumnRenamed("__shard", "__bucket")
+    (
+        rows.drop("__shard_ord")
+        .repartition(num_buckets, F.col("__bucket"))
+        .sortWithinPartitions("__bucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    st = stats.first()
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump(
+            {
+                "n_docs": int(st["n_docs"]),
+                "tot_dl": int(st["tot_dl"]),
+                "num_buckets": num_buckets,
+            },
+            f,
+        )
+
+
+def bm25_index_query(
+    spark,
+    path: str,
+    queries: list[str],
+    top_k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``top_k`` docs per query against the stored inverted index
+    — bit-identical to ``bm25_top_docs`` on the build corpus (shared
+    ``_bm25_term_score`` expression + shared fold; df/n_docs/tot_dl
+    are the same numbers the in-session path derives).
+
+    Serving shape: the query's term set prunes the scan twice before
+    any row is read — bucket partitions (computed driver-side with
+    the same md5 formula) and an ``In(term)`` pushed filter for
+    row-group skipping inside them. Everything after the scan is
+    candidate-sized."""
+    import hashlib
+    import json
+    import os
+
+    with open(os.path.join(path, "stats.json")) as f:
+        st = json.load(f)
+    terms = sorted({t for q in queries for t in q.split()})
+    buckets = sorted(
+        {
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            % st["num_buckets"]
+            for t in terms
+        }
+    )
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("__bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    qt = _query_terms_frame(spark, queries)
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .withColumns(
+            {
+                "n_docs": F.lit(st["n_docs"]),
+                "tot_dl": F.lit(st["tot_dl"]),
+            }
+        )
+        .select(
+            "query", "doc_id", "term", _bm25_term_score(k1, b).alias("ts")
+        )
+    )
+    return _fold_and_rank(scored, top_k)
 
 
 def term_overlap_top_docs(

@@ -401,16 +401,28 @@ def ingest_batch_metrics(query) -> list[dict]:
         if "ingest_raw" not in om:
             continue  # no-data finalization batch
         raw = int(om["ingest_raw"]["n"])
-        gated = int(om.get("ingest_gated", {"n": 0})["n"])
-        admitted = int(om.get("ingest_admitted", {"n": 0})["n"])
+        # a missing observation point (a plan without that stage) is
+        # absent, not zero — None keeps the report honest
+        gated = (
+            int(om["ingest_gated"]["n"]) if "ingest_gated" in om else None
+        )
+        admitted = (
+            int(om["ingest_admitted"]["n"])
+            if "ingest_admitted" in om
+            else None
+        )
         out.append(
             {
                 "batch_id": int(d["batchId"]),
                 "raw": raw,
                 "gated": gated,
                 "admitted": admitted,
-                "gate_dropped": raw - gated,
-                "dedup_dropped": gated - admitted,
+                "gate_dropped": raw - gated if gated is not None else None,
+                "dedup_dropped": (
+                    gated - admitted
+                    if gated is not None and admitted is not None
+                    else None
+                ),
             }
         )
     return out

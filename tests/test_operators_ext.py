@@ -370,9 +370,13 @@ def test_chunking_is_shuffle_free(spark):
     The q54 driver row's merged branches each add a bounded number of
     keyed stages: the passage-dedup digest groupBy (round 5), the
     substring branch's window-hash aggregation + per-doc span merge,
-    and the rebuild's span-collect + doc join (round 6) — six
-    exchanges total, none carrying document text except the final
-    rebuild join's per-doc span lists (docs-sized, spans are few)."""
+    the rebuild's span-collect + doc join (round 6), and the shard
+    branch's canonical-pack repartition (the ONE doc-keyed exchange
+    pack_chunks documents) + per-shard fingerprint aggregation
+    (column-pruned to ids/ords — pack text never reaches it)
+    (round 8) — eight exchanges total, none carrying document text
+    except the rebuild join's per-doc span lists and the pack
+    repartition's chunk rows, both structural to their operators."""
     from example_kafkastreams_spark.catalog import load_table
     from example_kafkastreams_spark.operators.text_chunks import (
         chunk_documents,
@@ -383,7 +387,7 @@ def test_chunking_is_shuffle_free(spark):
 
     docs = load_table(spark, SMOKE, "documents")
     assert count_exchanges(chunk_documents(docs)) == 0
-    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 6
+    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 8
 
 
 def test_unnest_stats_single_exchange(spark):

@@ -141,3 +141,35 @@ def test_term_overlap_is_exact_counts(spark):
             hits = sum(tk.count(t) for t in set(q.split()))
             if hits:
                 assert got[(q, d)] == hits, (q, d)
+
+
+def test_bm25_index_roundtrip_and_pruning(spark, tmp_path):
+    """A query against the stored inverted index must equal the
+    in-session scorer BIT-FOR-BIT (shared score expression; df and
+    corpus stats are the same numbers), and the query's term set must
+    prune the postings scan twice: bucket partitions + a pushed
+    In(term) filter."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.retrieval import (
+        bm25_index_query,
+        bm25_index_write,
+        bm25_top_docs,
+    )
+    from example_kafkastreams_spark.plans import explain_str, pushed_filters
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "bm25_idx")
+    bm25_index_write(docs, path, num_buckets=8)
+
+    qs = ["hash join", "scan filter"]
+    got = bm25_index_query(spark, path, qs, top_k=5)
+    want = bm25_top_docs(docs, qs, top_k=5)
+    key = lambda df: sorted(
+        (r.query, r.doc_id, r.rank, r.score) for r in df.collect()
+    )
+    assert key(got) == key(want)  # exact doubles, not approx
+
+    pushed = " ".join(pushed_filters(got))
+    assert "In(term" in pushed or "EqualTo(term" in pushed, pushed
+    plan = explain_str(got)
+    assert "__bucket" in plan  # partition filter on the term bucket
