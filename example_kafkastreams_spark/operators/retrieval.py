@@ -36,6 +36,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+_PDELTA = "postings_delta"
+_SDELTA = "stats_delta"
+
 
 def bm25_top_docs(
     docs: DataFrame,
@@ -204,7 +207,7 @@ def bm25_index_query(
     b: float = BM25_B,
 ) -> DataFrame:
     """Top-``top_k`` docs per query against the stored inverted index
-    — bit-identical to ``bm25_top_docs`` on the build corpus (shared
+    — bit-identical to ``bm25_top_docs`` on the indexed corpus (shared
     ``_bm25_term_score`` expression + shared fold; df/n_docs/tot_dl
     are the same numbers the in-session path derives).
 
@@ -212,7 +215,18 @@ def bm25_index_query(
     any row is read — bucket partitions (computed driver-side with
     the same md5 formula) and an ``In(term)`` pushed filter for
     row-group skipping inside them. Everything after the scan is
-    candidate-sized."""
+    candidate-sized.
+
+    When ``bm25_index_append_sink`` has ingested (a ``postings_delta``
+    tree exists), incremental serving is EXACT, not stale: df is a
+    pure function of the postings themselves, so it recomputes over
+    the pruned base ∪ delta candidates (the pruned read keeps EVERY
+    posting of each query term), and the corpus constants add the
+    per-batch increments ``stats_delta`` recorded — minus those the
+    ``folded_runs`` watermark says compaction already merged into
+    ``stats.json``. The candidate union dedupes on (term, doc_id),
+    which is a no-op on clean stores and makes every compaction
+    crash-window superset serve exactly (see ``bm25_index_compact``)."""
     import hashlib
     import json
     import os
@@ -227,18 +241,43 @@ def bm25_index_query(
             for t in terms
         }
     )
-    postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .filter(F.col("__bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-    )
+
+    def pruned(dirname):
+        return (
+            spark.read.parquet(os.path.join(path, dirname))
+            .filter(F.col("__bucket").isin(buckets))
+            .filter(F.col("term").isin(terms))
+        )
+
+    base = pruned("postings")
+    n_docs, tot_dl = st["n_docs"], st["tot_dl"]
+    core = ["term", "doc_id", "dl", "tf"]
+    if os.path.isdir(os.path.join(path, _PDELTA)):
+        cand = (
+            base.select(*core)
+            .unionByName(pruned(_PDELTA).select(*core))
+            .dropDuplicates(["term", "doc_id"])
+        )
+        dfq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+        postings = cand.join(F.broadcast(dfq), "term")
+        folded = st.get("folded_runs", {})
+        if os.path.isdir(os.path.join(path, _SDELTA)):
+            sdrows = spark.read.parquet(
+                os.path.join(path, _SDELTA)
+            ).collect()
+            for r in sdrows:
+                if int(r["ingest_batch"]) > folded.get(r["ingest_run"], -1):
+                    n_docs += int(r["n_docs"])
+                    tot_dl += int(r["tot_dl"])
+    else:
+        postings = base
     qt = _query_terms_frame(spark, queries)
     scored = (
         postings.join(F.broadcast(qt), "term")
         .withColumns(
             {
-                "n_docs": F.lit(st["n_docs"]),
-                "tot_dl": F.lit(st["tot_dl"]),
+                "n_docs": F.lit(n_docs),
+                "tot_dl": F.lit(tot_dl),
             }
         )
         .select(
@@ -246,6 +285,226 @@ def bm25_index_query(
         )
     )
     return _fold_and_rank(scored, top_k)
+
+
+def bm25_index_append_sink(
+    spark,
+    path: str,
+    run_id: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming inverted-index maintenance — the retrieval member of
+    the ingest-sink family: a ``foreachBatch`` function that tokenizes
+    each micro-batch of newly-admitted documents into postings and
+    appends them under
+    ``postings_delta/ingest_run=…/ingest_batch=…/__bucket=…`` (the
+    base index's bucket formula, read from ``stats.json``), plus the
+    batch's (n_docs, tot_dl) increment under ``stats_delta/…``.
+
+    Unlike the ANN sink's frozen parameters, incremental BM25 serving
+    is EXACT: ``bm25_index_query`` recomputes df from the pruned
+    base ∪ delta postings and adds the recorded stat increments, so a
+    serve after N appends equals a full rebuild bit-for-bit
+    (golden-pinned). At-least-once safety is the family discipline:
+    dynamic-overwrite (run, batch) leaves make a crash-replayed batch
+    rewrite itself, never double-append. Ingesting the SAME document
+    id twice across batches is the upstream dedup gate's job (as for
+    every index here); the serve-side (term, doc_id) dedup keeps even
+    that case from double-scoring."""
+    import hashlib
+    import json
+    import os
+    import uuid
+
+    with open(os.path.join(path, "stats.json")) as f:
+        nb = json.load(f)["num_buckets"]
+    token = (
+        hashlib.md5(run_id.encode()).hexdigest()[:16]
+        if run_id
+        else uuid.uuid4().hex[:16]
+    )
+
+    from .packing import shard_assignment
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        tf, bstats = _bm25_postings(batch_df, id_col, text_col)
+        rows = (
+            shard_assignment(tf, nb, key_col="term")
+            .drop("__shard_ord")
+            .withColumnRenamed("__shard", "__bucket")
+            .withColumns(
+                {
+                    # schema-compatible with the base tree; serving
+                    # ignores stored df whenever a delta exists
+                    "df_count": F.lit(None).cast("long"),
+                    "ingest_run": F.lit(token),
+                    "ingest_batch": F.lit(int(batch_id)),
+                }
+            )
+        )
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_run", "ingest_batch", "__bucket")
+            .parquet(os.path.join(path, _PDELTA))
+        )
+        (
+            bstats.withColumns(
+                {
+                    "ingest_run": F.lit(token),
+                    "ingest_batch": F.lit(int(batch_id)),
+                }
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_run", "ingest_batch")
+            .parquet(os.path.join(path, _SDELTA))
+        )
+
+    return sink
+
+
+def bm25_index_compact(spark, path: str) -> None:
+    """Fold the append sink's per-batch delta leaves into a fresh base
+    tree with recomputed per-term df, merging their stat increments
+    into ``stats.json`` — run between runs so the served scan stays a
+    few large bucket files.
+
+    Crash discipline — every intermediate state serves EXACTLY, not
+    just safely, because the two failure modes are each neutralized:
+
+    * duplicated postings (a folded leaf not yet pruned) dedupe at
+      serve on (term, doc_id) — so the base rewrite can be
+      additive-then-prune (`compact_index`'s shape) after the one
+      park-then-promote base swap;
+    * double-counted stats are prevented by the ``folded_runs``
+      watermark written ATOMICALLY into ``stats.json`` (tmp +
+      ``os.replace``): a leaf is marked folded before it is pruned,
+      and serving skips marked leaves' increments whether or not the
+      prune ever ran.
+
+    Frontier hold-back (`compact_index`): each run's max-batch leaf —
+    the only leaf a crash replay can target — stays in the delta tree
+    verbatim and folds on a later compaction once the run has moved
+    past it; a dead run permanently costs one small leaf, which also
+    means the delta tree (and the serve-side df recompute) persists
+    once any append happened. The recomputed base df is therefore a
+    fast-path artifact only; correctness never depends on it."""
+    import json
+    import os
+    import shutil
+
+    from .index_maint import _require_local
+
+    local = _require_local(path, "bm25 index path").rstrip("/")
+    base = os.path.join(local, "postings")
+    pre = base + ".__pre_compact__"
+    tmp = base + ".__compacting__"
+    if not os.path.isdir(base) and os.path.isdir(pre):
+        os.rename(pre, base)
+    elif os.path.isdir(base) and os.path.isdir(pre):
+        shutil.rmtree(pre)
+    shutil.rmtree(tmp, ignore_errors=True)
+    sdelta = os.path.join(local, _SDELTA)
+    pdelta = os.path.join(local, _PDELTA)
+    if not os.path.isdir(sdelta):
+        return
+    with open(os.path.join(local, "stats.json")) as f:
+        st = json.load(f)
+    folded = dict(st.get("folded_runs", {}))
+
+    def leaf_dirs(root, run, batch):
+        return os.path.join(
+            root, f"ingest_run={run}", f"ingest_batch={batch}"
+        )
+
+    def walk_leaves(root):
+        out = []
+        if not os.path.isdir(root):
+            return out
+        for rd in os.listdir(root):
+            if rd.startswith("ingest_run="):
+                run = rd.split("=", 1)[1]
+                for bd in os.listdir(os.path.join(root, rd)):
+                    if bd.startswith("ingest_batch="):
+                        out.append((run, int(bd.split("=", 1)[1])))
+        return out
+
+    # prune leaves a prior crash left marked-folded but unpruned —
+    # walked on DISK in both trees (a crash can leave either one)
+    for root in (pdelta, sdelta):
+        for run, batch in walk_leaves(root):
+            if batch <= folded.get(run, -1):
+                shutil.rmtree(
+                    leaf_dirs(root, run, batch), ignore_errors=True
+                )
+    leaves = [
+        (r["ingest_run"], int(r["ingest_batch"]), int(r["n_docs"]),
+         int(r["tot_dl"]))
+        for r in spark.read.parquet(sdelta).collect()
+    ]
+    frontier: dict[str, int] = {}
+    for run, batch, _, _ in leaves:
+        frontier[run] = max(frontier.get(run, -1), batch)
+    foldable = [
+        lf
+        for lf in leaves
+        if lf[1] < frontier[lf[0]] and lf[1] > folded.get(lf[0], -1)
+    ]
+    if not foldable:
+        return
+    fold_keys = sorted(f"{run}/{batch}" for run, batch, _, _ in foldable)
+    core = ["term", "doc_id", "dl", "tf"]
+    delta_rows = (
+        spark.read.parquet(pdelta)
+        .filter(
+            F.concat_ws(
+                "/", F.col("ingest_run"), F.col("ingest_batch").cast("string")
+            ).isin(fold_keys)
+        )
+        .select(*core)
+    )
+    merged = (
+        spark.read.parquet(base)
+        .select(*core)
+        .unionByName(delta_rows)
+        .dropDuplicates(["term", "doc_id"])
+    )
+    dfq = merged.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
+
+    from .packing import shard_assignment
+
+    keyed = shard_assignment(
+        merged.join(dfq, "term"), st["num_buckets"], key_col="term"
+    ).withColumnRenamed("__shard", "__bucket")
+    (
+        keyed.drop("__shard_ord")
+        .repartition(st["num_buckets"], F.col("__bucket"))
+        .sortWithinPartitions("__bucket", "term")
+        .write.partitionBy("__bucket")
+        .parquet(tmp)
+    )
+    os.rename(base, pre)
+    os.rename(tmp, base)
+    shutil.rmtree(pre, ignore_errors=True)
+    # watermark first (atomic), then prune — a crash between the two
+    # leaves marked leaves whose rows dedupe and whose stats are
+    # skipped: still exact
+    for run, batch, n, dl in foldable:
+        st["n_docs"] += n
+        st["tot_dl"] += dl
+        folded[run] = max(folded.get(run, -1), batch)
+    st["folded_runs"] = folded
+    stats_tmp = os.path.join(local, "stats.json.__tmp__")
+    with open(stats_tmp, "w") as f:
+        json.dump(st, f)
+    os.replace(stats_tmp, os.path.join(local, "stats.json"))
+    for run, batch, _, _ in foldable:
+        shutil.rmtree(leaf_dirs(pdelta, run, batch), ignore_errors=True)
+        shutil.rmtree(leaf_dirs(sdelta, run, batch), ignore_errors=True)
 
 
 def term_overlap_top_docs(

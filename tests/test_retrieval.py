@@ -173,3 +173,99 @@ def test_bm25_index_roundtrip_and_pruning(spark, tmp_path):
     assert "In(term" in pushed or "EqualTo(term" in pushed, pushed
     plan = explain_str(got)
     assert "__bucket" in plan  # partition filter on the term bucket
+
+
+def _rowkey(df):
+    return sorted((r.query, r.doc_id, r.rank, r.score) for r in df.collect())
+
+
+def test_bm25_append_sink_serves_exactly(spark, tmp_path):
+    """Incremental BM25 serving is EXACT: day-1 build + two appended
+    micro-batches must serve bit-identically to the in-session scorer
+    over the full corpus (df recomputed from pruned base∪delta, stat
+    increments added), and a crash-replayed batch changes nothing."""
+    import pyspark.sql.functions as F
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.retrieval import (
+        bm25_index_append_sink,
+        bm25_index_query,
+        bm25_index_write,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1 = docs.filter(F.col("doc_id") % 3 != 0)
+    path = str(tmp_path / "bm25_live")
+    bm25_index_write(day1, path, num_buckets=8)
+    sink = bm25_index_append_sink(spark, path, run_id="r1")
+    b0 = docs.filter(F.col("doc_id") % 6 == 0)
+    b1 = docs.filter(F.col("doc_id") % 6 == 3)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    qs = ["hash join", "scan filter"]
+    want = _rowkey(bm25_top_docs(docs, qs, top_k=5))
+    assert _rowkey(bm25_index_query(spark, path, qs, top_k=5)) == want
+    sink(b1, 1)  # crash replay: dynamic overwrite rewrites the leaf
+    assert _rowkey(bm25_index_query(spark, path, qs, top_k=5)) == want
+
+
+def test_bm25_index_compact_exact_and_crash_safe(spark, tmp_path):
+    """Compaction folds non-frontier delta leaves into a fresh base:
+    serve stays EXACT before, after, on a re-run, and even in the
+    worst crash window (a folded leaf restored unpruned — its rows
+    dedupe at serve, its stats are skipped by the folded_runs
+    watermark)."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.retrieval import (
+        bm25_index_append_sink,
+        bm25_index_compact,
+        bm25_index_query,
+        bm25_index_write,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1 = docs.filter(F.col("doc_id") % 3 != 0)
+    path = str(tmp_path / "bm25_live")
+    bm25_index_write(day1, path, num_buckets=8)
+    s1 = bm25_index_append_sink(spark, path, run_id="r1")
+    s1(docs.filter(F.col("doc_id") % 6 == 0), 0)
+    s1(docs.filter(F.col("doc_id") % 6 == 3), 1)
+
+    qs = ["hash join", "scan filter"]
+    want = _rowkey(bm25_top_docs(docs, qs, top_k=5))
+    tok1 = hashlib.md5(b"r1").hexdigest()[:16]
+    folded_leaf = os.path.join(
+        path, "postings_delta", f"ingest_run={tok1}", "ingest_batch=0"
+    )
+    crash_copy = str(tmp_path / "leaf_backup")
+    shutil.copytree(folded_leaf, crash_copy)
+
+    bm25_index_compact(spark, path)
+    assert _rowkey(bm25_index_query(spark, path, qs, top_k=5)) == want
+    with open(os.path.join(path, "stats.json")) as f:
+        st = json.load(f)
+    assert st["folded_runs"][tok1] == 0  # batch 0 folded
+    assert not os.path.isdir(folded_leaf)  # ...and pruned
+    assert os.path.isdir(  # frontier leaf held back verbatim
+        os.path.join(
+            path, "postings_delta", f"ingest_run={tok1}", "ingest_batch=1"
+        )
+    )
+    bm25_index_compact(spark, path)  # idempotent no-op
+    assert _rowkey(bm25_index_query(spark, path, qs, top_k=5)) == want
+
+    # worst crash window: the folded leaf reappears unpruned — its
+    # postings duplicate the new base and its stats are already merged
+    shutil.copytree(crash_copy, folded_leaf)
+    assert _rowkey(bm25_index_query(spark, path, qs, top_k=5)) == want
+    bm25_index_compact(spark, path)  # next entry prunes the leftover
+    assert not os.path.isdir(folded_leaf)
+    assert _rowkey(bm25_index_query(spark, path, qs, top_k=5)) == want
