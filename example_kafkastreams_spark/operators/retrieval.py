@@ -57,10 +57,33 @@ def bm25_top_docs(
     DISTINCT terms present in d, in term order.
     """
     spark = docs.sparkSession
-    tf, stats = _bm25_postings(docs, id_col, text_col)
     qt = _query_terms_frame(spark, queries)
-    # candidate postings: only docs sharing a query term survive
-    qtf = tf.join(F.broadcast(qt.select("term").distinct()), "term")
+    terms = sorted({t for q in queries for t in q.split()})
+    # candidate pruning happens BELOW the tf aggregate: the query
+    # term set is a driver-known literal, so the exploded postings
+    # filter with a plain In(term) predicate BEFORE any exchange —
+    # the (doc, term) tf shuffle carries only the query terms'
+    # postings, never the corpus's. (A broadcast-join prune above
+    # the aggregate would leave the aggregate itself corpus-sized —
+    # Catalyst does not push joins below aggregates.)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("tot_dl"),
+    )
+    qtf = (
+        toks.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     scored = (
         qtf.join(F.broadcast(dfq), "term")
