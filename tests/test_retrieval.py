@@ -269,3 +269,23 @@ def test_bm25_index_compact_exact_and_crash_safe(spark, tmp_path):
     bm25_index_compact(spark, path)  # next entry prunes the leftover
     assert not os.path.isdir(folded_leaf)
     assert _rowkey(bm25_index_query(spark, path, qs, top_k=5)) == want
+
+
+def test_bm25_prunes_below_the_tf_aggregate(spark):
+    """The candidate In(term) filter must sit BELOW the (doc, dl,
+    term) tf aggregate in the optimized plan — the shuffle then
+    carries only the query terms' postings. A regression to the
+    join-above-aggregate shape removes the literal IN filter entirely
+    (the broadcast join replaces it), so this probe catches it."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    lp = (
+        bm25_top_docs(docs, QUERIES, top_k=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    agg_pos = lp.find("Aggregate [doc_id")
+    assert agg_pos != -1, lp
+    # printed trees are root-first: a deeper node appears later, so
+    # the IN filter below the aggregate shows up after it
+    assert lp.find(" IN (", agg_pos) != -1, lp
