@@ -411,20 +411,21 @@ def ingest_batch_metrics(query) -> list[dict]:
             if "ingest_admitted" in om
             else None
         )
-        out.append(
-            {
-                "batch_id": int(d["batchId"]),
-                "raw": raw,
-                "gated": gated,
-                "admitted": admitted,
-                "gate_dropped": raw - gated if gated is not None else None,
-                "dedup_dropped": (
-                    gated - admitted
-                    if gated is not None and admitted is not None
-                    else None
-                ),
-            }
-        )
+        row = {
+            "batch_id": int(d["batchId"]),
+            "raw": raw,
+            "gated": gated,
+            "admitted": admitted,
+            "gate_dropped": raw - gated if gated is not None else None,
+            "dedup_dropped": (
+                gated - admitted
+                if gated is not None and admitted is not None
+                else None
+            ),
+        }
+        if "ingest_packed" in om:
+            row["packed"] = int(om["ingest_packed"]["n"])
+        out.append(row)
     return out
 
 
@@ -513,7 +514,7 @@ def corpus_ingest_packs_stream(
         deduped, chunk_size=chunk_size, stride=stride,
         carry_cols=(ts_col,),
     )
-    return pack_chunks_stream(
+    packs = pack_chunks_stream(
         chunks,
         budget,
         shards=shards,
@@ -521,6 +522,14 @@ def corpus_ingest_packs_stream(
         watermark_delay=None,
         linger_seconds=pack_linger_seconds,
     )
+    if observe:
+        # the pipeline's emission grain: closed packs per micro-batch
+        # (an open pack carries across batches, so packed counts lag
+        # admitted counts until the tail flush — the report shows it)
+        packs = packs.observe(
+            "ingest_packed", F.count(F.lit(1)).alias("n")
+        )
+    return packs
 
 
 def training_shards_sink(

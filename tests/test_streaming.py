@@ -1762,3 +1762,53 @@ def test_corpus_ingest_observed_metrics_conserve(spark, tmp_path):
     assert sum(m["admitted"] for m in metrics) == (
         spark.table("obs_ingest").count()
     )
+
+
+def test_packs_stream_observed_packed_counts(spark, tmp_path):
+    """The continuous pipeline's observe=True adds the emission-grain
+    observation: closed packs per micro-batch. Their total must equal
+    the sink's row count, alongside the ingest-grain counts."""
+    import time
+
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_packs_stream,
+        ingest_batch_metrics,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on to the"
+        " house of the friend"
+    )
+    other = (
+        "a small dog and a big cat sat in the sun by the door of the"
+        " house for most of the day"
+    )
+    rows = [
+        (1, good, "s", at(0.0)),
+        (2, other, "s", at(1.0)),
+        (3, good, "s", at(10.0)),  # dup, later batch
+    ]
+    src = str(tmp_path / "in_packs_obs")
+    stage_replayable_batches(
+        spark, src, DOC_STREAM_SCHEMA, [rows[:2], rows[2:]]
+    )
+    stream = file_stream(
+        spark, src, DOC_STREAM_SCHEMA, max_files_per_trigger=1
+    )
+    packs = corpus_ingest_packs_stream(
+        stream, budget=16, chunk_size=8, stride=8, shards=1,
+        pack_linger_seconds=0.0, observe=True,
+    )
+    q = start_memory_sink(packs, "packs_obs", str(tmp_path / "ckpt_pobs"))
+    q.processAllAvailable()
+    time.sleep(2)
+    q.processAllAvailable()
+    metrics = ingest_batch_metrics(q)
+    q.stop()
+    q.awaitTermination()
+
+    n_sink = spark.table("packs_obs").count()
+    assert n_sink > 0
+    assert sum(m.get("packed", 0) for m in metrics) == n_sink
+    ingested = [m for m in metrics if m["raw"] > 0]
+    assert [(m["raw"], m["admitted"]) for m in ingested] == [(2, 2), (1, 0)]
