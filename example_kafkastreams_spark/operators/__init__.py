@@ -6,7 +6,15 @@ from .dedup import (
 from .asof_join import asof_lookback_left_join, interval_left_join
 from .enrich import enrich_clickstream, split_clickstream
 from .index_maint import COMPACTED_RUN, compact_index
-from .retrieval import bm25_top_docs
+from .retrieval import (
+    bm25_index_append_sink,
+    bm25_index_compact,
+    bm25_index_query,
+    bm25_index_write,
+    bm25_top_docs,
+    rrf_fuse,
+    term_overlap_top_docs,
+)
 from .ann_drift import (
     ann_index_drift,
     quantization_stats,
@@ -18,6 +26,12 @@ __all__ = [
     "COMPACTED_RUN",
     "compact_index",
     "bm25_top_docs",
+    "bm25_index_write",
+    "bm25_index_query",
+    "bm25_index_append_sink",
+    "bm25_index_compact",
+    "rrf_fuse",
+    "term_overlap_top_docs",
     "ann_index_drift",
     "quantization_stats",
     "record_train_stats",

@@ -38,6 +38,10 @@ a docstring claim into a measured decision:
 
 Stats are operational telemetry, not oracle rows: float sums ride
 numpy/Spark partial aggregation (no cross-engine bit contract).
+
+Reference parity: the reference has no vector surface; this is the
+operational half of the §2.9 similarity-search extension (the FAISS
+add()/rebuild split, made measurable).
 """
 
 from __future__ import annotations

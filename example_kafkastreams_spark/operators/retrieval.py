@@ -27,6 +27,12 @@ sum folds the matched terms' scores IN TERM ORDER, left to right
 ``list_reduce(list_prepend(0.0, list(ts ORDER BY term)))``), so the
 double is bit-identical no matter how Spark partitions the
 aggregation. Ranks tie-break on doc id.
+
+Reference parity: the reference (a Kafka Streams clickstream demo)
+has no text-retrieval surface; this module is part of the §2.9
+LLM-pipeline extension the survey commits to, built from public
+knowledge (Robertson & Spärck Jones BM25; Cormack, Clarke & Büttcher
+2009 reciprocal rank fusion).
 """
 
 from __future__ import annotations
