@@ -977,6 +977,7 @@ def embedding_ingest_with_srp_index(
     threshold: float = 0.95,
     planes: list[list[float]] | None = None,
     watermark_delay: str = "10 seconds",
+    observe: bool = False,
 ):
     """Streaming EMBEDDING ingest with a persistent SRP-bucket index —
     the semantic-dedup member of the ingest family
@@ -1011,6 +1012,12 @@ def embedding_ingest_with_srp_index(
 
     from .operators.knn import admit_against_srp_index
 
+    if observe:
+        # two observation points bracket the in-stream exact gate
+        # (ingest_batch_metrics reports raw/admitted; the SRP
+        # admission itself runs sink-side, visible in the stores) —
+        # the corpus stream's observe discipline, vector-grain
+        emb = emb.observe("ingest_raw", F.count(F.lit(1)).alias("n"))
     out = (
         emb.withColumn(
             "__vdigest", F.md5(F.col(vec_col).cast("string"))
@@ -1019,6 +1026,10 @@ def embedding_ingest_with_srp_index(
         .dropDuplicatesWithinWatermark(["__vdigest"])
         .drop("__vdigest")
     )
+    if observe:
+        out = out.observe(
+            "ingest_admitted", F.count(F.lit(1)).alias("n")
+        )
 
     def make_sink(out_path: str, run_id: str | None = None):
         token = (

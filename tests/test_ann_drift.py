@@ -171,3 +171,49 @@ def test_rebuild_prunes_superseded_trees(spark, tmp_path):
 
     with pytest.raises(ValueError, match="train_stats"):
         ann_index_drift(spark, path)
+
+
+def test_drift_rebuild_loop_resets_baseline(spark, tmp_path):
+    """The full maintenance loop: drifted appends trip should_rebuild
+    → scheduled rebuild over everything ingested → record a fresh
+    baseline → the monitor reports quiet again (no delta, no
+    trigger), and the rebuilt index serves the new distribution."""
+    emb = _emb(spark)
+    day1 = emb.filter(F.col("vec_id") % 2 == 0)
+    cents, cb = train_ivfpq_local(
+        day1, num_centroids=4, m=8, num_codes=16, sample_n=256,
+        iterations=4,
+    )
+    path = str(tmp_path / "live")
+    ivfpq_index_write(day1, path, cents=cents, codebook=cb)
+    record_train_stats(spark, path, day1)
+    sink = ann_index_append_sink(spark, path, run_id="r1", track_drift=True)
+    drifted = _scaled(emb.filter(F.col("vec_id") % 2 == 1))
+    sink(drifted, 0)
+    decision, _ = should_rebuild(ann_index_drift(spark, path))
+    assert decision
+
+    # the rebuild: retrain on everything ingested, re-encode, rebase
+    full = day1.select("vec_id", "embedding").unionByName(drifted)
+    cents2, cb2 = train_ivfpq_local(
+        full, num_centroids=4, m=8, num_codes=16, sample_n=256,
+        iterations=4,
+    )
+    ivfpq_index_write(full, path, cents=cents2, codebook=cb2)
+    record_train_stats(spark, path, full)
+
+    rep = ann_index_drift(spark, path)
+    assert rep["n_delta"] == 0 and rep["err_ratio"] is None
+    assert rep["n_train"] == full.count()
+    decision2, reasons2 = should_rebuild(rep)
+    assert not decision2, reasons2
+
+    from example_kafkastreams_spark.operators.ann_index import (
+        ann_index_query,
+    )
+
+    got = ann_index_query(
+        spark, path, drifted.limit(4), k=3, nprobe=4,
+        id_col="vec_id",
+    )
+    assert got.count() == 12  # 4 queries x top-3 from the new corpus

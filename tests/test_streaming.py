@@ -1364,13 +1364,18 @@ def test_embedding_ingest_with_srp_index_across_jobs(spark, tmp_path):
     out = str(tmp_path / "admitted")
 
     def run(tag, batches):
+        from example_kafkastreams_spark.pipelines import (
+            ingest_batch_metrics,
+        )
+
         src = str(tmp_path / f"in_{tag}")
         stage_replayable_batches(spark, src, VEC_STREAM_SCHEMA, batches)
         stream = file_stream(
             spark, src, VEC_STREAM_SCHEMA, max_files_per_trigger=1
         )
         df, mk = embedding_ingest_with_srp_index(
-            stream, spark, idx, threshold=0.9, planes=planes
+            stream, spark, idx, threshold=0.9, planes=planes,
+            observe=True,
         )
         q = (
             df.writeStream.foreachBatch(
@@ -1380,18 +1385,24 @@ def test_embedding_ingest_with_srp_index_across_jobs(spark, tmp_path):
             .start()
         )
         q.processAllAvailable()
+        metrics = [m for m in ingest_batch_metrics(q) if m["raw"] > 0]
         q.stop()
         q.awaitTermination()
+        return metrics
 
     # run 1: exact copy dropped in-stream (vector-digest state); the
     # scaled copy arrives in the NEXT batch — cross-batch, index-only
-    run("one", [
+    m1 = run("one", [
         [(1, _V1, at(0.0)), (2, _V1, at(1.0))],
         [(3, _scaled(_V1, 2.0), at(10.0)), (4, _V_ORTH, at(11.0))],
     ])
     assert {
         r.vec_id for r in spark.read.parquet(out).collect()
     } == {1, 4}
+    # observe=True shows the division of labor: the in-stream exact
+    # gate drops the digest dup (2,1); the scaled copy PASSES it (2,2)
+    # and only the sink-side SRP admission catches it
+    assert [(m["raw"], m["admitted"]) for m in m1] == [(2, 1), (2, 2)]
 
     # run 2: fresh checkpoint — another scaled copy (new id) dropped
     # purely by the PERSISTENT index; genuinely new content survives
