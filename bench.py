@@ -158,14 +158,33 @@ _MERGED_SINCE = {
 }
 
 
-def load_baselines() -> tuple[dict, dict, dict]:
+def host_canary() -> float:
+    """Fixed pure-Python work, timed (best of two): a portable proxy
+    for single-thread host speed. Recorded into every bench artifact
+    so the wall-regression gate can tell "this host window is slower"
+    from "this query got slower" — round 8 measured the SAME code at
+    71.5 s and 119.6 s total across host windows, with per-query
+    spreads like q65 at 1.6 s / 13.6 s / 1.8 s."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10_000_000):
+            s += i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def load_baselines() -> tuple[dict, dict, dict, dict]:
     """Earliest committed per-query baselines for the regression gate
     (VERDICT r6 item 5): wall seconds and shuffle-write records, each
     taken from the FIRST committed artifact that recorded the query —
     the driver-recorded ``BENCH_r{N}.json`` files (r01 earliest), then
     the clean self-runs ``BENCH_SELF_r{N}.json`` (the only source of
     shuffle baselines) — skipping artifacts older than a merged slot's
-    last branch change. Returns (wall, shuffle_records, source_tag)."""
+    last branch change. Returns (wall, shuffle_records, source_tag,
+    source_canary) — the last maps each artifact tag to the host
+    canary it recorded (None for pre-canary artifacts)."""
     import glob
     import re
 
@@ -185,6 +204,7 @@ def load_baselines() -> tuple[dict, dict, dict]:
     wall: dict = {}
     shuf: dict = {}
     src: dict = {}
+    canaries: dict = {}
     for path in files:
         try:
             with open(path) as f:
@@ -195,6 +215,8 @@ def load_baselines() -> tuple[dict, dict, dict]:
         # driver records wrap the bench line under "parsed" — which is
         # null when a round's bench crashed; fall back to the raw dict
         body = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
+        hc = body.get("host_canary")
+        canaries[tag] = hc.get("loop_sec") if isinstance(hc, dict) else None
         for k, v in (body.get("queries") or {}).items():
             if (
                 isinstance(v, (int, float))
@@ -211,7 +233,7 @@ def load_baselines() -> tuple[dict, dict, dict]:
             )
             if isinstance(rec, int) and k not in shuf and _valid(k, path):
                 shuf[k] = rec
-    return wall, shuf, src
+    return wall, shuf, src, canaries
 
 
 def main() -> None:
@@ -247,6 +269,7 @@ def main() -> None:
     # its own row, which is exactly where the cost belongs.
     from example_kafkastreams_spark.operators.cache import release_sketch_caches
 
+    canary_start = host_canary()
     timings: dict[str, float] = {}
     shuffles: dict[str, dict] = {}
     for name in sorted(QUERIES):
@@ -1253,17 +1276,30 @@ def main() -> None:
     # shuffling more than 1.3x their baseline records (10k-row floor).
     # Shuffle records are deterministic; wall on a loaded box is not —
     # a wall flag says "re-run clean and profile", a shuffle flag says
-    # "the plan changed".
-    wall_base, shuf_base, base_src = load_baselines()
+    # "the plan changed". When the baseline artifact recorded a host
+    # canary, the wall threshold LOOSENS by the measured host-speed
+    # ratio (never tightens; capped at 2x) so a slower host window
+    # doesn't read as a code regression.
+    # sampled twice (the queries ran in between): round-8 measurements
+    # showed the host 2x slower minute-to-minute, so the gate loosens
+    # by the SLOWER sample and both land in the artifact for forensics
+    canary_end = host_canary()
+    canary = max(canary_start, canary_end)
+    wall_base, shuf_base, base_src, base_canary = load_baselines()
     regressions: dict[str, dict] = {"wall": {}, "shuffle": {}}
     for k, sec in timings.items():
         b = wall_base.get(k)
-        if b and sec > 1.5 * b and sec - b > 0.3:
+        bc = base_canary.get(base_src.get(k))
+        factor = (
+            min(2.0, max(1.0, canary / bc)) if bc and canary else 1.0
+        )
+        if b and sec > 1.5 * factor * b and sec - b > 0.3:
             regressions["wall"][k] = {
                 "sec": sec,
                 "baseline_sec": b,
                 "ratio": round(sec / b, 2),
                 "baseline_src": base_src.get(k),
+                "host_factor": round(factor, 2),
             }
     for k, s in shuffles.items():
         rec = s.get("shuffle_write_records")
@@ -1283,6 +1319,11 @@ def main() -> None:
         "query_shuffle": shuffles,
         "branch_timings": branch_timings,
         "regressions": regressions,
+        "host_canary": {
+            "loop_sec": canary,
+            "loop_sec_start": canary_start,
+            "loop_sec_end": canary_end,
+        },
         "sf": sf_from_dir(SF_DIR),
         "plan_compare": compare,
     }
