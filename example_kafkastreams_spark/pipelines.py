@@ -58,6 +58,7 @@ def corpus_stages(
     minhash_threshold: float = 0.5,
     line_clean: dict | None = None,
     substr_k: int | None = None,
+    lm_range: tuple[float, float] | None = None,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -86,6 +87,18 @@ def corpus_stages(
     (``operators.substr_dedup.remove_repeated_substrings``) and a
     ``substr_cleaned`` stage entry is added. Default ``None`` keeps
     the funnel (and the q63 oracle path) bit-unchanged.
+
+    ``lm_range``: enable the LM-score stage (the CCNet placement —
+    after language ID, before dedup): documents keep only when their
+    corpus-trained bigram ``operators.lm.lm_score`` lands in
+    ``[lo, hi]`` — the low cut drops aleatoric noise (CCNet's
+    perplexity tail), the high cut drops boilerplate (Gopher's
+    most-common-n-gram regime scores near 1.0). Documents too short
+    to have bigrams carry no evidence and pass. A day-2 delta would
+    score against the DAY-1 model via ``lm_score(model=…)`` (the
+    external-model path, OOV floor included) — the same
+    yesterday's-statistics discipline as the persistent dedup
+    indexes. Default ``None`` keeps the funnel bit-unchanged.
     """
     raw = docs
     line_cleaned = None
@@ -127,9 +140,30 @@ def corpus_stages(
         )
     )
 
-    survivors = exact_text_dedup(language)
+    lm_filtered = None
+    if lm_range is not None:
+        from .operators.lm import lm_score
+
+        lo, hi = lm_range
+        sc = lm_score(language)  # corpus-trained on this stage
+        lm_filtered = persist_tracked(
+            language.join(
+                sc.select("doc_id", "lm_score"), "doc_id", "left"
+            )
+            .filter(
+                F.col("lm_score").isNull()
+                | (
+                    (F.col("lm_score") >= lo)
+                    & (F.col("lm_score") <= hi)
+                )
+            )
+            .drop("lm_score")
+        )
+    dedup_in = lm_filtered if lm_filtered is not None else language
+
+    survivors = exact_text_dedup(dedup_in)
     exact = persist_tracked(
-        language.join(survivors.select("doc_id"), "doc_id", "semi")
+        dedup_in.join(survivors.select("doc_id"), "doc_id", "semi")
     )
 
     # Star-contracted edges (k−1 per identical-sketch group instead of
@@ -199,6 +233,8 @@ def corpus_stages(
         stages["line_cleaned"] = line_cleaned
     if substr_cleaned is not None:
         stages["substr_cleaned"] = substr_cleaned
+    if lm_filtered is not None:
+        stages["lm_filtered"] = lm_filtered
     if pack_budget is not None:
         from .operators.packing import pack_chunks
 

@@ -99,3 +99,48 @@ def test_funnel_packing_stage(spark):
     assert build_pretrain_corpus(docs, pack_budget=96).columns == [
         "pack_id", "n_chunks", "n_tokens", "text"
     ]
+
+
+def test_lm_filter_stage_matches_standalone_score(spark):
+    """lm_range composes the CCNet-placement LM filter between the
+    language stage and dedup: kept set == an independent recompute of
+    the window on standalone lm_score (score-less short docs pass),
+    downstream dedup consumes the filtered set, and the default path
+    stays stage-identical."""
+    from example_kafkastreams_spark.operators.lm import lm_score
+
+    docs = load_table(spark, SMOKE, "documents")
+    base = corpus_stages(docs)
+    assert "lm_filtered" not in base
+
+    # pick a window from the observed score distribution so the test
+    # provably cuts both tails on this corpus
+    lang = base["language"]
+    scores = sorted(
+        r.lm_score for r in lm_score(lang).select(
+            "doc_id", "lm_score"
+        ).collect()
+    )
+    lo, hi = scores[len(scores) // 10], scores[-len(scores) // 10]
+    assert lo > scores[0] and hi < scores[-1]
+
+    stages = corpus_stages(docs, lm_range=(lo, hi))
+    kept = {r.doc_id for r in stages["lm_filtered"].select("doc_id").collect()}
+    by_id = {
+        r.doc_id: r.lm_score
+        for r in lm_score(stages["language"]).collect()
+    }
+    expected = {
+        r.doc_id
+        for r in stages["language"].select("doc_id").collect()
+        if r.doc_id not in by_id or lo <= by_id[r.doc_id] <= hi
+    }
+    assert kept == expected
+    lang_n = stages["language"].count()
+    assert 0 < len(kept) < lang_n  # both tails actually cut
+    # dedup runs on the filtered set
+    assert stages["exact_dedup"].count() <= len(kept)
+    dedup_ids = {
+        r.doc_id for r in stages["exact_dedup"].select("doc_id").collect()
+    }
+    assert dedup_ids <= kept
