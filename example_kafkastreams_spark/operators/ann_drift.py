@@ -97,7 +97,14 @@ def quantization_stats(
         raise ValueError(f"unknown index kind {kind!r}")
 
     def gen(batches):
-        cn = np.sqrt((C * C).sum(1)) if C is not None else None
+        # epsilon-clamped norms: a zero vector must yield cos 0 / a
+        # finite err, not a NaN that poisons err_sum and makes every
+        # should_rebuild comparison silently false
+        cn = (
+            np.maximum(np.sqrt((C * C).sum(1)), 1e-12)
+            if C is not None
+            else None
+        )
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -108,7 +115,7 @@ def quantization_stats(
                 cell = np.zeros(len(X), dtype=np.int64)
                 err = _np_sub_err(X, cb)
             else:
-                xn = np.sqrt((X * X).sum(1))
+                xn = np.maximum(np.sqrt((X * X).sum(1)), 1e-12)
                 cos = (X @ C.T) / (xn[:, None] * cn[None, :])
                 cell = cos.argmax(1)
                 if kind == "ivfflat":
@@ -164,8 +171,14 @@ def record_train_stats(
         },
     }
     meta["train_stats"] = stats
-    with open(meta_path, "w") as f:
+    # meta.json holds the LIVE index's trained parameters — rewrite it
+    # atomically (tmp + os.replace, the stats.json watermark
+    # discipline) so a crash mid-write can never corrupt a serving
+    # artifact
+    tmp_path = meta_path + ".__tmp__"
+    with open(tmp_path, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp_path, meta_path)
     return stats
 
 

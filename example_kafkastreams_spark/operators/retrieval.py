@@ -43,7 +43,40 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 _PDELTA = "postings_delta"
+# legacy leaf dir from the two-write sink era — compaction still
+# prunes it, nothing writes or reads it (stat increments derive from
+# the postings leaves themselves; see _delta_leaf_stats)
 _SDELTA = "stats_delta"
+
+
+def _delta_leaf_stats(spark, path: str) -> list:
+    """Per-(ingest_run, ingest_batch) corpus-stat increments (n_docs,
+    tot_dl) derived from the ``postings_delta`` leaves THEMSELVES —
+    the one source of truth, so a batch's postings and its stat
+    increments commit in the same atomic dynamic-overwrite write and
+    no crash can leave postings whose n_docs/tot_dl were never
+    incremented (the old two-write sink's window). Every document has
+    at least one posting (whitespace split of "" is [""]), and every
+    posting row of a doc carries the same dl, so per leaf:
+    n_docs = |distinct doc_id|, tot_dl = Σ dl over distinct docs.
+    Delta-proportional: reads (run, batch, doc_id, dl) columns of the
+    small delta tree only, never the base index."""
+    import os
+
+    pdelta = os.path.join(path, _PDELTA)
+    if not os.path.isdir(pdelta):
+        return []
+    return (
+        spark.read.parquet(pdelta)
+        .select("ingest_run", "ingest_batch", "doc_id", "dl")
+        .dropDuplicates(["ingest_run", "ingest_batch", "doc_id"])
+        .groupBy("ingest_run", "ingest_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("tot_dl"),
+        )
+        .collect()
+    )
 
 
 def bm25_top_docs(
@@ -126,8 +159,15 @@ def _bm25_postings(docs: DataFrame, id_col: str, text_col: str):
 
 
 def _query_terms_frame(spark, queries: list[str]) -> DataFrame:
+    # order-preserving dedupe: a repeated query string must not emit
+    # duplicate (query, term) rows — they would double every term's
+    # score for that query in the fold
     return spark.createDataFrame(
-        [(q, t) for q in queries for t in sorted(set(q.split()))],
+        [
+            (q, t)
+            for q in dict.fromkeys(queries)
+            for t in sorted(set(q.split()))
+        ],
         "query string, term string",
     )
 
@@ -251,9 +291,10 @@ def bm25_index_query(
     pure function of the postings themselves, so it recomputes over
     the pruned base ∪ delta candidates (the pruned read keeps EVERY
     posting of each query term), and the corpus constants add the
-    per-batch increments ``stats_delta`` recorded — minus those the
-    ``folded_runs`` watermark says compaction already merged into
-    ``stats.json``. The candidate union dedupes on (term, doc_id),
+    per-batch increments derived from the delta postings leaves
+    themselves (``_delta_leaf_stats`` — same atomic write as the
+    postings, so no crash window) — minus those the ``folded_runs``
+    watermark says compaction already merged into ``stats.json``. The candidate union dedupes on (term, doc_id),
     which is a no-op on clean stores and makes every compaction
     crash-window superset serve exactly (see ``bm25_index_compact``)."""
     import hashlib
@@ -290,14 +331,10 @@ def bm25_index_query(
         dfq = cand.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
         postings = cand.join(F.broadcast(dfq), "term")
         folded = st.get("folded_runs", {})
-        if os.path.isdir(os.path.join(path, _SDELTA)):
-            sdrows = spark.read.parquet(
-                os.path.join(path, _SDELTA)
-            ).collect()
-            for r in sdrows:
-                if int(r["ingest_batch"]) > folded.get(r["ingest_run"], -1):
-                    n_docs += int(r["n_docs"])
-                    tot_dl += int(r["tot_dl"])
+        for r in _delta_leaf_stats(spark, path):
+            if int(r["ingest_batch"]) > folded.get(r["ingest_run"], -1):
+                n_docs += int(r["n_docs"])
+                tot_dl += int(r["tot_dl"])
     else:
         postings = base
     qt = _query_terms_frame(spark, queries)
@@ -328,12 +365,16 @@ def bm25_index_append_sink(
     each micro-batch of newly-admitted documents into postings and
     appends them under
     ``postings_delta/ingest_run=…/ingest_batch=…/__bucket=…`` (the
-    base index's bucket formula, read from ``stats.json``), plus the
-    batch's (n_docs, tot_dl) increment under ``stats_delta/…``.
+    base index's bucket formula, read from ``stats.json``). The
+    batch's (n_docs, tot_dl) stat increment is NOT written separately
+    — serving and compaction derive it from the postings leaf itself
+    (``_delta_leaf_stats``), so a batch commits in ONE atomic
+    dynamic-overwrite write and there is no crash window where the
+    postings exist but the corpus constants were never incremented.
 
     Unlike the ANN sink's frozen parameters, incremental BM25 serving
     is EXACT: ``bm25_index_query`` recomputes df from the pruned
-    base ∪ delta postings and adds the recorded stat increments, so a
+    base ∪ delta postings and adds the derived stat increments, so a
     serve after N appends equals a full rebuild bit-for-bit
     (golden-pinned). At-least-once safety is the family discipline:
     dynamic-overwrite (run, batch) leaves make a crash-replayed batch
@@ -359,7 +400,7 @@ def bm25_index_append_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        tf, bstats = _bm25_postings(batch_df, id_col, text_col)
+        tf, _ = _bm25_postings(batch_df, id_col, text_col)
         rows = (
             shard_assignment(tf, nb, key_col="term")
             .drop("__shard_ord")
@@ -379,18 +420,6 @@ def bm25_index_append_sink(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_run", "ingest_batch", "__bucket")
             .parquet(os.path.join(path, _PDELTA))
-        )
-        (
-            bstats.withColumns(
-                {
-                    "ingest_run": F.lit(token),
-                    "ingest_batch": F.lit(int(batch_id)),
-                }
-            )
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_run", "ingest_batch")
-            .parquet(os.path.join(path, _SDELTA))
         )
 
     return sink
@@ -439,7 +468,7 @@ def bm25_index_compact(spark, path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     sdelta = os.path.join(local, _SDELTA)
     pdelta = os.path.join(local, _PDELTA)
-    if not os.path.isdir(sdelta):
+    if not os.path.isdir(pdelta):
         return
     with open(os.path.join(local, "stats.json")) as f:
         st = json.load(f)
@@ -470,10 +499,12 @@ def bm25_index_compact(spark, path: str) -> None:
                 shutil.rmtree(
                     leaf_dirs(root, run, batch), ignore_errors=True
                 )
+    # stat increments derive from the postings leaves themselves —
+    # one source of truth with the serve path (_delta_leaf_stats)
     leaves = [
         (r["ingest_run"], int(r["ingest_batch"]), int(r["n_docs"]),
          int(r["tot_dl"]))
-        for r in spark.read.parquet(sdelta).collect()
+        for r in _delta_leaf_stats(spark, local)
     ]
     frontier: dict[str, int] = {}
     for run, batch, _, _ in leaves:
@@ -557,10 +588,7 @@ def term_overlap_top_docs(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    qt = spark.createDataFrame(
-        [(q, t) for q in queries for t in sorted(set(q.split()))],
-        "query string, term string",
-    )
+    qt = _query_terms_frame(spark, queries)
     agg = (
         tf.join(F.broadcast(qt), "term")
         .groupBy("query", "doc_id")

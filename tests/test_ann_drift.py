@@ -84,6 +84,33 @@ def test_quantization_stats_conserve_mass_all_kinds(spark, tmp_path):
             assert {r["cell"] for r in rows} <= set(range(4)), kind
 
 
+def test_quantization_stats_zero_vector_finite(spark, tmp_path):
+    """A zero vector must yield finite stats, not a NaN that poisons
+    err_sum and makes every should_rebuild comparison silently false
+    (NaN > threshold is False)."""
+    import math
+
+    emb = _emb(spark)
+    X = sample_vectors(emb, 256)
+    cents = kmeans_train_local(X, 4, iterations=4, metric="cosine")
+    path = str(tmp_path / "flat")
+    ivfflat_index_write(emb, path, cents)
+    import json
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    dim = len(meta["centroids"][0])
+    with_zero = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(999999, [0.0] * dim)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    rows = quantization_stats(with_zero, meta).collect()
+    assert sum(r["n"] for r in rows) == emb.count() + 1
+    assert all(math.isfinite(r["err_sum"]) for r in rows)
+
+
 def test_drift_flags_shifted_appends_not_indistribution(spark, tmp_path):
     emb = _emb(spark)
     day1 = emb.filter(F.col("vec_id") % 3 != 0)

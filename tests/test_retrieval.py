@@ -79,6 +79,18 @@ def test_bm25_only_candidates_and_topk(spark):
         assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
 
 
+def test_bm25_duplicate_queries_not_double_counted(spark):
+    """A repeated query string must score exactly like a single copy —
+    duplicate (query, term) rows would sum every term score twice."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    key = lambda df: sorted(
+        (r.query, r.doc_id, r.rank, r.score) for r in df.collect()
+    )
+    once = key(bm25_top_docs(docs, ["fast joins"], top_k=5))
+    twice = key(bm25_top_docs(docs, ["fast joins", "fast joins"], top_k=5))
+    assert once == twice
+
+
 def test_rrf_fuse_matches_python_reference(spark):
     from example_kafkastreams_spark.operators.retrieval import (
         rrf_fuse,
@@ -208,6 +220,13 @@ def test_bm25_append_sink_serves_exactly(spark, tmp_path):
     assert _rowkey(bm25_index_query(spark, path, qs, top_k=5)) == want
     sink(b1, 1)  # crash replay: dynamic overwrite rewrites the leaf
     assert _rowkey(bm25_index_query(spark, path, qs, top_k=5)) == want
+
+    # single-write atomicity: the batch's stat increments derive from
+    # the postings leaf itself — no separate stats_delta tree, hence
+    # no crash window between two writes
+    import os
+
+    assert not os.path.isdir(os.path.join(path, "stats_delta"))
 
 
 def test_bm25_index_compact_exact_and_crash_safe(spark, tmp_path):
