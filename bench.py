@@ -1051,12 +1051,9 @@ def main() -> None:
         _py_cosine,
         brute_force_knn,
         ivf_ann,
-        ivf_flat_ann_trained,
         ivf_pq_ann,
-        ivf_pq_ann_trained,
         lsh_ann,
         pq_ann,
-        pq_ann_trained,
     )
 
     # NQ=64 is serving-realistic since the r7 broadcast-LUT rewrite
@@ -1115,44 +1112,81 @@ def main() -> None:
         "brute_force": {"sec": bf_sec, "recall_at_10": 1.0},
         "num_queries": NQ,
     }
+    def _ann_recall_of(got_rows, against=None):
+        got: dict = {}
+        for r in got_rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        t = truth if against is None else against
+        hits = sum(len(got.get(q, set()) & neigh) for q, neigh in t.items())
+        return round(hits / (len(t) * K), 4), got
+
     for label, thunk in (
         ("lsh", lambda: lsh_ann(embt, num_queries=NQ, k=K)),
         ("lsh_mp", lambda: lsh_ann(embt, num_queries=NQ, k=K, nprobe=3)),
         ("ivf", lambda: ivf_ann(embt, num_queries=NQ, k=K)),
         ("pq", lambda: pq_ann(embt, num_queries=NQ, k=K)),
         ("ivfpq", lambda: ivf_pq_ann(embt, num_queries=NQ, k=K)),
-        ("pq_trained", lambda: pq_ann_trained(embt, num_queries=NQ, k=K)),
-        (
-            "ivfpq_trained",
-            lambda: ivf_pq_ann_trained(embt, num_queries=NQ, k=K),
-        ),
-        (
-            "ivfflat_trained",
-            lambda: ivf_flat_ann_trained(embt, num_queries=NQ, k=K),
-        ),
     ):
         t0 = time.perf_counter()
         got_rows = thunk().collect()
         sec = round(time.perf_counter() - t0, 3)
         release_sketch_caches()
-        got: dict = {}
-        for r in got_rows:
-            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        hits = sum(
-            len(got.get(q, set()) & neigh) for q, neigh in truth.items()
-        )
-        ann_rows[label] = {
-            "sec": sec,
-            "recall_at_10": round(hits / (len(truth) * K), 4),
-        }
+        recall, got = _ann_recall_of(got_rows)
+        ann_rows[label] = {"sec": sec, "recall_at_10": recall}
         if label in ("pq", "ivfpq"):
-            l2_hits = sum(
-                len(got.get(q, set()) & neigh)
-                for q, neigh in l2_truth.items()
-            )
-            ann_rows[label]["recall_at_10_l2"] = round(
-                l2_hits / (len(l2_truth) * K), 4
-            )
+            l2_recall, _ = _ann_recall_of(got_rows, l2_truth)
+            ann_rows[label]["recall_at_10_l2"] = l2_recall
+
+    # In-session trained families, build/serve split (VERDICT r8 item
+    # 1): a session trains + encodes ONCE (build_sec: sampling, local
+    # k-means, Arrow encode, cache materialization) and serves every
+    # query batch after from the cached index (serve_sec: the fused
+    # ADC-shortlist + exact-refine job — ONE job, the raw vectors ride
+    # the shortlist so there is no second corpus scan). "sec" stays
+    # build+serve for cross-round continuity. The deploy gate: every
+    # trained serve must beat the brute-force wall at this scale.
+    from example_kafkastreams_spark.operators.knn import (
+        ivf_flat_ann_trained_build,
+        ivf_pq_ann_trained_build,
+        ivf_pq_ann_trained_serve,
+        ivfflat_score,
+        pq_ann_trained_build,
+        pq_ann_trained_serve,
+    )
+
+    ann_qrows = qrows  # the NQ (id, vector) rows collected above
+
+    def _split_row(build_thunk, serve_thunk):
+        t0 = time.perf_counter()
+        built = build_thunk()
+        built[-1].count()  # materialize the session cache
+        build_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        got_rows = serve_thunk(built).collect()
+        serve_sec = round(time.perf_counter() - t0, 3)
+        release_sketch_caches()
+        recall, _ = _ann_recall_of(got_rows)
+        return {
+            "build_sec": build_sec,
+            "serve_sec": serve_sec,
+            "sec": round(build_sec + serve_sec, 3),
+            "recall_at_10": recall,
+        }
+
+    ann_rows["pq_trained"] = _split_row(
+        lambda: pq_ann_trained_build(embt),
+        lambda b: pq_ann_trained_serve(b[-1], b[0], ann_qrows, k=K),
+    )
+    ann_rows["ivfpq_trained"] = _split_row(
+        lambda: ivf_pq_ann_trained_build(embt),
+        lambda b: ivf_pq_ann_trained_serve(
+            b[-1], b[0], b[1], ann_qrows, k=K
+        ),
+    )
+    ann_rows["ivfflat_trained"] = _split_row(
+        lambda: ivf_flat_ann_trained_build(embt),
+        lambda b: ivfflat_score(b[-1], b[0], ann_qrows, K, nprobe=8),
+    )
     # Build/serve split — the deployable story. The *_trained walls
     # above bill sampling + training + encode to EVERY call; a
     # production deployment trains and encodes ONCE (the persistent

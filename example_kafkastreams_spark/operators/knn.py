@@ -1022,27 +1022,18 @@ def _adc_lookup_expr(m: int) -> str:
     )
 
 
-def pq_adc_score(
+def _pq_adc_scored(
     enc: DataFrame,
     codebook: list[list[list[float]]],
     qrows: list,
-    k: int,
     id_col: str = "vec_id",
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """ADC scoring over an ALREADY-ENCODED corpus — the query-time half
-    of PQ, shared by ``pq_ann`` (fresh build) and the persistent-index
-    path (``operators.ann_index``). ``qrows`` are collected
-    (id, vector) rows.
-
-    Plan shape: ONE broadcast join, constant in the number of queries
-    (the FAISS serving convention). Each query's k×m LUT of exact
-    subspace distances becomes a ROW of a broadcast (query_id, lut)
-    frame — not a plan branch — and scoring is a single map-side
-    projection over codes ⨯ broadcast queries: m ``element_at``
-    lookups summed left-to-right (bit-identical to the former spliced
-    literals, which built one unioned sub-plan per query and hit
-    driver-side plan explosion at realistic batch sizes).
-    """
+    """The (query_id, neighbor_id, __d2 [, carry_cols…]) ADC-scored
+    frame both PQ serve shapes reduce: ``pq_adc_score`` top-k's it
+    directly, the fused refine (``_fused_refine``) carries the raw
+    vector column through it so the exact re-rank needs no second
+    corpus pass."""
     spark = enc.sparkSession
     m = len(codebook)
     # query_id is typed off the CORPUS id column — ann_index_query
@@ -1066,15 +1057,40 @@ def pq_adc_score(
             ]
         ),
     )
-    scored = (
+    return (
         enc.crossJoin(F.broadcast(qlut))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.expr(_adc_lookup_expr(m)).alias("__d2"),
+            *carry_cols,
         )
     )
+
+
+def pq_adc_score(
+    enc: DataFrame,
+    codebook: list[list[list[float]]],
+    qrows: list,
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC scoring over an ALREADY-ENCODED corpus — the query-time half
+    of PQ, shared by ``pq_ann`` (fresh build) and the persistent-index
+    path (``operators.ann_index``). ``qrows`` are collected
+    (id, vector) rows.
+
+    Plan shape: ONE broadcast join, constant in the number of queries
+    (the FAISS serving convention). Each query's k×m LUT of exact
+    subspace distances becomes a ROW of a broadcast (query_id, lut)
+    frame — not a plan branch — and scoring is a single map-side
+    projection over codes ⨯ broadcast queries: m ``element_at``
+    lookups summed left-to-right (bit-identical to the former spliced
+    literals, which built one unioned sub-plan per query and hit
+    driver-side plan explosion at realistic batch sizes).
+    """
+    scored = _pq_adc_scored(enc, codebook, qrows, id_col)
     return _two_phase_topk(
         scored,
         "query_id",
@@ -1319,28 +1335,18 @@ def ivf_pq_ann(
     return ivfpq_adc_score(enc, cents, codebook, qrows, k, nprobe, id_col)
 
 
-def ivfpq_adc_score(
+def _ivfpq_adc_scored(
     enc: DataFrame,
     cents: list[list[float]],
     codebook: list[list[list[float]]],
     qrows: list,
-    k: int,
     nprobe: int = 2,
     id_col: str = "vec_id",
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """Residual-ADC scoring over an already-built IVF-PQ index — the
-    query-time half shared by ``ivf_pq_ann`` and the persistent-index
-    path (``operators.ann_index``). Python cell picks replay SQL's
-    exact IEEE cosine fold (``_py_cosine``), so probed cells match the
-    stored ``cell`` column bit-for-bit.
-
-    Plan shape: ONE broadcast equi-join on ``cell``, constant in both
-    the number of queries and ``nprobe`` — each (query, probed cell)
-    pair is a ROW of a broadcast (cell, query_id, residual-LUT) frame,
-    so an encoded row is scored exactly against the queries probing
-    its cell (the IVF promise as a join predicate) with the same
-    left-to-right ADC fold (bit-identical to the former per-(query,
-    cell) spliced sub-plans)."""
+    """The residual-ADC-scored (query_id, neighbor_id, __d2
+    [, carry_cols…]) frame both IVF-PQ serve shapes reduce — see
+    ``_pq_adc_scored``."""
     spark = enc.sparkSession
     m = len(codebook)
     cb_np = [np.asarray(sub, dtype=np.float64) for sub in codebook]
@@ -1376,7 +1382,7 @@ def ivfpq_adc_score(
     # read (the IVF promise survives storage — plan-asserted in
     # tests/test_ann_index.py).
     probed_cells = sorted({r[0] for r in probe_rows})
-    scored = (
+    return (
         enc.filter(F.col("cell").isin(probed_cells))
         .join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -1384,8 +1390,34 @@ def ivfpq_adc_score(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             F.expr(_adc_lookup_expr(m)).alias("__d2"),
+            *carry_cols,
         )
     )
+
+
+def ivfpq_adc_score(
+    enc: DataFrame,
+    cents: list[list[float]],
+    codebook: list[list[list[float]]],
+    qrows: list,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual-ADC scoring over an already-built IVF-PQ index — the
+    query-time half shared by ``ivf_pq_ann`` and the persistent-index
+    path (``operators.ann_index``). Python cell picks replay SQL's
+    exact IEEE cosine fold (``_py_cosine``), so probed cells match the
+    stored ``cell`` column bit-for-bit.
+
+    Plan shape: ONE broadcast equi-join on ``cell``, constant in both
+    the number of queries and ``nprobe`` — each (query, probed cell)
+    pair is a ROW of a broadcast (cell, query_id, residual-LUT) frame,
+    so an encoded row is scored exactly against the queries probing
+    its cell (the IVF promise as a join predicate) with the same
+    left-to-right ADC fold (bit-identical to the former per-(query,
+    cell) spliced sub-plans)."""
+    scored = _ivfpq_adc_scored(enc, cents, codebook, qrows, nprobe, id_col)
     return _two_phase_topk(
         scored,
         "query_id",
@@ -1664,6 +1696,7 @@ def pq_encode_vectorized(
     codebook: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, codes) — ``pq_encode``'s Arrow twin for LARGE codebooks.
 
@@ -1673,7 +1706,12 @@ def pq_encode_vectorized(
     folds) the generated code blows past JIT limits. Here the codebook
     rides the closure as a numpy constant and each Arrow batch is one
     BLAS-shaped argmin — still map-side, still zero corpus shuffle,
-    still embarrassingly parallel."""
+    still embarrassingly parallel.
+
+    ``keep_vec`` passes the raw vector column through alongside the
+    codes — the in-session serve cache shape (fused ADC + refine needs
+    the exact bits the corpus shipped with; the parquet artifact path
+    stays codes-only)."""
     import pandas as pd
 
     cb = [np.asarray(sub, dtype=np.float64) for sub in codebook]
@@ -1685,17 +1723,22 @@ def pq_encode_vectorized(
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "codes": [c.tolist() for c in _np_codes(X, cb)],
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "codes": [c.tolist() for c in _np_codes(X, cb)],
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
     schema = (
         f"{id_col} {emb.schema[id_col].dataType.simpleString()},"
         " codes array<int>"
     )
+    if keep_vec:
+        schema += (
+            f", {vec_col} {emb.schema[vec_col].dataType.simpleString()}"
+        )
     return emb.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
@@ -1705,6 +1748,7 @@ def ivf_pq_encode_local(
     codebook: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cell, codes) — the IVF-PQ index build as ONE Arrow pass
     for trained (large) parameters: cosine cell pick, residual
@@ -1729,18 +1773,23 @@ def ivf_pq_encode_local(
             xn = np.sqrt((X * X).sum(1))
             cell = ((X @ C.T) / (xn[:, None] * cn[None, :])).argmax(1)
             R = X - C[cell]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cell": cell.astype(np.int32),
-                    "codes": [c.tolist() for c in _np_codes(R, cb)],
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "cell": cell.astype(np.int32),
+                "codes": [c.tolist() for c in _np_codes(R, cb)],
+            }
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
     schema = (
         f"{id_col} {emb.schema[id_col].dataType.simpleString()},"
         " cell int, codes array<int>"
     )
+    if keep_vec:
+        schema += (
+            f", {vec_col} {emb.schema[vec_col].dataType.simpleString()}"
+        )
     return emb.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
@@ -1797,6 +1846,109 @@ def exact_rerank(
     )
 
 
+def _fused_refine(
+    scored_v: DataFrame,
+    id_type,
+    qrows: list,
+    refine: int,
+    k: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC shortlist + exact refine in ONE job (FAISS
+    IndexRefineFlat's serve, without the second pass): ``scored_v``
+    carries each candidate's RAW vector through the approximate
+    scoring, so the top-``refine`` survivors re-rank by exact cosine
+    in place — no mid-plan broadcast of a computed shortlist, no
+    second corpus scan for vector lookup. Returns the
+    ``brute_force_knn`` contract (query_id, neighbor_id, cosine,
+    knn_rank), bit-identical to ``pq_adc_score`` → ``exact_rerank``
+    (same survivor set under the same total order, same IEEE cosine
+    fold, same two-phase final top-k).
+
+    Scale shape: the vector column rides only map-side until the
+    shortlist's partial top-k prunes each partition to ≤ |queries| ·
+    ``refine`` rows — the one exchange carries ≤ partitions ·
+    |queries| · ``refine`` vectors, bounded by the serve contract,
+    never the corpus."""
+    from pyspark.sql import types as T
+
+    spark = scored_v.sparkSession
+    shortlist = _two_phase_topk(
+        scored_v,
+        "query_id",
+        [F.col("__d2").asc(), F.col("neighbor_id")],
+        refine,
+        rank_name="__srank",
+    ).drop("__srank", "__d2")
+    qdf = _probes_frame(
+        spark,
+        [(qr[0], [float(x) for x in qr[1]]) for qr in qrows],
+        T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("__qv", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    survivors = shortlist.join(F.broadcast(qdf), "query_id").withColumn(
+        "__cos", F.expr(P.cosine(vec_col, "__qv", P.SPARK))
+    )
+    return _two_phase_topk(
+        survivors,
+        "query_id",
+        [F.col("__cos").desc(), F.col("neighbor_id")],
+        k,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(P.round_dbl("__cos", 6, P.SPARK)).alias("cosine"),
+        "knn_rank",
+    )
+
+
+def pq_ann_trained_build(
+    emb: DataFrame,
+    m: int = 16,
+    num_codes: int = 256,
+    sample_n: int = 16384,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """(codebook, persisted encoded corpus) — the train-and-encode
+    half of serving-grade PQ, paid ONCE per session however many query
+    batches follow (the in-session twin of ``pq_index_write``). The
+    encoded frame keeps the raw vectors alongside the codes so serves
+    can refine without a second corpus pass — the in-session cache
+    trades memory for the artifact path's codes-only storage."""
+    X = sample_vectors(emb, sample_n, id_col, vec_col)
+    cb = pq_codebook_local(X, m, num_codes, iterations)
+    enc = persist_tracked(
+        pq_encode_vectorized(emb, cb, id_col, vec_col, keep_vec=True)
+    )
+    return cb, enc
+
+
+def pq_ann_trained_serve(
+    enc: DataFrame,
+    codebook: list[list[list[float]]],
+    qrows: list,
+    k: int = 10,
+    refine: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The per-query-batch half over a ``pq_ann_trained_build`` index:
+    broadcast-LUT ADC shortlist + exact refine, fused into one job
+    (``_fused_refine``)."""
+    scored = _pq_adc_scored(
+        enc, codebook, qrows, id_col, carry_cols=(vec_col,)
+    )
+    return _fused_refine(
+        scored, enc.schema[id_col].dataType, qrows, refine, k, vec_col
+    )
+
+
 def pq_ann_trained(
     emb: DataFrame,
     num_queries: int = 64,
@@ -1811,12 +1963,12 @@ def pq_ann_trained(
 ) -> DataFrame:
     """Serving-grade PQ: sampled k-means codebooks (m=16 x 256 codes
     = 16 bytes/vector), Arrow encode, broadcast-LUT ADC shortlist of
-    ``refine`` candidates, exact re-rank. Returns the
-    ``brute_force_knn`` contract (query_id, neighbor_id, cosine,
-    knn_rank)."""
-    X = sample_vectors(emb, sample_n, id_col, vec_col)
-    cb = pq_codebook_local(X, m, num_codes, iterations)
-    enc = persist_tracked(pq_encode_vectorized(emb, cb, id_col, vec_col))
+    ``refine`` candidates, exact re-rank (fused single-job serve).
+    Returns the ``brute_force_knn`` contract (query_id, neighbor_id,
+    cosine, knn_rank)."""
+    cb, enc = pq_ann_trained_build(
+        emb, m, num_codes, sample_n, iterations, id_col, vec_col
+    )
     qrows = (
         emb.filter(F.col(id_col) < num_queries)
         .orderBy(id_col)
@@ -1825,8 +1977,7 @@ def pq_ann_trained(
     )
     if not qrows:
         return _empty_ann_result(emb, id_col)
-    shortlist = pq_adc_score(enc, cb, qrows, refine, id_col)
-    return exact_rerank(shortlist, emb, qrows, k, id_col, vec_col)
+    return pq_ann_trained_serve(enc, cb, qrows, k, refine, id_col, vec_col)
 
 
 def train_ivfpq_local(
@@ -1880,12 +2031,9 @@ def ivf_pq_ann_trained(
     num_centroids (smaller cells rank better under a fixed probe
     budget) — defaults (64 cells, 16 probes, refine=100) sit at ~25%
     of the code table per query."""
-    cents, cb = train_ivfpq_local(
+    cents, cb, enc = ivf_pq_ann_trained_build(
         emb, num_centroids, m, num_codes, sample_n, iterations,
         id_col, vec_col,
-    )
-    enc = persist_tracked(
-        ivf_pq_encode_local(emb, cents, cb, id_col, vec_col)
     )
     qrows = (
         emb.filter(F.col(id_col) < num_queries)
@@ -1895,8 +2043,56 @@ def ivf_pq_ann_trained(
     )
     if not qrows:
         return _empty_ann_result(emb, id_col)
-    shortlist = ivfpq_adc_score(enc, cents, cb, qrows, refine, nprobe, id_col)
-    return exact_rerank(shortlist, emb, qrows, k, id_col, vec_col)
+    return ivf_pq_ann_trained_serve(
+        enc, cents, cb, qrows, k, nprobe, refine, id_col, vec_col
+    )
+
+
+def ivf_pq_ann_trained_build(
+    emb: DataFrame,
+    num_centroids: int = 64,
+    m: int = 16,
+    num_codes: int = 256,
+    sample_n: int = 16384,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """(centroids, codebook, persisted encoded corpus) — the
+    train-and-encode half of serving-grade IVF-PQ, paid ONCE per
+    session (the in-session twin of ``ivfpq_index_write``). The
+    encoded frame keeps raw vectors for the fused refine."""
+    cents, cb = train_ivfpq_local(
+        emb, num_centroids, m, num_codes, sample_n, iterations,
+        id_col, vec_col,
+    )
+    enc = persist_tracked(
+        ivf_pq_encode_local(emb, cents, cb, id_col, vec_col, keep_vec=True)
+    )
+    return cents, cb, enc
+
+
+def ivf_pq_ann_trained_serve(
+    enc: DataFrame,
+    cents: list[list[float]],
+    codebook: list[list[list[float]]],
+    qrows: list,
+    k: int = 10,
+    nprobe: int = 16,
+    refine: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The per-query-batch half over an ``ivf_pq_ann_trained_build``
+    index: probed-cell residual-ADC shortlist + exact refine, fused
+    into one job (``_fused_refine``)."""
+    scored = _ivfpq_adc_scored(
+        enc, cents, codebook, qrows, nprobe, id_col,
+        carry_cols=(vec_col,),
+    )
+    return _fused_refine(
+        scored, enc.schema[id_col].dataType, qrows, refine, k, vec_col
+    )
 
 
 def ivf_flat_encode(
@@ -2011,9 +2207,9 @@ def ivf_flat_ann_trained(
     probed cells. The high-recall serving option — recall loss comes
     ONLY from the probe budget (no quantization error), at the cost of
     storing raw vectors (4·dim bytes each vs IVF-PQ's m)."""
-    X = sample_vectors(emb, sample_n, id_col, vec_col)
-    cents = kmeans_train_local(X, num_centroids, iterations, "cosine")
-    enc = persist_tracked(ivf_flat_encode(emb, cents, id_col, vec_col))
+    cents, enc = ivf_flat_ann_trained_build(
+        emb, num_centroids, sample_n, iterations, id_col, vec_col
+    )
     qrows = (
         emb.filter(F.col(id_col) < num_queries)
         .orderBy(id_col)
@@ -2023,3 +2219,21 @@ def ivf_flat_ann_trained(
     if not qrows:
         return _empty_ann_result(emb, id_col)
     return ivfflat_score(enc, cents, qrows, k, nprobe, id_col, vec_col)
+
+
+def ivf_flat_ann_trained_build(
+    emb: DataFrame,
+    num_centroids: int = 64,
+    sample_n: int = 16384,
+    iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """(centroids, persisted encoded corpus) — the train-and-tag half
+    of serving-grade IVF-Flat, paid ONCE per session (the in-session
+    twin of ``ivfflat_index_write``; raw vectors are the index, so
+    the serve — ``ivfflat_score`` — is already single-job)."""
+    X = sample_vectors(emb, sample_n, id_col, vec_col)
+    cents = kmeans_train_local(X, num_centroids, iterations, "cosine")
+    enc = persist_tracked(ivf_flat_encode(emb, cents, id_col, vec_col))
+    return cents, enc

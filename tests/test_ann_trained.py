@@ -213,6 +213,67 @@ def test_trained_ivfpq_recall_exact_on_clusters(spark):
     assert got == want
 
 
+def test_fused_serve_bitwise_equals_two_pass(spark):
+    """The single-job fused serve (raw vectors carried through the ADC
+    shortlist, refine in place) must be BIT-identical to the two-pass
+    shape (adc_score → exact_rerank's broadcast + second corpus scan)
+    for both PQ and IVF-PQ — same survivor set under the same total
+    order, same IEEE cosine fold, same rounding and tie-break."""
+    from example_kafkastreams_spark.operators.knn import (
+        ivf_pq_ann_trained,
+        ivf_pq_encode_local,
+        ivfpq_adc_score,
+        pq_adc_score,
+        pq_ann_trained,
+        pq_codebook_local,
+        pq_encode_vectorized,
+        sample_vectors,
+        train_ivfpq_local,
+    )
+
+    emb, _ = _clustered(spark)
+    qrows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rk = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.knn_rank)
+        for r in df.collect()
+    )
+    X = sample_vectors(emb, 2048)
+    cb = pq_codebook_local(X, 8, 16, 4)
+    enc = pq_encode_vectorized(emb, cb)
+    two_pass = rk(
+        exact_rerank(pq_adc_score(enc, cb, qrows, 20), emb, qrows, 3)
+    )
+    fused = rk(
+        pq_ann_trained(
+            emb, num_queries=4, k=3, m=8, num_codes=16, refine=20,
+            iterations=4,
+        )
+    )
+    release_sketch_caches()
+    assert fused == two_pass
+
+    cents, cb2 = train_ivfpq_local(emb, 4, 8, 16, 16384, 4)
+    enc2 = ivf_pq_encode_local(emb, cents, cb2)
+    two_pass2 = rk(
+        exact_rerank(
+            ivfpq_adc_score(enc2, cents, cb2, qrows, 20, 4), emb, qrows, 3
+        )
+    )
+    fused2 = rk(
+        ivf_pq_ann_trained(
+            emb, num_queries=4, k=3, num_centroids=4, m=8, num_codes=16,
+            nprobe=4, refine=20, iterations=4,
+        )
+    )
+    release_sketch_caches()
+    assert fused2 == two_pass2
+
+
 def test_adc_score_string_ids(spark):
     """ADVICE r7: the broadcast LUT frame types query_id off the
     corpus id column — a string-id index must work end to end."""
