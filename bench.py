@@ -153,7 +153,7 @@ _MERGED_SINCE = {
     "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
     "q56_quantize_embeddings": 8, # +adc (r8)
     "q54_chunk_documents": 8,     # +shard (r8)
-    "q55_tfidf_top_term": 8,      # +bm25 (r8)
+    "q55_tfidf_top_term": 9,      # +bm25idx (r9)
     "q63_corpus_funnel": 6,       # +delta (r6)
 }
 
@@ -302,7 +302,11 @@ def main() -> None:
         ("q46_ann_lsh_ivf", "method", ("lsh", "ivf", "lsh_mp", "ivfflat_mp")),
         ("q47_embedding_neardup", "mode", ("pair", "sem", "delta", "deltaidx")),
         ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt", "shard")),
-        ("q55_tfidf_top_term", "mode", ("tfidf", "bm25", "rrf")),
+        (
+            "q55_tfidf_top_term",
+            "mode",
+            ("tfidf", "bm25", "bm25idx", "rrf"),
+        ),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
     ):
