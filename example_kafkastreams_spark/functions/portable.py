@@ -491,6 +491,85 @@ def pii_count(text_col: str, d: str) -> str:
     return regexp_count(text_col, alternation, d)
 
 
+# --- text normalization ---------------------------------------------------
+# The standard CCNet/C4-style pre-clean every web-scraped corpus runs
+# BEFORE line cleaning and quality scoring: mojibake repair, combining-
+# mark recomposition, control-char strip, newline/whitespace
+# canonicalization. Full Unicode NFC and full ftfy need ICU tables —
+# not expressible as a bounded cross-engine SQL expression — so this is
+# the deterministic bounded-table subset both engines compute
+# identically: the COMMON cases (UTF-8-read-as-Latin-1 punctuation and
+# accents; combining acute/grave/diaeresis/tilde over Latin vowels),
+# with the contract that anything outside the tables passes through
+# unchanged rather than being half-fixed.
+
+# UTF-8 bytes of common punctuation/accents mis-decoded as Latin-1.
+# All sequences are printable and quote-free (SQL-literal safe); the
+# 3-char "â€x" sequences are mutually prefix-free so chain order
+# within the table is immaterial.
+MOJIBAKE_FIXES: list[tuple[str, str]] = [
+    ("â€™", "’"),  # â€™ → right single quote
+    ("â€œ", "“"),  # â€œ → left double quote
+    ("â€“", "–"),  # â€“ → en dash
+    ("â€”", "—"),  # â€” → em dash
+    ("â€¦", "…"),  # â€¦ → ellipsis
+    ("Ã©", "é"),        # Ã© → é
+    ("Ã¨", "è"),        # Ã¨ → è
+    ("Ã¼", "ü"),        # Ã¼ → ü
+    ("Ã¶", "ö"),        # Ã¶ → ö
+    ("Ã±", "ñ"),        # Ã± → ñ
+]
+
+# NFC-lite: recompose (base letter + combining mark) pairs into their
+# precomposed forms for the Latin vowels/consonants real corpora carry.
+# Escapes on purpose: decomposed and precomposed render identically,
+# so literal characters would be one editor-normalization away from a
+# silent identity table.
+NFC_FIXES: list[tuple[str, str]] = [
+    ("a\u0301", "\u00e1"), ("e\u0301", "\u00e9"), ("i\u0301", "\u00ed"),
+    ("o\u0301", "\u00f3"), ("u\u0301", "\u00fa"),
+    ("a\u0300", "\u00e0"), ("e\u0300", "\u00e8"),
+    ("a\u0308", "\u00e4"), ("o\u0308", "\u00f6"), ("u\u0308", "\u00fc"),
+    ("n\u0303", "\u00f1"),
+]
+
+
+def _regex_lit(pattern: str, d: str) -> str:
+    """A regex containing backslashes as a SQL string literal: Spark's
+    literal parser processes C-style escapes (``\\x`` must arrive as
+    ``\\\\x`` in the query text); DuckDB literals are escape-inert."""
+    body = pattern.replace("\\", "\\\\") if d == SPARK else pattern
+    return f"'{body}'"
+
+
+# C0 controls minus tab/LF/CR (tab dies in whitespace collapse, LF is
+# document structure, CR canonicalizes to LF first), plus DEL.
+_CTRL_CLASS = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
+
+
+def normalize_text(text_col: str, d: str) -> str:
+    """The pre-clean as ONE cross-engine expression chain, in fix-
+    point-safe order: mojibake repair FIRST (its inputs are multi-char
+    sequences later stages would mangle), then combining-mark
+    recomposition, then CRLF/CR → LF, control strip, space/tab-run
+    collapse, and an outer space trim. Pure map-side scan work — the
+    same zero-shuffle shape as ``pii_scrub``."""
+    _check(d)
+    out = text_col
+    for seq, rep in MOJIBAKE_FIXES + NFC_FIXES:
+        out = f"replace({out}, '{seq}', '{rep}')"
+    # newline canonicalization via chr() — no escape-sensitive literals
+    out = f"replace({out}, chr(13) || chr(10), chr(10))"
+    out = f"replace({out}, chr(13), chr(10))"
+    # DuckDB regexp_replace is first-match-only without the 'g' flag
+    # (the pii_scrub lesson); Spark's is global by default
+    g = "" if d == SPARK else ", 'g'"
+    out = f"regexp_replace({out}, {_regex_lit(_CTRL_CLASS, d)}, ''{g})"
+    ws_class = "[ \\x{09}]+"
+    out = f"regexp_replace({out}, {_regex_lit(ws_class, d)}, ' '{g})"
+    return f"trim({out})"
+
+
 # --- repetition / boilerplate metrics -------------------------------------
 # Gopher/MassiveText-style repetition filters: heavily self-repeating
 # documents (boilerplate, scraped templates, degenerate generations)

@@ -59,6 +59,7 @@ def corpus_stages(
     line_clean: dict | None = None,
     substr_k: int | None = None,
     lm_range: tuple[float, float] | None = None,
+    normalize: bool = False,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -99,8 +100,24 @@ def corpus_stages(
     external-model path, OOV floor included) — the same
     yesterday's-statistics discipline as the persistent dedup
     indexes. Default ``None`` keeps the funnel bit-unchanged.
+
+    ``normalize``: enable the text-normalization pre-clean (the
+    CCNet/C4 placement — FIRST, before even the line clean, because
+    every downstream heuristic tokenizes on canonical whitespace and
+    compares canonical codepoints): mojibake repair, NFC-lite
+    combining-mark recomposition, control strip, newline/whitespace
+    canonicalization (``functions.portable.normalize_text`` — the
+    dual-dialect expression, so the oracle re-derives it exactly).
+    Pure map-side scan work; a ``normalized`` stage entry is added.
+    Default ``False`` keeps the funnel bit-unchanged.
     """
     raw = docs
+    normalized = None
+    if normalize:
+        normalized = docs.withColumn(
+            "text", F.expr(P.normalize_text("text", P.SPARK))
+        )
+        docs = normalized
     line_cleaned = None
     if line_clean is not None:
         from .operators.lines import clean_documents
@@ -229,6 +246,8 @@ def corpus_stages(
         "neardup_survivors": neardup,
         "chunks": chunks,
     }
+    if normalized is not None:
+        stages["normalized"] = normalized
     if line_cleaned is not None:
         stages["line_cleaned"] = line_cleaned
     if substr_cleaned is not None:
@@ -1145,6 +1164,7 @@ def corpus_stages_delta(
     minhash_threshold: float = 0.5,
     substr_k: int | None = None,
     whash_index: DataFrame | None = None,
+    normalize: bool = False,
 ) -> dict[str, DataFrame]:
     """The DAY-2 funnel: run a new delta through the same
     quality → language → exact-dedup → near-dup → scrub → chunks
@@ -1194,6 +1214,16 @@ def corpus_stages_delta(
         admit_against_band_index,
         incremental_exact_dedup,
     )
+
+    # normalization first, exactly as in the one-shot funnel — a delta
+    # must be canonicalized BEFORE its digests/signatures are compared
+    # against indexes built over normalized day-1 text
+    normalized = None
+    if normalize:
+        normalized = delta.withColumn(
+            "text", F.expr(P.normalize_text("text", P.SPARK))
+        )
+        delta = normalized
 
     substr_cleaned = whash_delta = None
     if substr_k is not None:
@@ -1254,6 +1284,8 @@ def corpus_stages_delta(
         "digest_index_delta": digest_new,
         "band_index_delta": band_delta,
     }
+    if normalized is not None:
+        stages["normalized"] = normalized
     if substr_cleaned is not None:
         stages["substr_cleaned"] = substr_cleaned
         stages["whash_index_delta"] = whash_delta

@@ -119,25 +119,48 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q62_pii_scrub",
     oracle=f"""
-    SELECT doc_id,
-           {P.pii_scrub('text', D)} AS scrubbed_text,
-           CAST({P.pii_count('text', D)} AS BIGINT) AS n_pii
+    SELECT 'pii' AS mode, doc_id,
+           {P.pii_scrub('text', D)} AS out_text,
+           CAST({P.pii_count('text', D)} AS BIGINT) AS n_delta
+    FROM documents
+    UNION ALL
+    SELECT 'norm', doc_id,
+           {P.normalize_text('text', D)},
+           CAST(length(text)
+                - length({P.normalize_text('text', D)}) AS BIGINT)
     FROM documents
     """,
 )
 def q62_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Redact emails/IPv4s/phones/long digit runs (ordered
+    """``pii``: redact emails/IPv4s/phones/long digit runs (ordered
     regexp_replace chain, Java∩RE2 subset) + the single-pass
     alternation match count (an approximation of sequential-scrub
-    replacements — see functions.portable.pii_count). Pure map-side
-    column expressions; rebalanced off the single scan partition so the
-    per-byte regex work spreads across cores (the q48 rationale)."""
+    replacements — see functions.portable.pii_count). ``norm`` (round
+    9): the CCNet/C4-style text-normalization pre-clean
+    (functions.portable.normalize_text — mojibake repair, NFC-lite
+    recomposition, control strip, newline/whitespace canonicalization)
+    with the character-count delta as its metric, driver-VALUE-checked
+    against DuckDB's independent rendering of the same chain. Both
+    branches are pure map-side column expressions; rebalanced off the
+    single scan partition so the per-byte regex work spreads across
+    cores (the q48 rationale)."""
     docs = _rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
-    return docs.select(
+    pii = docs.select(
+        F.lit("pii").alias("mode"),
         "doc_id",
-        F.expr(P.pii_scrub("text", P.SPARK)).alias("scrubbed_text"),
-        F.expr(P.pii_count("text", P.SPARK)).cast("long").alias("n_pii"),
+        F.expr(P.pii_scrub("text", P.SPARK)).alias("out_text"),
+        F.expr(P.pii_count("text", P.SPARK)).cast("long").alias("n_delta"),
     )
+    norm_expr = P.normalize_text("text", P.SPARK)
+    norm = docs.select(
+        F.lit("norm").alias("mode"),
+        "doc_id",
+        F.expr(norm_expr).alias("out_text"),
+        (F.length("text") - F.length(F.expr(norm_expr)))
+        .cast("long")
+        .alias("n_delta"),
+    )
+    return pii.unionByName(norm)
 
 
 # --- q63: the corpus funnel end-to-end, one row ---------------------------

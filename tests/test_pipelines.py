@@ -144,3 +144,92 @@ def test_lm_filter_stage_matches_standalone_score(spark):
         r.doc_id for r in stages["exact_dedup"].select("doc_id").collect()
     }
     assert dedup_ids <= kept
+
+
+def _py_normalize(text):
+    """Pure-Python replay of functions.portable.normalize_text — the
+    same ordered chain (mojibake → NFC-lite → CR→LF → control strip →
+    space/tab collapse → trim)."""
+    import re
+
+    from example_kafkastreams_spark.functions.portable import (
+        MOJIBAKE_FIXES,
+        NFC_FIXES,
+    )
+
+    out = text
+    for seq, rep in MOJIBAKE_FIXES + NFC_FIXES:
+        out = out.replace(seq, rep)
+    out = out.replace("\r\n", "\n").replace("\r", "\n")
+    out = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", out)
+    out = re.sub("[ \t]+", " ", out)
+    return out.strip(" ")
+
+
+def test_funnel_normalize_stage(spark):
+    """normalize=True canonicalizes BEFORE every other stage: the
+    'normalized' stage matches the pure-Python replay of the chain on
+    adversarial text, downstream stages consume the canonical text,
+    and normalize=False (the default) keeps the funnel bit-unchanged
+    (q63's contract)."""
+    messy = [
+        (1, "mojibake â€™quoteâ€™ and CafÃ© text more filler words here", "web"),
+        (2, "NFC café und über tokens fill out the line", "web"),
+        (3, "ctrl\x00\x01 here\x7f and\r\nlines\rtoo with more words", "web"),
+        (4, "plain  double  spaces\tand tabs all over the line ", "web"),
+    ]
+    docs = spark.createDataFrame(
+        messy, "doc_id long, text string, source string"
+    )
+    stages = corpus_stages(
+        docs, min_quality=0.0, languages=("en", "de", "fr"), normalize=True
+    )
+    got = {r.doc_id: r.text for r in stages["normalized"].collect()}
+    want = {i: _py_normalize(t) for i, t, _ in messy}
+    assert got == want
+    # every downstream stage sees canonical text only
+    for r in stages["quality"].select("text").collect():
+        assert r.text == _py_normalize(r.text)
+
+    # default path bit-unchanged
+    base = corpus_stages(docs, min_quality=0.0, languages=("en", "de", "fr"))
+    assert "normalized" not in base
+    assert sorted(
+        (r.doc_id, r.text) for r in base["quality"].collect()
+    ) == sorted((i, t) for i, t, _ in messy)
+
+
+def test_delta_funnel_normalize_stage(spark):
+    """The day-2 funnel normalizes the delta with the same chain
+    BEFORE any index probe — a delta doc that is a mojibake twin of an
+    admitted day-1 doc must exact-dedup away once both sides are
+    canonical."""
+    from example_kafkastreams_spark.pipelines import corpus_stages_delta
+
+    clean = "the team ran the big hash join benchmark again today"
+    day1 = spark.createDataFrame(
+        [(1, clean, "web"), (2, "completely different filler text body here", "web")],
+        "doc_id long, text string, source string",
+    )
+    d1 = corpus_stages(
+        day1, min_quality=0.0, languages=("en", "de", "fr"), normalize=True
+    )
+    mojibake_twin = clean.replace("the team", "the\tteam") + " "
+    delta = spark.createDataFrame(
+        [(10, mojibake_twin, "web"), (11, "novel delta document with its own words", "web")],
+        "doc_id long, text string, source string",
+    )
+    d2 = corpus_stages_delta(
+        delta,
+        digest_index=d1["exact_dedup"].selectExpr(
+            "md5(text) AS content_hash"
+        ),
+        band_index=None,
+        min_quality=0.0,
+        languages=("en", "de", "fr"),
+        normalize=True,
+    )
+    assert "normalized" in d2
+    admitted = {r.doc_id for r in d2["exact_admitted"].collect()}
+    assert 10 not in admitted  # canonical twin of admitted day-1 text
+    assert 11 in admitted
