@@ -154,6 +154,7 @@ _MERGED_SINCE = {
     "q56_quantize_embeddings": 8, # +adc (r8)
     "q54_chunk_documents": 8,     # +shard (r8)
     "q55_tfidf_top_term": 9,      # +bm25idx (r9)
+    "q61_domain_mixing": 9,       # +card (r9)
     "q62_pii_scrub": 9,           # +norm (r9)
     "q63_corpus_funnel": 6,       # +delta (r6)
 }
@@ -309,6 +310,7 @@ def main() -> None:
             ("tfidf", "bm25", "bm25idx", "rrf"),
         ),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
+        ("q61_domain_mixing", "mode", ("mix", "card")),
         ("q62_pii_scrub", "mode", ("pii", "norm")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
     ):

@@ -38,10 +38,31 @@ def gini_udaf(v: pd.Series) -> float:
     """Gini coefficient of a non-negative metric within the group —
     the inequality summary a corpus report wants per source (token
     budget concentration); genuinely outside Catalyst's built-in
-    aggregate vocabulary, which is why it earns a UDAF."""
-    x = np.sort(v.to_numpy(dtype=np.float64))
-    n = x.size
-    if n == 0 or x.sum() == 0:
+    aggregate vocabulary, which is why it earns a UDAF.
+
+    Integral inputs take an EXACT path: the formula rearranges to
+    ((n+1)·T − 2·S) / (n·T) with S = Σ_i cum_i and T = Σ x — both
+    exact integers — so the result is ONE correctly-rounded IEEE
+    division of two integers, bit-reproducible by any engine that can
+    sort-fold the same integers (the q61 data-card oracle re-derives
+    it in SQL as the rank-weighted sum Σ x_i·(n−i+1) = S over the
+    ascending sort). Exactness holds while n·T < 2^53 — character
+    counts at any per-source grain this report targets; a group past
+    that is a data-card misuse, not a precision bug. Float inputs
+    keep the float path (no exact contract is possible there)."""
+    xv = v.to_numpy()
+    n = xv.size
+    if n == 0:
+        return 0.0
+    if np.issubdtype(xv.dtype, np.integer):
+        x = np.sort(xv.astype(np.int64))
+        T = int(x.sum())
+        if T == 0:
+            return 0.0
+        S = int(np.cumsum(x).sum())
+        return float(((n + 1) * T - 2 * S) / (n * T))
+    x = np.sort(xv.astype(np.float64))
+    if x.sum() == 0:
         return 0.0
     cum = np.cumsum(x)
     # standard formula: 1 - 2 * sum((cum - x/2)) / (n * total)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import portable as P
 from ..functions.udafs import gini_udaf
 from ..queries_llm import _quality_exprs
+from ..registry import davg
 
 
 def corpus_report(
@@ -73,7 +74,11 @@ def corpus_report(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__n_tok").alias("n_tokens"),
             F.count_distinct("__digest").alias("distinct_texts"),
-            F.round(F.avg("__q"), 6).alias("mean_quality"),
+            # scaled-long mean (registry.davg): per-row round-to-6
+            # then exact integer sum, so the mean is order-independent
+            # and cross-engine bit-exact (the q11 discipline) — a
+            # float avg would drift with partial-agg order
+            F.round(davg(F.col("__q"), 6), 6).alias("mean_quality"),
             F.round(
                 F.avg((F.col("__pred") == expected_lang).cast("double")),
                 6,

@@ -34,7 +34,7 @@ from .functions import portable as P
 from .operators.mixing import mix_sources
 from .operators.neardup import _rebalance
 from .pipelines import corpus_funnel_counts, corpus_stages
-from .registry import query
+from .registry import davg_sql, query
 from . import queries_llm as QL
 
 D = P.DUCK
@@ -71,6 +71,19 @@ def _mixing_sql() -> str:
         for rk, norm in enumerate(_MIX_NORM)
     )
     h = f"({P.token_hash32('CAST(d.doc_id AS VARCHAR)', D)} % {_M})"
+    qx = QL._quality_exprs(D)
+    scores = P.lang_scores("text", D)
+    score_cols = ", ".join(
+        f"{e} AS score_{lang}" for lang, e in scores.items()
+    )
+    pred = P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})
+    null_card = """
+           CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS distinct_texts,
+           CAST(NULL AS DOUBLE) AS dup_rate,
+           CAST(NULL AS DOUBLE) AS mean_quality,
+           CAST(NULL AS DOUBLE) AS pct_lang_pure,
+           CAST(NULL AS DOUBLE) AS gini_chars"""
     return f"""
     WITH ranked AS (
       SELECT source, row_number() OVER (ORDER BY source) AS rk
@@ -88,19 +101,75 @@ def _mixing_sql() -> str:
     cap AS (SELECT min(n / norm) AS cap FROM normed),
     rates AS (
       SELECT source, (norm * (SELECT cap FROM cap)) / n AS rate FROM normed
+    ),
+    -- card branch: the per-source data card, every metric re-derived
+    -- independently — counts/distinct-digests exactly, the mean
+    -- quality via the scaled-long exact sum (davg), purity over the
+    -- 0/1 predictions (integer-exact in float), and the Gini via the
+    -- rank-weighted ascending sort fold: sum_i ch_i * (n - i + 1) =
+    -- sum of prefix sums = S, gini = ((n+1)*T - 2*S) / (n*T) — one
+    -- IEEE division of two exact integers on both engines
+    qsc AS (
+      SELECT source, text, {qx['n_tokens']} AS n_tok,
+             {qx['quality_score']} AS q, {score_cols}
+      FROM documents
+    ),
+    predq AS (SELECT *, ({pred}) AS pred_lang FROM qsc),
+    cardbase AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(n_tok) AS n_tokens,
+             count(DISTINCT md5(text)) AS distinct_texts,
+             round(CAST(({davg_sql('q', 6)}) AS DOUBLE), 6) AS mean_quality,
+             round(CAST(avg(CASE WHEN pred_lang = 'en' THEN 1.0
+                                 ELSE 0.0 END) AS DOUBLE),
+                   6) AS pct_lang_pure
+      FROM predq GROUP BY source
+    ),
+    lens AS (
+      SELECT source, CAST(length(text) AS BIGINT) AS ch FROM documents
+    ),
+    rw AS (
+      SELECT source, ch,
+             row_number() OVER (PARTITION BY source ORDER BY ch) AS rn,
+             count(*) OVER (PARTITION BY source) AS n,
+             sum(ch) OVER (PARTITION BY source) AS tot
+      FROM lens
+    ),
+    gin AS (
+      SELECT source,
+             round(CAST(((max(n) + 1) * max(tot)
+                         - 2 * sum(ch * (n - rn + 1))) AS DOUBLE)
+                   / CAST((max(n) * max(tot)) AS DOUBLE), 6) AS gini_chars
+      FROM rw GROUP BY source
     )
-    SELECT d.doc_id, d.source
+    SELECT 'mix' AS mode, d.doc_id, d.source,{null_card}
     FROM documents d JOIN rates r ON d.source = r.source
     WHERE {h} < CAST(floor(r.rate * {_M}) AS BIGINT)
+    UNION ALL
+    SELECT 'card', CAST(NULL AS BIGINT), c.source, c.n_docs, c.n_tokens,
+           c.distinct_texts,
+           round(1.0 - CAST(c.distinct_texts AS DOUBLE) / c.n_docs, 6),
+           c.mean_quality, c.pct_lang_pure, g.gini_chars
+    FROM cardbase c JOIN gin g USING (source)
     """
 
 
 @query("q61_domain_mixing", oracle=_mixing_sql())
 def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Down-sample each over-weighted source to literal target ratios
-    via hash-bucket acceptance (operators.mixing): one S-row count job
-    folds the rates into a pure map-side filter — at 100 TB the scan
-    carries a literal predicate; no join, no shuffle, no rand()."""
+    """``mix``: down-sample each over-weighted source to literal
+    target ratios via hash-bucket acceptance (operators.mixing): one
+    S-row count job folds the rates into a pure map-side filter — at
+    100 TB the scan carries a literal predicate; no join, no shuffle,
+    no rand(). ``card`` (round 9): the per-source data card a
+    training-data release ships (operators.report.corpus_report —
+    volumes, token counts, exact-dup rate, scaled-long-exact mean
+    quality, language purity, and the Gini of document length whose
+    integral path is ONE IEEE division of two exact integers), every
+    column driver-VALUE-checked against DuckDB's independent
+    rederivation on the same source grain."""
+    from .operators.report import corpus_report
+
     docs = load_table(spark, sf_dir, "documents")
     srcs = sorted(
         r[0] for r in docs.select("source").distinct().collect()
@@ -111,7 +180,28 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"corpus has {len(srcs)}"
         )
     weights = dict(zip(srcs, _MIX_RANK_WEIGHTS))
-    return mix_sources(docs, weights).select("doc_id", "source")
+    card_cols = (
+        ("n_docs", "long"),
+        ("n_tokens", "long"),
+        ("distinct_texts", "long"),
+        ("dup_rate", "double"),
+        ("mean_quality", "double"),
+        ("pct_lang_pure", "double"),
+        ("gini_chars", "double"),
+    )
+    mix = mix_sources(docs, weights).select(
+        F.lit("mix").alias("mode"),
+        "doc_id",
+        "source",
+        *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
+    )
+    card = corpus_report(docs).select(
+        F.lit("card").alias("mode"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "source",
+        *[F.col(c) for c, _ in card_cols],
+    )
+    return mix.unionByName(card)
 
 
 # --- q62: PII scrubbing ---------------------------------------------------
