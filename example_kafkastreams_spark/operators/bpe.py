@@ -41,8 +41,12 @@ from pyspark.sql import types as T
 END_OF_WORD = "</w>"
 
 
-def _word_counts(sample: DataFrame, text_col: str) -> Counter:
-    rows = (
+def _word_counts(
+    sample: DataFrame, text_col: str, max_vocab: int | None
+) -> Counter:
+    from pyspark.sql import Window as W
+
+    agg = (
         sample.select(
             F.explode(
                 F.split(F.trim(F.col(text_col)), r"\s+")
@@ -51,15 +55,31 @@ def _word_counts(sample: DataFrame, text_col: str) -> Counter:
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
     )
-    return Counter({r["w"]: r["c"] for r in rows})
+    if max_vocab is not None:
+        # top-N by (count desc, word asc) — the same two-phase top-k
+        # shape as knn._two_phase_topk, so no single task ever sorts
+        # the full distinct-word table; the global phase ranks
+        # ≤ partitions·N survivors
+        pre = W.partitionBy("__pid").orderBy(F.desc("c"), F.asc("w"))
+        fin = W.partitionBy(F.lit(1)).orderBy(F.desc("c"), F.asc("w"))
+        agg = (
+            agg.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__r", F.row_number().over(pre))
+            .filter(F.col("__r") <= max_vocab)
+            .drop("__pid", "__r")
+            .withColumn("__r", F.row_number().over(fin))
+            .filter(F.col("__r") <= max_vocab)
+            .drop("__r")
+        )
+    return Counter({r["w"]: r["c"] for r in agg.collect()})
 
 
 def train_bpe_merges(
     sample: DataFrame,
     num_merges: int = 200,
     text_col: str = "text",
+    max_vocab: int | None = 65536,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` merges from the sample's word counts.
 
@@ -67,8 +87,16 @@ def train_bpe_merges(
     sample — only distinct words and counts are collected, not text);
     the merge loop itself is the sequential classic algorithm. Ties on
     pair frequency break lexicographically, so the table is unique.
-    """
-    counts = _word_counts(sample, text_col)
+
+    ``max_vocab`` bounds the driver collect BY CONSTRUCTION: only the
+    top ``max_vocab`` distinct words by (count desc, word asc) are
+    collected — on a carelessly-passed full corpus the unbounded
+    distinct-word set (URLs, typos) would be driver-fatal, and the
+    frequency tail it drops is exactly what BPE training ignores
+    anyway (singleton words contribute pair counts a 200-merge table
+    never reaches). Corpora with ≤ ``max_vocab`` distinct words train
+    bit-identically to the unbounded path (``None`` restores it)."""
+    counts = _word_counts(sample, text_col, max_vocab)
     words: dict[tuple[str, ...], int] = {
         tuple(w) + (END_OF_WORD,): c for w, c in counts.items()
     }

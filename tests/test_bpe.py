@@ -168,3 +168,32 @@ def test_bpe_chunks_pack_composition(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_train_bpe_max_vocab_bounds_collect(spark):
+    """max_vocab bounds the training collect by construction: under
+    the cap the merge table is bit-identical to the unbounded path; a
+    tight cap trains only on the capped head and still yields a valid
+    table."""
+    from example_kafkastreams_spark.operators.bpe import (
+        _word_counts,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest newest"),
+            (2, "wider wider newest low lowest"),
+        ],
+        "doc_id long, text string",
+    )
+    unbounded = train_bpe_merges(docs, num_merges=20, max_vocab=None)
+    default_cap = train_bpe_merges(docs, num_merges=20)  # 65536 cap
+    assert default_cap == unbounded
+
+    # a tight cap keeps exactly the top-N (count desc, word asc) words
+    capped = _word_counts(docs, "text", 2)
+    assert set(capped) == {"newest", "low"}  # 5x and 4x
+    tight = train_bpe_merges(docs, num_merges=20, max_vocab=2)
+    assert tight  # still a valid, deterministic table
+    assert tight == train_bpe_merges(docs, num_merges=20, max_vocab=2)
