@@ -207,6 +207,7 @@ def load_baselines() -> tuple[dict, dict, dict, dict]:
     shuf: dict = {}
     src: dict = {}
     canaries: dict = {}
+    parsed: list[tuple[str, str, dict]] = []
     for path in files:
         try:
             with open(path) as f:
@@ -219,14 +220,28 @@ def load_baselines() -> tuple[dict, dict, dict, dict]:
         body = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
         hc = body.get("host_canary")
         canaries[tag] = hc.get("loop_sec") if isinstance(hc, dict) else None
-        for k, v in (body.get("queries") or {}).items():
-            if (
-                isinstance(v, (int, float))
-                and k not in wall
-                and _valid(k, path)
-            ):
-                wall[k] = float(v)
-                src[k] = tag
+        parsed.append((path, tag, body))
+    # Two passes (VERDICT r8 item 2): WALL floors come from the
+    # earliest CANARY-BEARING artifact, so the host-normalization gate
+    # always has a baseline-side canary to compare against — a
+    # pre-canary floor (r01–r07) can neither confirm nor clear a wall
+    # flag (the q03/q27 limbo). Pre-canary artifacts are the fallback
+    # only for queries no canary-bearing run ever recorded. Shuffle
+    # floors stay earliest-artifact: records are deterministic, so the
+    # oldest floor is strictly the strongest regression signal.
+    for canary_only in (True, False):
+        for path, tag, body in parsed:
+            if canary_only and canaries[tag] is None:
+                continue
+            for k, v in (body.get("queries") or {}).items():
+                if (
+                    isinstance(v, (int, float))
+                    and k not in wall
+                    and _valid(k, path)
+                ):
+                    wall[k] = float(v)
+                    src[k] = tag
+    for path, tag, body in parsed:
         for k, v in (body.get("query_shuffle") or {}).items():
             rec = (
                 v.get("shuffle_write_records")

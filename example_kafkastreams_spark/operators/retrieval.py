@@ -398,29 +398,37 @@ def bm25_index_append_sink(
     from .packing import shard_assignment
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        tf, _ = _bm25_postings(batch_df, id_col, text_col)
-        rows = (
-            shard_assignment(tf, nb, key_col="term")
-            .drop("__shard_ord")
-            .withColumnRenamed("__shard", "__bucket")
-            .withColumns(
-                {
-                    # schema-compatible with the base tree; serving
-                    # ignores stored df whenever a delta exists
-                    "df_count": F.lit(None).cast("long"),
-                    "ingest_run": F.lit(token),
-                    "ingest_batch": F.lit(int(batch_id)),
-                }
+        # persist: foreachBatch re-executes the batch plan (source
+        # scan included) once per ACTION — the emptiness probe plus
+        # the write would tokenize the micro-batch twice and
+        # double-count source telemetry (numInputRows)
+        batch_df = batch_df.persist()
+        try:
+            if not batch_df.take(1):
+                return
+            tf, _ = _bm25_postings(batch_df, id_col, text_col)
+            rows = (
+                shard_assignment(tf, nb, key_col="term")
+                .drop("__shard_ord")
+                .withColumnRenamed("__shard", "__bucket")
+                .withColumns(
+                    {
+                        # schema-compatible with the base tree; serving
+                        # ignores stored df whenever a delta exists
+                        "df_count": F.lit(None).cast("long"),
+                        "ingest_run": F.lit(token),
+                        "ingest_batch": F.lit(int(batch_id)),
+                    }
+                )
             )
-        )
-        (
-            rows.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_run", "ingest_batch", "__bucket")
-            .parquet(os.path.join(path, _PDELTA))
-        )
+            (
+                rows.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_run", "ingest_batch", "__bucket")
+                .parquet(os.path.join(path, _PDELTA))
+            )
+        finally:
+            batch_df.unpersist()
 
     return sink
 

@@ -445,10 +445,250 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
     return out
 
 
+def _progress_rows(q) -> list[dict]:
+    """Per-micro-batch (input rows, trigger wall, state rows) from the
+    streaming query's own progress telemetry — the driver-side numbers
+    an operator on a real cluster would alarm on."""
+    rows = []
+    for p in q.recentProgress:
+        d = json.loads(p.json) if hasattr(p, "json") else dict(p)
+        if int(d.get("numInputRows", 0) or 0) <= 0:
+            continue
+        rows.append(
+            {
+                "input_rows": int(d["numInputRows"]),
+                "trigger_ms": int(
+                    d.get("durationMs", {}).get("triggerExecution", -1)
+                ),
+                "state_rows": sum(
+                    int(op.get("numRowsTotal", 0))
+                    for op in d.get("stateOperators", [])
+                ),
+            }
+        )
+    return rows
+
+
+def _stream_summary(batches: list[dict]) -> dict:
+    """The two claims a streaming probe must witness: per-batch wall
+    flat in STREAM LENGTH (tail/head ratio over the steady-state
+    batches — batch 0 is warm-up and excluded), and state bounded by
+    the watermark horizon (max vs final, not cumulative input)."""
+    steady = batches[1:] if len(batches) > 2 else batches
+    head = steady[0]["trigger_ms"] if steady else None
+    tail = steady[-1]["trigger_ms"] if steady else None
+    return {
+        "batches": batches,
+        "n_batches": len(batches),
+        "total_input_rows": sum(b["input_rows"] for b in batches),
+        "tail_over_head_wall": (
+            round(tail / head, 2) if head and tail and head > 0 else None
+        ),
+        "max_state_rows": max(
+            (b["state_rows"] for b in batches), default=0
+        ),
+        "final_state_rows": batches[-1]["state_rows"] if batches else 0,
+    }
+
+
+def probe_streaming(spark, base: str, n_batches: int = 6) -> dict:
+    """Streaming-pipeline scale probe (VERDICT r8 item 5): drive the
+    continuous pretrain pipeline and the embedding/BM25 ingest sinks
+    through N real micro-batches at 1x and 10x the batch size and
+    record per-batch wall + state rows from the query's own progress
+    telemetry. The claims under test: per-batch cost tracks BATCH SIZE
+    (the 10x axis), not stream position (tail_over_head_wall ~ 1), and
+    state stays bounded by the watermark horizon (event time advances
+    60 s per batch against a 30 s delay, so each batch's dedup digests
+    are reaped before the stream ends — max_state_rows ~ one horizon's
+    worth, not n_batches' worth)."""
+    import datetime as dt
+    import tempfile
+
+    from example_kafkastreams_spark.operators.retrieval import (
+        bm25_index_append_sink,
+        bm25_index_write,
+    )
+    from example_kafkastreams_spark.pipelines import (
+        corpus_ingest_packs_stream,
+        embedding_ingest_with_srp_index,
+    )
+    from example_kafkastreams_spark.streaming.sources import (
+        file_stream,
+        stage_replayable_batches,
+        start_memory_sink,
+    )
+    from pyspark.sql import types as T
+
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    work = tempfile.mkdtemp(prefix="scale_probe_stream_")
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    texts = [
+        r[0]
+        for r in load_table(spark, base, "documents")
+        .select("text")
+        .limit(1200)
+        .collect()
+    ]
+    vecs = [
+        [float(x) for x in r[0]]
+        for r in load_table(spark, base, "embeddings")
+        .select("embedding")
+        .limit(2400)
+        .collect()
+    ]
+    out: dict[str, dict] = {}
+
+    def drive(df_stream, name, sink_fn=None):
+        ckpt = os.path.join(work, f"ckpt_{name}")
+        if sink_fn is not None:
+            q = (
+                df_stream.writeStream.foreachBatch(sink_fn)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        else:
+            q = start_memory_sink(df_stream, f"probe_{name}", ckpt)
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+        rows = _progress_rows(q)
+        release_sketch_caches()
+        return _stream_summary(rows)
+
+    for label, bsz in (("x1", 100), ("x10", 1000)):
+        # every row unique (worst-case dedup state growth); event time
+        # steps 60 s/batch against a 30 s watermark so the horizon
+        # reaps each batch's digests before the stream ends
+        batches = [
+            [
+                (
+                    b * 1_000_000 + i,
+                    f"{texts[(b * bsz + i) % len(texts)]} u{b} v{i}",
+                    "probe",
+                    epoch + dt.timedelta(seconds=60.0 * b + i * 0.001),
+                )
+                for i in range(bsz)
+            ]
+            for b in range(n_batches)
+        ]
+        src = os.path.join(work, f"packs_src_{label}")
+        stage_replayable_batches(spark, src, doc_schema, batches)
+        stream = file_stream(
+            spark, src, doc_schema, max_files_per_trigger=1
+        )
+        packs = corpus_ingest_packs_stream(
+            stream,
+            budget=96,
+            watermark_delay="30 seconds",
+            min_quality=0.0,
+            chunk_size=32,
+            stride=24,
+            shards=4,
+            pack_linger_seconds=5.0,
+        )
+        out[f"packs_pipeline_{label}"] = drive(packs, f"packs_{label}")
+
+    for label, bsz in (("x1", 200), ("x10", 2000)):
+        batches = [
+            [
+                (
+                    b * 1_000_000 + i,
+                    vecs[(b * bsz + i) % len(vecs)],
+                    epoch + dt.timedelta(seconds=60.0 * b + i * 0.001),
+                )
+                for i in range(bsz)
+            ]
+            for b in range(n_batches)
+        ]
+        src = os.path.join(work, f"emb_src_{label}")
+        stage_replayable_batches(spark, src, emb_schema, batches)
+        stream = file_stream(
+            spark, src, emb_schema, max_files_per_trigger=1
+        )
+        idx_path = os.path.join(work, f"srp_idx_{label}")
+        stream_df, mk = embedding_ingest_with_srp_index(
+            stream,
+            spark,
+            idx_path,
+            watermark_delay="30 seconds",
+        )
+        sink = mk(os.path.join(work, f"emb_out_{label}"), run_id="probe")
+        out[f"embedding_ingest_{label}"] = drive(
+            stream_df, f"emb_{label}", sink_fn=sink
+        )
+
+    for label, bsz in (("x1", 100), ("x10", 1000)):
+        batches = [
+            [
+                (
+                    b * 1_000_000 + i,
+                    f"{texts[(b * bsz + i) % len(texts)]} u{b} v{i}",
+                    "probe",
+                    epoch + dt.timedelta(seconds=60.0 * b + i * 0.001),
+                )
+                for i in range(bsz)
+            ]
+            for b in range(n_batches)
+        ]
+        src = os.path.join(work, f"bm25_src_{label}")
+        stage_replayable_batches(spark, src, doc_schema, batches)
+        stream = file_stream(
+            spark, src, doc_schema, max_files_per_trigger=1
+        )
+        idx_path = os.path.join(work, f"bm25_idx_{label}")
+        bm25_index_write(
+            load_table(spark, base, "documents").limit(500),
+            idx_path,
+            num_buckets=8,
+        )
+        sink = bm25_index_append_sink(spark, idx_path, run_id="probe")
+        out[f"bm25_ingest_{label}"] = drive(
+            stream.select("doc_id", "text"), f"bm25_{label}", sink_fn=sink
+        )
+
+    shutil.rmtree(work, ignore_errors=True)
+    # cross-size per-batch wall ratio on the steady-state median — the
+    # "cost tracks batch size, not stream length" axis
+    import statistics
+
+    for fam in ("packs_pipeline", "embedding_ingest", "bm25_ingest"):
+        b1 = out.get(f"{fam}_x1", {}).get("batches", [])[1:]
+        b10 = out.get(f"{fam}_x10", {}).get("batches", [])[1:]
+        if b1 and b10:
+            out[f"{fam}_x10"]["wall_ratio_vs_x1"] = round(
+                statistics.median(b["trigger_ms"] for b in b10)
+                / max(
+                    statistics.median(b["trigger_ms"] for b in b1), 1
+                ),
+                2,
+            )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--streaming-only",
+        action="store_true",
+        help="run only the streaming-pipeline probe (fast inner loop)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -456,11 +696,23 @@ def main() -> None:
     )
     spark.range(1000).selectExpr("sum(id)").collect()  # warmup
 
+    if args.streaming_only:
+        report = {
+            "factor": args.factor,
+            "base": args.base,
+            "streaming": probe_streaming(spark, args.base),
+        }
+        line = json.dumps(report)
+        print(line)
+        spark.stop()
+        return
+
     amp = amplify(spark, args.base, args.factor)
     base_ops = probe_ops(spark, args.base, bench_base=args.base)
     amp_ops = probe_ops(spark, amp, bench_base=args.base)
 
     report = {"factor": args.factor, "base": args.base, "ops": {}}
+    report["streaming"] = probe_streaming(spark, args.base)
     for name in base_ops:
         b, a = base_ops[name], amp_ops[name]
         report["ops"][name] = {
