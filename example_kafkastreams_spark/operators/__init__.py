@@ -21,8 +21,22 @@ from .ann_drift import (
     record_train_stats,
     should_rebuild,
 )
+from .knn import (
+    ivf_flat_ann_trained_build,
+    ivf_pq_ann_trained_build,
+    ivf_pq_ann_trained_serve,
+    pq_ann_trained_build,
+    pq_ann_trained_serve,
+)
+from .report import corpus_report
 
 __all__ = [
+    "pq_ann_trained_build",
+    "pq_ann_trained_serve",
+    "ivf_pq_ann_trained_build",
+    "ivf_pq_ann_trained_serve",
+    "ivf_flat_ann_trained_build",
+    "corpus_report",
     "COMPACTED_RUN",
     "compact_index",
     "bm25_top_docs",
