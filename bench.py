@@ -149,7 +149,7 @@ def input_totals(spark) -> tuple[int, int] | None:
 # ``branch_timings``.
 _MERGED_SINCE = {
     "q41_dedup_minhash_lsh": 6,   # +incr (r6)
-    "q46_ann_lsh_ivf": 8,         # +ivfflat_mp (r8)
+    "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
     "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
     "q56_quantize_embeddings": 8, # +adc (r8)
     "q54_chunk_documents": 8,     # +shard (r8)
@@ -316,7 +316,11 @@ def main() -> None:
     branch_timings: dict[str, dict] = {}
     for qname, disc, modes in (
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr")),
-        ("q46_ann_lsh_ivf", "method", ("lsh", "ivf", "lsh_mp", "ivfflat_mp")),
+        (
+            "q46_ann_lsh_ivf",
+            "method",
+            ("lsh", "ivf", "lsh_mp", "ivfflat_mp", "ivfflat_idx"),
+        ),
         ("q47_embedding_neardup", "mode", ("pair", "sem", "delta", "deltaidx")),
         ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt", "shard")),
         (

@@ -21,14 +21,28 @@ from .ann_drift import (
     record_train_stats,
     should_rebuild,
 )
-from .knn import (
-    ivf_flat_ann_trained_build,
-    ivf_pq_ann_trained_build,
-    ivf_pq_ann_trained_serve,
-    pq_ann_trained_build,
-    pq_ann_trained_serve,
-)
-from .report import corpus_report
+# Lazy (PEP 562): report/knn define @pandas_udf surfaces whose DDL
+# return types parse against an ACTIVE SparkSession — an eager import
+# here would make `import example_kafkastreams_spark.operators` fail
+# before any session exists (pytest collection, plain tooling).
+_LAZY = {
+    "pq_ann_trained_build": "knn",
+    "pq_ann_trained_serve": "knn",
+    "ivf_pq_ann_trained_build": "knn",
+    "ivf_pq_ann_trained_serve": "knn",
+    "ivf_flat_ann_trained_build": "knn",
+    "corpus_report": "report",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(f".{_LAZY[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(name)
+
 
 __all__ = [
     "pq_ann_trained_build",

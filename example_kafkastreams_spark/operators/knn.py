@@ -1800,6 +1800,7 @@ def exact_rerank(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prefilter: bool = False,
 ) -> DataFrame:
     """FAISS-refine stage: exact cosine top-``k`` over an ADC
     SHORTLIST. Output: (query_id, neighbor_id, cosine, knn_rank) —
@@ -1811,7 +1812,14 @@ def exact_rerank(
     lookup of raw vectors, never a second full-corpus float scan; the
     query vectors ride a second broadcast; exact scoring is the same
     portable cosine fold as brute force; the reduction is the shared
-    two-phase top-k."""
+    two-phase top-k.
+
+    ``prefilter=True`` (the artifact-serve path): collect the
+    shortlist first (bounded by the NQ·refine contract — the FAISS
+    serving convention) so the candidate ids reach the raw-vector
+    scan as a pushed ``In`` predicate (row-group min/max skipping)
+    and the broadcast ships a driver literal instead of spending a
+    separate job computing the shortlist subplan twice."""
     from pyspark.sql import types as T
 
     spark = emb.sparkSession
@@ -1825,6 +1833,21 @@ def exact_rerank(
         ),
     )
     cand = shortlist.select("query_id", "neighbor_id")
+    if prefilter:
+        cand_rows = [(r["query_id"], r["neighbor_id"]) for r in cand.collect()]
+        idt = emb.schema[id_col].dataType
+        cand = spark.createDataFrame(
+            cand_rows,
+            T.StructType(
+                [
+                    T.StructField("query_id", idt),
+                    T.StructField("neighbor_id", idt),
+                ]
+            ),
+        )
+        emb = emb.filter(
+            F.col(id_col).isin(sorted({nid for _, nid in cand_rows}))
+        )
     scored = (
         emb.join(
             F.broadcast(cand),

@@ -480,10 +480,22 @@ _IVFFLAT_MP_SQL = f"""
 """
 
 
+# ivfflat_idx branch: the PERSISTENT-artifact serve must equal the
+# in-session ivfflat plan bit-for-bit (raw vectors round-trip parquet
+# exactly; shared ivfflat_score), so its oracle IS the ivfflat_mp
+# derivation under the branch's own label.
+_IVFFLAT_IDX_SQL = _IVFFLAT_MP_SQL.replace("'ivfflat_mp'", "'ivfflat_idx'")
+
+# one artifact build per corpus dir per session (build once, serve
+# many — the q55 bm25idx discipline)
+_Q46_IDX_CACHE: dict = {}
+
+
 @query(
     "q46_ann_lsh_ivf",
     oracle=f"({_LSH_ANN_SQL}) UNION ALL ({_IVF_ANN_SQL})"
-    f" UNION ALL ({_LSH_MP_SQL}) UNION ALL ({_IVFFLAT_MP_SQL})",
+    f" UNION ALL ({_LSH_MP_SQL}) UNION ALL ({_IVFFLAT_MP_SQL})"
+    f" UNION ALL ({_IVFFLAT_IDX_SQL})",
 )
 def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index strategies in one driver row (round-5 slot merge,
@@ -502,7 +514,22 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-reproducible deterministic quantizer (first 16 vectors, the
     ``ivf`` branch's convention) at nprobe=2, so the driver
     value-checks the probe-ranking/join/top-k logic the trained path
-    serves with."""
+    serves with.
+
+    ``ivfflat_idx`` (round 9): the persistent-ANN-artifact serve path
+    driver-checked end to end — the query WRITES the IVF-Flat index
+    (``ivfflat_index_write``, same deterministic quantizer) to a temp
+    dir and serves the same queries from the stored cells
+    (``ann_index_query``: meta.json parameters, In(cell) pushed to the
+    codes parquet); the oracle rows are the ivfflat_mp derivation
+    verbatim because loaded-serve bit-identity is the artifact
+    contract (raw vectors round-trip parquet exactly)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.ann_index import ann_index_query, ivfflat_index_write
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = KNN.lsh_ann(emb, num_queries=8, k=3, planes=_PLANES)
     ivf = KNN.ivf_ann(emb, num_queries=8, k=3, num_centroids=16)
@@ -523,11 +550,23 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = KNN.ivfflat_score(
         KNN.ivf_flat_encode(emb, cents), cents, qrows, k=3, nprobe=2
     )
+    idx_dir = _Q46_IDX_CACHE.get(sf_dir)
+    if idx_dir is None or not os.path.isdir(idx_dir):
+        idx_dir = tempfile.mkdtemp(prefix="q46_ivfflat_idx_")
+        atexit.register(shutil.rmtree, idx_dir, ignore_errors=True)
+        ivfflat_index_write(emb, idx_dir, cents)
+        _Q46_IDX_CACHE[sf_dir] = idx_dir
+    flat_idx = ann_index_query(
+        spark, idx_dir, emb.filter(F.col("vec_id") < 8), k=3, nprobe=2
+    )
     return (
         lsh.select(F.lit("lsh").alias("method"), "*")
         .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
         .unionByName(mp.select(F.lit("lsh_mp").alias("method"), "*"))
         .unionByName(flat.select(F.lit("ivfflat_mp").alias("method"), "*"))
+        .unionByName(
+            flat_idx.select(F.lit("ivfflat_idx").alias("method"), "*")
+        )
     )
 
 
