@@ -419,9 +419,5 @@ def ann_index_query(
     if refine is not None:
         if rerank_against is None:
             raise ValueError("refine requires rerank_against")
-        # artifact serve: collect the bounded shortlist so the raw-
-        # vector lookup scan gets an In(candidate ids) pushed filter
-        out = exact_rerank(
-            out, rerank_against, qrows, k, idc, vec_col, prefilter=True
-        )
+        out = exact_rerank(out, rerank_against, qrows, k, idc, vec_col)
     return out

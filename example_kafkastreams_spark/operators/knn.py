@@ -1800,7 +1800,6 @@ def exact_rerank(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    prefilter: bool = False,
 ) -> DataFrame:
     """FAISS-refine stage: exact cosine top-``k`` over an ADC
     SHORTLIST. Output: (query_id, neighbor_id, cosine, knn_rank) —
@@ -1814,12 +1813,14 @@ def exact_rerank(
     portable cosine fold as brute force; the reduction is the shared
     two-phase top-k.
 
-    ``prefilter=True`` (the artifact-serve path): collect the
-    shortlist first (bounded by the NQ·refine contract — the FAISS
-    serving convention) so the candidate ids reach the raw-vector
-    scan as a pushed ``In`` predicate (row-group min/max skipping)
-    and the broadcast ships a driver literal instead of spending a
-    separate job computing the shortlist subplan twice."""
+    Measured non-option (round 9): collecting the shortlist and
+    pushing its ids into the scan as an ``In`` literal looked like a
+    win on paper (skip the broadcast-subplan job, prune row groups)
+    but A/B'd SLOWER warm at sf0.1 (best 4.46 s vs 2.38 s, 64
+    queries × refine=100) — a 6,400-literal predicate costs more to
+    evaluate than the one broadcast job it saves, and parquet In
+    pushdown degrades to a min/max range above the pushdown
+    threshold. The broadcast-join shape stays."""
     from pyspark.sql import types as T
 
     spark = emb.sparkSession
@@ -1833,21 +1834,6 @@ def exact_rerank(
         ),
     )
     cand = shortlist.select("query_id", "neighbor_id")
-    if prefilter:
-        cand_rows = [(r["query_id"], r["neighbor_id"]) for r in cand.collect()]
-        idt = emb.schema[id_col].dataType
-        cand = spark.createDataFrame(
-            cand_rows,
-            T.StructType(
-                [
-                    T.StructField("query_id", idt),
-                    T.StructField("neighbor_id", idt),
-                ]
-            ),
-        )
-        emb = emb.filter(
-            F.col(id_col).isin(sorted({nid for _, nid in cand_rows}))
-        )
     scored = (
         emb.join(
             F.broadcast(cand),
