@@ -177,7 +177,7 @@ def host_canary() -> float:
     return round(best, 3)
 
 
-def load_baselines() -> tuple[dict, dict, dict, dict]:
+def load_baselines() -> tuple[dict, dict, dict, dict, dict]:
     """Earliest committed per-query baselines for the regression gate
     (VERDICT r6 item 5): wall seconds and shuffle-write records, each
     taken from the FIRST committed artifact that recorded the query —
@@ -185,8 +185,10 @@ def load_baselines() -> tuple[dict, dict, dict, dict]:
     the clean self-runs ``BENCH_SELF_r{N}.json`` (the only source of
     shuffle baselines) — skipping artifacts older than a merged slot's
     last branch change. Returns (wall, shuffle_records, source_tag,
-    source_canary) — the last maps each artifact tag to the host
-    canary it recorded (None for pre-canary artifacts)."""
+    source_canary, source_queries) — source_canary maps each artifact
+    tag to the host canary it recorded (None for pre-canary
+    artifacts); source_queries maps each tag to its full per-query
+    wall map, the denominator the share-normalized wall gate needs."""
     import glob
     import re
 
@@ -221,6 +223,14 @@ def load_baselines() -> tuple[dict, dict, dict, dict]:
         hc = body.get("host_canary")
         canaries[tag] = hc.get("loop_sec") if isinstance(hc, dict) else None
         parsed.append((path, tag, body))
+    tag_queries = {
+        tag: {
+            k: float(v)
+            for k, v in (body.get("queries") or {}).items()
+            if isinstance(v, (int, float))
+        }
+        for _, tag, body in parsed
+    }
     # Two passes (VERDICT r8 item 2): WALL floors come from the
     # earliest CANARY-BEARING artifact, so the host-normalization gate
     # always has a baseline-side canary to compare against — a
@@ -250,7 +260,7 @@ def load_baselines() -> tuple[dict, dict, dict, dict]:
             )
             if isinstance(rec, int) and k not in shuf and _valid(k, path):
                 shuf[k] = rec
-    return wall, shuf, src, canaries
+    return wall, shuf, src, canaries, tag_queries
 
 
 def main() -> None:
@@ -1331,36 +1341,52 @@ def main() -> None:
     release_sketch_caches()
     compare["ann_recall"] = ann_rows
 
-    # Regression gate (VERDICT r6 item 5): flag queries slower than
-    # 1.5x their earliest committed baseline wall (with a 0.3 s
-    # absolute floor so sub-second slots don't trip on jitter) or
-    # shuffling more than 1.3x their baseline records (10k-row floor).
-    # Shuffle records are deterministic; wall on a loaded box is not —
-    # a wall flag says "re-run clean and profile", a shuffle flag says
-    # "the plan changed". When the baseline artifact recorded a host
-    # canary, the wall threshold LOOSENS by the measured host-speed
-    # ratio (never tightens; capped at 2x) so a slower host window
-    # doesn't read as a code regression.
-    # sampled twice (the queries ran in between): round-8 measurements
-    # showed the host 2x slower minute-to-minute, so the gate loosens
-    # by the SLOWER sample and both land in the artifact for forensics
+    # Regression gate (VERDICT r6 item 5; share-normalized round 9).
+    # Shuffle records are deterministic — a shuffle flag means "the
+    # plan changed" and is the trustworthy signal. Walls on this host
+    # swing ~2x minute-to-minute, and the r8 canary experiment FAILED:
+    # a fixed Python loop does not track Spark walls (r8 recorded a
+    # 101 s fast-wall run with the SLOWEST canary of its three
+    # sweeps; the r9 sweep saw the inverse), so canary-scaled
+    # absolute thresholds kept flagging noise (the q03/q27 limbo).
+    # The wall gate therefore compares each query's SHARE of the
+    # run's declared total against its share of the baseline
+    # artifact's total: uniform host speed cancels exactly, and a
+    # real single-query regression still grows its share. Flag when
+    # share > 1.5x baseline share AND the query is > 0.3 s over its
+    # share-predicted wall (absolute floor for sub-second slots).
+    # Canaries stay recorded for forensics; a whole-run slowdown
+    # (which share normalization cannot see) shows in the reported
+    # total_wall_vs_baseline ratio instead.
     canary_end = host_canary()
     canary = max(canary_start, canary_end)
-    wall_base, shuf_base, base_src, base_canary = load_baselines()
+    wall_base, shuf_base, base_src, base_canary, base_queries = (
+        load_baselines()
+    )
     regressions: dict[str, dict] = {"wall": {}, "shuffle": {}}
+    cur_total = sum(timings.values()) or 1.0
     for k, sec in timings.items():
         b = wall_base.get(k)
-        bc = base_canary.get(base_src.get(k))
-        factor = (
-            min(2.0, max(1.0, canary / bc)) if bc and canary else 1.0
-        )
-        if b and sec > 1.5 * factor * b and sec - b > 0.3:
+        if not b:
+            continue
+        # denominator: the baseline artifact's wall over the slots
+        # both runs declare, so retired/added slots don't skew shares
+        tagq = base_queries.get(base_src.get(k), {})
+        base_total = sum(v for kk, v in tagq.items() if kk in timings)
+        if base_total <= 0:
+            continue
+        share_b = b / base_total
+        share = sec / cur_total
+        expected = share_b * cur_total
+        if share > 1.5 * share_b and sec - expected > 0.3:
             regressions["wall"][k] = {
                 "sec": sec,
                 "baseline_sec": b,
-                "ratio": round(sec / b, 2),
+                "share": round(share, 4),
+                "baseline_share": round(share_b, 4),
+                "share_ratio": round(share / share_b, 2),
+                "expected_sec": round(expected, 3),
                 "baseline_src": base_src.get(k),
-                "host_factor": round(factor, 2),
             }
     for k, s in shuffles.items():
         rec = s.get("shuffle_write_records")
@@ -1372,10 +1398,36 @@ def main() -> None:
                 "ratio": round(rec / b, 2),
             }
 
+    # whole-run wall vs the dominant baseline artifact over the shared
+    # slot set — the signal share normalization cannot see (report,
+    # not gate: host windows legitimately swing this ~2x)
+    from collections import Counter as _Counter
+
+    total_vs_base = None
+    common = _Counter(
+        base_src[k] for k in timings if k in base_src
+    ).most_common(1)
+    if common:
+        main_tag = common[0][0]
+        tagq = base_queries.get(main_tag, {})
+        base_total_main = sum(
+            v for kk, v in tagq.items() if kk in timings
+        )
+        cur_shared = sum(
+            v for kk, v in timings.items() if kk in tagq
+        )
+        if base_total_main > 0:
+            total_vs_base = {
+                "ratio": round(cur_shared / base_total_main, 2),
+                "baseline_src": main_tag,
+                "shared_slots": sum(1 for kk in timings if kk in tagq),
+            }
+
     out = {
         "metric": "total_declared_query_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "total_wall_vs_baseline": total_vs_base,
         "queries": timings,
         "query_shuffle": shuffles,
         "branch_timings": branch_timings,
