@@ -152,6 +152,7 @@ _MERGED_SINCE = {
     "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
     "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
     "q56_quantize_embeddings": 8, # +adc (r8)
+    "q50_token_stats": 9,         # +bpe (r9)
     "q54_chunk_documents": 8,     # +shard (r8)
     "q55_tfidf_top_term": 9,      # +bm25idx (r9)
     "q61_domain_mixing": 9,       # +card (r9)
@@ -332,6 +333,7 @@ def main() -> None:
             ("lsh", "ivf", "lsh_mp", "ivfflat_mp", "ivfflat_idx"),
         ),
         ("q47_embedding_neardup", "mode", ("pair", "sem", "delta", "deltaidx")),
+        ("q50_token_stats", "mode", ("stats", "bpe")),
         ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt", "shard")),
         (
             "q55_tfidf_top_term",

@@ -97,6 +97,19 @@ def train_bpe_merges(
     never reaches). Corpora with ≤ ``max_vocab`` distinct words train
     bit-identically to the unbounded path (``None`` restores it)."""
     counts = _word_counts(sample, text_col, max_vocab)
+    return train_bpe_merges_from_counts(counts, num_merges)
+
+
+def train_bpe_merges_from_counts(
+    counts: dict, num_merges: int = 200
+) -> list[tuple[str, str]]:
+    """The sequential merge-learning loop over an in-hand word
+    histogram — factored out of ``train_bpe_merges`` so a FIXED
+    reference histogram can train a deterministic shipped vocabulary
+    with no session at all (the production convention: tokenizers are
+    trained once and shipped; encode is what runs at scale — the q50
+    ``bpe`` oracle branch depends on the merge table being a pure
+    compile-time constant both engines splice)."""
     words: dict[tuple[str, ...], int] = {
         tuple(w) + (END_OF_WORD,): c for w, c in counts.items()
     }

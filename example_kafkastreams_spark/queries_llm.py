@@ -855,7 +855,7 @@ def q48_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via pipelines.corpus_stages) and driver-checked as profile columns.
 
 
-# --- q50: token counting (whitespace + BPE-ish regex) ---------------------
+# --- q50: token counting (whitespace + BPE-ish regex + REAL BPE) ----------
 
 def _tokstats_exprs(d: str) -> dict[str, str]:
     toks = P.split_ws("text", d)
@@ -866,31 +866,172 @@ def _tokstats_exprs(d: str) -> dict[str, str]:
     }
 
 
+# The SHIPPED tokenizer vocabulary for the q50 `bpe` branch: a fixed
+# reference word histogram over the corpus vocabulary, trained ONCE at
+# import by the exact Sennrich merge-learning loop
+# (`bpe.train_bpe_merges_from_counts`) — the production convention
+# (tokenizers are pretrained and shipped; encode is what runs at
+# scale), and the only way the merge table can be the compile-time
+# constant BOTH the Spark encoder's closure and the DuckDB oracle's
+# spliced literals require.
+_BPE_TRAIN_COUNTS = {
+    "the": 60, "a": 50, "table": 40, "value": 35, "scan": 30,
+    "window": 28, "batch": 26, "merge": 24, "hash": 22, "spark": 20,
+    "part": 18, "fast": 16, "slow": 14, "line": 12, "sort": 10,
+    "row": 10, "key": 8, "agg": 6, "join": 6, "filter": 5, "stream": 5,
+}
+_BPE_NUM_MERGES = 40
+
+
+def _bpe_merges() -> list[tuple[str, str]]:
+    from .operators.bpe import train_bpe_merges_from_counts
+
+    return train_bpe_merges_from_counts(_BPE_TRAIN_COUNTS, _BPE_NUM_MERGES)
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB re-derivation of the REAL greedy BPE encode: a recursive
+    CTE applies the shipped merge table to every word — per step, rank
+    every adjacent symbol pair via the spliced merge CASE, merge the
+    LOWEST-RANK LEFTMOST pair (``list_position`` returns the first
+    occurrence of ``list_min``), stop at the fix point — exactly
+    ``bpe.encode_word``'s loop. Per source: doc count, total subword
+    tokens, and an order-independent checksum over the per-doc encoded
+    streams (sum of each doc's md5-head fold), so ANY per-doc token
+    sequence difference between engines breaks the hash."""
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    rank_case = (
+        "CASE syms[i] || '|' || syms[i+1] WHEN "
+        + " WHEN ".join(
+            f"'{esc(l)}|{esc(r)}' THEN {i}"
+            for i, (l, r) in enumerate(_bpe_merges())
+        )
+        + " END"
+    )
+    doc_hash = (
+        "list_reduce(list_transform(string_split(substr(md5("
+        "array_to_string(tokens, ' ')), 1, 8), ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+        " (acc, v) -> acc * 16 + v)"
+    )
+    return f"""
+    toks_t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bwords AS (
+      SELECT doc_id, u.w_idx AS w_idx, u.word AS word FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(w_idx := i, word := toks[i]))) AS u
+        FROM toks_t
+      ) WHERE len(u.word) > 0
+    ),
+    binit AS (
+      SELECT doc_id, w_idx,
+             list_append(list_transform(range(1, length(word) + 1),
+                         i -> word[i:i]), '</w>') AS syms
+      FROM bwords
+    ),
+    benc AS (
+      SELECT doc_id, w_idx, syms FROM binit
+      UNION ALL
+      SELECT doc_id, w_idx,
+             syms[1:bp-1] || [syms[bp] || syms[bp+1]] || syms[bp+2:]
+      FROM (
+        SELECT doc_id, w_idx, syms,
+               list_position(rl,
+                 list_min(list_filter(rl, x -> x IS NOT NULL))) AS bp
+        FROM (
+          SELECT doc_id, w_idx, syms,
+                 list_transform(range(1, len(syms)),
+                                i -> {rank_case}) AS rl
+          FROM benc
+        )
+      ) WHERE bp IS NOT NULL
+    ),
+    bfin AS (
+      SELECT doc_id, w_idx, syms FROM (
+        SELECT doc_id, w_idx, syms,
+               list_position(rl,
+                 list_min(list_filter(rl, x -> x IS NOT NULL))) AS bp
+        FROM (
+          SELECT doc_id, w_idx, syms,
+                 list_transform(range(1, len(syms)),
+                                i -> {rank_case}) AS rl
+          FROM benc
+        )
+      ) WHERE bp IS NULL
+    ),
+    bdoc AS (
+      SELECT doc_id, flatten(list(syms ORDER BY w_idx)) AS tokens
+      FROM bfin GROUP BY doc_id
+    )
+    SELECT 'bpe' AS mode, d.source,
+           count(*) AS n_docs,
+           CAST(SUM(len(b.tokens)) AS BIGINT) AS tokens_total,
+           CAST(NULL AS BIGINT) AS tokens_alt,
+           CAST(SUM({doc_hash}) AS BIGINT) AS checksum
+    FROM bdoc b JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
 @query(
     "q50_token_stats",
     oracle=f"""
-    SELECT source,
+    WITH RECURSIVE {_bpe_oracle_sql().strip().rstrip()}
+    UNION ALL
+    SELECT 'stats' AS mode, source,
            count(*) AS n_docs,
-           CAST(SUM(CAST({_tokstats_exprs(D)['ws_tokens']} AS BIGINT)) AS BIGINT) AS total_ws_tokens,
-           CAST(SUM(CAST({_tokstats_exprs(D)['bpe_tokens']} AS BIGINT)) AS BIGINT) AS total_bpe_tokens,
-           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
+           CAST(SUM(CAST({_tokstats_exprs(D)['ws_tokens']} AS BIGINT)) AS BIGINT) AS tokens_total,
+           CAST(SUM(CAST({_tokstats_exprs(D)['bpe_tokens']} AS BIGINT)) AS BIGINT) AS tokens_alt,
+           CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS checksum
     FROM documents GROUP BY source
     """,
 )
 def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting per source: whitespace tokens vs BPE-ish
-    pre-tokenizer matches vs chars (integer sums — order-exact)."""
+    """``stats``: corpus token accounting per source — whitespace
+    tokens vs BPE-ish regex matches vs chars (integer sums,
+    order-exact). ``bpe`` (round 9): the REAL Sennrich algorithm
+    driver-VALUE-checked — ``bpe.bpe_encode`` (distributed Arrow
+    encode, per-batch word cache, greedy lowest-rank-leftmost merge
+    loop) under the shipped 40-merge vocabulary, reduced per source to
+    (doc count, total subword tokens, checksum = order-independent sum
+    of per-doc md5-head folds of the encoded streams) while DuckDB
+    re-runs the merge loop itself as a recursive CTE — any divergence
+    in any document's token sequence breaks the hash."""
+    from .operators.bpe import bpe_encode
+
     docs = load_table(spark, sf_dir, "documents")
     e = _tokstats_exprs(P.SPARK)
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.expr(e["ws_tokens"]).cast("long")).alias("total_ws_tokens"),
-            F.sum(F.expr(e["bpe_tokens"]).cast("long")).alias("total_bpe_tokens"),
-            F.sum(F.expr(e["chars"]).cast("long")).alias("total_chars"),
-        )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr(e["ws_tokens"]).cast("long")).alias("tokens_total"),
+        F.sum(F.expr(e["bpe_tokens"]).cast("long")).alias("tokens_alt"),
+        F.sum(F.expr(e["chars"]).cast("long")).alias("checksum"),
+    ).select(F.lit("stats").alias("mode"), "*")
+    enc = bpe_encode(docs, _bpe_merges())
+    per_doc = enc.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tok"),
+        F.expr(
+            "CAST(conv(substr(md5(concat_ws(' ', tokens)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("doc_h"),
     )
+    bpe = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum("doc_h").alias("checksum"),
+    ).select(
+        F.lit("bpe").alias("mode"),
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.lit(None).cast("long").alias("tokens_alt"),
+        "checksum",
+    )
+    return stats.unionByName(bpe)
 
 
 # --- q51: document fingerprint (rolling hash) -----------------------------

@@ -174,3 +174,40 @@ def test_pii_count_agrees(spark, docs):
         spark, docs, P.pii_count("text", P.SPARK), P.pii_count("text", P.DUCK)
     )
     assert got == want
+
+
+# normalize_text operates on RAW text (not tokenized docs): the fuzz
+# alphabet deliberately mixes ASCII, the mojibake trigger bytes
+# (â € œ Ã © ¼ ...), combining marks, C0/C1 controls, CR/LF, tabs and
+# runs of spaces — every class the chain rewrites — plus plain
+# passthrough unicode.
+RAW_CHARS = st.sampled_from(
+    list("abc XY09.,!?")
+    + list("â€™œ“”–—¦¥Ã©¨¼±ñé")
+    + ["́", "̀", "̈", "̃"]
+    + ["\x00", "\x01", "\x08", "\x0b", "\x1f", "\x7f"]
+    + ["\r", "\n", "\t", " ", "  "]
+)
+RAW_DOC = st.lists(RAW_CHARS, min_size=0, max_size=60).map("".join)
+RAW_DOCS = st.lists(RAW_DOC, min_size=1, max_size=8)
+
+
+@SETTINGS
+@given(docs=RAW_DOCS)
+def test_normalize_text_agrees(spark, docs):
+    got, want = both_engines(
+        spark,
+        docs,
+        P.normalize_text("text", P.SPARK),
+        P.normalize_text("text", P.DUCK),
+    )
+    assert got == want
+    # idempotence: normalizing normalized text is the identity (the
+    # fix-point-safe ordering claim)
+    got2, want2 = both_engines(
+        spark,
+        got,
+        P.normalize_text("text", P.SPARK),
+        P.normalize_text("text", P.DUCK),
+    )
+    assert got2 == got and want2 == want
