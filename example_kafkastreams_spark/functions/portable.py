@@ -280,6 +280,33 @@ def token_hash32(var: str, d: str = SPARK) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def split_assign(col: str, ratios: list[tuple[str, float]], d: str) -> str:
+    """Deterministic train/val/test (or any named) split assignment as
+    one CASE over the 32-bit content hash: bucket = hash32(col) and
+    each split owns the half-open range up to floor(cum_ratio · 2^32)
+    — exact integer thresholds computed HERE in Python, so both
+    dialects compare the same BIGINT against the same literals and the
+    assignment is reproducible across engines, runs, and partitionings
+    (no rand(), no TABLESAMPLE). Hashing the CONTENT column makes the
+    split leakage-safe by construction: byte-identical documents land
+    in the same split however many ids carry them."""
+    _check(d)
+    total = sum(r for _, r in ratios)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split ratios must sum to 1, got {total}")
+    if len(ratios) < 2:
+        raise ValueError("need at least two splits")
+    h = token_hash32(col, d)
+    cum = 0.0
+    arms = []
+    for name, r in ratios[:-1]:
+        cum += r
+        arms.append(f"WHEN {h} < {int(cum * 2**32)} THEN '{name}'")
+    return (
+        "CASE " + " ".join(arms) + f" ELSE '{ratios[-1][0]}' END"
+    )
+
+
 FINGERPRINT_MOD = 1_000_000_007
 
 

@@ -32,6 +32,8 @@ _LAZY = {
     "ivf_pq_ann_trained_serve": "knn",
     "ivf_flat_ann_trained_build": "knn",
     "corpus_report": "report",
+    "assign_split": "sampling",
+    "stratified_sample": "sampling",
 }
 
 

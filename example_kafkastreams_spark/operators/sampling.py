@@ -21,6 +21,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions import portable as P
+
+
+def assign_split(
+    df: DataFrame,
+    ratios: list[tuple[str, float]] | dict[str, float] | None = None,
+    content_col: str = "text",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment — the
+    split a training-data release ships next to its data card.
+
+    Each row gets a named split from the 32-bit hash of its CONTENT
+    column against exact precomputed integer thresholds
+    (``functions.portable.split_assign``): no rand(), no TABLESAMPLE,
+    so the assignment is identical across engines, runs, and
+    partitionings — and because the hash is over content,
+    byte-identical documents land in the SAME split regardless of
+    their ids (hashing the id instead would scatter exact duplicates
+    across train and eval — the classic leakage bug this operator
+    exists to prevent; near-duplicate leakage is the dedup/
+    decontamination stages' job upstream). Ratios default to the
+    80/10/10 convention. Pure map-side column expression: the 100 TB
+    assignment is scan-fused, zero shuffle."""
+    if ratios is None:
+        ratios = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    if isinstance(ratios, dict):
+        ratios = list(ratios.items())
+    return df.withColumn(
+        split_col, F.expr(P.split_assign(content_col, ratios, P.SPARK))
+    )
+
 
 def stratified_sample(
     df: DataFrame,

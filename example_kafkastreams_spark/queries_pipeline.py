@@ -54,6 +54,11 @@ _MIX_RANK_WEIGHTS = (0.4, 0.3, 0.2, 0.1)
 _MIX_TOTAL = sum(_MIX_RANK_WEIGHTS)
 _MIX_NORM = [w / _MIX_TOTAL for w in _MIX_RANK_WEIGHTS]
 
+# q61 `split` branch: the shipped 80/10/10 content-hash split
+# (operators.sampling.assign_split's default, spliced identically into
+# the oracle so the per-doc assignment is value-checked end to end)
+_SPLIT_RATIOS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
 
 def _mixing_sql() -> str:
     """DuckDB twin of mix_sources: derive the per-source acceptance
@@ -152,6 +157,12 @@ def _mixing_sql() -> str:
            round(1.0 - CAST(c.distinct_texts AS DOUBLE) / c.n_docs, 6),
            c.mean_quality, c.pct_lang_pure, g.gini_chars
     FROM cardbase c JOIN gin g USING (source)
+    UNION ALL
+    -- split branch: the shipped train/val/test assignment, re-derived
+    -- per doc from the same content hash + exact integer thresholds
+    SELECT 'split_' || ({P.split_assign('text', list(_SPLIT_RATIOS), D)}),
+           doc_id, source,{null_card}
+    FROM documents
     """
 
 
@@ -167,8 +178,15 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality, language purity, and the Gini of document length whose
     integral path is ONE IEEE division of two exact integers), every
     column driver-VALUE-checked against DuckDB's independent
-    rederivation on the same source grain."""
+    rederivation on the same source grain. ``split_train/val/test``
+    (round 9): operators.sampling.assign_split — the deterministic
+    leakage-safe 80/10/10 assignment shipped next to the card
+    (content-hash against exact integer thresholds: byte-identical
+    documents land in the same split however many ids carry them; no
+    rand(), no TABLESAMPLE), the per-doc assignment value-checked
+    against the oracle's identical CASE."""
     from .operators.report import corpus_report
+    from .operators.sampling import assign_split
 
     docs = load_table(spark, sf_dir, "documents")
     srcs = sorted(
@@ -201,7 +219,13 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[F.col(c) for c, _ in card_cols],
     )
-    return mix.unionByName(card)
+    split = assign_split(docs, list(_SPLIT_RATIOS)).select(
+        F.concat(F.lit("split_"), F.col("split")).alias("mode"),
+        "doc_id",
+        "source",
+        *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
+    )
+    return mix.unionByName(card).unionByName(split)
 
 
 # --- q62: PII scrubbing ---------------------------------------------------

@@ -613,3 +613,43 @@ def test_exact_dedup_with_delta_tagged_matches_two_frame(spark):
         exact_dedup_with_delta_tagged(docs, cond).select(cols).toPandas()
     )
     assert compare_typed(got, want) == []
+
+
+def test_assign_split_deterministic_and_leakage_safe(spark):
+    """The shipped split: ratios approximately honored, assignment
+    identical under repartitioning (pure content-hash), byte-identical
+    texts ALWAYS share a split regardless of ids (the leakage
+    property), and bad ratios refuse loudly."""
+    import pytest
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.functions import portable as P
+    from example_kafkastreams_spark.operators.sampling import assign_split
+
+    docs = load_table(spark, SMOKE, "documents")
+    out = assign_split(docs)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n > 0.6  # 80% nominal, small-corpus slack
+
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split)
+         for r in assign_split(docs.repartition(7)).collect()}
+    assert a == b
+
+    # leakage: two ids carrying the same bytes share a split
+    twins = spark.createDataFrame(
+        [(1, "exactly the same document text"),
+         (2, "exactly the same document text"),
+         (3, "a different document body here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.split for r in assign_split(twins).collect()}
+    assert got[1] == got[2]
+
+    with pytest.raises(ValueError):
+        assign_split(docs, [("train", 0.5), ("val", 0.1)])
+    with pytest.raises(ValueError):
+        P.split_assign("text", [("only", 1.0)], P.SPARK)
