@@ -58,3 +58,34 @@ def test_driver_sim_typed(spark, name):
     assert_matches_oracle_typed(
         QUERIES[name](spark, SMOKE), ORACLE_SQL[name], SMOKE
     )
+
+
+def test_bench_branch_lists_match_slot_modes(spark):
+    """Every branch value bench.py's branch_timings registers must
+    actually appear in that slot's discriminator column (and cover it,
+    split_* modes aside) — a typo'd branch entry would silently time
+    an empty-pruned sub-plan as 0 s forever."""
+    import re
+
+    src = open("/root/repo/bench.py").read()
+    block = re.search(
+        r"branch_timings: dict\[str, dict\] = \{\}\s*for qname, disc, "
+        r"modes in \((.*?)\n    \):",
+        src,
+        re.S,
+    ).group(1)
+    declared = re.findall(
+        r'\(\s*"(q\w+)",\s*"(\w+)",\s*\(([^)]*)\)', block
+    )
+    assert declared, "could not parse bench branch_timings list"
+    for qname, disc, modes_src in declared:
+        modes = set(re.findall(r'"([^"]+)"', modes_src))
+        out = QUERIES[qname](spark, SMOKE)
+        got = {
+            r[0] for r in out.select(disc).distinct().collect()
+        }
+        missing = modes - got
+        assert not missing, (
+            f"{qname}: bench times branches {sorted(missing)} that the "
+            f"query never emits (have {sorted(got)})"
+        )

@@ -434,3 +434,23 @@ def test_merged_row_plan_shapes(spark):
             enc_mode
         )
     assert count_exchanges(q56.filter(F.col("mode") == "adc")) == 2
+
+
+def test_round9_branch_plan_shapes(spark):
+    """Exchange-count pins for the round-9 branches: q62's branches
+    are pure column expressions over the deliberate ONE-exchange
+    rebalance (spreading the per-byte regex work off the single scan
+    partition — the q48 rationale), and q61's split modes are pure
+    scan-fused CASEs with ZERO exchanges (a shuffle appearing in
+    either would mean the normalization chain or the split CASE
+    stopped being map-side)."""
+    from example_kafkastreams_spark.plans import count_exchanges
+    from example_kafkastreams_spark.queries import QUERIES
+    from tests.conftest import SMOKE
+
+    q62 = QUERIES["q62_pii_scrub"](spark, SMOKE)
+    for mode in ("pii", "norm"):
+        assert count_exchanges(q62.filter(F.col("mode") == mode)) == 1, mode
+    q61 = QUERIES["q61_domain_mixing"](spark, SMOKE)
+    for mode in ("split_train", "split_val", "split_test"):
+        assert count_exchanges(q61.filter(F.col("mode") == mode)) == 0, mode
