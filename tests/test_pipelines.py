@@ -233,3 +233,43 @@ def test_delta_funnel_normalize_stage(spark):
     admitted = {r.doc_id for r in d2["exact_admitted"].collect()}
     assert 10 not in admitted  # canonical twin of admitted day-1 text
     assert 11 in admitted
+
+
+def test_funnel_all_optional_stages_compose(spark):
+    """Kitchen-sink integration: every optional stage enabled at once
+    (normalize + line clean + ExactSubstr + LM window + mixing +
+    packing) must plumb — stage entries all present, counts monotone
+    through the document-grain stages, packs non-empty and
+    budget-bounded. Guards against a new stage composing with its
+    neighbors only in isolation."""
+    docs = load_table(spark, SMOKE, "documents")
+    stages = corpus_stages(
+        docs,
+        min_quality=0.0,
+        languages=("en", "de", "fr"),
+        normalize=True,
+        line_clean={},
+        substr_k=24,
+        lm_range=(0.05, 0.95),
+        pack_budget=96,
+    )
+    for key in (
+        "normalized", "line_cleaned", "substr_cleaned", "quality",
+        "language", "lm_filtered", "exact_dedup", "neardup_survivors",
+        "chunks", "packs",
+    ):
+        assert key in stages, key
+    n = {k: stages[k].select("doc_id").distinct().count()
+         for k in ("normalized", "quality", "language", "lm_filtered",
+                   "exact_dedup", "neardup_survivors")}
+    assert (
+        n["normalized"] >= n["quality"] >= n["language"]
+        >= n["lm_filtered"] >= n["exact_dedup"]
+        >= n["neardup_survivors"] > 0
+    ), n
+    packs = stages["packs"].collect()
+    assert packs
+    budgeted = [p for p in packs if p.n_tokens > 96]
+    # a single over-budget chunk may exceed the budget alone; packs of
+    # 2+ chunks never do (the packer's close rule)
+    assert all(p.n_chunks == 1 for p in budgeted)
