@@ -296,6 +296,13 @@ def split_assign(col: str, ratios: list[tuple[str, float]], d: str) -> str:
         raise ValueError(f"split ratios must sum to 1, got {total}")
     if len(ratios) < 2:
         raise ValueError("need at least two splits")
+    for name, _ in ratios:
+        # names are spliced into SQL string literals in BOTH dialects
+        if not name or not all(c.isalnum() or c == "_" for c in name):
+            raise ValueError(
+                f"split name {name!r} must be [A-Za-z0-9_]+ — it is "
+                "spliced into SQL literals verbatim"
+            )
     h = token_hash32(col, d)
     cum = 0.0
     arms = []

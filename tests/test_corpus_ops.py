@@ -653,3 +653,5 @@ def test_assign_split_deterministic_and_leakage_safe(spark):
         assign_split(docs, [("train", 0.5), ("val", 0.1)])
     with pytest.raises(ValueError):
         P.split_assign("text", [("only", 1.0)], P.SPARK)
+    with pytest.raises(ValueError):  # names are spliced into SQL
+        P.split_assign("text", [("tr'ain", 0.5), ("val", 0.5)], P.SPARK)
