@@ -49,6 +49,21 @@ _PDELTA = "postings_delta"
 _SDELTA = "stats_delta"
 
 
+def _has_delta_leaves(path: str) -> bool:
+    """True only when ``postings_delta`` holds at least one COMMITTED
+    leaf — a crash can leave the directory existing with only
+    ``_temporary`` debris, and reading that would raise (unable to
+    infer schema) instead of serving the base index."""
+    import os
+
+    pdelta = os.path.join(path, _PDELTA)
+    if not os.path.isdir(pdelta):
+        return False
+    return any(
+        e.startswith("ingest_run=") for e in os.listdir(pdelta)
+    )
+
+
 def _delta_leaf_stats(spark, path: str) -> list:
     """Per-(ingest_run, ingest_batch) corpus-stat increments (n_docs,
     tot_dl) derived from the ``postings_delta`` leaves THEMSELVES —
@@ -63,9 +78,9 @@ def _delta_leaf_stats(spark, path: str) -> list:
     small delta tree only, never the base index."""
     import os
 
-    pdelta = os.path.join(path, _PDELTA)
-    if not os.path.isdir(pdelta):
+    if not _has_delta_leaves(path):
         return []
+    pdelta = os.path.join(path, _PDELTA)
     return (
         spark.read.parquet(pdelta)
         .select("ingest_run", "ingest_batch", "doc_id", "dl")
@@ -322,7 +337,7 @@ def bm25_index_query(
     base = pruned("postings")
     n_docs, tot_dl = st["n_docs"], st["tot_dl"]
     core = ["term", "doc_id", "dl", "tf"]
-    if os.path.isdir(os.path.join(path, _PDELTA)):
+    if _has_delta_leaves(path):
         cand = (
             base.select(*core)
             .unionByName(pruned(_PDELTA).select(*core))
@@ -476,7 +491,7 @@ def bm25_index_compact(spark, path: str) -> None:
     shutil.rmtree(tmp, ignore_errors=True)
     sdelta = os.path.join(local, _SDELTA)
     pdelta = os.path.join(local, _PDELTA)
-    if not os.path.isdir(pdelta):
+    if not _has_delta_leaves(local):
         return
     with open(os.path.join(local, "stats.json")) as f:
         st = json.load(f)
