@@ -214,7 +214,11 @@ def ann_index_drift(spark: SparkSession, path: str) -> dict:
         "per_run": {},
     }
     drift_dir = os.path.join(path, _DRIFT)
-    if os.path.isdir(drift_dir):
+    # committed-leaf check (not bare isdir): crash debris must not
+    # break the report
+    if os.path.isdir(drift_dir) and any(
+        e.startswith("ingest_run=") for e in os.listdir(drift_dir)
+    ):
         rows = (
             spark.read.parquet(drift_dir)
             .groupBy("ingest_run", "cell")

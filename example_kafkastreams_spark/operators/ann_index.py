@@ -200,7 +200,12 @@ def ann_index_read(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
         meta = json.load(f)
     enc = spark.read.parquet(os.path.join(path, _CODES))
     delta_dir = os.path.join(path, _DELTA)
-    if os.path.isdir(delta_dir):
+    # committed-leaf check, not bare isdir: a crash during the first
+    # append can leave the delta dir holding only _temporary debris,
+    # and reading that raises instead of serving the base index
+    if os.path.isdir(delta_dir) and any(
+        e.startswith("ingest_run=") for e in os.listdir(delta_dir)
+    ):
         cols = enc.columns
         enc = enc.unionByName(
             spark.read.parquet(delta_dir).select(*cols)
@@ -337,7 +342,9 @@ def ann_index_compact(spark: SparkSession, path: str) -> None:
         os.rename(codes_pre, codes)
     if not os.path.isdir(delta) and os.path.isdir(delta_pre):
         os.rename(delta_pre, delta)
-    if not os.path.isdir(delta):
+    if not os.path.isdir(delta) or not any(
+        e.startswith("ingest_run=") for e in os.listdir(delta)
+    ):
         return  # nothing appended since the last compaction
     import shutil
 
