@@ -275,6 +275,21 @@ def build_pretrain_corpus(docs: DataFrame, **kwargs) -> DataFrame:
     return stages.get("packs", stages["chunks"])
 
 
+
+def _has_committed_leaves(path: str) -> bool:
+    """True only when a sink-maintained index tree holds at least one
+    COMMITTED ``ingest_run=`` leaf — a crash during the very first
+    batch can leave the directory existing with only ``_temporary``
+    debris, and a bare-isdir read would raise (unable to infer
+    schema) instead of treating the index as empty (the ann_index /
+    BM25 guard, shared by every ingest family here)."""
+    import os
+
+    return os.path.isdir(path) and any(
+        e.startswith("ingest_run=") for e in os.listdir(path)
+    )
+
+
 def corpus_filter_stream(
     docs: DataFrame,
     min_quality: float = 0.25,
@@ -848,7 +863,7 @@ def corpus_ingest_with_index(
     out = corpus_ingest_stream(
         docs, ts_col=ts_col, **ingest_kwargs
     ).withColumn("content_hash", F.md5(F.col(text_col)))
-    if os.path.isdir(index_path):
+    if _has_committed_leaves(index_path):
         idx = spark.read.parquet(index_path).select("content_hash")
         out = out.join(idx, "content_hash", "left_anti")
 
@@ -969,7 +984,7 @@ def corpus_ingest_with_neardup_index(
             try:
                 idx = (
                     spark.read.parquet(index_path)
-                    if os.path.isdir(index_path)
+                    if _has_committed_leaves(index_path)
                     else None
                 )
                 if idx is not None:
@@ -1098,7 +1113,7 @@ def embedding_ingest_with_srp_index(
             try:
                 idx = (
                     spark.read.parquet(index_path)
-                    if os.path.isdir(index_path)
+                    if _has_committed_leaves(index_path)
                     else None
                 )
                 if idx is not None:
