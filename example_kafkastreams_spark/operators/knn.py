@@ -989,6 +989,87 @@ def _query_lut_np(
     return out
 
 
+def _query_luts_np_batch(
+    Q: np.ndarray, cb_np: list[np.ndarray]
+) -> np.ndarray:
+    """``_query_lut_np`` batched over a (n, dim) query/residual matrix
+    → (n, m, codes) float64 tensor, BIT-IDENTICAL per row (unit-pinned):
+    numpy elementwise sub/mul/add are per-element IEEE ops whatever the
+    array shape, and the accumulation walks the dsub axis in the same
+    left-to-right order. Batching matters at serving fan-out — IVF-PQ
+    probes build |queries|·nprobe LUTs, and n separate Python calls
+    (each ~m·codes·dsub scalar ops through list conversions) were the
+    dominant driver-side term of the serve wall."""
+    n = Q.shape[0]
+    m = len(cb_np)
+    codes, dsub = cb_np[0].shape
+    out = np.empty((n, m, codes), dtype=np.float64)
+    for j, sub in enumerate(cb_np):
+        d = Q[:, j * dsub:(j + 1) * dsub][:, None, :] - sub[None, :, :]
+        t = d * d
+        acc = t[:, :, 0].copy()
+        for i in range(1, dsub):
+            acc += t[:, :, i]
+        out[:, j, :] = acc
+    return out
+
+
+def _lut_probes_frame(
+    spark, metas: list[tuple], luts: np.ndarray, meta_fields: list
+) -> DataFrame:
+    """Broadcast (meta…, __lut) frame built ZERO-COPY from the batched
+    LUT tensor: the float64 buffer becomes the Arrow values array
+    directly and the two nesting levels are arithmetic offset vectors —
+    no per-float Python traversal. ``pa.Table.from_pylist`` walked
+    n·m·codes Python objects (4M floats at the IVF-PQ serving defaults,
+    seconds of driver time); this is O(columns). Falls back to the
+    row path when Arrow can't map the meta types or the flat LUT
+    exceeds 32-bit list offsets."""
+    from pyspark.sql import types as T
+
+    n = len(metas)
+    schema = T.StructType(
+        [T.StructField(name, dtype) for name, dtype in meta_fields]
+        + [
+            T.StructField(
+                "__lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+            )
+        ]
+    )
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        if n == 0 or luts.reshape(-1).shape[0] >= 2**31 - 1:
+            raise ValueError("arrow fast path inapplicable")
+        _, m, codes = luts.shape
+        values = pa.array(np.ascontiguousarray(luts).reshape(-1))
+        inner = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, n * m * codes + 1, codes, dtype=np.int32)
+            ),
+            values,
+        )
+        outer = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, n * m + 1, m, dtype=np.int32)), inner
+        )
+        cols, names = [], []
+        for i, (name, dtype) in enumerate(meta_fields):
+            cols.append(
+                pa.array([r[i] for r in metas], type=to_arrow_type(dtype))
+            )
+            names.append(name)
+        cols.append(outer)
+        names.append("__lut")
+        return spark.createDataFrame(
+            pa.Table.from_arrays(cols, names=names)
+        )
+    except Exception:
+        rows = [(*meta, [sub.tolist() for sub in lut])
+                for meta, lut in zip(metas, luts)]
+        return _probes_frame(spark, rows, schema)
+
+
 def _probes_frame(spark, probe_rows: list, schema) -> DataFrame:
     """Broadcast-side (probe metadata, per-query payload) frame built
     through Arrow when possible — serializing 1k rows of m x codes
@@ -1039,23 +1120,16 @@ def _pq_adc_scored(
     # query_id is typed off the CORPUS id column — ann_index_query
     # accepts arbitrary id_col types (string uuids included), and a
     # hardcoded bigint would raise at query time for them.
-    from pyspark.sql import types as T
-
     cb_np = [np.asarray(sub, dtype=np.float64) for sub in codebook]
-    qlut = _probes_frame(
+    Q = np.asarray(
+        [[float(x) for x in qr[1]] for qr in qrows], dtype=np.float64
+    )
+    qlut = _lut_probes_frame(
         spark,
-        [
-            (qr[0], _query_lut_np([float(x) for x in qr[1]], cb_np))
-            for qr in qrows
-        ],
-        T.StructType(
-            [
-                T.StructField("query_id", enc.schema[id_col].dataType),
-                T.StructField(
-                    "__lut", T.ArrayType(T.ArrayType(T.DoubleType()))
-                ),
-            ]
-        ),
+        [(qr[0],) for qr in qrows],
+        _query_luts_np_batch(Q, cb_np) if len(qrows) else
+        np.empty((0, m, len(codebook[0])), dtype=np.float64),
+        [("query_id", enc.schema[id_col].dataType)],
     )
     return (
         enc.crossJoin(F.broadcast(qlut))
@@ -1350,7 +1424,7 @@ def _ivfpq_adc_scored(
     spark = enc.sparkSession
     m = len(codebook)
     cb_np = [np.asarray(sub, dtype=np.float64) for sub in codebook]
-    probe_rows = []
+    metas, residuals = [], []
     for qr in qrows:
         qid, qv = qr[0], [float(x) for x in qr[1]]
         ranked = sorted(
@@ -1358,22 +1432,21 @@ def _ivfpq_adc_scored(
             key=lambda ci: (-_py_cosine(qv, cents[ci]), ci),
         )[:nprobe]
         for ci in ranked:
-            qres = [x - y for x, y in zip(qv, cents[ci])]
-            probe_rows.append((ci, qid, _query_lut_np(qres, cb_np)))
+            metas.append((ci, qid))
+            residuals.append([x - y for x, y in zip(qv, cents[ci])])
     from pyspark.sql import types as T
 
-    probes = _probes_frame(
+    probes = _lut_probes_frame(
         spark,
-        probe_rows,
-        T.StructType(
-            [
-                T.StructField("cell", T.IntegerType()),
-                T.StructField("query_id", enc.schema[id_col].dataType),
-                T.StructField(
-                    "__lut", T.ArrayType(T.ArrayType(T.DoubleType()))
-                ),
-            ]
-        ),
+        metas,
+        _query_luts_np_batch(
+            np.asarray(residuals, dtype=np.float64), cb_np
+        ) if metas else
+        np.empty((0, m, len(codebook[0])), dtype=np.float64),
+        [
+            ("cell", T.IntegerType()),
+            ("query_id", enc.schema[id_col].dataType),
+        ],
     )
     # Static cell prefilter: the join alone would SCAN every cell and
     # discard; an IN over the distinct probed cells (≤ num_centroids
@@ -1381,7 +1454,7 @@ def _ivfpq_adc_scored(
     # the parquet scan as a pushed filter, so unprobed cells are never
     # read (the IVF promise survives storage — plan-asserted in
     # tests/test_ann_index.py).
-    probed_cells = sorted({r[0] for r in probe_rows})
+    probed_cells = sorted({ci for ci, _ in metas})
     return (
         enc.filter(F.col("cell").isin(probed_cells))
         .join(F.broadcast(probes), "cell")

@@ -316,3 +316,72 @@ def test_query_lut_np_bitwise_equals_reference():
         for _ in range(5):
             qv = list(map(float, rng.normal(size=m * dsub) * 10))
             assert _query_lut(qv, cb) == _query_lut_np(qv, cb_np)
+
+
+def test_query_luts_np_batch_bitwise_equals_reference():
+    """The BATCHED LUT builder (one tensor op for every probe pair)
+    must reproduce _query_lut row-for-row — the IVF-PQ serve builds
+    |queries|*nprobe LUTs through it, and any fold-order drift would
+    change ADC scores between the batched and scalar paths."""
+    from example_kafkastreams_spark.operators.knn import (
+        _query_lut,
+        _query_luts_np_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    for m, codes, dsub in ((8, 16, 8), (16, 256, 4)):
+        cb = [
+            [list(map(float, rng.normal(size=dsub))) for _ in range(codes)]
+            for _ in range(m)
+        ]
+        cb_np = [np.asarray(sub, dtype=np.float64) for sub in cb]
+        qvs = [
+            list(map(float, rng.normal(size=m * dsub) * 10))
+            for _ in range(7)
+        ]
+        batch = _query_luts_np_batch(
+            np.asarray(qvs, dtype=np.float64), cb_np
+        )
+        for i, qv in enumerate(qvs):
+            assert [list(sub) for sub in batch[i]] == _query_lut(qv, cb)
+
+
+def test_lut_probes_frame_arrow_equals_row_path(spark):
+    """The zero-copy Arrow probes frame must hold the same bits as the
+    from_pylist row path — same schema, same rows, same doubles."""
+    from pyspark.sql import types as T
+
+    from example_kafkastreams_spark.operators.knn import (
+        _lut_probes_frame,
+        _probes_frame,
+    )
+
+    rng = np.random.default_rng(3)
+    luts = rng.normal(size=(5, 4, 8)).astype(np.float64)
+    metas = [(i, f"q-{i}") for i in range(5)]
+    fast = _lut_probes_frame(
+        spark,
+        metas,
+        luts,
+        [("cell", T.IntegerType()), ("query_id", T.StringType())],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("query_id", T.StringType()),
+            T.StructField(
+                "__lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+            ),
+        ]
+    )
+    rows = [
+        (*meta, [list(sub) for sub in lut])
+        for meta, lut in zip(metas, luts)
+    ]
+    slow = _probes_frame(spark, rows, schema)
+    assert [f.name for f in fast.schema.fields] == [
+        "cell", "query_id", "__lut",
+    ]
+    got = sorted(fast.collect(), key=lambda r: r.cell)
+    want = sorted(slow.collect(), key=lambda r: r.cell)
+    assert got == want
