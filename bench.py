@@ -152,6 +152,7 @@ _MERGED_SINCE = {
     "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
     "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
     "q56_quantize_embeddings": 8, # +adc (r8)
+    "q57_neardup_components": 9,  # +leak (r9)
     "q50_token_stats": 9,         # +bpe (r9)
     "q54_chunk_documents": 8,     # +shard (r8)
     "q55_tfidf_top_term": 9,      # +bm25idx (r9)
@@ -341,6 +342,7 @@ def main() -> None:
             ("tfidf", "bm25", "bm25idx", "rrf"),
         ),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
+        ("q57_neardup_components", "mode", ("comp", "leak")),
         ("q61_domain_mixing", "mode", ("mix", "card")),
         ("q62_pii_scrub", "mode", ("pii", "norm")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),

@@ -32,6 +32,7 @@ _LAZY = {
     "ivf_pq_ann_trained_serve": "knn",
     "ivf_flat_ann_trained_build": "knn",
     "corpus_report": "report",
+    "split_leakage_report": "report",
     "assign_split": "sampling",
     "stratified_sample": "sampling",
 }
@@ -53,6 +54,7 @@ __all__ = [
     "ivf_pq_ann_trained_serve",
     "ivf_flat_ann_trained_build",
     "corpus_report",
+    "split_leakage_report",
     "COMPACTED_RUN",
     "compact_index",
     "bm25_top_docs",

@@ -96,3 +96,53 @@ def corpus_report(
             "dup_rate", "mean_quality", "pct_lang_pure", "gini_chars",
         )
     )
+
+
+def split_leakage_report(
+    sized_components: DataFrame,
+    docs_with_split: DataFrame,
+    node_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate clusters that SPAN train/val/test splits — the
+    leakage a content-hash split cannot prevent.
+
+    ``sampling.assign_split`` hashes the full text, so byte-identical
+    duplicates land in the same split BY CONSTRUCTION; what still
+    leaks evaluation signal into training is the *near*-duplicate: two
+    slightly-different copies hash to different splits while carrying
+    the same content. This audit joins the near-dup connected
+    components (``components.connected_components`` over the SimHash/
+    MinHash edge graph) with the split assignment and reports every
+    component whose members cross a split boundary:
+
+        (component_id, component_size, n_splits, splits_csv)
+
+    with ``splits_csv`` the sorted distinct split names (deterministic
+    across engines/partitionings).
+
+    Scale shape (100 TB): the audit rides the dedup pass — components
+    and the split column are both already-computed scan-fused inputs.
+    Singleton components (the overwhelming mass of a deduplicated
+    corpus) are filtered BEFORE the join, so the one hash aggregation
+    groups only the duplicate mass by component_id; nothing rescans or
+    reshuffles the corpus text.
+    """
+    spanning = (
+        sized_components.filter(F.col("component_size") > 1)
+        .join(
+            docs_with_split.select(node_col, split_col), node_col
+        )
+        .groupBy("component_id")
+        .agg(
+            F.max("component_size").alias("component_size"),
+            F.count_distinct(split_col).alias("n_splits"),
+            F.array_join(
+                F.array_sort(F.collect_set(split_col)), ","
+            ).alias("splits_csv"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+    return spanning.select(
+        "component_id", "component_size", "n_splits", "splits_csv"
+    )

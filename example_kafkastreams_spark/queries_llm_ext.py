@@ -729,6 +729,12 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q57: near-dup connected components -----------------------------------
 
+# leak branch: assign_split's default 80/10/10 content-hash ratios,
+# spliced into both dialects so the per-doc assignment — and therefore
+# the spanning-cluster set — is value-checked end to end
+_LEAK_RATIOS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+
+
 @query(
     "q57_neardup_components",
     oracle=f"""
@@ -758,10 +764,37 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     labeled AS (
       SELECT node AS doc_id, min(lab) AS component_id FROM comp GROUP BY node
+    ),
+    sized AS (
+      SELECT doc_id, component_id,
+             count(*) OVER (PARTITION BY component_id) AS component_size
+      FROM labeled
+    ),
+    -- leak branch: clusters spanning the content-hash train/val/test
+    -- split (sampling.assign_split's default ratios, spliced
+    -- identically) — exact dups can't leak by construction, so every
+    -- spanning cluster is a NEAR-dup leaking eval signal into train
+    splitd AS (
+      SELECT s.component_id, s.component_size,
+             ({P.split_assign('d.text', list(_LEAK_RATIOS), D)}) AS split
+      FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+      WHERE s.component_size > 1
+    ),
+    leak AS (
+      SELECT component_id, max(component_size) AS component_size,
+             count(DISTINCT split) AS n_splits,
+             string_agg(DISTINCT split, ',' ORDER BY split) AS splits_csv
+      FROM splitd GROUP BY component_id
+      HAVING count(DISTINCT split) > 1
     )
-    SELECT doc_id, component_id,
-           count(*) OVER (PARTITION BY component_id) AS component_size
-    FROM labeled
+    SELECT 'comp' AS mode, doc_id, component_id, component_size,
+           CAST(NULL AS BIGINT) AS n_splits,
+           CAST(NULL AS VARCHAR) AS splits_csv
+    FROM sized
+    UNION ALL
+    SELECT 'leak', CAST(NULL AS BIGINT), component_id, component_size,
+           n_splits, splits_csv
+    FROM leak
     """,
 )
 def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,15 +813,44 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on one representative per distinct sketch. Same transitive
     closure (the oracle still materializes it from the FULL pair set),
     ~100x less per-round shuffle on duplicate-heavy corpora
-    (SCALE_PROBE.json)."""
+    (SCALE_PROBE.json).
+
+    ``leak`` branch (round 9): the split-leakage audit
+    (operators.report.split_leakage_report) — the components joined
+    with the shipped content-hash train/val/test assignment
+    (operators.sampling.assign_split), reporting every cluster that
+    spans a split boundary. Exact duplicates can't leak (the split
+    hashes content), so each spanning cluster is a NEAR-duplicate
+    carrying eval text into train — the audit a data release runs
+    after splitting. Columns shoehorn into the merged contract:
+    doc_id is NULL, splits_csv the sorted distinct splits."""
     from .operators.neardup import simhash_components_edges
+    from .operators.report import split_leakage_report
+    from .operators.sampling import assign_split
 
     docs = load_table(spark, sf_dir, "documents")
     edges = simhash_components_edges(docs, max_hamming=3)
     comp = connected_components(
         edges, nodes=docs, node_col="doc_id"
     )
-    return with_component_sizes(comp, "doc_id")
+    sized = with_component_sizes(comp, "doc_id")
+    leak = split_leakage_report(
+        sized, assign_split(docs, list(_LEAK_RATIOS)), "doc_id", "split"
+    )
+    null_l = (
+        F.lit(None).cast("bigint").alias("n_splits"),
+        F.lit(None).cast("string").alias("splits_csv"),
+    )
+    return sized.select(
+        F.lit("comp").alias("mode"),
+        "doc_id", "component_id", "component_size", *null_l,
+    ).unionByName(
+        leak.select(
+            F.lit("leak").alias("mode"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            "component_id", "component_size", "n_splits", "splits_csv",
+        )
+    )
 
 
 # --- q60: multimodal frame sampling (1 → N inside the Arrow batch) --------

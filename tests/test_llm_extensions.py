@@ -444,3 +444,56 @@ def test_corpus_report_data_card(spark):
     r2 = corpus_report(base.unionByName(dup)).collect()[0]
     assert r2.n_docs == n + 5 and r2.distinct_texts == n
     assert abs(r2.dup_rate - round(1 - n / (n + 5), 6)) < 1e-9
+
+
+def test_split_leakage_report(spark):
+    """A near-dup cluster spanning splits is reported (sorted splits
+    csv, correct size); single-split clusters and singletons are not;
+    exact duplicates CANNOT appear (the content-hash split puts
+    byte-identical text in one split by construction)."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.report import (
+        split_leakage_report,
+    )
+
+    sized = spark.createDataFrame(
+        [
+            # component 1: size 3, members across two splits -> leaks
+            (10, 1, 3), (11, 1, 3), (12, 1, 3),
+            # component 2: size 2, both in train -> clean
+            (20, 2, 2), (21, 2, 2),
+            # singleton -> filtered before the join
+            (30, 30, 1),
+        ],
+        "doc_id long, component_id long, component_size long",
+    )
+    splits = spark.createDataFrame(
+        [
+            (10, "train"), (11, "test"), (12, "train"),
+            (20, "train"), (21, "train"),
+            (30, "val"),
+        ],
+        "doc_id long, split string",
+    )
+    rows = split_leakage_report(sized, splits).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.component_id, r.component_size, r.n_splits) == (1, 3, 2)
+    assert r.splits_csv == "test,train"
+
+    # exact duplicates share a content hash -> assign_split gives them
+    # one split, so a pure-exact-dup cluster never reaches the report
+    from example_kafkastreams_spark.operators.sampling import assign_split
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text")],
+        "doc_id long, text string",
+    )
+    one_cluster = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3)],
+        "doc_id long, component_id long, component_size long",
+    )
+    assert (
+        split_leakage_report(one_cluster, assign_split(docs)).count() == 0
+    )
