@@ -339,7 +339,7 @@ def main() -> None:
         (
             "q55_tfidf_top_term",
             "mode",
-            ("tfidf", "bm25", "bm25idx", "rrf"),
+            ("tfidf", "bm25", "bm25idx", "rrf", "eval"),
         ),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
         ("q57_neardup_components", "mode", ("comp", "leak")),

@@ -7,11 +7,13 @@ from .asof_join import asof_lookback_left_join, interval_left_join
 from .enrich import enrich_clickstream, split_clickstream
 from .index_maint import COMPACTED_RUN, compact_index
 from .retrieval import (
+    all_terms_qrels,
     bm25_index_append_sink,
     bm25_index_compact,
     bm25_index_query,
     bm25_index_write,
     bm25_top_docs,
+    retrieval_eval,
     rrf_fuse,
     term_overlap_top_docs,
 )
@@ -64,6 +66,8 @@ __all__ = [
     "bm25_index_compact",
     "rrf_fuse",
     "term_overlap_top_docs",
+    "all_terms_qrels",
+    "retrieval_eval",
     "ann_index_drift",
     "quantization_stats",
     "record_train_stats",

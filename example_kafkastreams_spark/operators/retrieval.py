@@ -672,3 +672,152 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("rank") <= top_k)
     return out.select("query", "doc_id", "rank", "score")
+
+
+def all_terms_qrels(
+    docs: DataFrame,
+    queries: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query, doc_id) binary relevance labels: a document is relevant
+    to a query iff it contains EVERY distinct query term — the
+    deterministic boolean-AND oracle retrieval evals use when no human
+    judgments exist. Same inverted shape as the scorers: the corpus
+    explodes once, the broadcast query-term join keeps only matching
+    postings, and the HAVING count(DISTINCT term) = |query terms|
+    closes the AND."""
+    spark = docs.sparkSession
+    qt = _query_terms_frame(spark, queries)
+    qsizes = qt.groupBy("query").agg(
+        F.count_distinct("term").alias("__nt")
+    )
+    hits = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("term"),
+        )
+        .join(F.broadcast(qt), "term")
+        .groupBy("query", "doc_id")
+        .agg(F.count_distinct("term").alias("__matched"))
+    )
+    return (
+        hits.join(F.broadcast(qsizes), "query")
+        .filter(F.col("__matched") == F.col("__nt"))
+        .select("query", "doc_id")
+    )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Rank-quality metrics of a retrieval run against binary
+    relevance labels — the eval harness a retrieval deployment runs
+    per release. One row per query:
+
+        (query, n_rel, hits_at_k, p_at_k, recall_at_k, mrr_at_k,
+         ap_at_k)
+
+    Every metric is EXACT RATIONAL arithmetic (single IEEE divisions
+    of exact integer counts; AP's sum folds precision terms in rank
+    order), so the values are bit-reproducible across engines and
+    partitionings — deliberately no nDCG, whose log2 discounts are
+    libm-dependent. Queries with no relevant document score 0 across
+    the board (n_rel = 0 still yields a row when the query appears in
+    ``results``).
+
+    Scale shape: ``results`` is already top-k-bounded (|queries|·k
+    rows); the one corpus-sized input is ``qrels``, which reduces to
+    per-query counts (n_rel) in a partial-aggregated groupBy before
+    the broadcast-sized join with the per-query metric rows."""
+    res = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("rank"),
+    )
+    rel = qrels.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).alias("doc_id"),
+        F.lit(1).alias("__rel"),
+    )
+    n_rel = rel.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    flagged = res.join(rel, ["query", "doc_id"], "left").select(
+        "query", "rank", F.coalesce("__rel", F.lit(0)).alias("__rel")
+    )
+    # cumulative relevant count at each rank (ranks are unique per
+    # query, so the running sum is deterministic)
+    w = (
+        Window.partitionBy("query")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = flagged.withColumn("__cum", F.sum("__rel").over(w))
+    per_q = cum.groupBy("query").agg(
+        F.sum("__rel").alias("hits_at_k"),
+        F.min(F.when(F.col("__rel") == 1, F.col("rank"))).alias(
+            "__first"
+        ),
+        # AP numerator: precision@r at each RELEVANT rank r, folded in
+        # rank order (collect -> sort -> left-to-right '+', the house
+        # fold; each term is one IEEE division of exact integers)
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rel") == 1,
+                            F.struct(
+                                F.col("rank"),
+                                (
+                                    F.col("__cum").cast("double")
+                                    / F.col("rank")
+                                ).alias("p"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__ap_num"),
+    )
+    return (
+        per_q.join(F.broadcast(n_rel), "query", "left")
+        .select(
+            "query",
+            F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+            "hits_at_k",
+            (F.col("hits_at_k").cast("double") / F.lit(float(k))).alias(
+                "p_at_k"
+            ),
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.col("hits_at_k").cast("double") / F.col("n_rel"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall_at_k"),
+            F.when(
+                F.col("__first").isNotNull(),
+                F.lit(1.0) / F.col("__first"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mrr_at_k"),
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.col("__ap_num")
+                / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ap_at_k"),
+        )
+    )

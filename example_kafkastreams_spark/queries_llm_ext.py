@@ -416,6 +416,63 @@ def _q55_sql() -> str:
       SELECT *, row_number() OVER (PARTITION BY query
                                    ORDER BY score DESC, doc_id) AS rn
       FROM fused
+    ),
+    -- eval branch: rank-quality metrics of the bm25 ranking against
+    -- contains-ALL-query-terms relevance labels — every metric a
+    -- single IEEE division of exact integer counts (AP folds its
+    -- precision terms in rank order), so no tolerance is needed
+    qsz AS (SELECT query, count(DISTINCT term) AS nt FROM qt GROUP BY query),
+    qrels AS (
+      SELECT q.query, tf.doc_id
+      FROM btf tf JOIN qt q USING (term) JOIN qsz s ON s.query = q.query
+      GROUP BY q.query, tf.doc_id, s.nt
+      HAVING count(DISTINCT tf.term) = s.nt
+    ),
+    nrel AS (SELECT query, count(*) AS n_rel FROM qrels GROUP BY query),
+    evf AS (
+      SELECT br.query, br.rn AS rank,
+             CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+      FROM br LEFT JOIN qrels qr
+        ON qr.query = br.query AND qr.doc_id = br.doc_id
+      WHERE br.rn <= {BM25_TOP_K}
+    ),
+    evc AS (
+      SELECT query, rank, rel,
+             sum(rel) OVER (PARTITION BY query ORDER BY rank
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM evf
+    ),
+    evq AS (
+      SELECT query,
+             sum(rel) AS hits,
+             min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(cum AS DOUBLE) / rank ORDER BY rank)
+                   FILTER (WHERE rel = 1)),
+               (acc, x) -> acc + x) AS ap_num
+      FROM evc GROUP BY query
+    ),
+    evm AS (
+      SELECT e.query, e.hits,
+             CAST(e.hits AS DOUBLE) / CAST({BM25_TOP_K} AS DOUBLE) AS p,
+             CASE WHEN COALESCE(n.n_rel, 0) > 0
+                  THEN CAST(e.hits AS DOUBLE) / n.n_rel
+                  ELSE 0.0 END AS rc,
+             CASE WHEN e.first_rel IS NOT NULL
+                  THEN CAST(1.0 AS DOUBLE) / e.first_rel
+                  ELSE 0.0 END AS mrr,
+             CASE WHEN COALESCE(n.n_rel, 0) > 0
+                  THEN e.ap_num / CAST(least(n.n_rel, {BM25_TOP_K})
+                                       AS DOUBLE)
+                  ELSE 0.0 END AS ap
+      FROM evq e LEFT JOIN nrel n ON n.query = e.query
+    ),
+    evsel AS (
+      SELECT query, hits, 'p' AS metric, p AS val FROM evm
+      UNION ALL SELECT query, hits, 'recall', rc FROM evm
+      UNION ALL SELECT query, hits, 'mrr', mrr FROM evm
+      UNION ALL SELECT query, hits, 'ap', ap FROM evm
     )
     SELECT 'tfidf' AS mode, doc_id, term AS top_term, tf_count,
            round(CAST(tfidf_raw AS DOUBLE), 6) AS tfidf
@@ -433,6 +490,10 @@ def _q55_sql() -> str:
     UNION ALL
     SELECT 'rrf', doc_id, query, CAST(rn AS BIGINT), round(score, 6)
     FROM fr WHERE rn <= {BM25_TOP_K}
+    UNION ALL
+    SELECT 'eval', CAST(NULL AS BIGINT), query || '|' || metric,
+           CAST(hits AS BIGINT), round(val, 6)
+    FROM evsel
     """
 
 
@@ -457,16 +518,23 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-group skipping, df/n_docs/tot_dl recomputed from the
     artifact); the oracle rows are the bm25 derivation verbatim
     because the serve contract is bit-identity with the in-session
-    scorer."""
+    scorer. ``eval`` (round 9): the retrieval eval harness —
+    ``retrieval_eval`` scoring the bm25 ranking against
+    contains-all-query-terms labels (``all_terms_qrels``), one row per
+    (query, metric) for p/recall/mrr/ap@k, every value exact rational
+    arithmetic (no libm-dependent nDCG); top_term carries
+    'query|metric', tf_count the hit count."""
     import atexit
     import os
     import shutil
     import tempfile
 
     from .operators.retrieval import (
+        all_terms_qrels,
         bm25_index_query,
         bm25_index_write,
         bm25_top_docs,
+        retrieval_eval,
         rrf_fuse,
         term_overlap_top_docs,
     )
@@ -519,7 +587,34 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("tf_count"),
         F.round("score", 6).alias("tfidf"),
     )
-    return tfidf.unionByName(bm).unionByName(idx).unionByName(fused)
+    ev = retrieval_eval(
+        bmr,
+        all_terms_qrels(docs, list(BM25_QUERIES)),
+        k=BM25_TOP_K,
+    ).select(
+        F.lit("eval").alias("mode"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("query"),
+        F.col("hits_at_k").cast("long").alias("tf_count"),
+        F.expr(
+            "stack(4, 'p', round(p_at_k, 6),"
+            " 'recall', round(recall_at_k, 6),"
+            " 'mrr', round(mrr_at_k, 6),"
+            " 'ap', round(ap_at_k, 6)) AS (metric, tfidf)"
+        ),
+    ).select(
+        "mode",
+        "doc_id",
+        F.concat_ws("|", "query", "metric").alias("top_term"),
+        "tf_count",
+        "tfidf",
+    )
+    return (
+        tfidf.unionByName(bm)
+        .unionByName(idx)
+        .unionByName(fused)
+        .unionByName(ev)
+    )
 
 
 # --- q56: embedding L2-normalize + int8 quantization ----------------------

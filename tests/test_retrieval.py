@@ -308,3 +308,58 @@ def test_bm25_prunes_below_the_tf_aggregate(spark):
     # printed trees are root-first: a deeper node appears later, so
     # the IN filter below the aggregate shows up after it
     assert lp.find(" IN (", agg_pos) != -1, lp
+
+
+def test_all_terms_qrels_boolean_and(spark):
+    """Relevance = contains EVERY distinct query term; partial
+    matches and repeated terms don't qualify a doc."""
+    from example_kafkastreams_spark.operators.retrieval import (
+        all_terms_qrels,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b x"),     # both terms -> relevant
+            (2, "a x y a"),   # missing b -> not
+            (3, "b a a"),     # both -> relevant
+            (4, "z z z"),     # neither -> not
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.query, r.doc_id)
+        for r in all_terms_qrels(docs, ["a b"]).collect()
+    }
+    assert got == {("a b", 1), ("a b", 3)}
+
+
+def test_retrieval_eval_exact_metrics(spark):
+    """Hand-checkable ranking: rel docs at ranks 2 and 3 of k=3 with
+    n_rel=2 give p=2/3, recall=1, mrr=1/2, AP=(1/2 + 2/3)/2 = 7/12;
+    a query with no relevant docs scores 0 across the board."""
+    from example_kafkastreams_spark.operators.retrieval import (
+        retrieval_eval,
+    )
+
+    results = spark.createDataFrame(
+        [
+            ("q1", 20, 1), ("q1", 10, 2), ("q1", 30, 3),
+            ("q2", 10, 1), ("q2", 20, 2),
+        ],
+        "query string, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10), ("q1", 30)], "query string, doc_id long"
+    )
+    rows = {r.query: r for r in retrieval_eval(results, qrels, k=3).collect()}
+    r1 = rows["q1"]
+    assert (r1.n_rel, r1.hits_at_k) == (2, 2)
+    assert r1.p_at_k == 2.0 / 3.0
+    assert r1.recall_at_k == 1.0
+    assert r1.mrr_at_k == 0.5
+    assert r1.ap_at_k == (1.0 / 2.0 + 2.0 / 3.0) / 2.0
+    r2 = rows["q2"]
+    assert (r2.n_rel, r2.hits_at_k) == (0, 0)
+    assert (r2.p_at_k, r2.recall_at_k, r2.mrr_at_k, r2.ap_at_k) == (
+        0.0, 0.0, 0.0, 0.0,
+    )
