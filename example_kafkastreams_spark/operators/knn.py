@@ -1191,6 +1191,47 @@ def _empty_ann_result(emb: DataFrame, id_col: str) -> DataFrame:
     ).limit(0)
 
 
+def _py_cosine_matrix(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """``_py_cosine`` batched over every (query, centroid) pair —
+    BIT-IDENTICAL per cell (unit-pinned): the dot and both norms
+    accumulate with elementwise ``+=`` along the dim axis (numpy
+    float64 elementwise ops are the same IEEE mul/add sequence as the
+    scalar loop, and ``0.0 + t0 == t0`` exactly), and np.sqrt is the
+    same correctly-rounded sqrt as math.sqrt. Replaces |queries| ·
+    |centroids| scalar-Python cosine calls in the serve-time cell
+    picks — the last driver-side O(nq·nc·dim) pure-Python term."""
+    nq, d = Q.shape
+    nc = C.shape[0]
+    dot = np.zeros((nq, nc), dtype=np.float64)
+    for i in range(d):
+        dot += Q[:, i:i + 1] * C[None, :, i]
+    n2a = np.zeros(nq, dtype=np.float64)
+    for i in range(d):
+        n2a += Q[:, i] * Q[:, i]
+    n2b = np.zeros(nc, dtype=np.float64)
+    for i in range(d):
+        n2b += C[:, i] * C[:, i]
+    return dot / np.sqrt(n2a[:, None] * n2b[None, :])
+
+
+def _ranked_cells(
+    qvs: list[list[float]], cents: list[list[float]], nprobe: int
+) -> list[list[int]]:
+    """Per-query top-``nprobe`` cells by (-cosine, index) — the
+    serve-time coarse-quantizer pick, vectorized through
+    ``_py_cosine_matrix`` with the tie order of the scalar sort
+    preserved (Python sort on the exact doubles)."""
+    cos = _py_cosine_matrix(
+        np.asarray(qvs, dtype=np.float64),
+        np.asarray(cents, dtype=np.float64),
+    )
+    nc = len(cents)
+    return [
+        sorted(range(nc), key=lambda ci: (-cos[qi, ci], ci))[:nprobe]
+        for qi in range(len(qvs))
+    ]
+
+
 def _py_cosine(a: list[float], b: list[float]) -> float:
     """Driver-side twin of P.cosine's left-fold IEEE sequence — used
     on collected small-side rows (centroids/queries) so Python-picked
@@ -1424,15 +1465,12 @@ def _ivfpq_adc_scored(
     spark = enc.sparkSession
     m = len(codebook)
     cb_np = [np.asarray(sub, dtype=np.float64) for sub in codebook]
+    qvs = [[float(x) for x in qr[1]] for qr in qrows]
+    picks = _ranked_cells(qvs, cents, nprobe) if qrows else []
     metas, residuals = [], []
-    for qr in qrows:
-        qid, qv = qr[0], [float(x) for x in qr[1]]
-        ranked = sorted(
-            range(len(cents)),
-            key=lambda ci: (-_py_cosine(qv, cents[ci]), ci),
-        )[:nprobe]
+    for qr, qv, ranked in zip(qrows, qvs, picks):
         for ci in ranked:
-            metas.append((ci, qid))
+            metas.append((ci, qr[0]))
             residuals.append([x - y for x, y in zip(qv, cents[ci])])
     from pyspark.sql import types as T
 
@@ -2230,14 +2268,13 @@ def ivfflat_score(
     from pyspark.sql import types as T
 
     spark = enc.sparkSession
-    probe_rows = []
-    for qr in qrows:
-        qid, qv = qr[0], [float(x) for x in qr[1]]
-        ranked = sorted(
-            range(len(cents)),
-            key=lambda ci: (-_py_cosine(qv, cents[ci]), ci),
-        )[:nprobe]
-        probe_rows.extend((ci, qid, qv) for ci in ranked)
+    qvs = [[float(x) for x in qr[1]] for qr in qrows]
+    picks = _ranked_cells(qvs, cents, nprobe) if qrows else []
+    probe_rows = [
+        (ci, qr[0], qv)
+        for qr, qv, ranked in zip(qrows, qvs, picks)
+        for ci in ranked
+    ]
     probes = _probes_frame(
         spark,
         probe_rows,

@@ -385,3 +385,35 @@ def test_lut_probes_frame_arrow_equals_row_path(spark):
     got = sorted(fast.collect(), key=lambda r: r.cell)
     want = sorted(slow.collect(), key=lambda r: r.cell)
     assert got == want
+
+
+def test_py_cosine_matrix_bitwise_equals_scalar():
+    """The batched cosine must reproduce _py_cosine's exact doubles
+    cell-for-cell — serve-time Python cell picks must keep matching
+    SQL-assigned cells bit-for-bit."""
+    from example_kafkastreams_spark.operators.knn import (
+        _py_cosine,
+        _py_cosine_matrix,
+        _ranked_cells,
+    )
+
+    rng = np.random.default_rng(5)
+    Q = rng.normal(size=(9, 16)) * 3
+    C = rng.normal(size=(7, 16))
+    got = _py_cosine_matrix(Q, C)
+    for qi in range(Q.shape[0]):
+        for ci in range(C.shape[0]):
+            assert got[qi, ci] == _py_cosine(
+                list(map(float, Q[qi])), list(map(float, C[ci]))
+            )
+    # ranked picks reproduce the scalar sort including tie order
+    qvs = [list(map(float, q)) for q in Q]
+    cents = [list(map(float, c)) for c in C]
+    want = [
+        sorted(
+            range(len(cents)),
+            key=lambda ci: (-_py_cosine(qv, cents[ci]), ci),
+        )[:3]
+        for qv in qvs
+    ]
+    assert _ranked_cells(qvs, cents, 3) == want
