@@ -363,3 +363,40 @@ def test_retrieval_eval_exact_metrics(spark):
     assert (r2.p_at_k, r2.recall_at_k, r2.mrr_at_k, r2.ap_at_k) == (
         0.0, 0.0, 0.0, 0.0,
     )
+
+
+def test_retrieval_eval_composes_with_ann(spark):
+    """The eval harness is ranker-agnostic: scoring an ANN run
+    against brute-force-derived qrels, its recall@k equals the
+    direct overlap computation (the bench's ann_recall fold)."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators import knn as K
+    from example_kafkastreams_spark.operators.retrieval import (
+        retrieval_eval,
+    )
+    from tests.conftest import SMOKE
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    truth = K.brute_force_knn(emb, num_queries=4, k=5)
+    run = K.lsh_ann(emb, num_queries=4, k=5)
+    got = {
+        r.query: r
+        for r in retrieval_eval(
+            run,
+            truth.select("query_id", "neighbor_id"),
+            k=5,
+            query_col="query_id",
+            doc_col="neighbor_id",
+            rank_col="knn_rank",
+        ).collect()
+    }
+    want = {}
+    t_rows, r_rows = truth.collect(), run.collect()
+    for q in {r.query_id for r in t_rows}:
+        ts = {r.neighbor_id for r in t_rows if r.query_id == q}
+        rs = {r.neighbor_id for r in r_rows if r.query_id == q}
+        want[q] = len(ts & rs) / len(ts)
+    assert set(got) == set(want)
+    for q, rec in want.items():
+        assert got[q].n_rel == 5
+        assert got[q].recall_at_k == rec
