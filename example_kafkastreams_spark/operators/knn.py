@@ -1211,7 +1211,15 @@ def _py_cosine_matrix(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
     n2b = np.zeros(nc, dtype=np.float64)
     for i in range(d):
         n2b += C[:, i] * C[:, i]
-    return dot / np.sqrt(n2a[:, None] * n2b[None, :])
+    den = np.sqrt(n2a[:, None] * n2b[None, :])
+    if np.any(den == 0.0):
+        # preserve the scalar loop's loud failure: numpy would yield a
+        # silent NaN whose sort key desynchronizes Python cell picks
+        # from SQL's NaN-greatest argmax
+        raise ZeroDivisionError(
+            "zero-norm vector in serve-time cosine cell pick"
+        )
+    return dot / den
 
 
 def _ranked_cells(

@@ -121,6 +121,12 @@ def split_leakage_report(
     with ``splits_csv`` the sorted distinct split names (deterministic
     across engines/partitionings).
 
+    Cluster members MISSING from ``docs_with_split`` surface as the
+    sentinel split ``__unassigned__`` (a left join) rather than
+    silently shrinking the cluster's observed splits — an inner join
+    would let a coverage gap mask a real leak while component_size
+    still claimed the full cluster.
+
     Scale shape (100 TB): the audit rides the dedup pass — components
     and the split column are both already-computed scan-fused inputs.
     Singleton components (the overwhelming mass of a deduplicated
@@ -131,7 +137,13 @@ def split_leakage_report(
     spanning = (
         sized_components.filter(F.col("component_size") > 1)
         .join(
-            docs_with_split.select(node_col, split_col), node_col
+            docs_with_split.select(node_col, split_col),
+            node_col,
+            "left",
+        )
+        .withColumn(
+            split_col,
+            F.coalesce(F.col(split_col), F.lit("__unassigned__")),
         )
         .groupBy("component_id")
         .agg(

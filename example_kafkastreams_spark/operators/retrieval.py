@@ -700,8 +700,12 @@ def all_terms_qrels(
             ).alias("term"),
         )
         .join(F.broadcast(qt), "term")
+        # (doc, term) pairs are unique after array_distinct and qt has
+        # unique (query, term) rows, so a plain count IS the distinct
+        # term count — no two-phase distinct aggregation on the one
+        # corpus-sized stage
         .groupBy("query", "doc_id")
-        .agg(F.count_distinct("term").alias("__matched"))
+        .agg(F.count(F.lit(1)).alias("__matched"))
     )
     return (
         hits.join(F.broadcast(qsizes), "query")
@@ -729,9 +733,13 @@ def retrieval_eval(
     of exact integer counts; AP's sum folds precision terms in rank
     order), so the values are bit-reproducible across engines and
     partitionings — deliberately no nDCG, whose log2 discounts are
-    libm-dependent. Queries with no relevant document score 0 across
-    the board (n_rel = 0 still yields a row when the query appears in
-    ``results``).
+    libm-dependent. The query universe is results ∪ qrels: a query
+    with no relevant document scores 0 across the board, and a JUDGED
+    query the run never returned (or returned only past rank k) also
+    emits a zero row — the standard IR convention; dropping it would
+    inflate any mean over the harness's rows. Duplicate (query, doc)
+    label rows are deduplicated defensively (they would multiply join
+    rows and push precision past 1.0).
 
     Scale shape: ``results`` is already top-k-bounded (|queries|·k
     rows); the one corpus-sized input is ``qrels``, which reduces to
@@ -745,7 +753,11 @@ def retrieval_eval(
     rel = qrels.select(
         F.col(query_col).alias("query"),
         F.col(doc_col).alias("doc_id"),
-        F.lit(1).alias("__rel"),
+    ).distinct().withColumn("__rel", F.lit(1))
+    universe = (
+        results.select(F.col(query_col).alias("query"))
+        .union(rel.select("query"))
+        .distinct()
     )
     n_rel = rel.groupBy("query").agg(
         F.count(F.lit(1)).alias("n_rel")
@@ -792,17 +804,20 @@ def retrieval_eval(
         ).alias("__ap_num"),
     )
     return (
-        per_q.join(F.broadcast(n_rel), "query", "left")
+        universe.join(per_q, "query", "left")
+        .join(F.broadcast(n_rel), "query", "left")
         .select(
             "query",
             F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
-            "hits_at_k",
-            (F.col("hits_at_k").cast("double") / F.lit(float(k))).alias(
-                "p_at_k"
-            ),
+            F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+            (
+                F.coalesce("hits_at_k", F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("p_at_k"),
             F.when(
                 F.coalesce("n_rel", F.lit(0)) > 0,
-                F.col("hits_at_k").cast("double") / F.col("n_rel"),
+                F.coalesce("hits_at_k", F.lit(0)).cast("double")
+                / F.col("n_rel"),
             )
             .otherwise(F.lit(0.0))
             .alias("recall_at_k"),
@@ -814,7 +829,7 @@ def retrieval_eval(
             .alias("mrr_at_k"),
             F.when(
                 F.coalesce("n_rel", F.lit(0)) > 0,
-                F.col("__ap_num")
+                F.coalesce("__ap_num", F.lit(0.0))
                 / F.least(F.col("n_rel"), F.lit(k)).cast("double"),
             )
             .otherwise(F.lit(0.0))

@@ -378,6 +378,10 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
     ivfflat_index_write(emb, flat_idx_path, flat_cents)
     release_sketch_caches()
 
+    # one query-set literal shared by the bm25 probe and the
+    # retrieval_eval probe documented to score that same run
+    _RETR_QUERIES = ["hash join", "scan filter", "stream window"]
+
     def bm25():
         # fixed query set against the N× corpus: the broadcast side is
         # constant, candidate postings (and the one score exchange)
@@ -386,9 +390,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             bm25_top_docs,
         )
 
-        return bm25_top_docs(
-            docs, ["hash join", "scan filter", "stream window"], top_k=5
-        )
+        return bm25_top_docs(docs, _RETR_QUERIES, top_k=5)
 
     def ivfflat_serve():
         return ann_index_query(
@@ -399,6 +401,58 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             ),
             k=3,
             nprobe=2,
+        )
+
+    # Split-leakage audit / retrieval eval at scale: both consume an
+    # ALREADY-COMPUTED upstream product (the sized components table /
+    # the top-k bm25 run), so that product is materialized OUTSIDE the
+    # timed window — the probe isolates the audit/eval stage itself.
+    # Expected curves: the audit's join+agg touch only the duplicate
+    # mass (component_size > 1 filters first); the eval's corpus-sized
+    # term is the qrels derivation (~N), its metric join is bounded by
+    # |queries|·k at any scale.
+    from example_kafkastreams_spark.operators.components import (
+        with_component_sizes,
+    )
+    from example_kafkastreams_spark.operators.report import (
+        split_leakage_report,
+    )
+    from example_kafkastreams_spark.operators.retrieval import (
+        all_terms_qrels,
+        bm25_top_docs,
+        retrieval_eval,
+    )
+    from example_kafkastreams_spark.operators.sampling import assign_split
+
+    sized_path = os.path.join(
+        tempfile.gettempdir(),
+        f"probe_sized_comp_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(sized_path, ignore_errors=True)
+    with_component_sizes(
+        connected_components(
+            ND.simhash_components_edges(docs, max_hamming=3),
+            nodes=docs,
+            node_col="doc_id",
+            broadcast=True,
+        ),
+        "doc_id",
+    ).write.parquet(sized_path)
+    bmr_path = sized_path + "_bmr"
+    shutil.rmtree(bmr_path, ignore_errors=True)
+    bm25_top_docs(docs, _RETR_QUERIES, top_k=5).write.parquet(bmr_path)
+    release_sketch_caches()
+
+    def split_leak():
+        return split_leakage_report(
+            spark.read.parquet(sized_path), assign_split(docs)
+        )
+
+    def retr_eval():
+        return retrieval_eval(
+            spark.read.parquet(bmr_path),
+            all_terms_qrels(docs, _RETR_QUERIES),
+            k=5,
         )
 
     out: dict[str, dict] = {}
@@ -421,6 +475,8 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("pq_encode", pq),
         ("ivfflat_serve", ivfflat_serve),
         ("bm25_retrieval", bm25),
+        ("split_leakage", split_leak),
+        ("retrieval_eval", retr_eval),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)
@@ -442,6 +498,8 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
     shutil.rmtree(wh_idx_path, ignore_errors=True)
     shutil.rmtree(srp_idx_path, ignore_errors=True)
     shutil.rmtree(flat_idx_path, ignore_errors=True)
+    shutil.rmtree(sized_path, ignore_errors=True)
+    shutil.rmtree(bmr_path, ignore_errors=True)
     return out
 
 

@@ -497,3 +497,24 @@ def test_split_leakage_report(spark):
     assert (
         split_leakage_report(one_cluster, assign_split(docs)).count() == 0
     )
+
+
+def test_split_leakage_surfaces_missing_split_coverage(spark):
+    """A cluster member missing from the split frame must surface as
+    the __unassigned__ sentinel, not silently shrink the cluster's
+    observed splits (an inner join could mask a real leak)."""
+    from example_kafkastreams_spark.operators.report import (
+        split_leakage_report,
+    )
+
+    sized = spark.createDataFrame(
+        [(10, 1, 2), (11, 1, 2)],
+        "doc_id long, component_id long, component_size long",
+    )
+    splits = spark.createDataFrame(
+        [(10, "train")], "doc_id long, split string"
+    )
+    rows = split_leakage_report(sized, splits).collect()
+    assert len(rows) == 1
+    assert rows[0].splits_csv == "__unassigned__,train"
+    assert rows[0].n_splits == 2

@@ -400,3 +400,34 @@ def test_retrieval_eval_composes_with_ann(spark):
     for q, rec in want.items():
         assert got[q].n_rel == 5
         assert got[q].recall_at_k == rec
+
+
+def test_retrieval_eval_universe_and_dup_labels(spark):
+    """Round-9 review fixes: duplicate (query, doc) label rows must
+    not inflate metrics past 1.0, and a judged query the run never
+    returned inside the top k still emits a zero row."""
+    from example_kafkastreams_spark.operators.retrieval import (
+        retrieval_eval,
+    )
+
+    results = spark.createDataFrame(
+        [("q1", 10, 1), ("q3", 40, 6)],
+        "query string, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 10), ("q1", 10), ("q2", 99), ("q3", 40)],
+        "query string, doc_id long",
+    )
+    rows = {r.query: r for r in retrieval_eval(results, qrels, k=1).collect()}
+    # duplicate label counted once
+    r1 = rows["q1"]
+    assert (r1.n_rel, r1.hits_at_k, r1.p_at_k, r1.ap_at_k) == (1, 1, 1.0, 1.0)
+    # judged query with no returned rows -> zero row, not a dropped one
+    r2 = rows["q2"]
+    assert (r2.n_rel, r2.hits_at_k) == (1, 0)
+    assert (r2.p_at_k, r2.recall_at_k, r2.mrr_at_k, r2.ap_at_k) == (
+        0.0, 0.0, 0.0, 0.0,
+    )
+    # returned only past rank k -> present (query in results) but zero
+    r3 = rows["q3"]
+    assert (r3.n_rel, r3.hits_at_k, r3.recall_at_k) == (1, 0, 0.0)
