@@ -151,6 +151,7 @@ _MERGED_SINCE = {
     "q41_dedup_minhash_lsh": 6,   # +incr (r6)
     "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
     "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
+    "q34_hash_sample": 9,         # +wsample (r9)
     "q56_quantize_embeddings": 8, # +adc (r8)
     "q57_neardup_components": 9,  # +leak (r9)
     "q50_token_stats": 9,         # +bpe (r9)
@@ -327,6 +328,7 @@ def main() -> None:
 
     branch_timings: dict[str, dict] = {}
     for qname, disc, modes in (
+        ("q34_hash_sample", "method", ("hash", "strat", "wsample")),
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr")),
         (
             "q46_ann_lsh_ivf",

@@ -9,6 +9,7 @@ from .index_maint import COMPACTED_RUN, compact_index
 from .retrieval import (
     all_terms_qrels,
     bm25_index_append_sink,
+    ndcg_tables,
     bm25_index_compact,
     bm25_index_query,
     bm25_index_write,
@@ -37,6 +38,7 @@ _LAZY = {
     "split_leakage_report": "report",
     "assign_split": "sampling",
     "stratified_sample": "sampling",
+    "weighted_sample": "sampling",
 }
 
 
@@ -68,6 +70,8 @@ __all__ = [
     "term_overlap_top_docs",
     "all_terms_qrels",
     "retrieval_eval",
+    "ndcg_tables",
+    "weighted_sample",
     "ann_index_drift",
     "quantization_stats",
     "record_train_stats",

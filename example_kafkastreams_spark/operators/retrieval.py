@@ -39,6 +39,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions import portable as P
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -714,6 +716,22 @@ def all_terms_qrels(
     )
 
 
+def ndcg_tables(k: int) -> tuple[list[float], list[float]]:
+    """(gains, ideal) discount tables for binary-relevance nDCG@k:
+    gains[r-1] = 1/log2(r+1) and ideal[m-1] = the left-to-right fold
+    of the first m gains (the ideal DCG when m relevant docs exist).
+    Computed ONCE driver-side so both engines consume identical
+    literals — log2 never evaluates inside a query."""
+    import math
+
+    gains = [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+    ideal, acc = [], 0.0
+    for g in gains:
+        acc = acc + g
+        ideal.append(acc)
+    return gains, ideal
+
+
 def retrieval_eval(
     results: DataFrame,
     qrels: DataFrame,
@@ -727,13 +745,18 @@ def retrieval_eval(
     per release. One row per query:
 
         (query, n_rel, hits_at_k, p_at_k, recall_at_k, mrr_at_k,
-         ap_at_k)
+         ap_at_k, ndcg_at_k)
 
-    Every metric is EXACT RATIONAL arithmetic (single IEEE divisions
-    of exact integer counts; AP's sum folds precision terms in rank
-    order), so the values are bit-reproducible across engines and
-    partitionings — deliberately no nDCG, whose log2 discounts are
-    libm-dependent. The query universe is results ∪ qrels: a query
+    Every metric is EXACT arithmetic over bit-identical operands:
+    p/recall/mrr/AP are single IEEE divisions of exact integer counts
+    (AP's sum folds precision terms in rank order), and nDCG's log2
+    discounts — the one libm-dependent piece — are COMPILE-TIME
+    literals: gains 1/log2(r+1) and the cumulative ideal-DCG prefix
+    sums are computed once in Python for ranks 1..k and enter both
+    engines as exact string-cast double literals (the vec_literal
+    convention), so DCG is a rank-ordered fold of identical constants
+    and nDCG one IEEE division. The query universe is results ∪
+    qrels: a query
     with no relevant document scores 0 across the board, and a JUDGED
     query the run never returned (or returned only past rank k) also
     emits a zero row — the standard IR convention; dropping it would
@@ -773,6 +796,13 @@ def retrieval_eval(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = flagged.withColumn("__cum", F.sum("__rel").over(w))
+    # nDCG discount table as compile-time constants: gains 1/log2(r+1)
+    # and the cumulative ideal-DCG prefix fold, computed ONCE here and
+    # spliced as exact string-cast literals (every engine parses them
+    # through strtod) — libm never runs inside either engine
+    gains, ideal = ndcg_tables(k)
+    gains_arr = F.expr(P.vec_literal(gains, P.SPARK))
+    ideal_arr = F.expr(P.vec_literal(ideal, P.SPARK))
     per_q = cum.groupBy("query").agg(
         F.sum("__rel").alias("hits_at_k"),
         F.min(F.when(F.col("__rel") == 1, F.col("rank"))).alias(
@@ -802,6 +832,29 @@ def retrieval_eval(
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("__ap_num"),
+        # DCG: the relevant ranks' literal gains folded in rank order
+        # (binary relevance, so each term IS the spliced constant)
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rel") == 1,
+                            F.struct(
+                                F.col("rank"),
+                                F.element_at(
+                                    gains_arr,
+                                    F.col("rank").cast("int"),
+                                ).alias("g"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["g"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__dcg"),
     )
     return (
         universe.join(per_q, "query", "left")
@@ -834,5 +887,15 @@ def retrieval_eval(
             )
             .otherwise(F.lit(0.0))
             .alias("ap_at_k"),
+            F.when(
+                F.coalesce("n_rel", F.lit(0)) > 0,
+                F.coalesce("__dcg", F.lit(0.0))
+                / F.element_at(
+                    ideal_arr,
+                    F.least(F.col("n_rel"), F.lit(k)).cast("int"),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at_k"),
         )
     )

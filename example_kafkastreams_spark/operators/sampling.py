@@ -74,3 +74,32 @@ def stratified_sample(
         .filter(F.col("__rank") <= n_per_stratum)
         .drop("__rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic IMPORTANCE sampling: each row accepted
+    independently with probability = its ``weight_col`` value
+    (clamped to [0, 1]) — the quality-weighted subsampling a
+    training-data pipeline runs instead of uniform downsampling
+    (upweight high-quality documents, downweight boilerplate) without
+    rand()'s seed/partitioning dependence.
+
+    Acceptance = hash32(id) < floor(weight · 2³²): the same exact
+    integer-threshold construction as ``mix_sources``/``assign_split``
+    but with a PER-ROW threshold, so any weight expression both
+    engines compute bit-identically (ratios of exact values, spliced
+    literals) yields the same survivor set everywhere. Pure map-side
+    filter — scan-fused, zero shuffle at any scale. Re-running with
+    the same weights reselects the SAME rows (a stable sample under
+    re-ingestion); to redraw, salt the id upstream."""
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    thr = F.floor(w * F.lit(4294967296.0)).cast("bigint")
+    h = F.expr(P.token_hash32(f"CAST({id_col} AS STRING)", P.SPARK))
+    return df.filter(h < thr)

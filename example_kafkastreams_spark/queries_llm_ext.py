@@ -319,6 +319,20 @@ def _q55_sql() -> str:
 
     k1, b, k1p1 = BM25_K1, BM25_B, BM25_K1 + 1.0
     qvals = ", ".join(f"('{q}')" for q in BM25_QUERIES)
+    # nDCG discount literals: the SAME Python-computed constants the
+    # operator splices (retrieval.ndcg_tables) — log2 never runs
+    # inside either engine
+    from .operators.retrieval import ndcg_tables
+
+    _gains, _ideal = ndcg_tables(BM25_TOP_K)
+    gain_case = " ".join(
+        f"WHEN {r + 1} THEN CAST('{g!r}' AS DOUBLE)"
+        for r, g in enumerate(_gains)
+    )
+    ideal_case = " ".join(
+        f"WHEN {m + 1} THEN CAST('{i!r}' AS DOUBLE)"
+        for m, i in enumerate(_ideal)
+    )
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest({P.split_ws('text', D)}) AS term FROM documents
@@ -450,7 +464,12 @@ def _q55_sql() -> str:
                list_prepend(CAST(0.0 AS DOUBLE),
                  list(CAST(cum AS DOUBLE) / rank ORDER BY rank)
                    FILTER (WHERE rel = 1)),
-               (acc, x) -> acc + x) AS ap_num
+               (acc, x) -> acc + x) AS ap_num,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CASE rank {gain_case} END ORDER BY rank)
+                   FILTER (WHERE rel = 1)),
+               (acc, x) -> acc + x) AS dcg
       FROM evc GROUP BY query
     ),
     evm AS (
@@ -465,7 +484,11 @@ def _q55_sql() -> str:
              CASE WHEN COALESCE(n.n_rel, 0) > 0
                   THEN e.ap_num / CAST(least(n.n_rel, {BM25_TOP_K})
                                        AS DOUBLE)
-                  ELSE 0.0 END AS ap
+                  ELSE 0.0 END AS ap,
+             CASE WHEN COALESCE(n.n_rel, 0) > 0
+                  THEN e.dcg / (CASE least(n.n_rel, {BM25_TOP_K})
+                                {ideal_case} END)
+                  ELSE 0.0 END AS ndcg
       FROM evq e LEFT JOIN nrel n ON n.query = e.query
     ),
     evsel AS (
@@ -473,6 +496,7 @@ def _q55_sql() -> str:
       UNION ALL SELECT query, hits, 'recall', rc FROM evm
       UNION ALL SELECT query, hits, 'mrr', mrr FROM evm
       UNION ALL SELECT query, hits, 'ap', ap FROM evm
+      UNION ALL SELECT query, hits, 'ndcg', ndcg FROM evm
     )
     SELECT 'tfidf' AS mode, doc_id, term AS top_term, tf_count,
            round(CAST(tfidf_raw AS DOUBLE), 6) AS tfidf
@@ -521,9 +545,11 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer. ``eval`` (round 9): the retrieval eval harness —
     ``retrieval_eval`` scoring the bm25 ranking against
     contains-all-query-terms labels (``all_terms_qrels``), one row per
-    (query, metric) for p/recall/mrr/ap@k, every value exact rational
-    arithmetic (no libm-dependent nDCG); top_term carries
-    'query|metric', tf_count the hit count."""
+    (query, metric) for p/recall/mrr/ap/ndcg@k — rational metrics are
+    exact integer-count divisions, and nDCG's log2 discounts are
+    compile-time Python constants spliced into BOTH dialects
+    (``ndcg_tables``), so no libm runs inside either engine; top_term
+    carries 'query|metric', tf_count the hit count."""
     import atexit
     import os
     import shutil
@@ -597,10 +623,11 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query"),
         F.col("hits_at_k").cast("long").alias("tf_count"),
         F.expr(
-            "stack(4, 'p', round(p_at_k, 6),"
+            "stack(5, 'p', round(p_at_k, 6),"
             " 'recall', round(recall_at_k, 6),"
             " 'mrr', round(mrr_at_k, 6),"
-            " 'ap', round(ap_at_k, 6)) AS (metric, tfidf)"
+            " 'ap', round(ap_at_k, 6),"
+            " 'ndcg', round(ndcg_at_k, 6)) AS (metric, tfidf)"
         ),
     ).select(
         "mode",

@@ -285,6 +285,18 @@ from .functions import portable as P  # noqa: E402
              ) AS rn
       FROM orders
     ) WHERE rn <= 7
+    UNION ALL
+    -- wsample branch: importance sampling at a PER-ROW acceptance
+    -- probability (price / corpus max — one IEEE division of exact
+    -- parquet doubles, then the floor(w * 2^32) integer threshold)
+    SELECT 'wsample', o_orderkey, o_custkey, o_totalprice,
+           o_orderpriority
+    FROM orders
+    WHERE {P.token_hash32("CAST(o_orderkey AS VARCHAR)", P.DUCK)} <
+          CAST(floor(least(greatest(
+                 o_totalprice / (SELECT max(o_totalprice) FROM orders),
+                 CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+               * 4294967296.0) AS BIGINT)
     """,
 )
 def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,8 +309,14 @@ def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per o_orderpriority stratum ranked by md5(key), the per-domain
     eval-holdout carve; the rank ≤ n predicate triggers Spark's
     WindowGroupLimit rewrite so each map partition pre-prunes to 7
-    rows per stratum before the exchange (quota-bounded shuffle)."""
-    from .operators.sampling import stratified_sample
+    rows per stratum before the exchange (quota-bounded shuffle).
+    ``wsample`` (round 9): operators.sampling.weighted_sample —
+    IMPORTANCE sampling with a per-row acceptance probability (here
+    price / corpus max), the quality-weighted subsampling a pipeline
+    runs instead of uniform downsampling; the oracle re-derives the
+    weight with the identical IEEE op sequence and the same
+    floor(w·2³²) integer threshold."""
+    from .operators.sampling import stratified_sample, weighted_sample
 
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
     orders = load_table(spark, sf_dir, "orders").select(*cols)
@@ -307,8 +325,18 @@ def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     strat = stratified_sample(
         orders, "o_orderpriority", 7, "o_orderkey"
     )
-    return hashed.select(F.lit("hash").alias("method"), *cols).unionByName(
-        strat.select(F.lit("strat").alias("method"), *cols)
+    maxp = orders.agg(F.max("o_totalprice").alias("__maxp"))
+    ws = weighted_sample(
+        orders.crossJoin(F.broadcast(maxp)).withColumn(
+            "__w", F.col("o_totalprice") / F.col("__maxp")
+        ),
+        "__w",
+        "o_orderkey",
+    )
+    return (
+        hashed.select(F.lit("hash").alias("method"), *cols)
+        .unionByName(strat.select(F.lit("strat").alias("method"), *cols))
+        .unionByName(ws.select(F.lit("wsample").alias("method"), *cols))
     )
 
 

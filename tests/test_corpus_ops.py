@@ -655,3 +655,48 @@ def test_assign_split_deterministic_and_leakage_safe(spark):
         P.split_assign("text", [("only", 1.0)], P.SPARK)
     with pytest.raises(ValueError):  # names are spliced into SQL
         P.split_assign("text", [("tr'ain", 0.5), ("val", 0.5)], P.SPARK)
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    """weight 0 keeps nothing, weight 1 keeps everything, the
+    survivor set is identical under repartitioning and re-runs, and
+    acceptance tracks the weight (higher-weight strata keep more)."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("double").alias("w01"),
+        F.when(F.col("id") % 2 == 0, F.lit(0.1))
+        .otherwise(F.lit(0.9))
+        .alias("wmix"),
+    )
+    zero_one = weighted_sample(df, "w01", "k")
+    kept = zero_one.select("k").collect()
+    assert all(r.k % 2 == 1 for r in kept)          # w=0 rows all gone
+    assert len(kept) == 1000                        # w=1 rows all kept
+
+    a = sorted(r.k for r in weighted_sample(df, "wmix", "k").collect())
+    b = sorted(
+        r.k
+        for r in weighted_sample(
+            df.repartition(13), "wmix", "k"
+        ).collect()
+    )
+    assert a == b                                    # layout-independent
+    lo = sum(1 for k in a if k % 2 == 0)
+    hi = sum(1 for k in a if k % 2 == 1)
+    assert 50 < lo < 150 and 800 < hi < 1000         # ~0.1 / ~0.9
+
+    # weights outside [0, 1] clamp rather than corrupt the threshold
+    clamped = weighted_sample(
+        df.withColumn("wbad", (F.col("k") - 1000).cast("double")), "wbad", "k"
+    )
+    kept_bad = {r.k for r in clamped.select("k").collect()}
+    assert kept_bad == {k for k in range(1001, 2000)} | (
+        kept_bad & set(range(1001))
+    )  # w>=1 ids all kept; w<=0 ids all dropped
+    assert not any(k <= 1000 for k in kept_bad)

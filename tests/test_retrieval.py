@@ -358,11 +358,19 @@ def test_retrieval_eval_exact_metrics(spark):
     assert r1.recall_at_k == 1.0
     assert r1.mrr_at_k == 0.5
     assert r1.ap_at_k == (1.0 / 2.0 + 2.0 / 3.0) / 2.0
+    # nDCG: rel at ranks 2,3; DCG = g2 + g3 folded in rank order,
+    # IDCG = ideal prefix for min(n_rel, k) = 2 — replay the exact
+    # literal fold the operator splices
+    import math
+
+    g = [1.0 / math.log2(r + 1) for r in (1, 2, 3)]
+    assert r1.ndcg_at_k == (0.0 + g[1] + g[2]) / (0.0 + g[0] + g[1])
     r2 = rows["q2"]
     assert (r2.n_rel, r2.hits_at_k) == (0, 0)
-    assert (r2.p_at_k, r2.recall_at_k, r2.mrr_at_k, r2.ap_at_k) == (
-        0.0, 0.0, 0.0, 0.0,
-    )
+    assert (
+        r2.p_at_k, r2.recall_at_k, r2.mrr_at_k, r2.ap_at_k,
+        r2.ndcg_at_k,
+    ) == (0.0, 0.0, 0.0, 0.0, 0.0)
 
 
 def test_retrieval_eval_composes_with_ann(spark):
