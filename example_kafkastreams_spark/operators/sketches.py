@@ -1,22 +1,52 @@
 """Cardinality sketches — cross-engine-EXACT approximate distincts.
 
-``approx_count_distinct`` (HyperLogLog) can never be oracle-checked:
-Spark's and DuckDB's HLL implementations hash differently and round
-differently. KMV (k minimum values; Bar-Yossef et al. 2002) can: the
+``approx_count_distinct`` (the engines' NATIVE HyperLogLog) can never
+be oracle-checked: Spark's and DuckDB's HLL implementations hash
+differently and round differently. Two sketches here can:
+
+KMV (k minimum values; Bar-Yossef et al. 2002): the
 sketch is "the k smallest distinct hash values", the hash is the
 dual-dialect ``portable.token_hash32`` (identical BIGINTs in both
 engines), and the estimator ``(k-1)·2³² / h_k`` is one exact integer
 product and one IEEE division — bit-equal across engines by
 construction. Relative standard error ≈ 1/√(k−2) (~13% at k=64).
 
-Scale shape (the reason to sketch at all): a local
+HyperLogLog itself (Flajolet, Fusy, Gandouet, Meunier 2007), built
+from scratch on the same portable hash, is ALSO exactly reproducible —
+the trick is that every float the estimator touches is either a
+compile-time literal or a sum that cannot round:
+
+* the register update is pure integer arithmetic (bucket = h mod m,
+  rho = trailing-zero run of h div m, via a generated CASE ladder —
+  no ``log``/bit-builtin dialect differences);
+* the harmonic-mean denominator Σ 2^(−M_j) is a sum of m powers of
+  two, each a multiple of 2^(−(nbits+1)) and ≤ 1, so every partial sum
+  needs ≤ p + nbits + 1 < 53 significand bits — IEEE addition is EXACT
+  here, hence associative, hence aggregation-order- and partitioning-
+  independent (the same trick the nDCG fold uses with literal
+  discounts);
+* α_m·m² is one Python-side ``repr`` literal cast identically in both
+  dialects, and the estimate is a single IEEE division of two
+  bit-identical doubles.
+
+The classic small-range linear-counting correction (m·ln(m/V)) is
+deliberately NOT part of the cross-engine row — ``ln`` is libm-bound.
+``hll_corrected_estimate`` applies it driver-side from the returned
+(est, n_zero_regs) pair: one scalar, never shipped between engines.
+
+Scale shape (the reason to sketch at all). KMV: a local
 ``dense_rank() ≤ k`` per input partition prunes to the rows covering
 each partition's k smallest DISTINCT hashes BEFORE any exchange
 (dense_rank, not row_number — duplicates of one small hash must not
 evict a larger distinct hash from the local top-k), so the global
 distinct+sort touches ≤ partitions·k candidate values, never the
-corpus. Exact distinct-count of the same column shuffles every value;
-the sketch shuffles a bounded candidate set.
+corpus. HLL is even tighter: bucket/rho are map-side expressions and
+``max(rho)`` partial-aggregates per partition, so the exchange carries
+≤ partitions·m register rows — CONSTANT in the corpus, no candidate
+set at all, and registers from disjoint corpus parts merge by
+register-wise max (the property the unit tests pin). Exact
+distinct-count of the same column shuffles every value; the sketches
+shuffle a bounded (KMV) or constant (HLL) set.
 """
 
 from __future__ import annotations
@@ -192,3 +222,176 @@ def count_min_estimates(
         "cms_est",
         F.coalesce("exact_cnt", F.lit(0)).alias("exact_cnt"),
     )
+
+
+# --- HyperLogLog (from scratch, cross-engine exact) ------------------------
+
+HLL_P = 6  # 2^6 = 64 registers; RSE ≈ 1.04/√64 = 13%
+
+# α_m from Flajolet et al. 2007, §4 (m ≥ 16); the m ≥ 128 closed form
+# otherwise. One Python float, spliced as a repr literal into BOTH
+# engines so the numerator is bit-identical by construction.
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_m(p: int) -> int:
+    if not 4 <= p <= 12:
+        raise ValueError(f"hll precision p={p} outside [4, 12]")
+    return 2**p
+
+
+def _hll_alpha_m2(p: int) -> float:
+    m = _hll_m(p)
+    alpha = _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+    return alpha * m * m
+
+
+def hll_rho_sql(w: str, nbits: int) -> str:
+    """rho(w) = 1 + trailing-zero run of ``w`` (an ``nbits``-bit
+    non-negative integer expression); w = 0 ⇒ nbits + 1.
+
+    Generated CASE ladder of pure ``%``/``=`` integer arithmetic —
+    identical text in both dialects, so there is no leading-zero /
+    ``log2`` builtin to disagree about. (Trailing zeros, not leading:
+    P(rho ≥ k) = 2^(1−k) either way for uniform bits — the
+    Flajolet–Martin orientation — and trailing tests are one modulo
+    each.)"""
+    branches = " ".join(
+        f"WHEN ({w}) % {2 ** k} = {2 ** (k - 1)} THEN {k}"
+        for k in range(1, nbits + 1)
+    )
+    return (
+        f"CAST(CASE WHEN ({w}) = 0 THEN {nbits + 1} {branches} END AS INT)"
+    )
+
+
+def _hll_register_exprs(value_col: str, p: int, d: str) -> tuple[str, str]:
+    """(bucket_sql, rho_sql) for one value expression in dialect ``d``:
+    bucket = low p bits of the 32-bit portable hash, rho over the
+    remaining high 32−p bits."""
+    m = _hll_m(p)
+    h = P.token_hash32(value_col, d)
+    w = P.idiv(h, str(m), d)
+    return f"(({h}) % {m})", hll_rho_sql(w, 32 - p)
+
+
+def hll_registers(
+    values: DataFrame,
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """All 2^p register rows (register INT, rho INT), empty registers
+    at rho 0.
+
+    Map-side bucket/rho expressions + one ``max`` aggregation: the
+    partial agg collapses each input partition to ≤ m rows before the
+    exchange, so shuffle volume is constant in the corpus size — the
+    whole point of HLL at 100 TB. NULL values are skipped (not a
+    distinct value, matching ``count(DISTINCT ...)``)."""
+    m = _hll_m(p)
+    bucket, rho = _hll_register_exprs(value_col, p, P.SPARK)
+    occupied = (
+        values.filter(F.col(value_col).isNotNull())
+        .select(
+            F.expr(bucket).cast("int").alias("register"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    full = values.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("register")
+    )
+    return full.join(occupied, "register", "left").select(
+        "register", F.coalesce("rho", F.lit(0)).cast("int").alias("rho")
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Register-wise max of two register frames — the HLL union. The
+    merged sketch of disjoint (or overlapping!) corpus parts equals
+    the sketch of their union, which is what makes per-partition /
+    per-day sketches composable without re-reading data."""
+    return (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def _hll_pow_case(p: int) -> str:
+    """2^(−rho) as a CASE ladder of exact string-cast literals
+    (``repr`` of a power of two round-trips exactly; no ``power()``
+    libm call in either engine)."""
+    nbits = 32 - p
+    arms = " ".join(
+        f"WHEN rho = {k} THEN CAST('{2.0 ** -k!r}' AS DOUBLE)"
+        for k in range(0, nbits + 2)
+    )
+    return f"CASE {arms} END"
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P) -> DataFrame:
+    """One row (est_distinct DOUBLE, n_zero_regs INT) from a full
+    register frame: E = α_m·m² / Σ 2^(−M_j).
+
+    Bit-reproducible across engines/partitionings: every 2^(−M_j) term
+    is a multiple of 2^(−(32−p+1)) and ≤ 1, so with m ≤ 4096 terms any
+    partial sum fits in < 53 significand bits — the float sum is EXACT
+    and therefore order-independent. The raw estimator only (no
+    small-range ``ln`` correction — see ``hll_corrected_estimate``)."""
+    num = _hll_alpha_m2(p)
+    return registers.agg(
+        F.sum(F.expr(_hll_pow_case(p))).alias("__s"),
+        F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_zero_regs"),
+    ).select(
+        (F.expr(f"CAST('{num!r}' AS DOUBLE)") / F.col("__s")).alias(
+            "est_distinct"
+        ),
+        "n_zero_regs",
+    )
+
+
+def hll_corrected_estimate(
+    est_distinct: float, n_zero_regs: int, p: int = HLL_P
+) -> float:
+    """Driver-side small-range correction (Flajolet et al. 2007 §4):
+    linear counting m·ln(m/V) when E ≤ 2.5m and some register is
+    empty. One scalar ``ln`` on the driver — deliberately excluded
+    from the cross-engine row (libm-bound)."""
+    import math
+
+    m = _hll_m(p)
+    if est_distinct <= 2.5 * m and n_zero_regs > 0:
+        return m * math.log(m / n_zero_regs)
+    return est_distinct
+
+
+def hll_registers_sql(value_sql: str, p: int = HLL_P) -> str:
+    """DuckDB twin of ``hll_registers`` over ``value_sql`` (one column
+    ``v``): all 2^p (register, rho) rows, same integers."""
+    m = _hll_m(p)
+    bucket, rho = _hll_register_exprs("v", p, P.DUCK)
+    return f"""
+    SELECT CAST(r.r AS INTEGER) AS register,
+           CAST(COALESCE(occ.rho, 0) AS INTEGER) AS rho
+    FROM (SELECT unnest(range({m})) AS r) r
+    LEFT JOIN (
+      SELECT {bucket} AS register, max({rho}) AS rho
+      FROM ({value_sql}) WHERE v IS NOT NULL GROUP BY 1
+    ) occ ON occ.register = r.r
+    """
+
+
+def hll_estimate_sql(registers_sql: str, p: int = HLL_P) -> str:
+    """DuckDB twin of ``hll_estimate`` over a register CTE/subquery."""
+    num = _hll_alpha_m2(p)
+    return f"""
+    SELECT CAST('{num!r}' AS DOUBLE) / sum({_hll_pow_case(p)})
+             AS est_distinct,
+           CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_zero_regs
+    FROM ({registers_sql})
+    """

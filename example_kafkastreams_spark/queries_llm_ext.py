@@ -1070,13 +1070,21 @@ KMV_K = 64
 CMS_DEPTH = 4
 CMS_WIDTH = 256
 CMS_PROBES = 3
+HLL_Q58_P = 8  # 256 registers, RSE ≈ 6.5% — over the 3-shingle domain
 
 
 def _q58_sql() -> str:
-    from .operators.sketches import kmv_distinct_sql
+    from .operators.sketches import (
+        hll_estimate_sql,
+        hll_registers_sql,
+        kmv_distinct_sql,
+    )
 
     toks = f"SELECT unnest({P.split_ws('text', D)}) AS v FROM documents"
+    sh = f"SELECT unnest({P.shingles('text', 3, D)}) AS v FROM documents"
     kmv = kmv_distinct_sql(toks, KMV_K)
+    hregs = hll_registers_sql(sh, HLL_Q58_P)
+    hest = hll_estimate_sql("SELECT * FROM hllregs", HLL_Q58_P)
     bkt = P.token_hash32("CONCAT(CAST(j.j AS VARCHAR), ':', t.v)", D)
     return f"""
     WITH b AS (
@@ -1085,6 +1093,11 @@ def _q58_sql() -> str:
       FROM embeddings
     ),
     kmv AS ({kmv}),
+    hllregs AS ({hregs}),
+    hllest AS ({hest}),
+    shexact AS (
+      SELECT count(DISTINCT v) AS sh_exact FROM ({sh})
+    ),
     exact AS (
       SELECT count(DISTINCT v) AS exact_distinct FROM ({toks})
     ),
@@ -1122,21 +1135,42 @@ def _q58_sql() -> str:
            CAST(NULL AS BIGINT) AS exact_distinct,
            CAST(NULL AS VARCHAR) AS probe,
            CAST(NULL AS BIGINT) AS cms_est,
-           CAST(NULL AS BIGINT) AS exact_cnt
+           CAST(NULL AS BIGINT) AS exact_cnt,
+           CAST(NULL AS INTEGER) AS hll_register,
+           CAST(NULL AS INTEGER) AS hll_rho,
+           CAST(NULL AS INTEGER) AS n_zero_regs
     FROM b GROUP BY srp_bucket
     UNION ALL
     SELECT 'kmv', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), k_used, kth_hash, est_distinct,
            exact_distinct, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-           CAST(NULL AS BIGINT)
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
     FROM kmv CROSS JOIN exact
     UNION ALL
     SELECT 'cms', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS BIGINT), c.probe, c.cms_est,
-           COALESCE(e.exact_cnt, 0)
+           COALESCE(e.exact_cnt, 0), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
     FROM cms c LEFT JOIN pexact e ON e.probe = c.probe
+    UNION ALL
+    SELECT 'hll', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           register, rho, CAST(NULL AS INTEGER)
+    FROM hllregs
+    UNION ALL
+    SELECT 'hll_est', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), est_distinct, sh_exact,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), n_zero_regs
+    FROM hllest CROSS JOIN shexact
     """
 
 
@@ -1148,11 +1182,22 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout; map-side signature + one small hash agg. ``kmv``:
     k-minimum-values distinct-count sketch over the documents token
     vocabulary (operators.sketches) next to the exact distinct count —
-    the cross-engine-EXACT alternative to HLL: same token_hash32
-    BIGINTs, same ``(k−1)·2³²/h_k`` estimator bits in both engines,
-    and the local dense_rank prune keeps the exchange candidate-set
-    sized instead of corpus sized."""
-    from .operators.sketches import kmv_distinct
+    the cross-engine-EXACT alternative to native HLL: same
+    token_hash32 BIGINTs, same ``(k−1)·2³²/h_k`` estimator bits in
+    both engines, and the local dense_rank prune keeps the exchange
+    candidate-set sized instead of corpus sized. ``hll``/``hll_est``
+    (round 9): a from-scratch HyperLogLog (operators.sketches) over
+    the 3-shingle domain — every register integer AND the raw
+    estimate are hash-checked against DuckDB running the same
+    generated expressions (the Σ2^(−M) fold cannot round, so it is
+    order-independent; see the module docstring). The exchange
+    carries ≤ partitions·256 register rows: constant in corpus size,
+    the distinct-count you'd actually run at 100 TB."""
+    from .operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        kmv_distinct,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     bucket = P.hyperplane_bucket("embedding", _SRP_PLANES, P.SPARK)
@@ -1181,10 +1226,28 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = count_min_estimates(
         toks, "v", probes, depth=CMS_DEPTH, width=CMS_WIDTH
     )
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.expr(P.shingles("text", 3, P.SPARK))).alias("v")
+        )
+    )
+    hregs = hll_registers(sh, "v", HLL_Q58_P).select(
+        F.col("register").alias("hll_register"),
+        F.col("rho").alias("hll_rho"),
+    )
+    hest = hll_estimate(
+        hregs.select(
+            F.col("hll_register").alias("register"),
+            F.col("hll_rho").alias("rho"),
+        ),
+        HLL_Q58_P,
+    ).crossJoin(sh.agg(F.count_distinct("v").alias("exact_distinct")))
     null = {
         "k_used": "int", "kth_hash": "long", "est_distinct": "double",
         "exact_distinct": "long", "probe": "string", "cms_est": "long",
-        "exact_cnt": "long",
+        "exact_cnt": "long", "hll_register": "int", "hll_rho": "int",
+        "n_zero_regs": "int",
     }
 
     def pad(df: DataFrame, mode: str, keep: list[str]) -> DataFrame:
@@ -1201,4 +1264,8 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pad(kmv, "kmv", ["k_used", "kth_hash",
                                       "est_distinct", "exact_distinct"]))
         .unionByName(pad(cms, "cms", ["probe", "cms_est", "exact_cnt"]))
+        .unionByName(pad(hregs, "hll", ["hll_register", "hll_rho"]))
+        .unionByName(pad(hest, "hll_est", ["est_distinct",
+                                           "exact_distinct",
+                                           "n_zero_regs"]))
     )

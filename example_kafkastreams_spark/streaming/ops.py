@@ -540,3 +540,137 @@ def pack_chunks_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    capacity: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters per group — Misra–Gries summaries
+    (Misra & Gries 1982) folded over micro-batches via merge (the
+    mergeable-summaries construction, Agarwal et al. 2012): state per
+    group is AT MOST ``capacity`` (value, count) counters no matter
+    how many distinct values the stream carries; every value with
+    true frequency > N/(capacity+1) is guaranteed tracked, and each
+    tracked estimate undercounts its true count by at most the
+    emitted ``err_bound``.
+
+    Per micro-batch: exact-count the batch's values (pandas, one
+    pass), merge into the tracked counters, and if more than
+    ``capacity`` survive, subtract the (capacity+1)-th largest count
+    from all and keep the positive ones — the batched equivalent of
+    MG's decrement-all step (``err_bound`` accumulates the subtracted
+    amounts = the max undercount of any estimate). Merging
+    batch-aggregated counts instead of folding row-by-row makes the
+    result independent of row order WITHIN a micro-batch; the batch
+    sequence itself is the stream order, pinned by the goldens.
+
+    Emits the full counter table each batch the group sees data —
+    (group, batch_seq, value, est_count, err_bound, n_seen), update
+    mode (a monitoring surface: top values + error bar, refreshed per
+    batch).
+
+    100 TB shape: ONE shuffle (the group key), state O(capacity) per
+    group — constant in stream length AND in distinct-value
+    cardinality, which is the entire point: an exact streaming
+    groupBy-count of a 10B-distinct-value stream is state-unbounded,
+    the MG summary never exceeds ``capacity`` counters. No watermark
+    needed: nothing is time-windowed and state never grows.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    out_schema = T.StructType(
+        [
+            T.StructField("group", T.StringType()),
+            T.StructField("batch_seq", T.LongType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("err_bound", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("values", T.ArrayType(T.StringType())),
+            T.StructField("counts", T.ArrayType(T.LongType())),
+            T.StructField("err", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("batch_seq", T.LongType()),
+        ]
+    )
+    cols = ["group", "batch_seq", "value", "est_count", "err_bound",
+            "n_seen"]
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        group = key[0]
+        if state.exists:
+            values, counts, err, n_seen, batch_seq = state.get
+            tracked = dict(zip(list(values), [int(c) for c in counts]))
+        else:
+            tracked, err, n_seen, batch_seq = {}, 0, 0, 0
+        # ``pdfs`` yields Arrow CHUNKS of one micro-batch — fold the
+        # exact batch counts across all of them FIRST, then merge
+        # once, so the summary is invariant to Arrow batch sizing
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for v, c in pdf[value_col].value_counts().items():
+                batch[v] = batch.get(v, 0) + int(c)
+        if batch:
+            n_seen += sum(batch.values())
+            for v, c in batch.items():
+                tracked[v] = tracked.get(v, 0) + c
+            if len(tracked) > capacity:
+                # batched decrement-all: subtract the (capacity+1)-th
+                # largest count; ≤ capacity counters stay positive
+                sub = sorted(tracked.values(), reverse=True)[capacity]
+                tracked = {
+                    v: c - sub for v, c in tracked.items() if c > sub
+                }
+                err += sub
+            batch_seq += 1
+            yield pd.DataFrame(
+                [
+                    {
+                        "group": group,
+                        "batch_seq": batch_seq,
+                        "value": v,
+                        "est_count": c,
+                        "err_bound": err,
+                        "n_seen": n_seen,
+                    }
+                    # deterministic emission order: count desc, value
+                    for v, c in sorted(
+                        tracked.items(), key=lambda kv: (-kv[1], kv[0])
+                    )
+                ],
+                columns=cols,
+            )
+        state.update(
+            (
+                [v for v, _ in sorted(tracked.items())],
+                [c for _, c in sorted(tracked.items())],
+                err,
+                n_seen,
+                batch_seq,
+            )
+        )
+
+    return (
+        events.withColumn(
+            "__group", F.col(group_col).cast("string")
+        )
+        .groupBy("__group")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

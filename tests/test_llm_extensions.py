@@ -418,6 +418,105 @@ def test_count_min_sketch_properties(spark):
     assert a == b
 
 
+def test_hll_sketch_properties(spark):
+    """From-scratch HLL: registers bit-match a pure-Python reference,
+    are partition-layout invariant, merge by register-wise max, and
+    the raw estimate lands in the sketch's error regime (the driver
+    oracle pins the exact cross-engine bits; these pin the math)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.sketches import (
+        hll_corrected_estimate,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    p, m = 6, 64
+    vals = [f"v{i}" for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+
+    # pure-Python twin of the generated bucket/rho expressions
+    ref = [0] * m
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+        b, w = h % m, h // m
+        rho = 33 - p if w == 0 else 1
+        while w and w % 2 == 0:
+            w //= 2
+            rho += 1
+        ref[b] = max(ref[b], rho)
+    regs = hll_registers(df, "v", p)
+    got = {r.register: r.rho for r in regs.collect()}
+    assert len(got) == m and [got[j] for j in range(m)] == ref
+
+    # layout invariance: identical registers under any partitioning
+    alt = hll_registers(df.repartition(17), "v", p)
+    assert sorted(map(tuple, alt.collect())) == sorted(got.items())
+
+    # merge = sketch of the union (split overlaps on purpose)
+    a = hll_registers(df.filter(F.col("v") < "v3"), "v", p)
+    b = hll_registers(df.filter(F.col("v") >= "v2"), "v", p)
+    merged = {r.register: r.rho for r in hll_merge(a, b).collect()}
+    assert [merged[j] for j in range(m)] == ref
+
+    # estimator accuracy: RSE ~13% at m=64; 4 sigma band on one draw
+    est_row = hll_estimate(regs, p).collect()[0]
+    assert abs(est_row.est_distinct - 5000) / 5000 < 0.5
+    assert est_row.n_zero_regs == sum(1 for x in ref if x == 0)
+
+    # NULLs are not distinct values
+    with_null = df.unionByName(
+        spark.createDataFrame([(None,)], "v string")
+    )
+    assert sorted(map(tuple, hll_registers(with_null, "v", p).collect())) \
+        == sorted(got.items())
+
+    # driver-side linear counting: tight on a tiny domain where the
+    # raw estimator is in its known-biased range
+    tiny = spark.createDataFrame([(f"t{i}",) for i in range(40)], "v string")
+    trow = hll_estimate(hll_registers(tiny, "v", p), p).collect()[0]
+    corrected = hll_corrected_estimate(
+        trow.est_distinct, trow.n_zero_regs, p
+    )
+    assert abs(corrected - 40) / 40 < 0.25
+    # out of linear-counting range -> correction is the identity
+    assert hll_corrected_estimate(5000.0, 0, p) == 5000.0
+
+
+def test_hll_shuffle_is_constant_in_corpus(spark):
+    """The register aggregation's exchange carries at most
+    partitions*m rows regardless of corpus size — a partial_max
+    HashAggregate must sit BELOW the register exchange, and the only
+    other exchange is the 64-row range side's broadcast (the 100 TB
+    property: KMV's candidate set grows with partitions*k distinct
+    values, HLL's never exceeds m per partition)."""
+    from example_kafkastreams_spark.operators.sketches import (
+        hll_registers,
+    )
+    from example_kafkastreams_spark.plans import count_exchanges
+
+    big = spark.range(200_000).selectExpr("CAST(id AS STRING) AS v")
+    regs = hll_registers(big, "v", 6)
+    assert count_exchanges(regs) == 1  # broadcast side not counted
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    lines = plan.split("\n")
+    ex = next(
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(register" in l
+    )
+    below = "\n".join(lines[ex:])
+    assert "partial_max" in below, (
+        "partial register max must collapse map-side, before the "
+        "exchange"
+    )
+    # the corpus column never crosses the exchange — only the two
+    # register ints do
+    assert "v#" not in lines[ex]
+
+
 def test_corpus_report_data_card(spark):
     """The per-source data card composes the shipped profiling
     operators: volumes add up, dup_rate reflects injected duplicates,

@@ -427,7 +427,12 @@ def test_merged_row_plan_shapes(spark):
     from tests.conftest import SMOKE
 
     assert count_exchanges(QUERIES["q40_dedup_exact_text"](spark, SMOKE)) == 1
-    assert count_exchanges(QUERIES["q34_hash_sample"](spark, SMOKE)) == 1
+    q34 = QUERIES["q34_hash_sample"](spark, SMOKE)
+    assert count_exchanges(q34.filter(F.col("method") == "hash")) == 0
+    assert count_exchanges(q34.filter(F.col("method") == "strat")) == 1
+    # wsample's one exchange is the broadcast max(o_totalprice) agg —
+    # a 1-row-per-partition partial, not a data shuffle
+    assert count_exchanges(q34.filter(F.col("method") == "wsample")) == 1
     q56 = QUERIES["q56_quantize_embeddings"](spark, SMOKE)
     for enc_mode in ("int8", "pq", "ivfpq"):
         assert count_exchanges(q56.filter(F.col("mode") == enc_mode)) == 0, (

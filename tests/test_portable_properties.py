@@ -122,6 +122,29 @@ def test_token_hash32_agrees(spark, docs):
 
 
 @SETTINGS
+@given(docs=DOCS)
+def test_hll_bucket_rho_agree(spark, docs):
+    """The HLL register coordinates — (hash mod m, trailing-zero CASE
+    ladder over hash div m) — must agree bit-for-bit across dialects
+    for arbitrary tokens; the q58 hll branches' oracle rests on it."""
+    from example_kafkastreams_spark.operators.sketches import (
+        _hll_register_exprs,
+    )
+
+    for p in (4, 8):
+        exprs = {}
+        for d in (P.SPARK, P.DUCK):
+            bucket, rho = _hll_register_exprs("t", p, d)
+            exprs[d] = P.transform_(
+                P.split_ws("text", d), "t",
+                f"CAST({bucket} AS BIGINT) * 100 + CAST({rho} AS BIGINT)",
+                d,
+            )
+        got, want = both_engines(spark, docs, exprs[P.SPARK], exprs[P.DUCK])
+        assert got == want, f"p={p}"
+
+
+@SETTINGS
 @given(docs=DOCS, stride=st.integers(min_value=1, max_value=7))
 def test_seq_step_and_idiv_agree(spark, docs, stride):
     """Chunk-start offsets (stepped sequence) and chunk indices

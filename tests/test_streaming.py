@@ -491,6 +491,67 @@ def test_windowed_count_update_mode(spark, tmp_path):
     assert counts == [2, 3]  # the changelog: count 2, then updated to 3
 
 
+def test_heavy_hitters_stream_golden(spark, tmp_path):
+    """Misra–Gries heavy hitters, capacity 2, hand-computed golden:
+    each micro-batch merges exact batch counts into the tracked
+    counters and subtracts the 3rd-largest when 3 survive. The test
+    pins every emitted counter row, the O(capacity) state bound (≤ 2
+    rows per batch emission), the MG undercount guarantee
+    (0 ≤ true − est ≤ err_bound for every tracked value), and group
+    isolation."""
+    from example_kafkastreams_spark.streaming.ops import (
+        heavy_hitters_stream,
+    )
+
+    src = str(tmp_path / "in_hh")
+    write_batches(
+        spark,
+        src,
+        DEDUP_SCHEMA,
+        [
+            # batch 1, group g1: a,a,a,b,b,c -> {a3,b2,c1} -> sub 1
+            #   -> {a2,b1}, err 1, n 6
+            [("g1", v, at(float(i))) for i, v in enumerate("aaabbc")],
+            # batch 2: g1 gets c,c,c,b -> {a2,b2,c3} -> sub 2 -> {c1},
+            #   err 3, n 10; g2 sees d,d -> {d2}, err 0, n 2
+            [("g1", v, at(10.0 + i)) for i, v in enumerate("cccb")]
+            + [("g2", "d", at(10.0)), ("g2", "d", at(11.0))],
+            # batch 3: g1 gets a -> {c1,a1}, no overflow, err 3, n 11
+            [("g1", "a", at(20.0))],
+        ],
+    )
+    stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+    out = heavy_hitters_stream(stream, group_col="k", value_col="v",
+                               capacity=2)
+    got = run_to_memory(
+        spark, out, "hh_golden", tmp_path, output_mode="update"
+    )
+    rows = {
+        (r.group, r.batch_seq, r.value):
+            (r.est_count, r.err_bound, r.n_seen)
+        for r in got.collect()
+    }
+    assert rows == {
+        ("g1", 1, "a"): (2, 1, 6),
+        ("g1", 1, "b"): (1, 1, 6),
+        ("g1", 2, "c"): (1, 3, 10),
+        ("g1", 3, "a"): (1, 3, 11),
+        ("g1", 3, "c"): (1, 3, 11),
+        ("g2", 1, "d"): (2, 0, 2),
+    }
+    # the MG guarantee on the final g1 summary: true counts a=4, b=3,
+    # c=4 over n=11; every tracked est obeys 0 <= true - est <= err
+    true = {"a": 4, "b": 3, "c": 4}
+    final = {k[2]: v for k, v in rows.items() if k[:2] == ("g1", 3)}
+    for v, (est, err, _) in final.items():
+        assert 0 <= true[v] - est <= err
+    # capacity bound: no emission ever exceeds 2 counters per group
+    from collections import Counter
+
+    per_batch = Counter((g, s) for g, s, _ in rows)
+    assert max(per_batch.values()) <= 2
+
+
 def test_checkpoint_restart_recovers_state(spark, tmp_path):
     """A4 materialization made explicit: stop a stateful query, add
     batches, restart from the SAME checkpoint — the emission anchor
