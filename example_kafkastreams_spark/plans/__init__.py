@@ -1,3 +1,13 @@
-from .checks import count_exchanges, explain_str, pushed_filters
+from .checks import (
+    count_exchanges,
+    explain_str,
+    pushed_filters,
+    runtime_bloom_filters,
+)
 
-__all__ = ["count_exchanges", "explain_str", "pushed_filters"]
+__all__ = [
+    "count_exchanges",
+    "explain_str",
+    "pushed_filters",
+    "runtime_bloom_filters",
+]

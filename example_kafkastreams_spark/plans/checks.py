@@ -31,3 +31,17 @@ def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters lists from every parquet scan in the plan."""
     plan = explain_str(df, "formatted")
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def runtime_bloom_filters(df: DataFrame) -> int:
+    """Number of runtime bloom filters Catalyst injected into the
+    plan (InjectRuntimeFilter): a ``bloom_filter_agg`` is built on the
+    selective join side and a ``might_contain`` probe is pushed into
+    the big side's scan, pre-filtering fact rows BEFORE the join
+    exchange. The trigger is size-gated
+    (``spark.sql.optimizer.runtime.bloomFilter
+    .applicationSideScanSizeThreshold``, default 10 GiB) — designed
+    for exactly the 100 TB fact-scan case; tests lower the threshold
+    to pin the mechanics at local scale."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return len(re.findall(r"bloom_filter_agg\(", plan))

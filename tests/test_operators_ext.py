@@ -459,3 +459,61 @@ def test_round9_branch_plan_shapes(spark):
     q61 = QUERIES["q61_domain_mixing"](spark, SMOKE)
     for mode in ("split_train", "split_val", "split_test"):
         assert count_exchanges(q61.filter(F.col("mode") == mode)) == 0, mode
+
+
+def test_runtime_bloom_filter_prefilters_fact_side(spark):
+    """Catalyst's InjectRuntimeFilter at the scale gate's mechanics:
+    a selective dim filter on a non-broadcast join grows a
+    bloom_filter_agg on the dim side and a might_contain probe on the
+    fact side BELOW the join, pre-filtering fact rows before the
+    exchange. Size-gated off by default at local scale (the
+    application-side threshold is 10 GiB — the 100 TB fact scan is
+    the target case); the test lowers the gate to pin the plan shape
+    and that the filter is semantics-preserving."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.plans import runtime_bloom_filters
+    from tests.conftest import SMOKE
+
+    fact = load_table(spark, SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    dim = (
+        load_table(spark, SMOKE, "part")
+        .filter(F.col("p_type").startswith("PROMO"))
+        .select("p_partkey", "p_type")
+    )
+    join = lambda: fact.join(dim, fact.l_partkey == dim.p_partkey)  # noqa: E731
+
+    conf = spark.conf
+    old_app = conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold"
+    )
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # baseline: gate closed at local scale -> no filter injected
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert runtime_bloom_filters(join()) == 0
+        baseline = sorted(map(tuple, join().collect()))
+
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            "0",
+        )
+        filtered = join()
+        assert runtime_bloom_filters(filtered) == 1
+        plan = filtered._jdf.queryExecution().optimizedPlan().toString()
+        # the probe sits on the fact side, below the join
+        assert "might_contain" in plan and "l_partkey" in (
+            plan[plan.index("might_contain"):][:200]
+        )
+        # semantics-preserving: identical rows with and without it
+        assert sorted(map(tuple, filtered.collect())) == baseline
+    finally:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold",
+            old_app,
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
