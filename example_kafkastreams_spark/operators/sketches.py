@@ -369,6 +369,52 @@ def hll_corrected_estimate(
     return est_distinct
 
 
+def hll_update_py(
+    registers: list[int], values, p: int = HLL_P
+) -> list[int]:
+    """Pure-Python register update — the streaming state path's
+    kernel (``streaming.ops.hll_distinct_stream``). Bit-identical to
+    ``hll_registers``: the hash is the same "BIGINT of md5's first 8
+    hex digits" as ``portable.token_hash32`` (Spark casts the string
+    to its UTF-8 bytes before md5, as ``.encode`` does here), and
+    bucket/rho are the same integer arithmetic. NULLs skipped."""
+    import hashlib
+
+    m = _hll_m(p)
+    nbits = 32 - p
+    regs = list(registers)
+    for v in values:
+        if v is None:
+            continue
+        h = int(
+            hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16
+        )
+        b, w = h % m, h // m
+        if w == 0:
+            rho = nbits + 1
+        else:
+            rho = 1
+            while w % 2 == 0:
+                w //= 2
+                rho += 1
+        if rho > regs[b]:
+            regs[b] = rho
+    return regs
+
+
+def hll_estimate_py(
+    registers: list[int], p: int = HLL_P
+) -> tuple[float, int]:
+    """(est_distinct, n_zero_regs) from a register list — the same
+    fold as ``hll_estimate``, bit-identical because every 2^(−M) term
+    and partial sum is exactly representable (module docstring), so
+    Python's left-to-right sum equals the engines' aggregation in
+    any order."""
+    s = sum(2.0 ** -int(r) for r in registers)
+    nz = sum(1 for r in registers if r == 0)
+    return _hll_alpha_m2(p) / s, nz
+
+
 def hll_registers_sql(value_sql: str, p: int = HLL_P) -> str:
     """DuckDB twin of ``hll_registers`` over ``value_sql`` (one column
     ``v``): all 2^p (register, rho) rows, same integers."""

@@ -674,3 +674,100 @@ def heavy_hitters_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def hll_distinct_stream(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Streaming approximate distinct count per group — the
+    HyperLogLog register array carried as managed state, updated per
+    micro-batch with the SAME hash/rho/estimate arithmetic as the
+    batch ``operators.sketches`` sketch (shared kernels
+    ``hll_update_py``/``hll_estimate_py``), so after any prefix of
+    micro-batches the emitted estimate is BIT-IDENTICAL to running
+    the batch ``hll_registers → hll_estimate`` over the union of
+    those batches' rows (golden-pinned). Emits one update-mode row
+    per group per batch: (group, batch_seq, est_distinct,
+    n_zero_regs, n_seen).
+
+    100 TB shape: ONE shuffle (the group key); state is exactly 2^p
+    register ints per group — constant in stream length and in
+    distinct cardinality, vs the unbounded per-value state of an
+    exact streaming ``dropDuplicates().count()``. No watermark:
+    registers never need eviction. A time-windowed variant is the
+    same op keyed by (group, window_start) with the window column in
+    the group key.
+    """
+    from ..operators.sketches import (
+        _hll_m,
+        hll_estimate_py,
+        hll_update_py,
+    )
+
+    m = _hll_m(p)
+    out_schema = T.StructType(
+        [
+            T.StructField("group", T.StringType()),
+            T.StructField("batch_seq", T.LongType()),
+            T.StructField("est_distinct", T.DoubleType()),
+            T.StructField("n_zero_regs", T.IntegerType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("registers", T.ArrayType(T.IntegerType())),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("batch_seq", T.LongType()),
+        ]
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        group = key[0]
+        if state.exists:
+            registers, n_seen, batch_seq = state.get
+            registers = [int(r) for r in registers]
+        else:
+            registers, n_seen, batch_seq = [0] * m, 0, 0
+        saw = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            vals = pdf[value_col].dropna()
+            saw += len(vals)
+            registers = hll_update_py(registers, vals, p)
+        if saw:
+            n_seen += saw
+            batch_seq += 1
+            est, nz = hll_estimate_py(registers, p)
+            yield pd.DataFrame(
+                [
+                    {
+                        "group": group,
+                        "batch_seq": batch_seq,
+                        "est_distinct": est,
+                        "n_zero_regs": nz,
+                        "n_seen": n_seen,
+                    }
+                ]
+            )
+        state.update((registers, n_seen, batch_seq))
+
+    return (
+        events.withColumn(
+            "__group", F.col(group_col).cast("string")
+        )
+        .groupBy("__group")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

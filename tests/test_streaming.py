@@ -552,6 +552,60 @@ def test_heavy_hitters_stream_golden(spark, tmp_path):
     assert max(per_batch.values()) <= 2
 
 
+def test_hll_distinct_stream_matches_batch_bitwise(spark, tmp_path):
+    """The streaming HLL's state path must be BIT-IDENTICAL to the
+    batch sketch: after each micro-batch, the emitted estimate equals
+    hll_registers -> hll_estimate run over the union of all rows so
+    far (same md5 hash, same rho ladder, same exact-sum fold) —
+    including duplicate values across batches, which must not move
+    the registers."""
+    from example_kafkastreams_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from example_kafkastreams_spark.streaming.ops import (
+        hll_distinct_stream,
+    )
+
+    batches = [
+        [("g1", f"u{i}", at(float(i))) for i in range(40)],
+        # overlap u20-u39 (no register movement) + 30 new + group g2
+        [("g1", f"u{i}", at(50.0 + i)) for i in range(20, 70)]
+        + [("g2", f"w{i}", at(50.0)) for i in range(5)],
+        [("g1", "u0", at(100.0))],  # pure replay: registers static
+    ]
+    src = str(tmp_path / "in_hll")
+    write_batches(spark, src, DEDUP_SCHEMA, batches)
+    stream = file_stream(spark, src, DEDUP_SCHEMA, max_files_per_trigger=1)
+    out = hll_distinct_stream(stream, group_col="k", value_col="v", p=6)
+    got = run_to_memory(
+        spark, out, "hll_golden", tmp_path, output_mode="update"
+    )
+    rows = {
+        (r.group, r.batch_seq): (r.est_distinct, r.n_zero_regs, r.n_seen)
+        for r in got.collect()
+    }
+
+    def batch_twin(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        return hll_estimate(hll_registers(df, "v", 6), 6).collect()[0]
+
+    # per-group prefixes in stream order
+    prefixes = {
+        ("g1", 1): [f"u{i}" for i in range(40)],
+        ("g1", 2): [f"u{i}" for i in range(70)],
+        ("g1", 3): [f"u{i}" for i in range(70)],  # replay adds nothing
+        ("g2", 1): [f"w{i}" for i in range(5)],
+    }
+    n_seen = {("g1", 1): 40, ("g1", 2): 90, ("g1", 3): 91, ("g2", 1): 5}
+    assert set(rows) == set(prefixes)
+    for key, vals in prefixes.items():
+        twin = batch_twin(vals)
+        est, nz, seen = rows[key]
+        assert est == twin.est_distinct, key  # BITWISE float equality
+        assert nz == twin.n_zero_regs and seen == n_seen[key], key
+
+
 def test_checkpoint_restart_recovers_state(spark, tmp_path):
     """A4 materialization made explicit: stop a stateful query, add
     batches, restart from the SAME checkpoint — the emission anchor
