@@ -346,7 +346,7 @@ def main() -> None:
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
         ("q57_neardup_components", "mode", ("comp", "leak")),
         ("q58_srp_histogram", "mode", ("srp", "kmv", "cms", "hll", "hll_est")),
-        ("q61_domain_mixing", "mode", ("mix", "card")),
+        ("q61_domain_mixing", "mode", ("mix", "card", "temp")),
         ("q62_pii_scrub", "mode", ("pii", "norm")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
     ):

@@ -116,6 +116,59 @@ def idiv(a: str, b: str, d: str) -> str:
     return f"(({a}) {op} ({b}))"
 
 
+def _dyadic_bits(alpha: float, max_bits: int = 8) -> list[int]:
+    """Binary-expansion exponents of a dyadic rational α ∈ (0, 1]:
+    α = Σ 2^(−k) over the returned ks. Raises if α doesn't terminate
+    within ``max_bits`` bits — only exactly-representable exponents
+    are allowed, because the whole point is cross-engine exactness."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    scaled = alpha * (1 << max_bits)
+    if scaled != int(scaled):
+        raise ValueError(
+            f"alpha={alpha} is not dyadic within {max_bits} bits; "
+            "pick k/2^n (e.g. 0.5, 0.75, 0.625)"
+        )
+    return [
+        k for k in range(0, max_bits + 1)
+        if (int(scaled) >> (max_bits - k)) & 1
+    ]
+
+
+def dyadic_pow(x: str, alpha: float, d: str) -> str:
+    """x^α for dyadic α as a product of nested square roots —
+    x^(1/2^k) factors per binary digit of α (x^0.75 =
+    sqrt(x)·sqrt(sqrt(x))). ``sqrt`` is IEEE-754 correctly rounded in
+    Java, DuckDB, and C, and multiplication likewise, so the SAME
+    factor/multiply sequence yields bit-identical doubles in every
+    engine — the only power function the oracle can trust (``pow()``
+    is libm-bound; see ``dyadic_pow_py`` for the Python twin). α = 1
+    passes x through."""
+    _check(d)
+    factors = []
+    for k in _dyadic_bits(alpha):
+        f = f"({x})"
+        for _ in range(k):
+            f = f"sqrt({f})"
+        factors.append(f)
+    return "(" + " * ".join(factors) + ")"
+
+
+def dyadic_pow_py(x: float, alpha: float) -> float:
+    """Python twin of ``dyadic_pow`` — the identical factor/multiply
+    sequence via ``math.sqrt``, so driver-side rate math matches the
+    SQL both engines run."""
+    import math
+
+    out = None
+    for k in _dyadic_bits(alpha):
+        f = x
+        for _ in range(k):
+            f = math.sqrt(f)
+        out = f if out is None else out * f
+    return out
+
+
 def slice_(arr: str, start: str, n: int, d: str) -> str:
     """n elements from 1-based ``start``."""
     if d == SPARK:

@@ -97,3 +97,58 @@ def mix_sources_sql(
         for s, rate in rates.items()
     ]
     return " OR ".join(branches)
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-source acceptance rates for TEMPERATURE-scaled mixing
+    (multilingual-pretraining convention, e.g. XLM-R: sample source s
+    ∝ n_s^α, α < 1 flattening the distribution toward rare sources):
+
+        w_s    = n_s^α           (dyadic α via exact sqrt chains)
+        cap    = min_t n_t / w_t (the binding source: the SMALLEST,
+                                  which keeps rate 1.0 — temperature
+                                  mixing never up-samples here, it
+                                  down-samples the big sources toward
+                                  the flattened shares)
+        rate_s = w_s · cap / n_s
+
+    Deliberately NOT normalized: the total Σw cancels algebraically,
+    and skipping it removes the only order-sensitive float sum — every
+    remaining op (sqrt, ÷, min, ×) is IEEE correctly rounded and
+    order-free, so Python, Spark, and DuckDB derive bit-identical
+    rates from the same counts (the q61 temp oracle re-runs this exact
+    sequence in SQL)."""
+    if not counts:
+        raise ValueError("counts must be a non-empty {source: n} dict")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("source counts must be positive")
+    w = {s: P.dyadic_pow_py(float(n), alpha) for s, n in counts.items()}
+    cap = min(float(counts[s]) / w[s] for s in counts)
+    return {s: (w[s] * cap) / float(counts[s]) for s in counts}
+
+
+def mix_sources_temperature(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows surviving temperature-scaled mixing over ALL sources —
+    same one-tiny-count-job-then-literal-map-side-filter shape as
+    ``mix_sources``, with the target shares derived from the corpus
+    itself (n_s^α) instead of prescribed weights."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = temperature_rates(counts, alpha)
+    h = F.expr(P.token_hash32(f"CAST({id_col} AS STRING)", P.SPARK)) % _M
+    cond = None
+    for s, rate in rates.items():
+        branch = (F.col(source_col) == s) & (h < int(rate * _M))
+        cond = branch if cond is None else cond | branch
+    return docs.filter(cond)

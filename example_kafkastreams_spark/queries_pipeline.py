@@ -107,6 +107,24 @@ def _mixing_sql() -> str:
     rates AS (
       SELECT source, (norm * (SELECT cap FROM cap)) / n AS rate FROM normed
     ),
+    -- temp branch: temperature-scaled mixing over ALL sources,
+    -- rates re-derived from the data with operators.mixing
+    -- .temperature_rates' exact op sequence — n^0.5 via the sqrt
+    -- chain (correctly rounded everywhere), the un-normalized
+    -- cancel form so no order-sensitive float sum exists
+    tcounts AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ),
+    tcap AS (
+      SELECT min(n / {P.dyadic_pow('n', 0.5, D)}) AS cap FROM tcounts
+    ),
+    trates AS (
+      SELECT source,
+             ({P.dyadic_pow('n', 0.5, D)} * (SELECT cap FROM tcap)) / n
+               AS rate
+      FROM tcounts
+    ),
     -- card branch: the per-source data card, every metric re-derived
     -- independently — counts/distinct-digests exactly, the mean
     -- quality via the scaled-long exact sum (davg), purity over the
@@ -152,6 +170,10 @@ def _mixing_sql() -> str:
     FROM documents d JOIN rates r ON d.source = r.source
     WHERE {h} < CAST(floor(r.rate * {_M}) AS BIGINT)
     UNION ALL
+    SELECT 'temp', d.doc_id, d.source,{null_card}
+    FROM documents d JOIN trates r ON d.source = r.source
+    WHERE {h} < CAST(floor(r.rate * {_M}) AS BIGINT)
+    UNION ALL
     SELECT 'card', CAST(NULL AS BIGINT), c.source, c.n_docs, c.n_tokens,
            c.distinct_texts,
            round(1.0 - CAST(c.distinct_texts AS DOUBLE) / c.n_docs, 6),
@@ -184,7 +206,16 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (content-hash against exact integer thresholds: byte-identical
     documents land in the same split however many ids carry them; no
     rand(), no TABLESAMPLE), the per-doc assignment value-checked
-    against the oracle's identical CASE."""
+    against the oracle's identical CASE. ``temp`` (round 9):
+    temperature-scaled mixing (operators.mixing
+    .mix_sources_temperature, α = 0.5) — the multilingual-pretraining
+    resampling that flattens source shares toward n^α; the rates are
+    data-derived (n^0.5 via exact sqrt chains, the un-normalized
+    cancel form with no order-sensitive float sum), so the oracle
+    re-derives them IN SQL and the survivor set matches bit-exact.
+    Same 100 TB shape as ``mix``: one S-row count job, then a pure
+    literal map-side predicate on the scan."""
+    from .operators.mixing import mix_sources_temperature
     from .operators.report import corpus_report
     from .operators.sampling import assign_split
 
@@ -213,6 +244,12 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
     )
+    temp = mix_sources_temperature(docs, alpha=0.5).select(
+        F.lit("temp").alias("mode"),
+        "doc_id",
+        "source",
+        *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
+    )
     card = corpus_report(docs).select(
         F.lit("card").alias("mode"),
         F.lit(None).cast("long").alias("doc_id"),
@@ -225,7 +262,9 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
     )
-    return mix.unionByName(card).unionByName(split)
+    return (
+        mix.unionByName(temp).unionByName(card).unionByName(split)
+    )
 
 
 # --- q62: PII scrubbing ---------------------------------------------------

@@ -113,3 +113,61 @@ def test_sql_rate_derivation_matches_python_bitexact():
         """
         duck_thresholds = dict(duckdb.sql(sql).fetchall())
         assert duck_thresholds == py_thresholds, (trial, weights, counts)
+
+
+def test_temperature_rates_flatten_toward_rare_sources():
+    """alpha=0.5 temperature mixing: the smallest source binds (rate
+    1.0 within an ulp -> keeps everything), larger sources downsample
+    to sqrt-proportional shares, and alpha=1.0 degrades to uniform
+    rates (pure proportional mixing keeps relative shares)."""
+    from example_kafkastreams_spark.operators.mixing import (
+        temperature_rates,
+    )
+
+    counts = {"web": 90_000, "code": 10_000, "books": 2_500}
+    rates = temperature_rates(counts, alpha=0.5)
+    assert abs(rates["books"] - 1.0) < 1e-12  # binding: rarest source
+    # expected kept rows n_s^0.5 * sqrt(n_books): shares flatten from
+    # 36:4:1 to 6:2:1
+    kept = {s: rates[s] * counts[s] for s in counts}
+    assert round(kept["web"] / kept["books"]) == 6
+    assert round(kept["code"] / kept["books"]) == 2
+    # alpha=1: rate identical for every source (shape-preserving)
+    r1 = temperature_rates(counts, alpha=1.0)
+    assert len({round(v, 12) for v in r1.values()}) == 1
+    # non-dyadic alpha is refused, not silently libm'd
+    import pytest
+
+    with pytest.raises(ValueError, match="dyadic"):
+        temperature_rates(counts, alpha=0.3)
+
+
+def test_temperature_mix_survivors_deterministic(spark):
+    """The survivor set is a pure function of (id, source, counts):
+    identical under repartitioning, and the rarest source keeps every
+    row."""
+    from example_kafkastreams_spark.operators.mixing import (
+        mix_sources_temperature,
+    )
+
+    rows = (
+        [(i, "web") for i in range(900)]
+        + [(1000 + i, "code") for i in range(100)]
+        + [(2000 + i, "books") for i in range(25)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(
+        (r.doc_id, r.source)
+        for r in mix_sources_temperature(docs, 0.5).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.source)
+        for r in mix_sources_temperature(docs.repartition(13), 0.5).collect()
+    )
+    assert a == b
+    kept_books = [x for x in a if x[1] == "books"]
+    assert len(kept_books) == 25  # binding source survives whole
+    # flattening really happened: web kept-share < code kept-share
+    n_web = sum(1 for x in a if x[1] == "web")
+    n_code = sum(1 for x in a if x[1] == "code")
+    assert n_web / 900 < n_code / 100

@@ -145,6 +145,39 @@ def test_hll_bucket_rho_agree(spark, docs):
 
 
 @SETTINGS
+@given(docs=DOCS)
+def test_dyadic_pow_agrees(spark, docs):
+    """x^alpha via sqrt chains must agree bit-for-bit across Spark,
+    DuckDB, AND the Python twin for arbitrary doc-length inputs and
+    every dyadic alpha the mixing rates use."""
+    import math
+
+    from example_kafkastreams_spark.functions.portable import (
+        dyadic_pow,
+        dyadic_pow_py,
+    )
+
+    for alpha in (0.25, 0.5, 0.625, 0.75, 1.0):
+        x_s = f"CAST({P.size_(P.split_ws('text', P.SPARK), P.SPARK)}"\
+              " AS DOUBLE)"
+        x_d = f"CAST({P.size_(P.split_ws('text', P.DUCK), P.DUCK)}"\
+              " AS DOUBLE)"
+        got, want = both_engines(
+            spark,
+            docs,
+            dyadic_pow(x_s, alpha, P.SPARK),
+            dyadic_pow(x_d, alpha, P.DUCK),
+        )
+        assert got == want, alpha
+        py = [dyadic_pow_py(float(len(d.split(" "))), alpha) for d in docs]
+        assert got == py, alpha
+        if alpha == 0.5:
+            assert got == [
+                math.sqrt(float(len(d.split(" ")))) for d in docs
+            ]
+
+
+@SETTINGS
 @given(docs=DOCS, stride=st.integers(min_value=1, max_value=7))
 def test_seq_step_and_idiv_agree(spark, docs, stride):
     """Chunk-start offsets (stepped sequence) and chunk indices
