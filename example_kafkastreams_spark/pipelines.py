@@ -60,6 +60,7 @@ def corpus_stages(
     substr_k: int | None = None,
     lm_range: tuple[float, float] | None = None,
     normalize: bool = False,
+    mix_alpha: float | None = None,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -110,7 +111,20 @@ def corpus_stages(
     dual-dialect expression, so the oracle re-derives it exactly).
     Pure map-side scan work; a ``normalized`` stage entry is added.
     Default ``False`` keeps the funnel bit-unchanged.
+
+    ``mix_alpha``: temperature-scaled mixing at the same post-dedup
+    placement as ``mixture_weights`` (the rates must see deduped
+    per-source counts), deriving target shares from the surviving
+    corpus itself (n^α flattening, ``operators.mixing
+    .mix_sources_temperature``) instead of prescribed weights —
+    mutually exclusive with ``mixture_weights``. Default ``None``
+    keeps the funnel bit-unchanged.
     """
+    if mix_alpha is not None and mixture_weights:
+        raise ValueError(
+            "mix_alpha and mixture_weights are mutually exclusive: "
+            "temperature mixing derives its own target shares"
+        )
     raw = docs
     normalized = None
     if normalize:
@@ -225,6 +239,10 @@ def corpus_stages(
         from .operators.mixing import mix_sources
 
         neardup = mix_sources(neardup, mixture_weights)
+    elif mix_alpha is not None:
+        from .operators.mixing import mix_sources_temperature
+
+        neardup = mix_sources_temperature(neardup, mix_alpha)
 
     # Scrub LAST (on survivors only): the regex chain is the most
     # expensive per-byte stage, so it runs on the funnel's smallest

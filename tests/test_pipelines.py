@@ -273,3 +273,41 @@ def test_funnel_all_optional_stages_compose(spark):
     # a single over-budget chunk may exceed the budget alone; packs of
     # 2+ chunks never do (the packer's close rule)
     assert all(p.n_chunks == 1 for p in budgeted)
+
+
+def test_funnel_temperature_mixing_stage(spark):
+    """mix_alpha composes at the same post-dedup placement as
+    mixture_weights: the funnel's survivor set equals applying
+    mix_sources_temperature to the default funnel's neardup_survivors
+    (compositional identity), downstream chunks come only from mixed
+    survivors, and the two mixing knobs refuse to combine."""
+    import pytest
+
+    from example_kafkastreams_spark.operators.mixing import (
+        mix_sources_temperature,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    base = corpus_stages(docs, min_quality=0.2, languages=("en", "de"))
+    mixed = corpus_stages(
+        docs, min_quality=0.2, languages=("en", "de"), mix_alpha=0.5
+    )
+    want = sorted(
+        r.doc_id
+        for r in mix_sources_temperature(
+            base["neardup_survivors"], 0.5
+        ).collect()
+    )
+    got = sorted(
+        r.doc_id for r in mixed["neardup_survivors"].collect()
+    )
+    assert got == want and 0 < len(got) < base[
+        "neardup_survivors"
+    ].count()
+    chunk_docs = {
+        r.doc_id for r in mixed["chunks"].select("doc_id").distinct().collect()
+    }
+    assert chunk_docs == set(got)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        corpus_stages(docs, mixture_weights={"a": 1.0}, mix_alpha=0.5)
