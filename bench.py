@@ -345,7 +345,12 @@ def main() -> None:
         ),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
         ("q57_neardup_components", "mode", ("comp", "leak")),
-        ("q58_srp_histogram", "mode", ("srp", "kmv", "cms", "hll", "hll_est")),
+        (
+            "q58_srp_histogram",
+            "mode",
+            ("srp", "kmv", "cms", "hll", "hll_est", "hll_grp",
+             "hll_grp_est"),
+        ),
         ("q61_domain_mixing", "mode", ("mix", "card", "temp")),
         ("q62_pii_scrub", "mode", ("pii", "norm")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
@@ -530,6 +535,69 @@ def main() -> None:
             "input_bytes": read[1] if read else None,
         }
     shutil.rmtree(part_path, ignore_errors=True)
+
+    # Runtime bloom-filter join pruning: a selective dim filter on a
+    # non-broadcast join lets Catalyst build a bloom filter on the dim
+    # side and probe it on the fact side BELOW the join exchange
+    # (InjectRuntimeFilter) — at 100 TB this is the difference between
+    # shuffling the whole fact table and shuffling only rows that can
+    # match. Size-gated off by default at local scale (10 GiB
+    # application-side threshold); the compare lowers the gate and
+    # records the fact-side shuffle cut on the same join.
+    from example_kafkastreams_spark.plans.checks import (
+        runtime_bloom_filters,
+    )
+
+    li_fact = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part_dim = (
+        load_table(spark, SF_DIR, "part")
+        .filter(F.col("p_type").startswith("PROMO"))
+        .select("p_partkey", "p_type")
+    )
+
+    def bloom_join():
+        return li_fact.join(
+            part_dim, li_fact.l_partkey == part_dim.p_partkey
+        )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+    )
+    for label, gate in (
+        ("join_without_bloom", None),
+        ("join_with_runtime_bloom", "0"),
+    ):
+        if gate is not None:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter"
+                ".applicationSideScanSizeThreshold",
+                gate,
+            )
+        best = float("inf")
+        shuffled = None
+        for i in range(3):
+            before = shuffle_totals(spark)
+            t0 = time.perf_counter()
+            run_noop(bloom_join())
+            best = min(best, time.perf_counter() - t0)
+            after = shuffle_totals(spark)
+            if i == 0 and before is not None and after is not None:
+                shuffled = (after[0] - before[0], after[1] - before[1])
+        compare[label] = {
+            "sec": round(best, 3),
+            "bloom_filters": runtime_bloom_filters(bloom_join()),
+            "shuffle_write_records": shuffled[0] if shuffled else None,
+            "shuffle_write_bytes": shuffled[1] if shuffled else None,
+        }
+    spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
     # Multi-dimensional clustering (Z-order): date partitioning prunes
     # ONE dimension; a 2-D box query (part AND supplier range) over a

@@ -307,6 +307,97 @@ def hll_registers(
     )
 
 
+def hll_registers_grouped(
+    values: DataFrame,
+    value_col: str,
+    group_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-group register frames in one pass: (group, register, rho)
+    with all 2^p registers for every group that has non-NULL values —
+    the ``GROUP BY``-shaped distinct count (distinct users per
+    event_type, distinct shingles per source, …). Same map-side
+    bucket/rho + partial-max shape as ``hll_registers``; the exchange
+    carries ≤ partitions·groups·m rows."""
+    m = _hll_m(p)
+    bucket, rho = _hll_register_exprs(value_col, p, P.SPARK)
+    occupied = (
+        values.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.expr(bucket).cast("int").alias("register"),
+            F.expr(rho).alias("rho"),
+        )
+        .groupBy("grp", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    groups = occupied.select("grp").distinct()
+    full = groups.crossJoin(
+        values.sparkSession.range(m).select(
+            F.col("id").cast("int").alias("register")
+        )
+    )
+    return full.join(occupied, ["grp", "register"], "left").select(
+        "grp",
+        "register",
+        F.coalesce("rho", F.lit(0)).cast("int").alias("rho"),
+    )
+
+
+def hll_estimate_grouped(
+    registers: DataFrame, p: int = HLL_P
+) -> DataFrame:
+    """One row per group: (grp, est_distinct, n_zero_regs) — the same
+    exact fold as ``hll_estimate`` under a groupBy."""
+    num = _hll_alpha_m2(p)
+    return (
+        registers.groupBy("grp")
+        .agg(
+            F.sum(F.expr(_hll_pow_case(p))).alias("__s"),
+            F.sum(F.when(F.col("rho") == 0, 1).otherwise(0))
+            .cast("int")
+            .alias("n_zero_regs"),
+        )
+        .select(
+            "grp",
+            (
+                F.expr(f"CAST('{num!r}' AS DOUBLE)") / F.col("__s")
+            ).alias("est_distinct"),
+            "n_zero_regs",
+        )
+    )
+
+
+def hll_grouped_sql(
+    value_sql: str, p: int = HLL_P
+) -> tuple[str, str]:
+    """DuckDB twins of the grouped register/estimate pair over
+    ``value_sql`` (two columns: ``grp``, ``v``). Returns
+    (registers_sql, estimate_sql_over('hllgrpregs'))."""
+    m = _hll_m(p)
+    bucket, rho = _hll_register_exprs("v", p, P.DUCK)
+    num = _hll_alpha_m2(p)
+    regs = f"""
+    SELECT g.grp, CAST(r.r AS INTEGER) AS register,
+           CAST(COALESCE(occ.rho, 0) AS INTEGER) AS rho
+    FROM (SELECT DISTINCT grp FROM ({value_sql}) WHERE v IS NOT NULL) g
+    CROSS JOIN (SELECT unnest(range({m})) AS r) r
+    LEFT JOIN (
+      SELECT grp, {bucket} AS register, max({rho}) AS rho
+      FROM ({value_sql}) WHERE v IS NOT NULL GROUP BY 1, 2
+    ) occ ON occ.grp = g.grp AND occ.register = r.r
+    """
+    est = f"""
+    SELECT grp,
+           CAST('{num!r}' AS DOUBLE) / sum({_hll_pow_case(p)})
+             AS est_distinct,
+           CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_zero_regs
+    FROM hllgrpregs GROUP BY grp
+    """
+    return regs, est
+
+
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Register-wise max of two register frames — the HLL union. The
     merged sketch of disjoint (or overlapping!) corpus parts equals

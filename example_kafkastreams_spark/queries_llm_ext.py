@@ -1071,11 +1071,13 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 CMS_PROBES = 3
 HLL_Q58_P = 8  # 256 registers, RSE ≈ 6.5% — over the 3-shingle domain
+HLL_GRP_P = 6  # 64 registers per group — distinct users per event_type
 
 
 def _q58_sql() -> str:
     from .operators.sketches import (
         hll_estimate_sql,
+        hll_grouped_sql,
         hll_registers_sql,
         kmv_distinct_sql,
     )
@@ -1085,6 +1087,11 @@ def _q58_sql() -> str:
     kmv = kmv_distinct_sql(toks, KMV_K)
     hregs = hll_registers_sql(sh, HLL_Q58_P)
     hest = hll_estimate_sql("SELECT * FROM hllregs", HLL_Q58_P)
+    gvals = (
+        "SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS v"
+        " FROM events"
+    )
+    gregs, gest = hll_grouped_sql(gvals, HLL_GRP_P)
     bkt = P.token_hash32("CONCAT(CAST(j.j AS VARCHAR), ':', t.v)", D)
     return f"""
     WITH b AS (
@@ -1095,6 +1102,13 @@ def _q58_sql() -> str:
     kmv AS ({kmv}),
     hllregs AS ({hregs}),
     hllest AS ({hest}),
+    hllgrpregs AS ({gregs}),
+    hllgrpest AS ({gest}),
+    grpexact AS (
+      SELECT event_type AS grp,
+             count(DISTINCT CAST(user_id AS VARCHAR)) AS ex
+      FROM events GROUP BY 1
+    ),
     shexact AS (
       SELECT count(DISTINCT v) AS sh_exact FROM ({sh})
     ),
@@ -1171,6 +1185,22 @@ def _q58_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
            CAST(NULL AS INTEGER), n_zero_regs
     FROM hllest CROSS JOIN shexact
+    UNION ALL
+    SELECT 'hll_grp', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), grp, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), register, rho,
+           CAST(NULL AS INTEGER)
+    FROM hllgrpregs
+    UNION ALL
+    SELECT 'hll_grp_est', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), e.est_distinct, x.ex,
+           e.grp, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           e.n_zero_regs
+    FROM hllgrpest e JOIN grpexact x ON x.grp = e.grp
     """
 
 
@@ -1192,10 +1222,18 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated expressions (the Σ2^(−M) fold cannot round, so it is
     order-independent; see the module docstring). The exchange
     carries ≤ partitions·256 register rows: constant in corpus size,
-    the distinct-count you'd actually run at 100 TB."""
+    the distinct-count you'd actually run at 100 TB.
+    ``hll_grp``/``hll_grp_est`` (round 9): the grouped form — distinct
+    users per event_type in ONE pass, registers and per-group raw
+    estimates both value-checked (the per-group domains sit in HLL's
+    small-range regime on this testdata, which is the honest case for
+    shipping ``n_zero_regs`` + the exact count beside the raw
+    estimate; ``hll_corrected_estimate`` is the driver-side fix)."""
     from .operators.sketches import (
         hll_estimate,
+        hll_estimate_grouped,
         hll_registers,
+        hll_registers_grouped,
         kmv_distinct,
     )
 
@@ -1243,6 +1281,31 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         HLL_Q58_P,
     ).crossJoin(sh.agg(F.count_distinct("v").alias("exact_distinct")))
+    gvals = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id").cast("string").alias("v"),
+    )
+    gregs = hll_registers_grouped(gvals, "v", "grp", HLL_GRP_P)
+    grp_regs = gregs.select(
+        F.col("grp").alias("probe"),
+        F.col("register").alias("hll_register"),
+        F.col("rho").alias("hll_rho"),
+    )
+    grp_est = (
+        hll_estimate_grouped(gregs, HLL_GRP_P)
+        .join(
+            gvals.groupBy("grp").agg(
+                F.count_distinct("v").alias("exact_distinct")
+            ),
+            "grp",
+        )
+        .select(
+            F.col("grp").alias("probe"),
+            "est_distinct",
+            "exact_distinct",
+            "n_zero_regs",
+        )
+    )
     null = {
         "k_used": "int", "kth_hash": "long", "est_distinct": "double",
         "exact_distinct": "long", "probe": "string", "cms_est": "long",
@@ -1268,4 +1331,9 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pad(hest, "hll_est", ["est_distinct",
                                            "exact_distinct",
                                            "n_zero_regs"]))
+        .unionByName(pad(grp_regs, "hll_grp",
+                         ["probe", "hll_register", "hll_rho"]))
+        .unionByName(pad(grp_est, "hll_grp_est",
+                         ["probe", "est_distinct", "exact_distinct",
+                          "n_zero_regs"]))
     )

@@ -455,6 +455,24 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             k=5,
         )
 
+    def hll():
+        # HLL distinct over the 3-shingle domain: output is EXACTLY
+        # 2^8 register rows at any scale, and the exchange is bounded
+        # by partitions*m (the partial max collapses map-side) — the
+        # constant-state distinct count. On the duplicate-amplified
+        # corpus the distinct shingle set is unchanged, so rows_ratio
+        # must be 1.0 and shuffle must grow only with the partition
+        # count, never with corpus rows.
+        from example_kafkastreams_spark.functions import portable as P
+        from example_kafkastreams_spark.operators.sketches import (
+            hll_registers,
+        )
+
+        sh = docs.select(
+            F.explode(F.expr(P.shingles("text", 3, P.SPARK))).alias("v")
+        )
+        return hll_registers(sh, "v", 8)
+
     out: dict[str, dict] = {}
     for name, mk in (
         ("scan_agg", scan_agg),
@@ -477,6 +495,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("bm25_retrieval", bm25),
         ("split_leakage", split_leak),
         ("retrieval_eval", retr_eval),
+        ("hll_distinct", hll),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)

@@ -486,6 +486,48 @@ def test_hll_sketch_properties(spark):
     assert hll_corrected_estimate(5000.0, 0, p) == 5000.0
 
 
+def test_hll_grouped_matches_per_group_and_merges(spark):
+    """The grouped sketch must equal running the global sketch on each
+    group's rows separately (one pass == G passes), and max-merging
+    the per-group registers must equal the global sketch of the union
+    — the composability that lets per-day/per-source sketches roll up
+    without re-reading data."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.sketches import (
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    rows = [("a", f"u{i}") for i in range(300)] + [
+        ("b", f"u{i}") for i in range(100, 500)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    grouped = hll_registers_grouped(df, "v", "grp", 6)
+    for g in ("a", "b"):
+        per = {
+            r.register: r.rho
+            for r in hll_registers(
+                df.filter(F.col("grp") == g), "v", 6
+            ).collect()
+        }
+        got = {
+            r.register: r.rho
+            for r in grouped.filter(F.col("grp") == g).collect()
+        }
+        assert got == per, g
+    rolled = {
+        r.register: r.rho
+        for r in grouped.groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    union = {
+        r.register: r.rho for r in hll_registers(df, "v", 6).collect()
+    }
+    assert rolled == union
+
+
 def test_hll_shuffle_is_constant_in_corpus(spark):
     """The register aggregation's exchange carries at most
     partitions*m rows regardless of corpus size — a partial_max
