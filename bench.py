@@ -548,6 +548,11 @@ def main() -> None:
         runtime_bloom_filters,
     )
 
+    _bloom_gate_key = (
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold"
+    )
+    old_bloom_gate = spark.conf.get(_bloom_gate_key)
     li_fact = load_table(spark, SF_DIR, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
@@ -571,11 +576,7 @@ def main() -> None:
         ("join_with_runtime_bloom", "0"),
     ):
         if gate is not None:
-            spark.conf.set(
-                "spark.sql.optimizer.runtime.bloomFilter"
-                ".applicationSideScanSizeThreshold",
-                gate,
-            )
+            spark.conf.set(_bloom_gate_key, gate)
         best = float("inf")
         shuffled = None
         for i in range(3):
@@ -592,10 +593,7 @@ def main() -> None:
             "shuffle_write_records": shuffled[0] if shuffled else None,
             "shuffle_write_bytes": shuffled[1] if shuffled else None,
         }
-    spark.conf.unset(
-        "spark.sql.optimizer.runtime.bloomFilter"
-        ".applicationSideScanSizeThreshold"
-    )
+    spark.conf.set(_bloom_gate_key, old_bloom_gate)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 

@@ -73,6 +73,35 @@ def mix_sources(
         if r[source_col] in weights
     }
     rates = mixture_rates(counts, weights)
+    return _filter_by_rates(docs, rates, source_col, id_col)
+
+
+def _source_counts(
+    docs: DataFrame, source_col: str
+) -> dict[str, int]:
+    """Per-source row counts, NULL sources excluded — a NULL source
+    can never survive the equality filter branches, so letting it
+    into the rate derivation would both drop its rows silently AND
+    depress every real source's rate through a phantom binding
+    source."""
+    return {
+        r[source_col]: r["n"]
+        for r in docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[source_col] is not None
+    }
+
+
+def _filter_by_rates(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The shared map-side survivor filter: hash(id) mod 2^32 against
+    each source's floor(rate·2^32) literal threshold (sources not in
+    ``rates`` drop). Rates ≥ 1.0 accept every row of their source."""
     h = F.expr(P.token_hash32(f"CAST({id_col} AS STRING)", P.SPARK)) % _M
     cond = None
     for s, rate in rates.items():
@@ -119,14 +148,25 @@ def temperature_rates(
     remaining op (sqrt, ÷, min, ×) is IEEE correctly rounded and
     order-free, so Python, Spark, and DuckDB derive bit-identical
     rates from the same counts (the q61 temp oracle re-runs this exact
-    sequence in SQL)."""
+    sequence in SQL).
+
+    Binding sources get rate EXACTLY 1.0 by a float-equality test
+    against the min (n/w == cap), not by trusting (w·cap)/n to round
+    back to 1 — for non-perfect-square counts it lands one ulp below,
+    and floor(rate·2^32) = 2^32−1 would then drop the one-in-4-billion
+    row whose hash is exactly 2^32−1. Ties all clamp (the min is one
+    of the compared values, so equality is exact)."""
     if not counts:
         raise ValueError("counts must be a non-empty {source: n} dict")
     if any(n <= 0 for n in counts.values()):
         raise ValueError("source counts must be positive")
     w = {s: P.dyadic_pow_py(float(n), alpha) for s, n in counts.items()}
-    cap = min(float(counts[s]) / w[s] for s in counts)
-    return {s: (w[s] * cap) / float(counts[s]) for s in counts}
+    nw = {s: float(counts[s]) / w[s] for s in counts}
+    cap = min(nw.values())
+    return {
+        s: 1.0 if nw[s] == cap else (w[s] * cap) / float(counts[s])
+        for s in counts
+    }
 
 
 def mix_sources_temperature(
@@ -135,20 +175,9 @@ def mix_sources_temperature(
     source_col: str = "source",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Rows surviving temperature-scaled mixing over ALL sources —
-    same one-tiny-count-job-then-literal-map-side-filter shape as
-    ``mix_sources``, with the target shares derived from the corpus
-    itself (n_s^α) instead of prescribed weights."""
-    counts = {
-        r[source_col]: r["n"]
-        for r in docs.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    rates = temperature_rates(counts, alpha)
-    h = F.expr(P.token_hash32(f"CAST({id_col} AS STRING)", P.SPARK)) % _M
-    cond = None
-    for s, rate in rates.items():
-        branch = (F.col(source_col) == s) & (h < int(rate * _M))
-        cond = branch if cond is None else cond | branch
-    return docs.filter(cond)
+    """Rows surviving temperature-scaled mixing over ALL (non-NULL)
+    sources — same one-tiny-count-job-then-literal-map-side-filter
+    shape as ``mix_sources``, with the target shares derived from the
+    corpus itself (n_s^α) instead of prescribed weights."""
+    rates = temperature_rates(_source_counts(docs, source_col), alpha)
+    return _filter_by_rates(docs, rates, source_col, id_col)

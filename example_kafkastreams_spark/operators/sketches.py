@@ -265,14 +265,22 @@ def hll_rho_sql(w: str, nbits: int) -> str:
     )
 
 
-def _hll_register_exprs(value_col: str, p: int, d: str) -> tuple[str, str]:
-    """(bucket_sql, rho_sql) for one value expression in dialect ``d``:
-    bucket = low p bits of the 32-bit portable hash, rho over the
-    remaining high 32−p bits."""
+def _hll_coord_exprs(h: str, p: int, d: str) -> tuple[str, str]:
+    """(bucket_sql, rho_sql) over a PRE-COMPUTED hash expression ``h``
+    (ideally a column): bucket = low p bits, rho over the high 32−p
+    bits. Production paths hash once into a column and run these over
+    it — the rho CASE ladder has 27+ arms, and embedding the md5
+    inline would repeat it per arm unless the engine CSEs."""
     m = _hll_m(p)
-    h = P.token_hash32(value_col, d)
     w = P.idiv(h, str(m), d)
     return f"(({h}) % {m})", hll_rho_sql(w, 32 - p)
+
+
+def _hll_register_exprs(value_col: str, p: int, d: str) -> tuple[str, str]:
+    """(bucket_sql, rho_sql) with the hash inlined per arm — the
+    single-expression form the cross-dialect property test pins; hot
+    paths use ``_hll_coord_exprs`` over a hashed column instead."""
+    return _hll_coord_exprs(P.token_hash32(value_col, d), p, d)
 
 
 def hll_registers(
@@ -289,9 +297,12 @@ def hll_registers(
     whole point of HLL at 100 TB. NULL values are skipped (not a
     distinct value, matching ``count(DISTINCT ...)``)."""
     m = _hll_m(p)
-    bucket, rho = _hll_register_exprs(value_col, p, P.SPARK)
+    bucket, rho = _hll_coord_exprs("__h", p, P.SPARK)
     occupied = (
         values.filter(F.col(value_col).isNotNull())
+        .select(
+            F.expr(P.token_hash32(value_col, P.SPARK)).alias("__h")
+        )
         .select(
             F.expr(bucket).cast("int").alias("register"),
             F.expr(rho).alias("rho"),
@@ -320,11 +331,15 @@ def hll_registers_grouped(
     bucket/rho + partial-max shape as ``hll_registers``; the exchange
     carries ≤ partitions·groups·m rows."""
     m = _hll_m(p)
-    bucket, rho = _hll_register_exprs(value_col, p, P.SPARK)
+    bucket, rho = _hll_coord_exprs("__h", p, P.SPARK)
     occupied = (
         values.filter(F.col(value_col).isNotNull())
         .select(
             F.col(group_col).alias("grp"),
+            F.expr(P.token_hash32(value_col, P.SPARK)).alias("__h"),
+        )
+        .select(
+            "grp",
             F.expr(bucket).cast("int").alias("register"),
             F.expr(rho).alias("rho"),
         )
@@ -375,7 +390,7 @@ def hll_grouped_sql(
     ``value_sql`` (two columns: ``grp``, ``v``). Returns
     (registers_sql, estimate_sql_over('hllgrpregs'))."""
     m = _hll_m(p)
-    bucket, rho = _hll_register_exprs("v", p, P.DUCK)
+    bucket, rho = _hll_coord_exprs("h", p, P.DUCK)
     num = _hll_alpha_m2(p)
     regs = f"""
     SELECT g.grp, CAST(r.r AS INTEGER) AS register,
@@ -384,7 +399,10 @@ def hll_grouped_sql(
     CROSS JOIN (SELECT unnest(range({m})) AS r) r
     LEFT JOIN (
       SELECT grp, {bucket} AS register, max({rho}) AS rho
-      FROM ({value_sql}) WHERE v IS NOT NULL GROUP BY 1, 2
+      FROM (
+        SELECT grp, {P.token_hash32('v', P.DUCK)} AS h
+        FROM ({value_sql}) WHERE v IS NOT NULL
+      ) GROUP BY 1, 2
     ) occ ON occ.grp = g.grp AND occ.register = r.r
     """
     est = f"""
@@ -510,14 +528,17 @@ def hll_registers_sql(value_sql: str, p: int = HLL_P) -> str:
     """DuckDB twin of ``hll_registers`` over ``value_sql`` (one column
     ``v``): all 2^p (register, rho) rows, same integers."""
     m = _hll_m(p)
-    bucket, rho = _hll_register_exprs("v", p, P.DUCK)
+    bucket, rho = _hll_coord_exprs("h", p, P.DUCK)
     return f"""
     SELECT CAST(r.r AS INTEGER) AS register,
            CAST(COALESCE(occ.rho, 0) AS INTEGER) AS rho
     FROM (SELECT unnest(range({m})) AS r) r
     LEFT JOIN (
       SELECT {bucket} AS register, max({rho}) AS rho
-      FROM ({value_sql}) WHERE v IS NOT NULL GROUP BY 1
+      FROM (
+        SELECT {P.token_hash32('v', P.DUCK)} AS h
+        FROM ({value_sql}) WHERE v IS NOT NULL
+      ) GROUP BY 1
     ) occ ON occ.register = r.r
     """
 

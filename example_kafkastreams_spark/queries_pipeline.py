@@ -107,22 +107,29 @@ def _mixing_sql() -> str:
     rates AS (
       SELECT source, (norm * (SELECT cap FROM cap)) / n AS rate FROM normed
     ),
-    -- temp branch: temperature-scaled mixing over ALL sources,
-    -- rates re-derived from the data with operators.mixing
+    -- temp branch: temperature-scaled mixing over ALL non-NULL
+    -- sources, rates re-derived from the data with operators.mixing
     -- .temperature_rates' exact op sequence — n^0.5 via the sqrt
     -- chain (correctly rounded everywhere), the un-normalized
-    -- cancel form so no order-sensitive float sum exists
+    -- cancel form so no order-sensitive float sum exists, and the
+    -- binding source(s) clamped to rate exactly 1.0 by the same
+    -- n/w = cap equality test (the round-trip (w*cap)/n can land one
+    -- ulp below 1 for non-square counts)
     tcounts AS (
       SELECT source, CAST(count(*) AS DOUBLE) AS n
-      FROM documents GROUP BY source
+      FROM documents WHERE source IS NOT NULL GROUP BY source
     ),
     tcap AS (
       SELECT min(n / {P.dyadic_pow('n', 0.5, D)}) AS cap FROM tcounts
     ),
     trates AS (
       SELECT source,
-             ({P.dyadic_pow('n', 0.5, D)} * (SELECT cap FROM tcap)) / n
-               AS rate
+             CASE WHEN n / {P.dyadic_pow('n', 0.5, D)}
+                       = (SELECT cap FROM tcap)
+                  THEN CAST(1.0 AS DOUBLE)
+                  ELSE ({P.dyadic_pow('n', 0.5, D)}
+                        * (SELECT cap FROM tcap)) / n
+             END AS rate
       FROM tcounts
     ),
     -- card branch: the per-source data card, every metric re-derived

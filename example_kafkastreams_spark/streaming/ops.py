@@ -619,7 +619,7 @@ def heavy_hitters_stream(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            for v, c in pdf[value_col].value_counts().items():
+            for v, c in pdf["__value"].value_counts().items():
                 batch[v] = batch.get(v, 0) + int(c)
         if batch:
             n_seen += sum(batch.values())
@@ -665,6 +665,7 @@ def heavy_hitters_stream(
         events.withColumn(
             "__group", F.col(group_col).cast("string")
         )
+        .withColumn("__value", F.col(value_col).cast("string"))
         .groupBy("__group")
         .applyInPandasWithState(
             fn,
@@ -738,7 +739,7 @@ def hll_distinct_stream(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            vals = pdf[value_col].dropna()
+            vals = pdf["__value"].dropna()
             saw += len(vals)
             registers = hll_update_py(registers, vals, p)
         if saw:
@@ -762,6 +763,7 @@ def hll_distinct_stream(
         events.withColumn(
             "__group", F.col(group_col).cast("string")
         )
+        .withColumn("__value", F.col(value_col).cast("string"))
         .groupBy("__group")
         .applyInPandasWithState(
             fn,

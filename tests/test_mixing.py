@@ -142,6 +142,42 @@ def test_temperature_rates_flatten_toward_rare_sources():
         temperature_rates(counts, alpha=0.3)
 
 
+def test_temperature_binding_rate_is_exactly_one():
+    """Non-perfect-square counts: (w*cap)/n for the binding source
+    rounds one ulp below 1.0, whose floor(rate*2^32) threshold would
+    drop the hash == 2^32-1 row — the clamp must return exactly 1.0
+    (and for every source that TIES the min)."""
+    from example_kafkastreams_spark.operators.mixing import (
+        temperature_rates,
+    )
+
+    for n_small in (7, 11, 13, 999, 12345):
+        rates = temperature_rates({"big": 10 * n_small, "rare": n_small})
+        assert rates["rare"] == 1.0, n_small  # exactly, not within ulp
+    tied = temperature_rates({"a": 7, "b": 7, "c": 700})
+    assert tied["a"] == 1.0 and tied["b"] == 1.0
+
+
+def test_temperature_mix_ignores_null_sources(spark):
+    """A NULL source can never survive the equality filter, so it must
+    not enter the rate derivation either — otherwise a small NULL
+    group becomes a phantom binding source that down-samples every
+    real source."""
+    from example_kafkastreams_spark.operators.mixing import (
+        mix_sources_temperature,
+    )
+
+    rows = [(i, "web") for i in range(400)] + [
+        (1000 + i, None) for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = mix_sources_temperature(docs, 0.5).collect()
+    # web is the only real source -> binding -> keeps ALL its rows;
+    # with the phantom NULL group in the derivation its rate would
+    # have been sqrt(4*400)/400 = 0.1
+    assert sorted(r.doc_id for r in got) == list(range(400))
+
+
 def test_temperature_mix_survivors_deterministic(spark):
     """The survivor set is a pure function of (id, source, counts):
     identical under repartitioning, and the rarest source keeps every
