@@ -348,8 +348,8 @@ def main() -> None:
         (
             "q58_srp_histogram",
             "mode",
-            ("srp", "kmv", "cms", "hll", "hll_est", "hll_grp",
-             "hll_grp_est"),
+            ("srp", "kmv", "kmvops", "cms", "hll", "hll_est",
+             "hll_grp", "hll_grp_est"),
         ),
         ("q61_domain_mixing", "mode", ("mix", "card", "temp")),
         ("q62_pii_scrub", "mode", ("pii", "norm")),

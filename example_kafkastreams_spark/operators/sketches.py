@@ -58,18 +58,12 @@ from ..functions import portable as P
 HASH_SPACE = float(2**32)
 
 
-def kmv_distinct(
-    values: DataFrame,
-    value_col: str,
-    k: int = 64,
+def _kmv_top_hashes(
+    values: DataFrame, value_col: str, k: int
 ) -> DataFrame:
-    """One row: (k_used, kth_hash, est_distinct) for the distinct
-    cardinality of ``value_col``.
-
-    ``k_used`` is the number of distinct hashes found (< ``k`` means
-    the sketch saw the whole domain and ``est_distinct`` is exact —
-    the standard small-cardinality degenerate case).
-    """
+    """The k smallest DISTINCT portable hashes of ``value_col`` — the
+    KMV sketch content, with the local dense_rank prune bounding the
+    exchange (module docstring)."""
     h = P.token_hash32(value_col, P.SPARK)
     # NULL values hash to NULL and would sort FIRST under Spark's
     # ascending NULL ordering, inflating k_used — drop them (a NULL is
@@ -84,7 +78,22 @@ def kmv_distinct(
         .select("__h")
         .distinct()
     )
-    top = cand.orderBy("__h").limit(k)
+    return cand.orderBy("__h").limit(k)
+
+
+def kmv_distinct(
+    values: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """One row: (k_used, kth_hash, est_distinct) for the distinct
+    cardinality of ``value_col``.
+
+    ``k_used`` is the number of distinct hashes found (< ``k`` means
+    the sketch saw the whole domain and ``est_distinct`` is exact —
+    the standard small-cardinality degenerate case).
+    """
+    top = _kmv_top_hashes(values, value_col, k)
     return top.agg(
         F.count(F.lit(1)).cast("int").alias("k_used"),
         F.max("__h").alias("kth_hash"),
@@ -119,6 +128,101 @@ def kmv_distinct_sql(value_sql: str, k: int = 64) -> str:
         SELECT DISTINCT {h} AS h FROM ({value_sql}) ORDER BY h LIMIT {k}
       )
     )
+    """
+
+
+def kmv_set_ops(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation cardinalities from two KMV sketches (Beyer et
+    al. 2007 / the theta-sketch construction): one row
+    (k_used, kth_hash, n_both, est_union, jaccard_est,
+    est_intersection) for the distinct sets of ``value_col`` in ``a``
+    and ``b`` — the audience-overlap question ("how many users do
+    these two event streams share?") answered from two
+    candidate-sized sketches, never a corpus-sized join.
+
+    The union's k smallest distinct hashes S are the k smallest of
+    (A's k smallest ∪ B's k smallest), and a hash in S belongs to A
+    iff it is in A's OWN k-minimum set (A ⊆ A∪B ⇒ A's kth smallest ≥
+    the union's kth smallest) — so membership tests also stay
+    candidate-sized. Estimators: est_union is KMV's
+    ``(k−1)·2³²/h_k``; jaccard_est = n_both/k_used (the fraction of
+    the union sample lying in both sides); est_intersection =
+    jaccard_est · est_union. When k_used < k the union was seen
+    whole and every figure is exact. All arithmetic is a handful of
+    IEEE ops on identical operands — cross-engine bit-equal
+    (``kmv_set_ops_sql``)."""
+    ta = _kmv_top_hashes(a, value_col, k)
+    tb = _kmv_top_hashes(b, value_col, k)
+    s = ta.unionByName(tb).distinct().orderBy("__h").limit(k)
+    both = s.join(ta, "__h", "semi").join(tb, "__h", "semi")
+    stats = s.agg(
+        F.count(F.lit(1)).cast("int").alias("k_used"),
+        F.max("__h").alias("kth_hash"),
+    ).crossJoin(
+        both.agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    est_union = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE)
+        / F.col("kth_hash").cast("double")
+    )
+    jac = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return stats.select(
+        "k_used",
+        "kth_hash",
+        "n_both",
+        est_union.alias("est_union"),
+        jac.alias("jaccard_est"),
+        F.when(
+            F.col("k_used") < k, F.col("n_both").cast("double")
+        )
+        .otherwise(jac * est_union)
+        .alias("est_intersection"),
+    )
+
+
+def kmv_set_ops_sql(a_sql: str, b_sql: str, k: int = 64) -> str:
+    """DuckDB twin of ``kmv_set_ops`` over two one-column (``v``)
+    selects: same hashes, same candidate algebra, same estimator op
+    sequence."""
+    ha = P.token_hash32("v", P.DUCK)
+    est_union = f"""CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                ELSE CAST({float(k - 1)!r} AS DOUBLE)
+                     * CAST({HASH_SPACE!r} AS DOUBLE)
+                     / CAST(kth_hash AS DOUBLE) END"""
+    jac = "(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE))"
+    return f"""
+    WITH ta AS (
+      SELECT DISTINCT {ha} AS h FROM ({a_sql})
+      WHERE v IS NOT NULL ORDER BY h LIMIT {k}
+    ),
+    tb AS (
+      SELECT DISTINCT {ha} AS h FROM ({b_sql})
+      WHERE v IS NOT NULL ORDER BY h LIMIT {k}
+    ),
+    s AS (
+      SELECT h FROM (SELECT h FROM ta UNION SELECT h FROM tb)
+      ORDER BY h LIMIT {k}
+    ),
+    st AS (
+      SELECT CAST(count(*) AS INTEGER) AS k_used, max(h) AS kth_hash,
+             (SELECT count(*) FROM s
+              WHERE h IN (SELECT h FROM ta)
+                AND h IN (SELECT h FROM tb)) AS n_both
+      FROM s
+    )
+    SELECT k_used, kth_hash, n_both,
+           {est_union} AS est_union,
+           {jac} AS jaccard_est,
+           CASE WHEN k_used < {k} THEN CAST(n_both AS DOUBLE)
+                ELSE {jac} * ({est_union}) END AS est_intersection
+    FROM st
     """
 
 

@@ -1072,6 +1072,7 @@ CMS_WIDTH = 256
 CMS_PROBES = 3
 HLL_Q58_P = 8  # 256 registers, RSE ≈ 6.5% — over the 3-shingle domain
 HLL_GRP_P = 6  # 64 registers per group — distinct users per event_type
+KMV_OPS_K = 256  # set-op sketch size — vocab overlap of two sources
 
 
 def _q58_sql() -> str:
@@ -1080,6 +1081,7 @@ def _q58_sql() -> str:
         hll_grouped_sql,
         hll_registers_sql,
         kmv_distinct_sql,
+        kmv_set_ops_sql,
     )
 
     toks = f"SELECT unnest({P.split_ws('text', D)}) AS v FROM documents"
@@ -1087,6 +1089,20 @@ def _q58_sql() -> str:
     kmv = kmv_distinct_sql(toks, KMV_K)
     hregs = hll_registers_sql(sh, HLL_Q58_P)
     hest = hll_estimate_sql("SELECT * FROM hllregs", HLL_Q58_P)
+    src_a = "(SELECT min(source) FROM documents)"
+    src_b = (
+        "(SELECT min(source) FROM documents"
+        f" WHERE source > {src_a})"
+    )
+    sh_a = (
+        f"SELECT unnest({P.shingles('text', 3, D)}) AS v"
+        f" FROM documents WHERE source = {src_a}"
+    )
+    sh_b = (
+        f"SELECT unnest({P.shingles('text', 3, D)}) AS v"
+        f" FROM documents WHERE source = {src_b}"
+    )
+    kops = kmv_set_ops_sql(sh_a, sh_b, KMV_OPS_K)
     gvals = (
         "SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS v"
         " FROM events"
@@ -1100,6 +1116,15 @@ def _q58_sql() -> str:
       FROM embeddings
     ),
     kmv AS ({kmv}),
+    kops AS ({kops}),
+    kopsexact AS (
+      SELECT (SELECT count(DISTINCT v)
+              FROM (({sh_a}) UNION ALL ({sh_b}))) AS ex_union,
+             (SELECT count(*) FROM (
+                SELECT DISTINCT v FROM ({sh_a})
+                INTERSECT
+                SELECT DISTINCT v FROM ({sh_b}))) AS ex_inter
+    ),
     hllregs AS ({hregs}),
     hllest AS ({hest}),
     hllgrpregs AS ({gregs}),
@@ -1152,22 +1177,38 @@ def _q58_sql() -> str:
            CAST(NULL AS BIGINT) AS exact_cnt,
            CAST(NULL AS INTEGER) AS hll_register,
            CAST(NULL AS INTEGER) AS hll_rho,
-           CAST(NULL AS INTEGER) AS n_zero_regs
+           CAST(NULL AS INTEGER) AS n_zero_regs,
+           CAST(NULL AS BIGINT) AS n_both,
+           CAST(NULL AS DOUBLE) AS jaccard_est,
+           CAST(NULL AS DOUBLE) AS est_intersect,
+           CAST(NULL AS BIGINT) AS exact_intersect
     FROM b GROUP BY srp_bucket
     UNION ALL
     SELECT 'kmv', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), k_used, kth_hash, est_distinct,
            exact_distinct, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
-           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM kmv CROSS JOIN exact
+    UNION ALL
+    SELECT 'kmvops', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), k.k_used, k.kth_hash, k.est_union,
+           x.ex_union, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           k.n_both, k.jaccard_est, k.est_intersection, x.ex_inter
+    FROM kops k CROSS JOIN kopsexact x
     UNION ALL
     SELECT 'cms', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS BIGINT), c.probe, c.cms_est,
            COALESCE(e.exact_cnt, 0), CAST(NULL AS INTEGER),
-           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM cms c LEFT JOIN pexact e ON e.probe = c.probe
     UNION ALL
     SELECT 'hll', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
@@ -1175,7 +1216,9 @@ def _q58_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           register, rho, CAST(NULL AS INTEGER)
+           register, rho, CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM hllregs
     UNION ALL
     SELECT 'hll_est', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
@@ -1183,7 +1226,9 @@ def _q58_sql() -> str:
            CAST(NULL AS BIGINT), est_distinct, sh_exact,
            CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
-           CAST(NULL AS INTEGER), n_zero_regs
+           CAST(NULL AS INTEGER), n_zero_regs,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM hllest CROSS JOIN shexact
     UNION ALL
     SELECT 'hll_grp', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
@@ -1191,7 +1236,9 @@ def _q58_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS BIGINT), grp, CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), register, rho,
-           CAST(NULL AS INTEGER)
+           CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM hllgrpregs
     UNION ALL
     SELECT 'hll_grp_est', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
@@ -1199,7 +1246,9 @@ def _q58_sql() -> str:
            CAST(NULL AS BIGINT), e.est_distinct, x.ex,
            e.grp, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
-           e.n_zero_regs
+           e.n_zero_regs,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM hllgrpest e JOIN grpexact x ON x.grp = e.grp
     """
 
@@ -1228,13 +1277,19 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates both value-checked (the per-group domains sit in HLL's
     small-range regime on this testdata, which is the honest case for
     shipping ``n_zero_regs`` + the exact count beside the raw
-    estimate; ``hll_corrected_estimate`` is the driver-side fix)."""
+    estimate; ``hll_corrected_estimate`` is the driver-side fix).
+    ``kmvops`` (round 9): KMV set operations — union / Jaccard /
+    intersection cardinalities of two sources' shingle vocabularies
+    from two candidate-sized sketches (operators.sketches
+    .kmv_set_ops, the theta-sketch shape), never a corpus-sized join;
+    exact union/intersection counts ship beside the estimates."""
     from .operators.sketches import (
         hll_estimate,
         hll_estimate_grouped,
         hll_registers,
         hll_registers_grouped,
         kmv_distinct,
+        kmv_set_ops,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1281,6 +1336,46 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         HLL_Q58_P,
     ).crossJoin(sh.agg(F.count_distinct("v").alias("exact_distinct")))
+    docs_src = load_table(spark, sf_dir, "documents")
+    two_srcs = sorted(
+        r[0]
+        for r in docs_src.select("source").distinct().collect()
+        if r[0] is not None
+    )[:2]
+    if len(two_srcs) < 2:
+        raise ValueError("q58 kmvops needs >= 2 distinct sources")
+
+    def _src_shingles(s: str) -> DataFrame:
+        return docs_src.filter(F.col("source") == s).select(
+            F.explode(
+                F.expr(P.shingles("text", 3, P.SPARK))
+            ).alias("v")
+        )
+
+    sh_a, sh_b = _src_shingles(two_srcs[0]), _src_shingles(two_srcs[1])
+    kops = (
+        kmv_set_ops(sh_a, sh_b, "v", KMV_OPS_K)
+        .crossJoin(
+            sh_a.unionByName(sh_b).agg(
+                F.count_distinct("v").alias("exact_distinct")
+            )
+        )
+        .crossJoin(
+            sh_a.distinct()
+            .intersect(sh_b.distinct())
+            .agg(F.count(F.lit(1)).alias("exact_intersect"))
+        )
+        .select(
+            "k_used",
+            "kth_hash",
+            F.col("est_union").alias("est_distinct"),
+            "exact_distinct",
+            "n_both",
+            "jaccard_est",
+            F.col("est_intersection").alias("est_intersect"),
+            "exact_intersect",
+        )
+    )
     gvals = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"),
         F.col("user_id").cast("string").alias("v"),
@@ -1310,7 +1405,8 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_used": "int", "kth_hash": "long", "est_distinct": "double",
         "exact_distinct": "long", "probe": "string", "cms_est": "long",
         "exact_cnt": "long", "hll_register": "int", "hll_rho": "int",
-        "n_zero_regs": "int",
+        "n_zero_regs": "int", "n_both": "long", "jaccard_est": "double",
+        "est_intersect": "double", "exact_intersect": "long",
     }
 
     def pad(df: DataFrame, mode: str, keep: list[str]) -> DataFrame:
@@ -1326,6 +1422,10 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         pad(srp, "srp", ["srp_bucket", "n_vectors", "min_vec_id"])
         .unionByName(pad(kmv, "kmv", ["k_used", "kth_hash",
                                       "est_distinct", "exact_distinct"]))
+        .unionByName(pad(kops, "kmvops",
+                         ["k_used", "kth_hash", "est_distinct",
+                          "exact_distinct", "n_both", "jaccard_est",
+                          "est_intersect", "exact_intersect"]))
         .unionByName(pad(cms, "cms", ["probe", "cms_est", "exact_cnt"]))
         .unionByName(pad(hregs, "hll", ["hll_register", "hll_rho"]))
         .unionByName(pad(hest, "hll_est", ["est_distinct",

@@ -486,6 +486,49 @@ def test_hll_sketch_properties(spark):
     assert hll_corrected_estimate(5000.0, 0, p) == 5000.0
 
 
+def test_kmv_set_ops_properties(spark):
+    """Set-op sketch: exact in the unsaturated regime (union smaller
+    than k), jaccard endpoints exact for disjoint/identical sets,
+    sane estimates in the saturated regime, and layout-invariant."""
+    from example_kafkastreams_spark.operators.sketches import (
+        kmv_set_ops,
+    )
+
+    def df(vals):
+        return spark.createDataFrame([(v,) for v in vals], "v string")
+
+    # unsaturated: everything exact
+    a = df([f"a{i}" for i in range(20)] + ["s1", "s2"])
+    b = df([f"b{i}" for i in range(10)] + ["s1", "s2"])
+    r = kmv_set_ops(a, b, "v", k=64).collect()[0]
+    assert r.k_used == 32 and r.est_union == 32.0
+    assert r.n_both == 2 and r.est_intersection == 2.0
+    assert r.jaccard_est == 2.0 / 32.0
+
+    # disjoint / identical endpoints
+    assert kmv_set_ops(df(["x1"]), df(["y1"]), "v").collect()[0].n_both == 0
+    same = [f"z{i}" for i in range(30)]
+    ri = kmv_set_ops(df(same), df(same), "v", k=16).collect()[0]
+    assert ri.jaccard_est == 1.0  # saturated AND identical
+
+    # saturated regime: estimates land in the sketch's error band
+    big_a = df([f"u{i}" for i in range(3000)])
+    big_b = df([f"u{i}" for i in range(1500, 4500)])  # 50% overlap
+    rs = kmv_set_ops(big_a, big_b, "v", k=256).collect()[0]
+    assert abs(rs.est_union - 4500) / 4500 < 0.3
+    assert 0.15 < rs.jaccard_est < 0.55  # true J = 1500/4500 = 0.33
+
+    # layout invariance
+    r2 = kmv_set_ops(
+        big_a.repartition(17), big_b.repartition(5), "v", k=256
+    ).collect()[0]
+    assert (rs.k_used, rs.kth_hash, rs.n_both, rs.est_union,
+            rs.jaccard_est, rs.est_intersection) == (
+        r2.k_used, r2.kth_hash, r2.n_both, r2.est_union,
+        r2.jaccard_est, r2.est_intersection
+    )
+
+
 def test_hll_grouped_matches_per_group_and_merges(spark):
     """The grouped sketch must equal running the global sketch on each
     group's rows separately (one pass == G passes), and max-merging
