@@ -39,6 +39,16 @@ _LAZY = {
     "assign_split": "sampling",
     "stratified_sample": "sampling",
     "weighted_sample": "sampling",
+    "kmv_distinct": "sketches",
+    "kmv_set_ops": "sketches",
+    "hll_registers": "sketches",
+    "hll_registers_grouped": "sketches",
+    "hll_estimate": "sketches",
+    "hll_estimate_grouped": "sketches",
+    "hll_merge": "sketches",
+    "hll_corrected_estimate": "sketches",
+    "mix_sources_temperature": "mixing",
+    "temperature_rates": "mixing",
 }
 
 
@@ -72,6 +82,16 @@ __all__ = [
     "retrieval_eval",
     "ndcg_tables",
     "weighted_sample",
+    "kmv_distinct",
+    "kmv_set_ops",
+    "hll_registers",
+    "hll_registers_grouped",
+    "hll_estimate",
+    "hll_estimate_grouped",
+    "hll_merge",
+    "hll_corrected_estimate",
+    "mix_sources_temperature",
+    "temperature_rates",
     "ann_index_drift",
     "quantization_stats",
     "record_train_stats",
