@@ -549,27 +549,122 @@ def q23_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.unionAll(cube).unionAll(distinct)
 
 
-# --- q26: symmetric interval join (J1 DSL semantics, batch analog) --------
+# --- q26: temporal joins — J1 interval join + SCD2 point-in-time ----------
 
 _J1_WINDOW_S = 3600  # ±1 h proximity on the sparse testdata stream
 
-@query(
-    "q26_interval_join_symmetric",
-    oracle=f"""
-    SELECT ev.event_type, COUNT(*) AS n_pairs,
-           COUNT(DISTINCT ev.event_id) AS n_events_matched
-    FROM (SELECT * FROM events WHERE event_type <> 'view') ev
-    JOIN (SELECT * FROM events WHERE event_type = 'view') pv
-      ON ev.user_id = pv.user_id
-     AND pv.ts >= ev.ts - INTERVAL {_J1_WINDOW_S} SECOND
-     AND pv.ts <= ev.ts + INTERVAL {_J1_WINDOW_S} SECOND
-    GROUP BY ev.event_type
-    """,
+# SCD2 branches (round 9): 'signup' events are the profile CHANGE LOG
+# (tier derived from `value` by exact double-literal comparisons), the
+# standard lag-compaction drops no-change updates, lead() cuts validity
+# intervals, and 'purchase' facts join the version current at purchase
+# time. Tier thresholds are literals so both engines compare the same
+# binary64 values.
+_SCD_TIER_SQL = (
+    "CASE WHEN value < 50 THEN 'bronze' "
+    "WHEN value < 150 THEN 'silver' ELSE 'gold' END"
 )
+
+
+def _q26_sql() -> str:
+    nulls_pairs = (
+        "CAST(NULL AS BIGINT) AS n_versions,"
+        " CAST(NULL AS BIGINT) AS n_current,"
+        " CAST(NULL AS BIGINT) AS dur_us_closed,"
+        " CAST(NULL AS BIGINT) AS n_facts,"
+        " CAST(NULL AS BIGINT) AS n_users,"
+        " CAST(NULL AS DOUBLE) AS sum_value"
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT ev.event_type, COUNT(*) AS n_pairs,
+             COUNT(DISTINCT ev.event_id) AS n_events_matched
+      FROM (SELECT * FROM events WHERE event_type <> 'view') ev
+      JOIN (SELECT * FROM events WHERE event_type = 'view') pv
+        ON ev.user_id = pv.user_id
+       AND pv.ts >= ev.ts - INTERVAL {_J1_WINDOW_S} SECOND
+       AND pv.ts <= ev.ts + INTERVAL {_J1_WINDOW_S} SECOND
+      GROUP BY ev.event_type
+    ),
+    upd AS (
+      SELECT user_id, ts, event_id, {_SCD_TIER_SQL} AS tier
+      FROM events WHERE event_type = 'signup'
+    ),
+    changed AS (
+      SELECT user_id, ts, event_id, tier FROM (
+        SELECT *, lag(tier) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+        FROM upd
+      ) WHERE prev_tier IS NULL OR prev_tier <> tier
+    ),
+    dim AS (
+      SELECT user_id, tier, ts AS valid_from,
+             lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM changed
+    ),
+    dimstats AS (
+      SELECT tier, COUNT(*) AS n_versions,
+             SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+             SUM(CASE WHEN valid_to IS NULL THEN 0
+                      ELSE epoch_us(valid_to) - epoch_us(valid_from)
+                 END) AS dur_us_closed
+      FROM dim GROUP BY tier
+    ),
+    enr AS (
+      SELECT f.event_id, f.user_id, f.value, d.tier
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') f
+      LEFT JOIN dim d
+        ON f.user_id = d.user_id AND f.ts >= d.valid_from
+       AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    ),
+    enrstats AS (
+      SELECT tier, COUNT(*) AS n_facts,
+             COUNT(DISTINCT user_id) AS n_users,
+             {dsum_sql('value', 2)} AS sum_value
+      FROM enr GROUP BY tier
+    )
+    SELECT 'pairs' AS mode, event_type, CAST(NULL AS VARCHAR) AS tier,
+           n_pairs, n_events_matched, {nulls_pairs}
+    FROM pairs
+    UNION ALL
+    SELECT 'dim', CAST(NULL AS VARCHAR), tier,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           n_versions, n_current, dur_us_closed,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM dimstats
+    UNION ALL
+    SELECT 'enrich', CAST(NULL AS VARCHAR), tier,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), n_facts, n_users, sum_value
+    FROM enrstats
+    """
+
+
+@query("q26_interval_join_symmetric", oracle=_q26_sql())
 def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1: the DSL's symmetric JoinWindows.of(w) proximity join
-    (ClickstreamJoinExample.scala:230-234) — all matching pairs, both
-    directions in time, counted per event type."""
+    """Temporal joins, three branches in one driver row. ``pairs`` —
+    J1: the DSL's symmetric JoinWindows.of(w) proximity join
+    (ClickstreamJoinExample.scala:230-234), all matching pairs both
+    directions in time, counted per event type. ``dim``/``enrich``
+    (round 9) — the SCD2 twin of the reference's KTable enrichment
+    (operators.scd): 'signup' events fold into type-2 validity
+    intervals (lag-compacted, lead-cut — ONE exchange + sort on the
+    dimension key), 'purchase' facts join the version current at their
+    timestamp. At 100 TB the built dimension is versions×keys (far
+    smaller than the fact corpus) and BROADCASTS, so the fact side
+    never shuffles; intervals partition the timeline per key, so the
+    join can't amplify rows. The census (version counts, current rows,
+    closed validity micros) and the enrichment rollup (facts/users/
+    exact-decimal value sum per point-in-time tier) are both
+    driver-VALUE-checked against DuckDB's independent rederivation."""
+    from .operators.scd import (
+        scd2_dim_stats,
+        scd2_from_changelog,
+        scd2_point_in_time_join,
+    )
+
     events = load_table(spark, sf_dir, "events")
     ev = events.filter(F.col("event_type") != "view")
     pv = events.filter(F.col("event_type") == "view")
@@ -586,10 +681,67 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookahead_seconds=_J1_WINDOW_S,
         how="inner",
     )
-    return (
-        joined.groupBy(F.col("l.event_type").alias("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.countDistinct("l.event_id").alias("n_events_matched"),
+    pairs = joined.groupBy(F.col("l.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("l.event_id").alias("n_events_matched"),
+    )
+
+    tier = (
+        F.when(F.col("value") < 50, "bronze")
+        .when(F.col("value") < 150, "silver")
+        .otherwise("gold")
+    )
+    upd = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", tier.alias("tier")
+    )
+    dim = scd2_from_changelog(
+        upd, key="user_id", ts="ts", attrs=["tier"], tie="event_id"
+    )
+    dimstats = scd2_dim_stats(dim, ["tier"])
+    facts = events.filter(F.col("event_type") == "purchase")
+    enr = scd2_point_in_time_join(
+        facts,
+        dim.select("user_id", "tier", "valid_from", "valid_to"),
+        key="user_id",
+        fact_ts="ts",
+    )
+    enrstats = enr.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value"), 2).alias("sum_value"),
+    )
+
+    out_cols = [
+        ("mode", "string"),
+        ("event_type", "string"),
+        ("tier", "string"),
+        ("n_pairs", "long"),
+        ("n_events_matched", "long"),
+        ("n_versions", "long"),
+        ("n_current", "long"),
+        ("dur_us_closed", "long"),
+        ("n_facts", "long"),
+        ("n_users", "long"),
+        ("sum_value", "double"),
+    ]
+
+    def shape(df: DataFrame, mode: str) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.lit(mode).alias("mode")
+                if c == "mode"
+                else (
+                    F.col(c)
+                    if c in have
+                    else F.lit(None).cast(t).alias(c)
+                )
+                for c, t in out_cols
+            ]
         )
+
+    return (
+        shape(pairs, "pairs")
+        .unionByName(shape(dimstats, "dim"))
+        .unionByName(shape(enrstats, "enrich"))
     )

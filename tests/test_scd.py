@@ -1,0 +1,123 @@
+"""SCD2 build + point-in-time join semantics (operators/scd.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from example_kafkastreams_spark.operators.scd import (
+    scd2_dim_stats,
+    scd2_from_changelog,
+    scd2_point_in_time_join,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _changelog(spark):
+    # user 1: bronze -> bronze (dropped) -> gold; user 2: one version
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 10, "bronze"),
+        (1, _ts("2024-01-02T00:00:00"), 11, "bronze"),
+        (1, _ts("2024-01-03T00:00:00"), 12, "gold"),
+        (2, _ts("2024-01-05T00:00:00"), 20, "silver"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, tier string"
+    )
+
+
+def test_scd2_build_compacts_and_cuts_intervals(spark):
+    dim = scd2_from_changelog(
+        _changelog(spark), "user_id", "ts", ["tier"], "event_id"
+    )
+    got = {
+        (r.user_id, r.version): (
+            r.tier, r.valid_from, r.valid_to, r.is_current
+        )
+        for r in dim.collect()
+    }
+    # the no-change 01-02 update is compacted away: user 1's bronze
+    # interval runs straight from 01-01 to the 01-03 gold flip
+    assert got == {
+        (1, 1): (
+            "bronze", _ts("2024-01-01T00:00:00"),
+            _ts("2024-01-03T00:00:00"), False,
+        ),
+        (1, 2): ("gold", _ts("2024-01-03T00:00:00"), None, True),
+        (2, 1): ("silver", _ts("2024-01-05T00:00:00"), None, True),
+    }
+
+
+def test_scd2_keep_unchanged_variant(spark):
+    dim = scd2_from_changelog(
+        _changelog(spark), "user_id", "ts", ["tier"], "event_id",
+        drop_unchanged=False,
+    )
+    assert dim.filter(F.col("user_id") == 1).count() == 3
+
+
+def test_scd2_point_in_time_semantics(spark):
+    dim = scd2_from_changelog(
+        _changelog(spark), "user_id", "ts", ["tier"], "event_id"
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _ts("2023-12-31T23:59:59")),  # before first version
+            (101, 1, _ts("2024-01-02T12:00:00")),  # inside bronze
+            (102, 1, _ts("2024-01-03T00:00:00")),  # boundary: half-open -> gold
+            (103, 1, _ts("2024-02-01T00:00:00")),  # open current version
+            (104, 3, _ts("2024-01-10T00:00:00")),  # unknown key
+        ],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    out = scd2_point_in_time_join(
+        facts, dim.select("user_id", "tier", "valid_from", "valid_to"),
+        key="user_id",
+    )
+    got = {r.fact_id: r.tier for r in out.collect()}
+    assert got == {
+        100: None, 101: "bronze", 102: "gold", 103: "gold", 104: None,
+    }
+    # intervals partition the timeline: the left join must not amplify
+    assert out.count() == facts.count()
+
+
+def test_scd2_dim_stats_exact_micros(spark):
+    dim = scd2_from_changelog(
+        _changelog(spark), "user_id", "ts", ["tier"], "event_id"
+    )
+    stats = {r.tier: r for r in scd2_dim_stats(dim, ["tier"]).collect()}
+    assert stats["bronze"].n_versions == 1
+    assert stats["bronze"].n_current == 0
+    # 2 days closed, in exact integer microseconds
+    assert stats["bronze"].dur_us_closed == 2 * 86_400 * 1_000_000
+    assert stats["gold"].n_current == 1
+    assert stats["gold"].dur_us_closed == 0
+
+
+def test_scd2_join_broadcasts_dim_no_fact_exchange(spark):
+    """100 TB shape: the built dimension broadcasts, so the fact side
+    of the point-in-time join crosses ZERO exchanges."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.plans import count_exchanges, explain_str
+    from tests.conftest import SMOKE
+
+    events = load_table(spark, SMOKE, "events")
+    upd = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", F.lit("t").alias("tier")
+    )
+    dim = scd2_from_changelog(upd, "user_id", "ts", ["tier"], "event_id")
+    facts = events.filter(F.col("event_type") == "purchase")
+    out = scd2_point_in_time_join(
+        facts, dim.select("user_id", "tier", "valid_from", "valid_to"),
+        key="user_id",
+    )
+    plan = explain_str(out, "formatted")
+    assert "BroadcastHashJoin" in plan, plan
+    # the only shuffle exchange feeds the dim's window sort (below the
+    # broadcast); the fact scan streams straight into the join
+    assert count_exchanges(out) == 1, explain_str(out, "simple")
