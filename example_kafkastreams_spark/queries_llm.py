@@ -58,6 +58,25 @@ SHINGLE_N = 3
              min(doc_id) AS doc_id,
              count(*) AS n_copies
       FROM documents WHERE doc_id % 3 = 0 GROUP BY md5(text)
+    ),
+    snapb AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0 THEN ' [rev2]' ELSE '' END
+               AS text
+      FROM documents WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' [new]'
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    da AS (SELECT doc_id, md5(text) AS digest_a FROM documents),
+    db AS (SELECT doc_id, md5(text) AS digest_b FROM snapb),
+    dj AS (
+      SELECT COALESCE(da.doc_id, db.doc_id) AS doc_id, digest_a, digest_b,
+             CASE WHEN digest_a IS NULL THEN 'added'
+                  WHEN digest_b IS NULL THEN 'removed'
+                  WHEN digest_a <> digest_b THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM da FULL JOIN db ON da.doc_id = db.doc_id
     )
     SELECT 'full' AS mode, content_hash, doc_id, n_copies FROM fulld
     UNION ALL
@@ -65,23 +84,70 @@ SHINGLE_N = 3
     WHERE NOT EXISTS (
       SELECT 1 FROM idx i WHERE i.content_hash = f.content_hash
     )
+    UNION ALL
+    SELECT 'diff_' || status, COALESCE(digest_b, digest_a), doc_id,
+           CAST(NULL AS BIGINT)
+    FROM dj WHERE status <> 'unchanged'
+    UNION ALL
+    SELECT 'diff_unchanged', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           COUNT(*)
+    FROM dj WHERE status = 'unchanged'
     """,
 )
 def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup, both ingestion regimes in one row: the
-    ``full`` branch is one-shot corpus dedup (survivor id + copy count
-    per distinct text); the ``incr`` branch deduplicates a delta split
-    against the remainder's precomputed digest index — the anti join
-    carries 32-hex-char digests, never text, so at 100 TB the
-    historical corpus is never re-read or re-shuffled."""
+    """Exact content dedup plus the dataset-version audit, one driver
+    row. ``full``: one-shot corpus dedup (survivor id + copy count per
+    distinct text). ``incr``: a delta split deduplicated against the
+    remainder's precomputed digest index — the anti join carries
+    32-hex-char digests, never text, so at 100 TB the historical
+    corpus is never re-read or re-shuffled. ``diff_*`` (round 9): the
+    snapshot diff a corpus re-release ships (operators.diffs) — old
+    snapshot vs a deterministically-derived new one (10% of keys
+    dropped, every 7th text revised, every 13th re-keyed as new), each
+    added/removed/changed key reported at row grain WITH its digest
+    (driver-value-checked) and the untouched majority collapsed to one
+    count row, never materialized. Same shuffle discipline: the
+    full-outer join carries (key, digest) only."""
+    from .operators.diffs import snapshot_diff
+
     docs = load_table(spark, sf_dir, "documents")
     # fully fused: ONE scan + ONE digest-keyed agg, both branches
     # EXPLODED from each aggregate row in the same pass (no cache, no
     # second read) — pinned equal to the exact_text_dedup +
     # incremental_exact_dedup composition by unit test
-    return ND.exact_dedup_with_delta_tagged(
+    dedup = ND.exact_dedup_with_delta_tagged(
         docs, F.col("doc_id") % 3 == 0
     ).select("mode", "content_hash", "doc_id", "n_copies")
+
+    snap_a = docs.select("doc_id", "text")
+    snap_b = docs.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, " [rev2]").otherwise(""),
+        ).alias("text"),
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+        )
+    )
+    diff = snapshot_diff(snap_a, snap_b, "doc_id", ["text"])
+    changed = diff.filter(F.col("status") != "unchanged").select(
+        F.concat(F.lit("diff_"), F.col("status")).alias("mode"),
+        F.coalesce("digest_b", "digest_a").alias("content_hash"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_copies"),
+    )
+    unchanged = diff.filter(F.col("status") == "unchanged").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    ).select(
+        F.lit("diff_unchanged").alias("mode"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "n_copies",
+    )
+    return dedup.unionByName(changed).unionByName(unchanged)
 
 
 # --- q41: MinHash + LSH near-dup pairs ------------------------------------
