@@ -698,8 +698,21 @@ def q64_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q65: corpus-trained n-gram LM scoring (round 5) -----------------------
 
 
+# clf branch: seed label = the q48 quality heuristic above its corpus
+# median (~50/50 at every shipped SF); the classifier then LEARNS
+# hashed-vocabulary weights that reproduce that signal from token
+# content alone — the DCLM/fastText quality-filter shape.
+_CLF_LABEL_THR = "CAST('0.645' AS DOUBLE)"
+
+
 def _lm_sql() -> str:
+    from .operators.quality_clf import train_score_sql
+
     grams = P.token_ngrams("text", 2, D)
+    qx = QL._quality_exprs(D)
+    clf = train_score_sql(
+        f"({qx['quality_score']}) >= {_CLF_LABEL_THR}", d=D
+    )
     return f"""
     WITH g AS (
       SELECT doc_id, unnest({grams}) AS gram FROM documents
@@ -728,27 +741,79 @@ def _lm_sql() -> str:
                                   ORDER BY c DESC, gram) AS rn
         FROM per_gram
       ) WHERE rn = 1
-    )
-    SELECT s.doc_id,
+    ), clfs AS ({clf})
+    SELECT 'lm' AS mode, s.doc_id,
            {P.round_dbl('CAST(p_scaled_sum AS DOUBLE) / CAST(1000000000 AS DOUBLE) / n_bigrams', 6, D)} AS lm_score,
            s.n_bigrams,
            t.top_bigram,
            t.top_bigram_count,
-           {P.round_dbl('CAST(top_bigram_count AS DOUBLE) / n_bigrams', 6, D)} AS top_bigram_frac
+           {P.round_dbl('CAST(top_bigram_count AS DOUBLE) / n_bigrams', 6, D)} AS top_bigram_frac,
+           CAST(NULL AS BIGINT) AS clf_score,
+           CAST(NULL AS BIGINT) AS clf_n_tokens,
+           CAST(NULL AS BOOLEAN) AS clf_keep
     FROM scored s JOIN top t ON s.doc_id = t.doc_id
+    UNION ALL
+    SELECT 'clf', doc_id, CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), clf_score, clf_n_tokens, clf_keep
+    FROM clfs
     """
 
 
 @query("q65_lm_score", oracle=_lm_sql())
 def q65_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality scoring (operators.lm): a bigram
-    transition model trained on the corpus in one aggregation, then
-    each doc scored by its mean transition probability, plus the
-    Gopher top-bigram statistic. All probability math is single IEEE
-    ops over exact integer counts (the per-doc mean accumulates
-    SCALED LONGS, not doubles), so the driver hash matches bit-exact.
-    """
+    """Model-based quality scoring, two branches. ``lm`` — CCNet-style
+    LM scoring (operators.lm): a bigram transition model trained on
+    the corpus in one aggregation, each doc scored by its mean
+    transition probability, plus the Gopher top-bigram statistic; all
+    probability math is single IEEE ops over exact integer counts (the
+    per-doc mean accumulates SCALED LONGS, not doubles). ``clf``
+    (round 9) — the hashing-trick linear classifier
+    (operators.quality_clf, the DCLM/fastText filter shape): trained
+    from seed labels in ONE 256-bucket distributed histogram, then the
+    weight vector is folded into the plan as a LITERAL array so
+    scoring is a pure map-side expression — no join, no explode, no
+    shuffle; at 100 TB the model ships inside the plan and the corpus
+    is scored in the same scan that reads it. The oracle re-derives
+    the model AND the per-doc scores independently in SQL (join
+    formulation), so weights, scores, and keep decisions are
+    driver-VALUE-checked bit-exact."""
     from .operators.lm import lm_score
+    from .operators.quality_clf import (
+        score_inline,
+        train_hashed_classifier,
+        weights_vector,
+    )
 
     docs = _rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
-    return lm_score(docs)
+    lm_cols = (
+        ("lm_score", "double"),
+        ("n_bigrams", "long"),
+        ("top_bigram", "string"),
+        ("top_bigram_count", "long"),
+        ("top_bigram_frac", "double"),
+    )
+    clf_cols = (
+        ("clf_score", "long"),
+        ("clf_n_tokens", "long"),
+        ("clf_keep", "boolean"),
+    )
+    lm = lm_score(docs).select(
+        F.lit("lm").alias("mode"),
+        "doc_id",
+        *[F.col(c) for c, _ in lm_cols],
+        *[F.lit(None).cast(t).alias(c) for c, t in clf_cols],
+    )
+    qx = QL._quality_exprs(P.SPARK)
+    labeled = docs.withColumn(
+        "__pos",
+        F.expr(f"({qx['quality_score']}) >= {_CLF_LABEL_THR}"),
+    )
+    w = weights_vector(train_hashed_classifier(labeled, "__pos"))
+    clf = score_inline(docs.select("doc_id", "text"), w).select(
+        F.lit("clf").alias("mode"),
+        "doc_id",
+        *[F.lit(None).cast(t).alias(c) for c, t in lm_cols],
+        *[F.col(c) for c, _ in clf_cols],
+    )
+    return lm.unionByName(clf)
