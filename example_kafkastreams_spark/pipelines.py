@@ -61,6 +61,7 @@ def corpus_stages(
     lm_range: tuple[float, float] | None = None,
     normalize: bool = False,
     mix_alpha: float | None = None,
+    clf_seed: float | None = None,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -111,6 +112,20 @@ def corpus_stages(
     dual-dialect expression, so the oracle re-derives it exactly).
     Pure map-side scan work; a ``normalized`` stage entry is added.
     Default ``False`` keeps the funnel bit-unchanged.
+
+    ``clf_seed``: enable the model-based quality filter (the DCLM
+    placement — after language ID and the optional LM gate, before
+    dedup): a hashing-trick linear classifier
+    (operators.quality_clf) is trained on THIS corpus with seed label
+    ``quality_score >= clf_seed``, then only documents the model
+    scores positive survive. Like ``mixture_weights``, training runs
+    a bounded job at build time (one 256-row histogram + collect);
+    scoring folds the weight vector into the plan as a literal array
+    — a pure map-side expression, no join or shuffle. A day-2 delta
+    scores against the day-1 weight vector (pass the vector through
+    ``operators.quality_clf.score_inline`` directly) — the same
+    yesterday's-model discipline as ``lm_score(model=…)``. Default
+    ``None`` keeps the funnel bit-unchanged.
 
     ``mix_alpha``: temperature-scaled mixing at the same post-dedup
     placement as ``mixture_weights`` (the rates must see deduped
@@ -192,6 +207,25 @@ def corpus_stages(
         )
     dedup_in = lm_filtered if lm_filtered is not None else language
 
+    clf_filtered = None
+    if clf_seed is not None:
+        from .operators.quality_clf import (
+            score_inline,
+            train_hashed_classifier,
+            weights_vector,
+        )
+
+        labeled = dedup_in.withColumn(
+            "__pos", F.col("quality_score") >= clf_seed
+        )
+        w = weights_vector(train_hashed_classifier(labeled, "__pos"))
+        clf_filtered = persist_tracked(
+            score_inline(dedup_in, w)
+            .filter(F.col("clf_keep"))
+            .drop("clf_score", "clf_n_tokens", "clf_keep")
+        )
+        dedup_in = clf_filtered
+
     survivors = exact_text_dedup(dedup_in)
     exact = persist_tracked(
         dedup_in.join(survivors.select("doc_id"), "doc_id", "semi")
@@ -272,6 +306,8 @@ def corpus_stages(
         stages["substr_cleaned"] = substr_cleaned
     if lm_filtered is not None:
         stages["lm_filtered"] = lm_filtered
+    if clf_filtered is not None:
+        stages["clf_filtered"] = clf_filtered
     if pack_budget is not None:
         from .operators.packing import pack_chunks
 

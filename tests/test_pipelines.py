@@ -235,11 +235,71 @@ def test_delta_funnel_normalize_stage(spark):
     assert 11 in admitted
 
 
+def test_clf_filter_stage_matches_standalone_score(spark):
+    """clf_seed composes the DCLM-placement model filter between the
+    LM gate slot and dedup: kept set == an independent train+score of
+    the standalone classifier on the same stage input, downstream
+    dedup consumes the filtered set, and the default path stays
+    stage-identical."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.quality_clf import (
+        score_inline,
+        train_hashed_classifier,
+        weights_vector,
+    )
+
+    real = load_table(spark, SMOKE, "documents")
+    assert "clf_filtered" not in corpus_stages(real)
+
+    # the testdata corpus is vocabulary-uniform (every doc scores the
+    # same side), so inject spam docs with a DISTINCTIVE vocabulary:
+    # repetitive enough that the quality heuristic seed-labels them
+    # negative, English-markered enough to survive language ID — the
+    # classifier must then learn their vocabulary and cut them while
+    # keeping the real corpus
+    spam_text = (
+        "the casino bonus is the jackpot and the casino bonus is "
+        "the jackpot and " * 6
+    ).strip()
+    spam = spark.createDataFrame(
+        [
+            (900000 + i, spam_text + f" offer{i}", "en", "spamnet", 1)
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+    docs = real.unionByName(spam)
+
+    stages = corpus_stages(docs, clf_seed=0.645)
+    lang = stages["language"]
+    lang_ids = {r.doc_id for r in lang.select("doc_id").collect()}
+    assert any(i >= 900000 for i in lang_ids)  # spam reaches the stage
+    kept = {
+        r.doc_id for r in stages["clf_filtered"].select("doc_id").collect()
+    }
+    labeled = lang.withColumn("__pos", F.col("quality_score") >= 0.645)
+    w = weights_vector(train_hashed_classifier(labeled, "__pos"))
+    expected = {
+        r.doc_id
+        for r in score_inline(lang, w).filter(F.col("clf_keep")).collect()
+    }
+    assert kept == expected
+    # the model actually cuts: every spam doc dropped, real docs kept
+    assert all(i < 900000 for i in kept)
+    assert len(kept) > 0.9 * len([i for i in lang_ids if i < 900000])
+    # dedup consumes the filtered set
+    exact_ids = {
+        r.doc_id for r in stages["exact_dedup"].select("doc_id").collect()
+    }
+    assert exact_ids <= kept
+
+
 def test_funnel_all_optional_stages_compose(spark):
     """Kitchen-sink integration: every optional stage enabled at once
-    (normalize + line clean + ExactSubstr + LM window + mixing +
-    packing) must plumb — stage entries all present, counts monotone
-    through the document-grain stages, packs non-empty and
+    (normalize + line clean + ExactSubstr + LM window + classifier +
+    mixing + packing) must plumb — stage entries all present, counts
+    monotone through the document-grain stages, packs non-empty and
     budget-bounded. Guards against a new stage composing with its
     neighbors only in isolation."""
     docs = load_table(spark, SMOKE, "documents")
@@ -251,20 +311,21 @@ def test_funnel_all_optional_stages_compose(spark):
         line_clean={},
         substr_k=24,
         lm_range=(0.05, 0.95),
+        clf_seed=0.645,
         pack_budget=96,
     )
     for key in (
         "normalized", "line_cleaned", "substr_cleaned", "quality",
-        "language", "lm_filtered", "exact_dedup", "neardup_survivors",
-        "chunks", "packs",
+        "language", "lm_filtered", "clf_filtered", "exact_dedup",
+        "neardup_survivors", "chunks", "packs",
     ):
         assert key in stages, key
     n = {k: stages[k].select("doc_id").distinct().count()
          for k in ("normalized", "quality", "language", "lm_filtered",
-                   "exact_dedup", "neardup_survivors")}
+                   "clf_filtered", "exact_dedup", "neardup_survivors")}
     assert (
         n["normalized"] >= n["quality"] >= n["language"]
-        >= n["lm_filtered"] >= n["exact_dedup"]
+        >= n["lm_filtered"] >= n["clf_filtered"] >= n["exact_dedup"]
         >= n["neardup_survivors"] > 0
     ), n
     packs = stages["packs"].collect()
