@@ -49,6 +49,14 @@ _LAZY = {
     "hll_corrected_estimate": "sketches",
     "mix_sources_temperature": "mixing",
     "temperature_rates": "mixing",
+    "scd2_from_changelog": "scd",
+    "scd2_point_in_time_join": "scd",
+    "scd2_dim_stats": "scd",
+    "snapshot_diff": "diffs",
+    "snapshot_diff_counts": "diffs",
+    "train_hashed_classifier": "quality_clf",
+    "weights_vector": "quality_clf",
+    "score_inline": "quality_clf",
 }
 
 
@@ -92,6 +100,14 @@ __all__ = [
     "hll_corrected_estimate",
     "mix_sources_temperature",
     "temperature_rates",
+    "scd2_from_changelog",
+    "scd2_point_in_time_join",
+    "scd2_dim_stats",
+    "snapshot_diff",
+    "snapshot_diff_counts",
+    "train_hashed_classifier",
+    "weights_vector",
+    "score_inline",
     "ann_index_drift",
     "quantization_stats",
     "record_train_stats",
