@@ -148,6 +148,9 @@ def input_totals(spark) -> tuple[int, int] | None:
 # changed, or later; per-branch drift inside them is attributed by
 # ``branch_timings``.
 _MERGED_SINCE = {
+    "q26_interval_join_symmetric": 9,  # +dim/+enrich SCD2 (r9)
+    "q40_dedup_exact_text": 9,    # +diff_* snapshot audit (r9)
+    "q65_lm_score": 9,            # +clf (r9)
     "q41_dedup_minhash_lsh": 6,   # +incr (r6)
     "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
     "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
@@ -328,7 +331,10 @@ def main() -> None:
 
     branch_timings: dict[str, dict] = {}
     for qname, disc, modes in (
+        ("q26_interval_join_symmetric", "mode", ("pairs", "dim", "enrich")),
         ("q34_hash_sample", "method", ("hash", "strat", "wsample")),
+        ("q40_dedup_exact_text", "mode",
+         ("full", "incr", "diff_changed", "diff_unchanged")),
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr")),
         (
             "q46_ann_lsh_ivf",
@@ -354,6 +360,7 @@ def main() -> None:
         ("q61_domain_mixing", "mode", ("mix", "card", "temp")),
         ("q62_pii_scrub", "mode", ("pii", "norm")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
+        ("q65_lm_score", "mode", ("lm", "clf")),
     ):
         if qname not in QUERIES:
             continue
