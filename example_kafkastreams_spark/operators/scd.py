@@ -63,13 +63,56 @@ def scd2_from_changelog(
             .filter(~F.col("__prev").eqNullSafe(F.struct(*attrs)))
             .drop("__prev")
         )
+    # ``tie`` is RETAINED in the output: scd2_apply_delta reconstructs
+    # the retained change log from the dimension rows, and same-
+    # timestamp ordering must survive the round trip.
     return (
         out.withColumn("valid_from", F.col(ts))
         .withColumn("valid_to", F.lead(ts).over(w))
         .withColumn("version", F.row_number().over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop(ts, tie)
+        .drop(ts)
     )
+
+
+def scd2_apply_delta(
+    dim: DataFrame,
+    delta: DataFrame,
+    key: str,
+    ts: str,
+    attrs: list[str],
+    tie: str,
+    drop_unchanged: bool = True,
+) -> DataFrame:
+    """Delta-proportional SCD2 maintenance: fold a new batch of
+    change-log rows into an existing dimension WITHOUT re-reading the
+    full history. Keys absent from the delta pass through untouched
+    (an anti join on the delta's key set); only touched keys are
+    recut, from their retained dimension rows plus the delta — so the
+    window work is delta-keys-sized, the same yesterday's-index
+    discipline as the persistent dedup/ANN index appends.
+
+    Exactness contract: delta updates must not predate a touched
+    key's last retained ``valid_from`` (the warehouse append-only
+    convention). Under it, the result is BITWISE the rebuild from the
+    concatenated full change log — compaction transitions depend only
+    on retained values, so replaying retained rows + in-order delta
+    reproduces them. A late (out-of-order) update CAN land between two
+    historical versions and still recut correctly unless it collides
+    with an update the original compaction dropped — information a
+    compacted dimension no longer holds; route genuinely late data
+    through a full rebuild.
+    """
+    touched = delta.select(key).distinct()
+    untouched = dim.join(touched, key, "left_anti")
+    replay = dim.join(touched, key, "semi").select(
+        F.col(key), F.col("valid_from").alias(ts), F.col(tie), *attrs
+    )
+    recut = scd2_from_changelog(
+        replay.unionByName(delta.select(key, ts, tie, *attrs)),
+        key, ts, attrs, tie, drop_unchanged,
+    )
+    return untouched.unionByName(recut)
 
 
 def scd2_point_in_time_join(

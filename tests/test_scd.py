@@ -99,6 +99,42 @@ def test_scd2_dim_stats_exact_micros(spark):
     assert stats["gold"].dur_us_closed == 0
 
 
+def test_scd2_apply_delta_equals_full_rebuild(spark):
+    """In-order delta folded into a stored dim == rebuild from the
+    concatenated change log, bitwise — the delta-proportional
+    maintenance contract."""
+    from example_kafkastreams_spark.operators.scd import scd2_apply_delta
+
+    day1 = _changelog(spark)  # users 1 and 2, through 2024-01-05
+    day2rows = [
+        (1, _ts("2024-01-06T00:00:00"), 13, "gold"),    # no-change: drop
+        (1, _ts("2024-01-07T00:00:00"), 14, "bronze"),  # demotion
+        (3, _ts("2024-01-08T00:00:00"), 30, "silver"),  # new key
+    ]
+    day2 = spark.createDataFrame(
+        day2rows, "user_id long, ts timestamp, event_id long, tier string"
+    )
+    dim1 = scd2_from_changelog(day1, "user_id", "ts", ["tier"], "event_id")
+    got = scd2_apply_delta(
+        dim1, day2, "user_id", "ts", ["tier"], "event_id"
+    )
+    want = scd2_from_changelog(
+        day1.unionByName(day2),
+        "user_id", "ts", ["tier"], "event_id",
+    )
+    key = ["user_id", "version"]
+    assert sorted(got.collect(), key=lambda r: (r.user_id, r.version)) == \
+        sorted(want.collect(), key=lambda r: (r.user_id, r.version))
+    # user 2 was untouched by the delta: its row passes through
+    u2 = got.filter(F.col("user_id") == 2).collect()
+    assert len(u2) == 1 and u2[0].is_current
+    # user 1 gained a version (bronze demotion), old current closed
+    u1 = {r.version: (r.tier, r.is_current) for r in
+          got.filter(F.col("user_id") == 1).collect()}
+    assert u1 == {1: ("bronze", False), 2: ("gold", False),
+                  3: ("bronze", True)}
+
+
 def test_scd2_join_broadcasts_dim_no_fact_exchange(spark):
     """100 TB shape: the built dimension broadcasts, so the fact side
     of the point-in-time join crosses ZERO exchanges."""
