@@ -150,6 +150,7 @@ def input_totals(spark) -> tuple[int, int] | None:
 _MERGED_SINCE = {
     "q26_interval_join_symmetric": 9,  # +dim/+enrich SCD2 (r9)
     "q40_dedup_exact_text": 9,    # +diff_* snapshot audit (r9)
+    "q45_knn_bruteforce": 9,      # +mrl Matryoshka (r9)
     "q65_lm_score": 9,            # +clf (r9)
     "q41_dedup_minhash_lsh": 6,   # +incr (r6)
     "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
@@ -336,6 +337,7 @@ def main() -> None:
         ("q40_dedup_exact_text", "mode",
          ("full", "incr", "diff_changed", "diff_unchanged")),
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr")),
+        ("q45_knn_bruteforce", "method", ("brute", "mrl")),
         (
             "q46_ann_lsh_ivf",
             "method",

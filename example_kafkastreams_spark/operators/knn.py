@@ -132,6 +132,67 @@ def brute_force_knn(
     )
 
 
+def matryoshka_knn(
+    emb: DataFrame,
+    num_queries: int = 8,
+    k: int = 5,
+    prefix_dim: int = 16,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka two-phase search (Kusupati et al. 2022 adaptive
+    retrieval): shortlist candidates by cosine over the FIRST
+    ``prefix_dim`` components (MRL-trained embeddings front-load
+    information, so the truncated prefix is itself a valid embedding),
+    then exact full-dimension refine on the shortlist only.
+
+    Scale shape: the shortlist pass folds ``prefix_dim``/d of the
+    flops of brute force over the same broadcast-join plan — and with
+    the corpus stored prefix-first (a ``prefix`` column or parquet
+    column split), the scan itself reads d/``prefix_dim``× fewer
+    vector bytes; the refine pass touches only queries×shortlist full
+    vectors. Same two-phase discipline as the PQ/ADC refine — cheap
+    scorer everywhere, exact scorer on a candidate set.
+
+    Output: (query_id, neighbor_id, cosine, knn_rank) — the FULL-dim
+    cosine, rank 1..k with the house neighbor_id tiebreak.
+    """
+    q = emb.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    pq_ = P.slice_("qv", "1", prefix_dim, P.SPARK)
+    pc_ = P.slice_("cv", "1", prefix_dim, P.SPARK)
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("__pcos", F.expr(P.cosine(pq_, pc_, P.SPARK)))
+    short = _two_phase_topk(
+        scored,
+        "query_id",
+        [F.col("__pcos").desc(), F.col("neighbor_id")],
+        shortlist,
+        rank_name="__srank",
+    ).drop("__srank", "__pcos")
+    # refine input is queries×shortlist — one small window suffices
+    fin = W.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.withColumn("__cos", F.expr(P.cosine("qv", "cv", P.SPARK)))
+        .withColumn("knn_rank", F.row_number().over(fin))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(P.round_dbl("__cos", 6, P.SPARK)).alias("cosine"),
+            "knn_rank",
+        )
+    )
+
+
 def brute_force_knn_vectorized(
     emb: DataFrame,
     num_queries: int = 8,

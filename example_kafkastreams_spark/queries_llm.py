@@ -414,17 +414,53 @@ _PLANES = KNN.hyperplanes()
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos_raw DESC, neighbor_id) AS knn_rank
       FROM j
+    ),
+    mj AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             {P.cosine(P.slice_('qv', '1', 16, D), P.slice_('cv', '1', 16, D), D)} AS pcos
+      FROM c, q WHERE neighbor_id <> query_id
+    ),
+    ms AS (
+      SELECT query_id, neighbor_id, qv, cv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pcos DESC, neighbor_id) AS srank
+        FROM mj
+      ) WHERE srank <= 32
+    ),
+    mr AS (
+      SELECT query_id, neighbor_id, {P.cosine('qv', 'cv', D)} AS cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {P.cosine('qv', 'cv', D)} DESC,
+                                         neighbor_id) AS knn_rank
+      FROM ms
     )
-    SELECT query_id, neighbor_id, {P.round_dbl('cos_raw', 6, D)} AS cosine,
-           knn_rank
+    SELECT 'brute' AS method, query_id, neighbor_id,
+           {P.round_dbl('cos_raw', 6, D)} AS cosine, knn_rank
     FROM r WHERE knn_rank <= 5
+    UNION ALL
+    SELECT 'mrl', query_id, neighbor_id,
+           {P.round_dbl('cos_raw', 6, D)} AS cosine, knn_rank
+    FROM mr WHERE knn_rank <= 5
     """,
 )
 def q45_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for 8 query vectors (broadcast query side)."""
-    return KNN.brute_force_knn(
-        load_table(spark, sf_dir, "embeddings"), num_queries=8, k=5
+    """Exact and adaptive cosine search, one driver row. ``brute``:
+    exact top-5 for 8 query vectors (broadcast query side, two-phase
+    top-k). ``mrl`` (round 9): Matryoshka adaptive retrieval
+    (operators.knn.matryoshka_knn, Kusupati et al. 2022) — shortlist
+    by 16-of-64-dim prefix cosine (quarter the flops, and a
+    prefix-first storage layout would read quarter the vector bytes),
+    exact full-dim refine on the 32-candidate shortlist; refine ranks
+    are driver-VALUE-checked against DuckDB's independent two-phase
+    rederivation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = KNN.brute_force_knn(emb, num_queries=8, k=5).select(
+        F.lit("brute").alias("method"), "*"
     )
+    mrl = KNN.matryoshka_knn(
+        emb, num_queries=8, k=5, prefix_dim=16, shortlist=32
+    ).select(F.lit("mrl").alias("method"), "*")
+    return brute.unionByName(mrl)
 
 
 def _bucket_cte(d: str) -> str:

@@ -473,6 +473,72 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         )
         return hll_registers(sh, "v", 8)
 
+    def snap_diff():
+        # dataset-version audit on the amplified corpus: a derived
+        # second snapshot (10% dropped, every 7th revised, every 13th
+        # added) diffed by digest. Both exchanges carry (key, digest)
+        # only — cost must grow ~linearly with keys, never with
+        # document bytes, and the duplicate-amplified texts are
+        # irrelevant (digests hash per row).
+        from example_kafkastreams_spark.operators.diffs import (
+            snapshot_diff,
+        )
+
+        snap_a = docs.select("doc_id", "text")
+        snap_b = snap_a.filter(F.col("doc_id") % 10 != 3).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0, " [rev2]").otherwise(""),
+            ).alias("text"),
+        ).unionAll(
+            snap_a.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+            )
+        )
+        return snapshot_diff(snap_a, snap_b, "doc_id", ["text"])
+
+    def clf_train_score():
+        # hashed-classifier train + literal-array score in one pass:
+        # training's shuffle is bounded by partitions x 256 buckets
+        # (map-side partial agg), NOT corpus rows — the shuffle ratio
+        # at 10x should stay far under 10; scoring adds zero shuffle.
+        from example_kafkastreams_spark.operators.quality_clf import (
+            score_inline,
+            train_hashed_classifier,
+            weights_vector,
+        )
+
+        labeled = docs.withColumn("__pos", F.col("doc_id") % 2 == 0)
+        w = weights_vector(train_hashed_classifier(labeled, "__pos"))
+        return score_inline(docs.select("doc_id", "text"), w)
+
+    def scd2():
+        # SCD2 build (one exchange on the dim key) + broadcast
+        # point-in-time enrich: the amplified events add epochs, so
+        # versions and facts both grow ~N while the fact side still
+        # crosses zero exchanges.
+        from example_kafkastreams_spark.operators.scd import (
+            scd2_from_changelog,
+            scd2_point_in_time_join,
+        )
+
+        upd = events.filter(F.col("event_type") == "signup").select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("value") < 50, "bronze")
+            .when(F.col("value") < 150, "silver")
+            .otherwise("gold").alias("tier"),
+        )
+        dim = scd2_from_changelog(
+            upd, "user_id", "ts", ["tier"], "event_id"
+        )
+        return scd2_point_in_time_join(
+            events.filter(F.col("event_type") == "purchase"),
+            dim.select("user_id", "tier", "valid_from", "valid_to"),
+            key="user_id",
+        )
+
     out: dict[str, dict] = {}
     for name, mk in (
         ("scan_agg", scan_agg),
@@ -496,6 +562,9 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("split_leakage", split_leak),
         ("retrieval_eval", retr_eval),
         ("hll_distinct", hll),
+        ("snapshot_diff", snap_diff),
+        ("clf_train_score", clf_train_score),
+        ("scd2_build_enrich", scd2),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)

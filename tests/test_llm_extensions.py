@@ -92,6 +92,63 @@ def test_knn_rank_is_two_phase(spark):
         assert "spark_partition_id" in plan.lower(), name
 
 
+def test_matryoshka_full_shortlist_equals_brute(spark):
+    """With the shortlist as large as the corpus, the MRL prefix phase
+    prunes nothing — the refine must reproduce brute force exactly
+    (rank-for-rank, cosine-for-cosine)."""
+    from example_kafkastreams_spark.operators.knn import (
+        brute_force_knn,
+        matryoshka_knn,
+    )
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    brute = sorted(
+        (r.query_id, r.knn_rank, r.neighbor_id, r.cosine)
+        for r in brute_force_knn(emb, num_queries=8, k=5).collect()
+    )
+    mrl = sorted(
+        (r.query_id, r.knn_rank, r.neighbor_id, r.cosine)
+        for r in matryoshka_knn(
+            emb, num_queries=8, k=5, prefix_dim=16, shortlist=10**6
+        ).collect()
+    )
+    assert mrl == brute
+
+
+def test_matryoshka_recall_scales_with_prefix_and_shortlist(spark):
+    """The testdata embeddings are RANDOM — a 16-dim prefix carries
+    only sqrt(16/64) of the cosine signal, so recall floors are modest
+    by construction (an MRL-trained model front-loads information and
+    does far better). Pin the mechanism: recall improves monotonically
+    along both knobs, and at half-dim/64-candidates (8x pruning) it
+    clears 0.7 on this corpus."""
+    from example_kafkastreams_spark.operators.knn import (
+        brute_force_knn,
+        matryoshka_knn,
+    )
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_knn(emb, num_queries=8, k=5).collect()
+    }
+
+    def recall(prefix_dim, shortlist):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in matryoshka_knn(
+                emb, num_queries=8, k=5,
+                prefix_dim=prefix_dim, shortlist=shortlist,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r16_32, r16_128 = recall(16, 32), recall(16, 128)
+    r32_64 = recall(32, 64)
+    assert r16_32 <= r16_128  # wider shortlist never hurts
+    assert r32_64 >= 0.7, r32_64
+
+
 def test_knn_vectorized_matches_expression(spark):
     """The numpy-matmul scale path returns the same neighbors/ranks as
     the Catalyst fold expression path (cosine gaps dwarf the 1e-15
