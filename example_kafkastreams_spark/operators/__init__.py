@@ -54,6 +54,10 @@ _LAZY = {
     "scd2_dim_stats": "scd",
     "snapshot_diff": "diffs",
     "snapshot_diff_counts": "diffs",
+    "contrastive_pairs": "mining",
+    "epoch_shuffle_key": "mining",
+    "curriculum_bins": "mining",
+    "curriculum_order": "mining",
     "train_hashed_classifier": "quality_clf",
     "weights_vector": "quality_clf",
     "score_inline": "quality_clf",
@@ -105,6 +109,10 @@ __all__ = [
     "scd2_dim_stats",
     "snapshot_diff",
     "snapshot_diff_counts",
+    "contrastive_pairs",
+    "epoch_shuffle_key",
+    "curriculum_bins",
+    "curriculum_order",
     "train_hashed_classifier",
     "weights_vector",
     "score_inline",
