@@ -52,6 +52,10 @@ _LAZY = {
     "scd2_from_changelog": "scd",
     "scd2_point_in_time_join": "scd",
     "scd2_dim_stats": "scd",
+    "scd2_apply_delta": "scd",
+    "scd2_store_read": "scd",
+    "scd2_store_sink": "scd",
+    "matryoshka_knn": "knn",
     "snapshot_diff": "diffs",
     "snapshot_diff_counts": "diffs",
     "contrastive_pairs": "mining",
@@ -107,6 +111,10 @@ __all__ = [
     "scd2_from_changelog",
     "scd2_point_in_time_join",
     "scd2_dim_stats",
+    "scd2_apply_delta",
+    "scd2_store_read",
+    "scd2_store_sink",
+    "matryoshka_knn",
     "snapshot_diff",
     "snapshot_diff_counts",
     "contrastive_pairs",
