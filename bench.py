@@ -164,6 +164,7 @@ _MERGED_SINCE = {
     "q61_domain_mixing": 9,       # +card (r9)
     "q62_pii_scrub": 9,           # +norm (r9)
     "q63_corpus_funnel": 6,       # +delta (r6)
+    "q64_decontaminate": 9,       # +bloom (r9)
 }
 
 
@@ -362,6 +363,7 @@ def main() -> None:
         ("q61_domain_mixing", "mode", ("mix", "card", "temp")),
         ("q62_pii_scrub", "mode", ("pii", "norm")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
+        ("q64_decontaminate", "mode", ("exact", "fuzzy", "bloom")),
         ("q65_lm_score", "mode", ("lm", "clf")),
     ):
         if qname not in QUERIES:

@@ -47,6 +47,9 @@ _LAZY = {
     "hll_estimate_grouped": "sketches",
     "hll_merge": "sketches",
     "hll_corrected_estimate": "sketches",
+    "bloom_words": "sketches",
+    "bloom_vector": "sketches",
+    "bloom_probe_expr": "sketches",
     "mix_sources_temperature": "mixing",
     "temperature_rates": "mixing",
     "scd2_from_changelog": "scd",
@@ -106,6 +109,9 @@ __all__ = [
     "hll_estimate_grouped",
     "hll_merge",
     "hll_corrected_estimate",
+    "bloom_words",
+    "bloom_vector",
+    "bloom_probe_expr",
     "mix_sources_temperature",
     "temperature_rates",
     "scd2_from_changelog",

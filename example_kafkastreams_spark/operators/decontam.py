@@ -72,6 +72,54 @@ def contamination_report(
     )
 
 
+def contamination_report_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    m_bits: int | None = None,
+    k: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bloom-prefiltered contamination check: the benchmark shingle
+    set folds into an exact-reproducible Bloom filter
+    (operators.sketches — md5 positions, 32-bit packed words) whose
+    word vector inlines into the scan as a LITERAL array, so the per-
+    doc shingle probe is a pure map-side higher-order-function — no
+    join, no explode, no shuffle on the corpus side AT ALL (the exact
+    report broadcasts the shingle set and still joins; here the whole
+    filter is ~KB of plan literals).
+
+    Bloom semantics: no false negatives — every exactly-contaminated
+    doc is flagged; a small FPR-bounded superset may flag extra docs,
+    which the standard pipeline routes to the exact check. Returns one
+    row per doc: (id, n_hits, contaminated) where ``n_hits`` counts
+    the doc's distinct shingles the filter accepts.
+    """
+    from .sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_probe_expr,
+        bloom_vector,
+        bloom_words,
+    )
+
+    m_bits = BLOOM_M if m_bits is None else m_bits
+    k = BLOOM_K if k is None else k
+    bench = benchmark_shingles(benchmark, n, text_col).withColumnRenamed(
+        "gram", "v"
+    )
+    vec = bloom_vector(bloom_words(bench, "v", m_bits, k), m_bits)
+    probe = bloom_probe_expr("t", vec, m_bits, k)
+    n_hits = F.expr(
+        f"size(filter({P.shingles(text_col, n, P.SPARK)}, t -> {probe}))"
+    ).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_hits.alias("n_hits"),
+    ).withColumn("contaminated", F.col("n_hits") > 0)
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -657,3 +657,134 @@ def hll_estimate_sql(registers_sql: str, p: int = HLL_P) -> str:
              AS n_zero_regs
     FROM ({registers_sql})
     """
+
+
+# --- Bloom filter — exact-reproducible membership sketch -------------------
+# (Bloom 1970.) Same design rules as the HLL/CMS above: md5-derived bit
+# positions so both engines compute identical registers, 32-bit words
+# packed into BIGINTs (bit 31 max keeps every shift/or positive — no
+# sign or overflow divergence between engines), ONE hash aggregation
+# whose exchange is bounded by partitions × m/32 words, never by input
+# rows. The collected word vector (m/32 longs — bounded by
+# construction) inlines into probe plans as a literal array, so
+# membership tests ride the scan map-side: the 100 TB shape for
+# "was this in yesterday's corpus" is a ~KB broadcast literal and zero
+# shuffle, where an anti join would re-shuffle the corpus.
+
+BLOOM_M = 8192  # bits (power of two); 256 packed words
+BLOOM_K = 4     # hash functions
+
+
+def _bloom_pos(var: str, i: int, m_bits: int, d: str) -> str:
+    """Bit position of hash i for value expression ``var``."""
+    salted = f"CONCAT('{i}:', {var})"
+    return f"({P.token_hash32(salted, d)} % {m_bits})"
+
+
+def bloom_words(
+    values: DataFrame,
+    value_col: str = "v",
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build the filter as (word, bits) rows — word = pos div 32, bits
+    = OR of (1 << pos%32) — at most m_bits/32 rows, exact integers,
+    partitioning-independent."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.expr(_bloom_pos(value_col, i, m_bits, P.SPARK))
+                for i in range(k)
+            ]
+        )
+    ).alias("pos")
+    return (
+        values.filter(F.col(value_col).isNotNull())
+        .select(coords)
+        .select(
+            F.expr(P.idiv("pos", "32", P.SPARK)).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+
+
+def bloom_words_sql(
+    values_sql: str,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin of ``bloom_words`` over ``values_sql`` (one column
+    ``v``): identical (word, bits) rows."""
+    pos_arms = " UNION ALL ".join(
+        f"SELECT {_bloom_pos('v', i, m_bits, P.DUCK)} AS pos"
+        f" FROM vals" for i in range(k)
+    )
+    return f"""
+    SELECT {P.idiv('pos', '32', P.DUCK)} AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+    FROM (WITH vals AS ({values_sql}) {pos_arms})
+    GROUP BY word
+    """
+
+
+def bloom_vector(
+    words: DataFrame, m_bits: int = BLOOM_M
+) -> list[int]:
+    """Collect the filter into a dense word vector — bounded BY
+    CONSTRUCTION at m_bits/32 rows."""
+    vec = [0] * (m_bits // 32)
+    for r in words.collect():
+        vec[int(r["word"])] = int(r["bits"])
+    return vec
+
+
+def bloom_probe_expr(
+    var: str,
+    vec: list[int],
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """Spark boolean expression: value ``var`` might be a member (all
+    k bits set in the LITERAL word array — map-side, no join). Usable
+    inside higher-order-function lambdas (``var`` may be a lambda
+    variable)."""
+    arr = "array(" + ",".join(f"{x}L" for x in vec) + ")"
+    checks = []
+    for i in range(k):
+        pos = _bloom_pos(var, i, m_bits, P.SPARK)
+        word = P.idiv(f"({pos})", "32", P.SPARK)
+        checks.append(
+            f"(element_at({arr}, CAST({word} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(({pos}) % 32 AS INT))) != 0"
+        )
+    return "(" + " AND ".join(checks) + ")"
+
+
+def bloom_member_sql(
+    probes_sql: str,
+    regs_cte: str,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin of the probe: per value ``v`` from ``probes_sql``,
+    ``member`` true iff all k bits are set in the registers CTE named
+    ``regs_cte`` (a missing word row reads as unset bits via the left
+    join)."""
+    arms = " UNION ALL ".join(
+        f"SELECT v, {_bloom_pos('v', i, m_bits, P.DUCK)} AS pos"
+        f" FROM probevals" for i in range(k)
+    )
+    return f"""
+    SELECT v, bool_and(
+             COALESCE((r.bits >> CAST(pos % 32 AS INTEGER)) & 1, 0) = 1
+           ) AS member
+    FROM (WITH probevals AS ({probes_sql}) {arms}) p
+    LEFT JOIN {regs_cte} r
+      ON r.word = {P.idiv('pos', '32', P.DUCK)}
+    GROUP BY v
+    """

@@ -613,7 +613,11 @@ _DECON_N = 5
 
 
 def _decontam_sql() -> str:
+    from .operators.sketches import bloom_member_sql, bloom_words_sql
+
     sh = P.shingles("text", _DECON_N, D)
+    bregs = bloom_words_sql("SELECT gram AS v FROM bench")
+    bmem = bloom_member_sql("SELECT DISTINCT gram AS v FROM tg", "bloomregs")
     return f"""
     WITH bench AS (
       SELECT DISTINCT unnest({sh}) AS gram
@@ -634,6 +638,13 @@ def _decontam_sql() -> str:
       SELECT b.doc_id, count(*) AS n_hits
       FROM bands b JOIN benchb USING (band_idx, band_key)
       WHERE b.doc_id % 97 <> 0 GROUP BY b.doc_id
+    ),
+    bloomregs AS ({bregs}),
+    bmem AS ({bmem}),
+    bhits AS (
+      SELECT tg.doc_id, count(*) AS n_hits
+      FROM tg JOIN bmem ON bmem.v = tg.gram AND bmem.member
+      GROUP BY tg.doc_id
     )
     SELECT 'exact' AS mode, d.doc_id,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
@@ -645,6 +656,12 @@ def _decontam_sql() -> str:
            CAST(COALESCE(f.n_hits, 0) AS BIGINT) AS n_hits,
            (f.doc_id IS NOT NULL) AS contaminated
     FROM documents d LEFT JOIN fhits f ON d.doc_id = f.doc_id
+    WHERE d.doc_id % 97 <> 0
+    UNION ALL
+    SELECT 'bloom', d.doc_id,
+           CAST(COALESCE(b.n_hits, 0) AS BIGINT) AS n_hits,
+           (b.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN bhits b ON d.doc_id = b.doc_id
     WHERE d.doc_id % 97 <> 0
     """
 
@@ -692,7 +709,20 @@ def q64_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy = flagged(
         contamination_report_fuzzy(train, bench), "n_band_hits", "fuzzy"
     )
-    return exact.unionByName(fuzzy)
+    # bloom (round 9): the benchmark shingle set folded into the
+    # exact-reproducible Bloom filter (operators.sketches), probed
+    # MAP-SIDE as a literal word array inside a filter() HOF — zero
+    # joins, zero corpus shuffle; no false negatives by construction,
+    # FPR-bounded extras (the standard prefilter-then-exact-verify
+    # shape at 100 TB: ~KB of plan literals instead of a broadcast
+    # shingle table). The oracle re-derives the filter registers AND
+    # every membership decision in SQL.
+    from .operators.decontam import contamination_report_bloom
+
+    bloom = contamination_report_bloom(train, bench, n=_DECON_N).select(
+        F.lit("bloom").alias("mode"), "doc_id", "n_hits", "contaminated"
+    )
+    return exact.unionByName(fuzzy).unionByName(bloom)
 
 
 # --- q65: corpus-trained n-gram LM scoring (round 5) -----------------------

@@ -1,0 +1,96 @@
+"""Bloom membership sketch + bloom-prefiltered decontamination."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from example_kafkastreams_spark.operators.sketches import (
+    bloom_member_sql,
+    bloom_probe_expr,
+    bloom_vector,
+    bloom_words,
+    bloom_words_sql,
+)
+
+
+def _vals(spark, n, prefix="tok"):
+    return spark.createDataFrame(
+        [(f"{prefix}{i}",) for i in range(n)], "v string"
+    )
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    members = _vals(spark, 400)
+    vec = bloom_vector(bloom_words(members))
+    probe = _vals(spark, 1200)  # 400 members + 800 non-members
+    got = {
+        r.v: r.m
+        for r in probe.select(
+            "v", F.expr(bloom_probe_expr("v", vec)).alias("m")
+        ).collect()
+    }
+    assert all(got[f"tok{i}"] for i in range(400))  # never a false negative
+    fp = sum(1 for i in range(400, 1200) if got[f"tok{i}"])
+    # m=8192, k=4, n=400: theoretical FPR ~0.08%; allow generous slack
+    assert fp <= 8, fp
+
+
+def test_bloom_cross_engine_exact(spark):
+    members = _vals(spark, 300)
+    vec = bloom_vector(bloom_words(members))
+    probe = _vals(spark, 600)
+    spark_m = {
+        r.v: r.m
+        for r in probe.select(
+            "v", F.expr(bloom_probe_expr("v", vec)).alias("m")
+        ).collect()
+    }
+    lit = lambda i: "'tok" + str(i) + "'"
+    vals_sql = (
+        "SELECT unnest([" + ",".join(lit(i) for i in range(300)) + "]) AS v"
+    )
+    probes_sql = (
+        "SELECT unnest([" + ",".join(lit(i) for i in range(600)) + "]) AS v"
+    )
+    sql = (
+        "WITH bloomregs AS (" + bloom_words_sql(vals_sql) + ") "
+        + bloom_member_sql(probes_sql, "bloomregs")
+    )
+    duck = {r[0]: r[1] for r in duckdb.connect().execute(sql).fetchall()}
+    assert duck == spark_m
+
+
+def test_bloom_words_bounded_and_partition_invariant(spark):
+    members = _vals(spark, 5000)
+    w1 = bloom_words(members)
+    assert w1.count() <= 8192 // 32
+    a = sorted(map(tuple, w1.collect()))
+    b = sorted(map(tuple, bloom_words(members.repartition(13)).collect()))
+    assert a == b
+
+
+def test_bloom_decontam_superset_of_exact_and_map_side(spark):
+    """The bloom prefilter must flag every exactly-contaminated doc
+    (no false negatives), and its probe plan must cross zero
+    exchanges — the whole filter lives in the plan literals."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.decontam import (
+        contamination_report,
+        contamination_report_bloom,
+    )
+    from example_kafkastreams_spark.plans import count_exchanges
+    from tests.conftest import SMOKE
+
+    docs = load_table(spark, SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    exact_ids = {
+        r.doc_id for r in contamination_report(train, bench).collect()
+    }
+    bloom_df = contamination_report_bloom(train, bench)
+    assert count_exchanges(bloom_df) == 0
+    flagged = {
+        r.doc_id for r in bloom_df.filter("contaminated").collect()
+    }
+    assert exact_ids <= flagged
