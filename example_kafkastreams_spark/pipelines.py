@@ -62,6 +62,8 @@ def corpus_stages(
     normalize: bool = False,
     mix_alpha: float | None = None,
     clf_seed: float | None = None,
+    decontam_bench: DataFrame | None = None,
+    decontam_mode: str = "bloom",
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -126,6 +128,17 @@ def corpus_stages(
     ``operators.quality_clf.score_inline`` directly) — the same
     yesterday's-model discipline as ``lm_score(model=…)``. Default
     ``None`` keeps the funnel bit-unchanged.
+
+    ``decontam_bench``: enable benchmark decontamination (the
+    evaluation-integrity stage every pretraining release runs LAST,
+    after dedup and mixing shrink the corpus): documents sharing
+    shingles with the held-out benchmark drop.
+    ``decontam_mode="bloom"`` probes the benchmark's Bloom filter
+    MAP-SIDE (operators.decontam.contamination_report_bloom — ~KB of
+    plan literals, zero corpus shuffle, no false negatives, an
+    FPR-bounded superset drops); ``"exact"`` anti-joins the broadcast
+    shingle hit list (exactly the contaminated set, one broadcast).
+    Default ``None`` keeps the funnel bit-unchanged.
 
     ``mix_alpha``: temperature-scaled mixing at the same post-dedup
     placement as ``mixture_weights`` (the rates must see deduped
@@ -278,6 +291,30 @@ def corpus_stages(
 
         neardup = mix_sources_temperature(neardup, mix_alpha)
 
+    decontaminated = None
+    if decontam_bench is not None:
+        from .operators.decontam import (
+            contamination_report,
+            contamination_report_bloom,
+        )
+
+        if decontam_mode == "bloom":
+            rep = contamination_report_bloom(neardup, decontam_bench)
+            flagged = rep.filter(F.col("contaminated")).select("doc_id")
+        elif decontam_mode == "exact":
+            flagged = contamination_report(
+                neardup, decontam_bench
+            ).select("doc_id")
+        else:
+            raise ValueError(
+                f"decontam_mode must be 'bloom' or 'exact', got "
+                f"{decontam_mode!r}"
+            )
+        decontaminated = neardup.join(
+            F.broadcast(flagged), "doc_id", "left_anti"
+        )
+        neardup = decontaminated
+
     # Scrub LAST (on survivors only): the regex chain is the most
     # expensive per-byte stage, so it runs on the funnel's smallest
     # document set. Scrub before chunking so no chunk straddles a
@@ -308,6 +345,8 @@ def corpus_stages(
         stages["lm_filtered"] = lm_filtered
     if clf_filtered is not None:
         stages["clf_filtered"] = clf_filtered
+    if decontaminated is not None:
+        stages["decontaminated"] = decontaminated
     if pack_budget is not None:
         from .operators.packing import pack_chunks
 

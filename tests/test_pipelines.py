@@ -295,6 +295,54 @@ def test_clf_filter_stage_matches_standalone_score(spark):
     assert exact_ids <= kept
 
 
+def test_funnel_decontam_stage(spark):
+    """decontam_bench drops benchmark-contaminated docs post-dedup:
+    the bloom mode removes a superset of the exact mode's drops (no
+    false negatives), both consume the same stage input, and the
+    default path stays stage-identical."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.decontam import (
+        contamination_report,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    assert "decontaminated" not in corpus_stages(docs)
+
+    stages_b = corpus_stages(docs, decontam_bench=bench)
+    stages_e = corpus_stages(
+        docs, decontam_bench=bench, decontam_mode="exact"
+    )
+    # compare against the pre-decontam survivor set: rebuild it from
+    # the default funnel (identical upstream stages)
+    base = corpus_stages(docs)
+    base_ids = {
+        r.doc_id
+        for r in base["neardup_survivors"].select("doc_id").collect()
+    }
+    kept_b = {
+        r.doc_id
+        for r in stages_b["decontaminated"].select("doc_id").collect()
+    }
+    kept_e = {
+        r.doc_id
+        for r in stages_e["decontaminated"].select("doc_id").collect()
+    }
+    exact_flagged = {
+        r.doc_id
+        for r in contamination_report(
+            base["neardup_survivors"], bench
+        ).collect()
+    }
+    assert kept_e == base_ids - exact_flagged
+    assert kept_b <= kept_e  # bloom drops a superset (no false negatives)
+    assert kept_b  # something survives
+    # the benchmark members themselves are in the corpus, so they MUST
+    # be flagged (self-contamination) whenever they survived upstream
+    assert not (kept_b & {r.doc_id for r in bench.collect()})
+
+
 def test_funnel_all_optional_stages_compose(spark):
     """Kitchen-sink integration: every optional stage enabled at once
     (normalize + line clean + ExactSubstr + LM window + classifier +
@@ -312,12 +360,13 @@ def test_funnel_all_optional_stages_compose(spark):
         substr_k=24,
         lm_range=(0.05, 0.95),
         clf_seed=0.645,
+        decontam_bench=docs.filter(F.col("doc_id") % 97 == 0),
         pack_budget=96,
     )
     for key in (
         "normalized", "line_cleaned", "substr_cleaned", "quality",
         "language", "lm_filtered", "clf_filtered", "exact_dedup",
-        "neardup_survivors", "chunks", "packs",
+        "decontaminated", "neardup_survivors", "chunks", "packs",
     ):
         assert key in stages, key
     n = {k: stages[k].select("doc_id").distinct().count()
