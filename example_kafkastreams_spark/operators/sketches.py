@@ -788,3 +788,29 @@ def bloom_member_sql(
       ON r.word = {P.idiv('pos', '32', P.DUCK)}
     GROUP BY v
     """
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two filters built with the same (m, k): word-wise bit OR.
+    OR is idempotent and associative, so merges tree-aggregate across
+    any executor topology AND a replayed batch merged twice changes
+    nothing — the property the streaming maintenance sink leans on.
+    Merge-then-probe equals build-on-the-unioned-input exactly (both
+    are the OR of the same per-value bit sets)."""
+    return (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count-min sketches of the same (depth, width):
+    counter-wise sum — exact, associative, the multiset-union sketch
+    by linearity. Point-query error bounds degrade only with the
+    merged TOTAL mass, exactly as a single-pass build would."""
+    return (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -70,6 +70,46 @@ def test_bloom_words_bounded_and_partition_invariant(spark):
     assert a == b
 
 
+def test_bloom_merge_equals_build_on_union_and_is_idempotent(spark):
+    """Word-wise OR merge == one-shot build over the unioned input
+    (exactly), and re-merging the same filter is a no-op — the
+    replay-safety property a streaming maintenance sink leans on."""
+    from example_kafkastreams_spark.operators.sketches import bloom_merge
+
+    a, b = _vals(spark, 200), _vals(spark, 200, prefix="other")
+    wa, wb = bloom_words(a), bloom_words(b)
+    merged = sorted(map(tuple, bloom_merge(wa, wb).collect()))
+    oneshot = sorted(
+        map(tuple, bloom_words(a.unionByName(b)).collect())
+    )
+    assert merged == oneshot
+    again = sorted(
+        map(tuple, bloom_merge(bloom_merge(wa, wb), wb).collect())
+    )
+    assert again == merged
+
+
+def test_cms_merge_is_counter_sum(spark):
+    from example_kafkastreams_spark.operators.sketches import (
+        cms_merge,
+        count_min_counters,
+    )
+
+    a, b = _vals(spark, 150), _vals(spark, 150)  # identical multisets
+    ca = count_min_counters(a, "v")
+    merged = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_merge(ca, count_min_counters(b, "v")).collect()
+    }
+    oneshot = {
+        (r.d, r.bucket): r.cnt
+        for r in count_min_counters(a.unionByName(b), "v").collect()
+    }
+    assert merged == oneshot
+    single = {(r.d, r.bucket): r.cnt for r in ca.collect()}
+    assert all(merged[k] == 2 * single[k] for k in single)
+
+
 def test_bloom_decontam_superset_of_exact_and_map_side(spark):
     """The bloom prefilter must flag every exactly-contaminated doc
     (no false negatives), and its probe plan must cross zero
