@@ -133,12 +133,21 @@ def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     diff = snapshot_diff(snap_a, snap_b, "doc_id", ["text"])
-    changed = diff.filter(F.col("status") != "unchanged").select(
-        F.concat(F.lit("diff_"), F.col("status")).alias("mode"),
-        F.coalesce("digest_b", "digest_a").alias("content_hash"),
-        "doc_id",
-        F.lit(None).cast("long").alias("n_copies"),
-    )
+    # one union child PER status with a LITERAL mode tag: filtering the
+    # discriminator then statically prunes the other children (the
+    # branch-timing and plan-pin contract), while the identical join
+    # subtrees below the three row-grain children collapse at runtime
+    # via exchange reuse — the diff computes once, not three times
+    out = dedup
+    for status in ("added", "removed", "changed"):
+        out = out.unionByName(
+            diff.filter(F.col("status") == status).select(
+                F.lit(f"diff_{status}").alias("mode"),
+                F.coalesce("digest_b", "digest_a").alias("content_hash"),
+                "doc_id",
+                F.lit(None).cast("long").alias("n_copies"),
+            )
+        )
     unchanged = diff.filter(F.col("status") == "unchanged").agg(
         F.count(F.lit(1)).alias("n_copies")
     ).select(
@@ -147,7 +156,7 @@ def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("doc_id"),
         "n_copies",
     )
-    return dedup.unionByName(changed).unionByName(unchanged)
+    return out.unionByName(unchanged)
 
 
 # --- q41: MinHash + LSH near-dup pairs ------------------------------------

@@ -426,7 +426,20 @@ def test_merged_row_plan_shapes(spark):
     from example_kafkastreams_spark.queries import QUERIES
     from tests.conftest import SMOKE
 
-    assert count_exchanges(QUERIES["q40_dedup_exact_text"](spark, SMOKE)) == 1
+    # q40 gained the round-9 diff_* union children; filtering the
+    # literal discriminator prunes to each branch's own sub-plan: the
+    # fused dedup pair keeps its single digest-agg exchange, the
+    # row-grain diff branches carry the full-outer join's two digest
+    # legs (+AQE shuffle read), the count branch adds its global agg
+    q40 = QUERIES["q40_dedup_exact_text"](spark, SMOKE)
+    for m in ("full", "incr"):
+        assert count_exchanges(q40.filter(F.col("mode") == m)) == 1, m
+    assert count_exchanges(
+        q40.filter(F.col("mode") == "diff_changed")
+    ) == 3
+    assert count_exchanges(
+        q40.filter(F.col("mode") == "diff_unchanged")
+    ) == 4
     q34 = QUERIES["q34_hash_sample"](spark, SMOKE)
     assert count_exchanges(q34.filter(F.col("method") == "hash")) == 0
     assert count_exchanges(q34.filter(F.col("method") == "strat")) == 1
