@@ -193,6 +193,134 @@ def matryoshka_knn(
     )
 
 
+def pca_train(
+    emb: DataFrame,
+    out_dim: int = 16,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]]]:
+    """Sampled PCA basis — the dimensionality-reduction twin of
+    ``kmeans_train``'s sampled-trainer convention (tokenizers,
+    codebooks, and projection bases are trained on a bounded sample
+    and SHIPPED; the collect here is ≤ ``sample_n`` rows by
+    construction). Returns (mean, components) — ``out_dim`` unit
+    eigenvectors of the sample covariance, variance-descending, each
+    sign-fixed so its largest-|coordinate| is positive (eigh's sign
+    freedom would otherwise make the basis run-dependent).
+
+    Use as the OPQ-lite front for ANN: project (map-side literal
+    expressions, zero shuffle), search in the reduced space, refine
+    full-dim — ``pca_knn`` composes exactly that.
+    """
+    import numpy as np
+
+    rows = (
+        emb.filter(F.col(id_col) < sample_n)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    if len(rows) < 2:
+        raise ValueError("pca_train needs >= 2 sample vectors")
+    x = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    _, s, vt = np.linalg.svd(xc, full_matrices=False)
+    comps = vt[:out_dim]
+    # sign convention: flip so each component's largest-|.| coord > 0
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return [float(v) for v in mean], [
+        [float(v) for v in c] for c in comps
+    ]
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "reduced",
+) -> DataFrame:
+    """Project onto the shipped basis as PURE map-side expressions:
+    out[j] = dot(vec, comp_j) − dot(mean, comp_j), with each component
+    a spliced double-literal vector and the mean dot precomputed in
+    Python — one fold per output dim, zero shuffle, the whole model in
+    the plan (the classifier/bloom literal-inlining discipline)."""
+    outs = []
+    for comp in components:
+        lit = P.vec_literal(comp, P.SPARK)
+        mdot = sum(
+            m * c for m, c in zip(mean, comp)
+        )  # driver-side scalar, exact same fold order as P.dot
+        outs.append(
+            f"({P.dot(vec_col, lit, P.SPARK)})"
+            f" - CAST('{mdot!r}' AS DOUBLE)"
+        )
+    return emb.withColumn(
+        out_col, F.expr("array(" + ", ".join(outs) + ")")
+    )
+
+
+def pca_knn(
+    emb: DataFrame,
+    num_queries: int = 8,
+    k: int = 5,
+    out_dim: int = 16,
+    shortlist: int = 32,
+    sample_n: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA-shortlisted exact search: train the sampled basis, project
+    map-side, shortlist by reduced-space cosine, exact full-dim refine
+    — ``matryoshka_knn``'s shape with a TRAINED front instead of a
+    prefix (for embeddings that don't front-load information, the PCA
+    basis concentrates variance the prefix can't)."""
+    mean, comps = pca_train(
+        emb, out_dim=out_dim, sample_n=sample_n,
+        id_col=id_col, vec_col=vec_col,
+    )
+    proj = pca_project(emb, mean, comps, vec_col=vec_col)
+    q = proj.filter(F.col(id_col) < num_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("reduced").alias("qr"),
+    )
+    c = proj.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("reduced").alias("cr"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("__pcos", F.expr(P.cosine("qr", "cr", P.SPARK)))
+    short = _two_phase_topk(
+        scored,
+        "query_id",
+        [F.col("__pcos").desc(), F.col("neighbor_id")],
+        shortlist,
+        rank_name="__srank",
+    ).drop("__srank", "__pcos")
+    fin = W.partitionBy("query_id").orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        short.withColumn("__cos", F.expr(P.cosine("qv", "cv", P.SPARK)))
+        .withColumn("knn_rank", F.row_number().over(fin))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(P.round_dbl("__cos", 6, P.SPARK)).alias("cosine"),
+            "knn_rank",
+        )
+    )
+
+
 def brute_force_knn_vectorized(
     emb: DataFrame,
     num_queries: int = 8,
