@@ -267,3 +267,73 @@ def test_normalize_text_agrees(spark, docs):
         P.normalize_text("text", P.DUCK),
     )
     assert got2 == got and want2 == want
+
+
+@SETTINGS
+@given(docs=DOCS)
+def test_bloom_position_agrees(spark, docs):
+    """The Bloom bit-position expression (hash i salt + mod) must give
+    identical positions in both dialects — the register AND probe
+    twins both ride on it."""
+    from example_kafkastreams_spark.operators.sketches import _bloom_pos
+
+    got, want = both_engines(
+        spark,
+        docs,
+        _bloom_pos("text", 3, 8192, P.SPARK),
+        _bloom_pos("text", 3, 8192, P.DUCK),
+    )
+    assert got == want
+    assert all(0 <= v < 8192 for v in got)
+
+
+@SETTINGS
+@given(docs=DOCS)
+def test_classifier_bucket_agrees(spark, docs):
+    from example_kafkastreams_spark.operators.quality_clf import bucket_sql
+
+    got, want = both_engines(
+        spark,
+        docs,
+        bucket_sql("text", 256, P.SPARK),
+        bucket_sql("text", 256, P.DUCK),
+    )
+    assert got == want
+    assert all(0 <= v < 256 for v in got)
+
+
+@SETTINGS
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_classifier_weight_agrees(spark, counts):
+    """The floored-Laplace weight must be the same BIGINT in both
+    engines for any count pair (one IEEE division of exact integers,
+    floor never splits on rounding mode)."""
+    import duckdb as _duck
+
+    from example_kafkastreams_spark.operators.quality_clf import weight_sql
+
+    rows = ", ".join(f"({cp}, {cn})" for cp, cn in counts)
+    sdf = spark.createDataFrame(counts, "c_pos long, c_neg long")
+    got = [
+        r.w
+        for r in sdf.selectExpr(
+            f"{weight_sql('c_pos', 'c_neg')} AS w"
+        ).collect()
+    ]
+    want = [
+        r[0]
+        for r in _duck.sql(
+            f"SELECT {weight_sql('c_pos', 'c_neg')} AS w"
+            f" FROM (VALUES {rows}) t(c_pos, c_neg)"
+        ).fetchall()
+    ]
+    assert got == want
