@@ -333,7 +333,8 @@ def main() -> None:
 
     branch_timings: dict[str, dict] = {}
     for qname, disc, modes in (
-        ("q26_interval_join_symmetric", "mode", ("pairs", "dim", "enrich")),
+        ("q26_interval_join_symmetric", "mode",
+         ("pairs", "dim", "enrich", "delta")),
         ("q34_hash_sample", "method", ("hash", "strat", "wsample")),
         ("q40_dedup_exact_text", "mode",
          ("full", "incr", "diff_changed", "diff_unchanged")),
@@ -353,7 +354,8 @@ def main() -> None:
             ("tfidf", "bm25", "bm25idx", "rrf", "eval"),
         ),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
-        ("q57_neardup_components", "mode", ("comp", "leak")),
+        ("q57_neardup_components", "mode",
+         ("comp", "leak", "mine_pos", "mine_neg")),
         (
             "q58_srp_histogram",
             "mode",
@@ -1176,6 +1178,10 @@ def main() -> None:
         lsh_ann,
         pq_ann,
     )
+    from example_kafkastreams_spark.operators.knn import (
+        matryoshka_knn as _mrl,
+        pca_knn as _pca,
+    )
 
     # NQ=64 is serving-realistic since the r7 broadcast-LUT rewrite
     # made every ADC plan constant in the query count. The deterministic
@@ -1247,6 +1253,13 @@ def main() -> None:
         ("ivf", lambda: ivf_ann(embt, num_queries=NQ, k=K)),
         ("pq", lambda: pq_ann(embt, num_queries=NQ, k=K)),
         ("ivfpq", lambda: ivf_pq_ann(embt, num_queries=NQ, k=K)),
+        # round-9 two-phase exact-refine fronts: prefix truncation
+        # (matryoshka) and the trained sampled-PCA basis — shortlist
+        # 4x K, quarter-dim cheap scorer, exact full-dim re-rank
+        ("mrl", lambda: _mrl(embt, num_queries=NQ, k=K,
+                             prefix_dim=16, shortlist=4 * K)),
+        ("pca16", lambda: _pca(embt, num_queries=NQ, k=K,
+                               out_dim=16, shortlist=4 * K)),
     ):
         t0 = time.perf_counter()
         got_rows = thunk().collect()

@@ -908,6 +908,36 @@ _LEAK_RATIOS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
              string_agg(DISTINCT split, ',' ORDER BY split) AS splits_csv
       FROM splitd GROUP BY component_id
       HAVING count(DISTINCT split) > 1
+    ),
+    -- mine branches: contrastive training pairs from the SAME labels
+    -- (operators.mining.contrastive_pairs) — star-edge positives,
+    -- seeded-hash bucket-local negatives, all md5-derived so the
+    -- re-derivation here matches the Spark picks exactly
+    mnb AS (SELECT GREATEST(COUNT(*) // 64, 1) AS nb FROM labeled),
+    mbk AS (
+      SELECT doc_id, component_id,
+             ({P.token_hash32(
+                 "CONCAT(CAST(doc_id AS VARCHAR), ':b7')", D)}
+              % (SELECT nb FROM mnb)) AS bucket
+      FROM labeled
+    ),
+    mcand AS (
+      SELECT a.doc_id AS anchor, c.doc_id AS partner
+      FROM mbk a JOIN mbk c
+        ON a.bucket = c.bucket AND a.doc_id <> c.doc_id
+       AND a.component_id <> c.component_id
+    ),
+    mneg AS (
+      SELECT anchor, partner FROM (
+        SELECT anchor, partner,
+               row_number() OVER (
+                 PARTITION BY anchor
+                 ORDER BY {P.token_hash32(
+                     "CONCAT(CAST(anchor AS VARCHAR), ':', "
+                     "CAST(partner AS VARCHAR), ':n7')", D)},
+                          partner) AS rn
+        FROM mcand
+      ) WHERE rn <= 1
     )
     SELECT 'comp' AS mode, doc_id, component_id, component_size,
            CAST(NULL AS BIGINT) AS n_splits,
@@ -917,6 +947,14 @@ _LEAK_RATIOS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
     SELECT 'leak', CAST(NULL AS BIGINT), component_id, component_size,
            n_splits, splits_csv
     FROM leak
+    UNION ALL
+    SELECT 'mine_pos', component_id, doc_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM labeled WHERE doc_id <> component_id
+    UNION ALL
+    SELECT 'mine_neg', anchor, partner, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM mneg
     """,
 )
 def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,10 +988,15 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.report import split_leakage_report
     from .operators.sampling import assign_split
 
+    from .operators.cache import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
     edges = simhash_components_edges(docs, max_hamming=3)
-    comp = connected_components(
-        edges, nodes=docs, node_col="doc_id"
+    # the labeling fans out into four union children (comp/leak/
+    # mine_pos/mine_neg) plus the miner's bucket-count job — persist
+    # it once or every child re-runs the banding + the component loop
+    comp = persist_tracked(
+        connected_components(edges, nodes=docs, node_col="doc_id")
     )
     sized = with_component_sizes(comp, "doc_id")
     leak = split_leakage_report(
@@ -963,6 +1006,32 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_splits"),
         F.lit(None).cast("string").alias("splits_csv"),
     )
+    # mine_pos/mine_neg (round 9): contrastive training pairs from the
+    # SAME labels (operators.mining.contrastive_pairs) — star-edge
+    # positives, seeded-hash bucket-local negatives; every choice is
+    # md5-derived, so the oracle recomputes buckets, exclusions, and
+    # the per-anchor hash-rank pick and matches the rows exactly.
+    # Columns shoehorn as (doc_id=anchor, component_id=partner).
+    from .operators.mining import contrastive_pairs
+
+    # num_buckets = the operator's default formula, but fed from the
+    # cheap parquet-metadata doc count instead of its internal
+    # comp.count() (which would run the whole labeling once more at
+    # build time — comp has exactly one row per doc)
+    mined = contrastive_pairs(
+        comp, neg_per_anchor=1,
+        num_buckets=max(1, docs.count() // 64),
+    )
+    null_sz = F.lit(None).cast("bigint").alias("component_size")
+
+    def mine_child(flag: bool, mode: str):
+        return mined.filter(F.col("is_positive") == flag).select(
+            F.lit(mode).alias("mode"),
+            F.col("anchor").alias("doc_id"),
+            F.col("partner").alias("component_id"),
+            null_sz, *null_l,
+        )
+
     return sized.select(
         F.lit("comp").alias("mode"),
         "doc_id", "component_id", "component_size", *null_l,
@@ -972,6 +1041,8 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("doc_id"),
             "component_id", "component_size", "n_splits", "splits_csv",
         )
+    ).unionByName(mine_child(True, "mine_pos")).unionByName(
+        mine_child(False, "mine_neg")
     )
 
 

@@ -610,6 +610,19 @@ def _q26_sql() -> str:
                  END) AS dur_us_closed
       FROM dim GROUP BY tier
     ),
+    -- delta branch: the Spark side builds the dimension from the
+    -- FIRST 20 days, then folds the remaining updates in via
+    -- scd2_apply_delta; under the append-only contract that equals
+    -- the full-log build BITWISE, so this census over the full-log
+    -- dim IS the oracle for the delta-maintenance path
+    deltastats AS (
+      SELECT tier, COUNT(*) AS n_versions,
+             SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+             SUM(CASE WHEN valid_to IS NULL THEN 0
+                      ELSE epoch_us(valid_to) - epoch_us(valid_from)
+                 END) AS dur_us_closed
+      FROM dim GROUP BY tier
+    ),
     enr AS (
       SELECT f.event_id, f.user_id, f.value, d.tier
       FROM (SELECT * FROM events WHERE event_type = 'purchase') f
@@ -639,6 +652,13 @@ def _q26_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT), n_facts, n_users, sum_value
     FROM enrstats
+    UNION ALL
+    SELECT 'delta', CAST(NULL AS VARCHAR), tier,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           n_versions, n_current, dur_us_closed,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM deltastats
     """
 
 
@@ -658,8 +678,16 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     join can't amplify rows. The census (version counts, current rows,
     closed validity micros) and the enrichment rollup (facts/users/
     exact-decimal value sum per point-in-time tier) are both
-    driver-VALUE-checked against DuckDB's independent rederivation."""
+    driver-VALUE-checked against DuckDB's independent rederivation.
+    ``delta``: the day-2 maintenance path (scd2_apply_delta) — build
+    from the first 20 days, fold the rest in delta-proportionally
+    (untouched keys anti-join through; touched keys recut from their
+    retained rows + the delta); the oracle checks its census against
+    the FULL-log build, which it must equal bitwise under the
+    append-only contract — the maintenance operator itself is
+    driver-value-checked."""
     from .operators.scd import (
+        scd2_apply_delta,
         scd2_dim_stats,
         scd2_from_changelog,
         scd2_point_in_time_join,
@@ -711,6 +739,22 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value"), 2).alias("sum_value"),
     )
 
+    # delta branch: build from the first 20 days, fold the rest in via
+    # the delta-proportional maintenance path — the oracle checks it
+    # against the full-log build (equal BITWISE under the append-only
+    # contract), making scd2_apply_delta itself driver-value-checked
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    dim1 = scd2_from_changelog(
+        upd.filter(F.col("ts") < cutoff),
+        key="user_id", ts="ts", attrs=["tier"], tie="event_id",
+    )
+    dim2 = scd2_apply_delta(
+        dim1,
+        upd.filter(F.col("ts") >= cutoff),
+        key="user_id", ts="ts", attrs=["tier"], tie="event_id",
+    )
+    deltastats = scd2_dim_stats(dim2, ["tier"])
+
     out_cols = [
         ("mode", "string"),
         ("event_type", "string"),
@@ -744,4 +788,5 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         shape(pairs, "pairs")
         .unionByName(shape(dimstats, "dim"))
         .unionByName(shape(enrstats, "enrich"))
+        .unionByName(shape(deltastats, "delta"))
     )
