@@ -157,7 +157,9 @@ _MERGED_SINCE = {
     "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
     "q34_hash_sample": 9,         # +wsample (r9)
     "q56_quantize_embeddings": 8, # +adc (r8)
-    "q57_neardup_components": 9,  # +leak (r9)
+    "q57_neardup_components": 9,  # +leak, +mine_pos/+mine_neg (r9)
+    "q58_srp_histogram": 9,       # +kmv/kmvops/cms/hll* (r9 — the early
+                                  # r9 artifact predates these branches)
     "q50_token_stats": 9,         # +bpe (r9)
     "q54_chunk_documents": 8,     # +shard (r8)
     "q55_tfidf_top_term": 9,      # +bm25idx (r9)
