@@ -814,3 +814,62 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def bloom_store_read(spark, path: str) -> DataFrame | None:
+    """Current stored filter registers, or None for an empty store.
+    Falls back to the ``.__old__`` sibling when a crash landed between
+    the sink's two renames (the previous filter keeps serving; the
+    replayed batch re-merges idempotently and republishes)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        old = path + ".__old__"
+        if os.path.exists(os.path.join(old, "_SUCCESS")):
+            return spark.read.parquet(old)
+        return None
+    return spark.read.parquet(path)
+
+
+def bloom_store_sink(
+    spark,
+    path: str,
+    value_col: str = "v",
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+):
+    """foreachBatch sink maintaining a PERSISTENT Bloom filter from a
+    stream — the membership-index member of the ingest-maintenance
+    family (digest index, band indexes, SRP index, BM25 postings, ANN
+    codes, SCD2 store… and now the ~KB filter the cheap map-side
+    membership probes load).
+
+    Each micro-batch's values fold in via ``bloom_merge`` (word-wise
+    OR). OR is IDEMPOTENT, so foreachBatch's at-least-once replays
+    need no run/batch bookkeeping at all — re-merging a replayed
+    batch is a mathematical no-op, the strongest replay story any
+    sink here has. The store is rewritten per batch (≤ m/32 rows — a
+    few KB), staged to a sibling directory and atomically swapped via
+    os.replace-style directory rename so a crash mid-write leaves the
+    previous filter serving.
+    """
+    import os
+    import shutil
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        new = bloom_words(
+            batch_df.select(F.col(value_col).alias("v")), "v", m_bits, k
+        )
+        cur = bloom_store_read(spark, path)
+        merged = new if cur is None else bloom_merge(cur, new)
+        staged = path + ".__staging__"
+        shutil.rmtree(staged, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(staged)
+        old = path + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return sink

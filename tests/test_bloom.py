@@ -110,6 +110,85 @@ def test_cms_merge_is_counter_sum(spark):
     assert all(merged[k] == 2 * single[k] for k in single)
 
 
+def test_bloom_store_stream_equals_batch_build(spark, tmp_path):
+    """Golden: values split across micro-batches through the
+    bloom_store_sink leave the stored filter EQUAL to the one-shot
+    build over all values (OR-merge associativity), through a real
+    file-backed streaming query."""
+    import pyspark.sql.types as T
+
+    from example_kafkastreams_spark.operators.sketches import (
+        bloom_store_read,
+        bloom_store_sink,
+    )
+    from example_kafkastreams_spark.streaming.sources import (
+        file_stream,
+        stage_replayable_batches,
+    )
+
+    batches = [
+        [(f"tok{i}",) for i in range(0, 100)],
+        [(f"tok{i}",) for i in range(100, 180)],
+        [(f"tok{i}",) for i in range(150, 260)],  # overlap: OR no-op
+    ]
+    schema = T.StructType().add("v", "string")
+    src = str(tmp_path / "in")
+    stage_replayable_batches(spark, src, schema, batches)
+    store = str(tmp_path / "bloom")
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(bloom_store_sink(spark, store))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(map(tuple, bloom_store_read(spark, store).collect()))
+    want = sorted(map(tuple, bloom_words(_vals(spark, 260)).collect()))
+    assert got == want
+
+
+def test_bloom_store_sink_replay_and_crash_heal(spark, tmp_path):
+    """OR is idempotent: re-invoking the sink with the same batch is a
+    storage no-op with no bookkeeping at all; a crash between the two
+    publish renames (store dir missing, .__old__ present) keeps the
+    previous filter serving and the replay republishes."""
+    import os
+    import shutil
+
+    from example_kafkastreams_spark.operators.sketches import (
+        bloom_store_read,
+        bloom_store_sink,
+    )
+
+    store = str(tmp_path / "bloom")
+    sink = bloom_store_sink(spark, store)
+    b0 = _vals(spark, 100)
+    b1 = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(100, 200)], "v string"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    rows1 = sorted(map(tuple, bloom_store_read(spark, store).collect()))
+    sink(b1, 1)  # replay: idempotent merge
+    assert sorted(
+        map(tuple, bloom_store_read(spark, store).collect())
+    ) == rows1
+
+    # crash simulation: mid-publish state (store renamed away)
+    os.rename(store, store + ".__old__")
+    assert sorted(
+        map(tuple, bloom_store_read(spark, store).collect())
+    ) is not None  # previous filter still serves from .__old__
+    sink(b1, 1)  # the replay heals the store
+    assert sorted(
+        map(tuple, bloom_store_read(spark, store).collect())
+    ) == rows1
+    assert not os.path.exists(store + ".__old__")
+    shutil.rmtree(store, ignore_errors=True)
+
+
 def test_bloom_decontam_superset_of_exact_and_map_side(spark):
     """The bloom prefilter must flag every exactly-contaminated doc
     (no false negatives), and its probe plan must cross zero
