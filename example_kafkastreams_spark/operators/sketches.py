@@ -873,3 +873,75 @@ def bloom_store_sink(
         shutil.rmtree(old, ignore_errors=True)
 
     return sink
+
+
+# --- Mergeable equi-width histogram — bounded-error quantiles ---------------
+# The simplest mergeable quantile structure with a DETERMINISTIC,
+# engine-independent layout: literal bucket edges spliced at build
+# time, exact integer counts per bucket (one hash agg, partial-
+# aggregated map-side, exchange bounded by partitions × n_buckets),
+# counter-sum merge. Quantile answers carry a BY-CONSTRUCTION error
+# bound of one bucket width — unlike sampled/randomized sketches
+# (t-digest, KLL) whose content depends on arrival order, this one is
+# a pure function of the multiset, so it composes with the cross-
+# engine-exact oracle discipline if ever promoted to a driver row.
+
+
+def histogram_sketch(
+    values: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(bucket, cnt) rows over literal equi-width edges; values at or
+    below ``lo`` land in bucket 0, at or above ``hi`` in the last —
+    the conventional clamped tails."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / n_buckets
+    b = F.floor(
+        (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)
+    ).cast("int")
+    bucket = F.least(
+        F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)
+    )
+    return (
+        values.filter(F.col(value_col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counter-sum merge of two histograms with the same edges."""
+    return (
+        a.unionByName(b).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    hist_rows: list,
+    q: float,
+    lo: float,
+    hi: float,
+    n_buckets: int = 64,
+) -> tuple[float, float]:
+    """(lower, upper) bounds on the q-quantile from collected
+    (bucket, cnt) rows — the true quantile lies within the returned
+    bucket's edges (tails clamp to lo/hi). Driver-side over ≤
+    n_buckets rows."""
+    if not 0 <= q <= 1:
+        raise ValueError("q must be in [0, 1]")
+    width = (hi - lo) / n_buckets
+    counts = {int(r["bucket"]): int(r["cnt"]) for r in hist_rows}
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("empty histogram")
+    target = q * total
+    run = 0
+    for bkt in range(n_buckets):
+        run += counts.get(bkt, 0)
+        if run >= target and (run > 0 or target == 0):
+            return (lo + bkt * width, lo + (bkt + 1) * width)
+    return (hi - width, hi)
