@@ -473,6 +473,22 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         )
         return hll_registers(sh, "v", 8)
 
+    def bloom_decontam():
+        # the bloom-prefiltered contamination check against a FIXED
+        # benchmark (base split at both scales): the filter is ~KB of
+        # plan literals probed map-side inside the scan, so the probe
+        # pass must grow ~linearly in wall with ZERO data shuffle —
+        # the residual records are the final count's O(partitions)
+        # reduction, never corpus rows
+        from example_kafkastreams_spark.operators.decontam import (
+            contamination_report_bloom,
+        )
+
+        bench = load_table(spark, bench_base, "documents").filter(
+            F.col("doc_id") % 97 == 0
+        )
+        return contamination_report_bloom(docs, bench, n=5)
+
     def snap_diff():
         # dataset-version audit on the amplified corpus: a derived
         # second snapshot (10% dropped, every 7th revised, every 13th
@@ -562,6 +578,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("split_leakage", split_leak),
         ("retrieval_eval", retr_eval),
         ("hll_distinct", hll),
+        ("bloom_decontam", bloom_decontam),
         ("snapshot_diff", snap_diff),
         ("clf_train_score", clf_train_score),
         ("scd2_build_enrich", scd2),
@@ -838,7 +855,17 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(
-        app_name="scale_probe", extra_conf={"spark.ui.enabled": "true"}
+        app_name="scale_probe",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the probe sums COMPLETE-stage shuffle totals before and
+            # after each op; if the UI store evicts old stages mid-run
+            # the cumulative total SHRINKS and a later op's delta goes
+            # negative (bit the snapshot_diff row when the op list
+            # outgrew the default 1000-stage retention)
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
     )
     spark.range(1000).selectExpr("sum(id)").collect()  # warmup
 
