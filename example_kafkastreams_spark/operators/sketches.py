@@ -945,3 +945,20 @@ def histogram_quantile(
         if run >= target and (run > 0 or target == 0):
             return (lo + bkt * width, lo + (bkt + 1) * width)
     return (hi - width, hi)
+
+
+def bloom_cardinality_estimate(
+    vec: list[int], k: int = BLOOM_K
+) -> float:
+    """Swamidass–Baldi estimate of how many distinct values a filter
+    holds: n̂ = −(m/k)·ln(1 − X/m) with X = set bits. Driver-side over
+    the collected word vector (ln is libm-bound, so this never enters
+    a cross-engine row — the same quarantine as the HLL linear-
+    counting correction). Saturated filters (X == m) estimate +inf."""
+    import math
+
+    m = 32 * len(vec)
+    x = sum(bin(w & 0xFFFFFFFF).count("1") for w in vec)
+    if x >= m:
+        return float("inf")
+    return -(m / k) * math.log(1.0 - x / m)

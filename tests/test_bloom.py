@@ -110,6 +110,19 @@ def test_cms_merge_is_counter_sum(spark):
     assert all(merged[k] == 2 * single[k] for k in single)
 
 
+def test_bloom_cardinality_estimate(spark):
+    from example_kafkastreams_spark.operators.sketches import (
+        bloom_cardinality_estimate,
+    )
+
+    for n in (50, 200, 800):
+        vec = bloom_vector(bloom_words(_vals(spark, n)))
+        est = bloom_cardinality_estimate(vec)
+        assert abs(est - n) / n < 0.15, (n, est)
+    assert bloom_cardinality_estimate([0] * 256) == 0.0
+    assert bloom_cardinality_estimate([-1] * 256) == float("inf")
+
+
 def test_bloom_store_stream_equals_batch_build(spark, tmp_path):
     """Golden: values split across micro-batches through the
     bloom_store_sink leave the stored filter EQUAL to the one-shot
