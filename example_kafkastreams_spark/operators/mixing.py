@@ -181,3 +181,76 @@ def mix_sources_temperature(
     corpus itself (n_s^α) instead of prescribed weights."""
     rates = temperature_rates(_source_counts(docs, source_col), alpha)
     return _filter_by_rates(docs, rates, source_col, id_col)
+
+
+def budget_quotas(
+    counts: dict[str, int],
+    budget: float,
+    alpha: float = 1.0,
+) -> dict[str, float]:
+    """Water-filling allocation of an ABSOLUTE budget over sources —
+    the form a pretraining run actually targets ("1T tokens, sources
+    weighted n^α"), where temperature_rates only reshapes SHARES.
+
+    Target shares ∝ n_s^α (dyadic α via exact sqrt chains); a source
+    whose share-implied quota exceeds what it has is PINNED at n_s and
+    its residual budget redistributes over the rest by their weights —
+    iterated to the fixpoint (≤ |sources| rounds; each round pins ≥ 1
+    source or terminates). All arithmetic is driver-side pure Python
+    over the (bounded, source-cardinality) counts dict, iterating
+    sources in SORTED order, so the quotas are deterministic literals
+    — the q61 convention (Python-computed rates spliced exactly).
+
+    Returns {source: quota} with sum(quotas) == min(budget, Σn) up to
+    float rounding; quotas never exceed their source's count.
+    """
+    if not counts:
+        raise ValueError("counts must be a non-empty {source: n} dict")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("source counts must be positive")
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    total = sum(counts[s] for s in sorted(counts))
+    if budget >= total:
+        return {s: float(n) for s, n in counts.items()}
+    w = {s: P.dyadic_pow_py(float(n), alpha) for s, n in counts.items()}
+    quotas: dict[str, float] = {}
+    remaining = float(budget)
+    free = sorted(counts)
+    while free:
+        sumw = sum(w[s] for s in free)
+        over = [
+            s for s in free if w[s] * remaining / sumw >= counts[s]
+        ]
+        if not over:
+            for s in free:
+                quotas[s] = w[s] * remaining / sumw
+            break
+        for s in over:
+            quotas[s] = float(counts[s])
+            remaining -= counts[s]
+            free.remove(s)
+    return quotas
+
+
+def mix_sources_budget(
+    docs: DataFrame,
+    budget: float,
+    alpha: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample to an absolute row budget with temperature-shaped
+    per-source quotas (``budget_quotas``): one S-row count job derives
+    the quotas, then survival is the same pure map-side hash-threshold
+    filter every mixer here uses — expected survivors ≈ quota per
+    source, pinned sources (rate 1.0) keep every row exactly. At
+    100 TB the scan carries literal predicates; no join, no shuffle,
+    no rand()."""
+    counts = _source_counts(docs, source_col)
+    quotas = budget_quotas(counts, budget, alpha)
+    rates = {
+        s: 1.0 if quotas[s] >= counts[s] else quotas[s] / counts[s]
+        for s in counts
+    }
+    return _filter_by_rates(docs, rates, source_col, id_col)

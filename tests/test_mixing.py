@@ -207,3 +207,69 @@ def test_temperature_mix_survivors_deterministic(spark):
     n_web = sum(1 for x in a if x[1] == "web")
     n_code = sum(1 for x in a if x[1] == "code")
     assert n_web / 900 < n_code / 100
+
+
+def test_budget_quotas_waterfill_and_sum(spark):
+    from example_kafkastreams_spark.operators.mixing import budget_quotas
+
+    counts = {"a": 100, "b": 1000, "c": 10}
+    # alpha=1: proportional, nobody pinned
+    q = budget_quotas(counts, 500, alpha=1.0)
+    assert sum(q.values()) == pytest.approx(500)
+    assert q["b"] / q["a"] == pytest.approx(10.0)
+    # alpha=0.5 flattens hard enough to over-allocate the small
+    # sources: they pin at their counts, b absorbs the residual
+    q2 = budget_quotas(counts, 500, alpha=0.5)
+    assert q2["a"] == 100.0 and q2["c"] == 10.0
+    assert q2["b"] == pytest.approx(390.0)
+    # budget >= total: everything kept
+    q3 = budget_quotas(counts, 10**6)
+    assert q3 == {"a": 100.0, "b": 1000.0, "c": 10.0}
+    with pytest.raises(ValueError):
+        budget_quotas(counts, 0)
+    with pytest.raises(ValueError):
+        budget_quotas({}, 10)
+
+
+def test_mix_sources_budget_end_to_end(spark):
+    from example_kafkastreams_spark.operators.mixing import (
+        budget_quotas,
+        mix_sources_budget,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    total = docs.filter(F.col("source").isNotNull()).count()
+    budget = total // 2
+    out = mix_sources_budget(docs, budget, alpha=0.5)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("source").isNotNull())
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    quotas = budget_quotas(counts, budget, alpha=0.5)
+    # pinned sources (rate 1.0) keep EVERY row exactly; sampled
+    # sources land near their quota (hash-threshold sampling noise)
+    for s, n in counts.items():
+        if quotas[s] >= n:
+            assert got.get(s, 0) == n, s
+        else:
+            assert abs(got.get(s, 0) - quotas[s]) <= 4 * (quotas[s] ** 0.5) + 3, (
+                s, got.get(s, 0), quotas[s]
+            )
+    # total lands near the budget
+    assert abs(sum(got.values()) - budget) <= 4 * (budget ** 0.5) + 5
+    # deterministic under repartitioning
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mix_sources_budget(
+            docs.repartition(13), budget, alpha=0.5
+        ).collect()
+    )
+    assert a == b
