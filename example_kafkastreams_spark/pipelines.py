@@ -61,6 +61,7 @@ def corpus_stages(
     lm_range: tuple[float, float] | None = None,
     normalize: bool = False,
     mix_alpha: float | None = None,
+    mix_budget: tuple[float, float] | None = None,
     clf_seed: float | None = None,
     decontam_bench: DataFrame | None = None,
     decontam_mode: str = "bloom",
@@ -147,11 +148,23 @@ def corpus_stages(
     .mix_sources_temperature``) instead of prescribed weights —
     mutually exclusive with ``mixture_weights``. Default ``None``
     keeps the funnel bit-unchanged.
+
+    ``mix_budget``: ``(budget, alpha)`` — mix down to an ABSOLUTE
+    surviving-row budget with temperature-shaped per-source quotas
+    (``operators.mixing.mix_sources_budget``, water-filled so
+    over-allocated sources pin at their counts), at the same
+    post-dedup placement; mutually exclusive with the other two
+    mixers. The "N documents at α" form a run actually specifies.
+    Default ``None`` keeps the funnel bit-unchanged.
     """
-    if mix_alpha is not None and mixture_weights:
+    mixers = sum(
+        1 for m in (mixture_weights, mix_alpha, mix_budget)
+        if m is not None and m != {}
+    )
+    if mixers > 1:
         raise ValueError(
-            "mix_alpha and mixture_weights are mutually exclusive: "
-            "temperature mixing derives its own target shares"
+            "mixture_weights, mix_alpha, and mix_budget are mutually "
+            "exclusive: each derives its own target shares"
         )
     raw = docs
     normalized = None
@@ -290,6 +303,11 @@ def corpus_stages(
         from .operators.mixing import mix_sources_temperature
 
         neardup = mix_sources_temperature(neardup, mix_alpha)
+    elif mix_budget is not None:
+        from .operators.mixing import mix_sources_budget
+
+        budget, b_alpha = mix_budget
+        neardup = mix_sources_budget(neardup, budget, b_alpha)
 
     decontaminated = None
     if decontam_bench is not None:

@@ -295,6 +295,39 @@ def test_clf_filter_stage_matches_standalone_score(spark):
     assert exact_ids <= kept
 
 
+def test_funnel_budget_mixing_stage(spark):
+    """mix_budget caps the surviving corpus at an absolute budget
+    with water-filled per-source quotas; mutually exclusive with the
+    other mixers; default path stage-identical."""
+    import pytest
+
+    from example_kafkastreams_spark.operators.mixing import (
+        budget_quotas,
+        mix_sources_budget,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    base = corpus_stages(docs)
+    base_n = base["neardup_survivors"].count()
+    budget = base_n // 3
+    stages = corpus_stages(docs, mix_budget=(budget, 0.5))
+    kept = stages["neardup_survivors"].count()
+    assert abs(kept - budget) <= 4 * (budget ** 0.5) + 5, (kept, budget)
+    # stage output == the standalone operator on the same input (the
+    # base funnel's survivor set IS the mixer's input by construction)
+    pre_mix = base["neardup_survivors"]
+    want = {
+        r.doc_id
+        for r in mix_sources_budget(pre_mix, budget, 0.5).collect()
+    }
+    got = {
+        r.doc_id for r in stages["neardup_survivors"].collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        corpus_stages(docs, mix_alpha=0.5, mix_budget=(10, 0.5))
+
+
 def test_funnel_decontam_stage(spark):
     """decontam_bench drops benchmark-contaminated docs post-dedup:
     the bloom mode removes a superset of the exact mode's drops (no
