@@ -260,6 +260,19 @@ def scd2_point_in_time_join(
     )
 
 
+def scd2_as_of(dim: DataFrame, ts) -> DataFrame:
+    """Time-travel snapshot: the version of every key current AT
+    ``ts`` (half-open intervals, same boundary rule as the
+    point-in-time join) — one map-side filter over the dimension, the
+    "what did the table look like last Tuesday" view. Keys whose first
+    version postdates ``ts`` are absent."""
+    t = F.lit(ts).cast("timestamp")
+    return dim.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+
+
 def scd2_dim_stats(
     dim: DataFrame, attrs: list[str], grain_cols: list[str] | None = None
 ) -> DataFrame:

@@ -86,6 +86,33 @@ def test_scd2_point_in_time_semantics(spark):
     assert out.count() == facts.count()
 
 
+def test_scd2_as_of_snapshot(spark):
+    from example_kafkastreams_spark.operators.scd import scd2_as_of
+
+    dim = scd2_from_changelog(
+        _changelog(spark), "user_id", "ts", ["tier"], "event_id"
+    )
+    # mid-bronze: user 1 bronze, user 2 not yet born
+    snap = {
+        r.user_id: r.tier
+        for r in scd2_as_of(dim, "2024-01-02T12:00:00").collect()
+    }
+    assert snap == {1: "bronze"}
+    # exactly on the gold flip: half-open -> gold (same rule as the
+    # point-in-time join)
+    snap2 = {
+        r.user_id: r.tier
+        for r in scd2_as_of(dim, "2024-01-03T00:00:00").collect()
+    }
+    assert snap2 == {1: "gold"}
+    # after everything: one current row per key
+    snap3 = {
+        r.user_id: r.tier
+        for r in scd2_as_of(dim, "2024-12-31T00:00:00").collect()
+    }
+    assert snap3 == {1: "gold", 2: "silver"}
+
+
 def test_scd2_dim_stats_exact_micros(spark):
     dim = scd2_from_changelog(
         _changelog(spark), "user_id", "ts", ["tier"], "event_id"
