@@ -962,3 +962,78 @@ def bloom_cardinality_estimate(
     if x >= m:
         return float("inf")
     return -(m / k) * math.log(1.0 - x / m)
+
+
+def cms_store_read(spark, path: str) -> DataFrame | None:
+    """Current stored count-min counters (the meta-pointed snapshot),
+    or None for an empty store."""
+    from .scd import _scd2_read_meta
+
+    import os
+
+    meta = _scd2_read_meta(path)
+    if meta is None or meta.get("current") is None:
+        return None
+    return spark.read.parquet(os.path.join(path, meta["current"]))
+
+
+def cms_store_sink(
+    spark,
+    path: str,
+    value_col: str = "v",
+    depth: int = 4,
+    width: int = 256,
+    run_id: str | None = None,
+):
+    """foreachBatch sink maintaining a PERSISTENT count-min sketch —
+    the frequency twin of ``bloom_store_sink``. Counter SUMS are NOT
+    idempotent (a replayed batch would double-count), so unlike the
+    Bloom OR this sink uses the SCD2 store's VERSIONED-SNAPSHOT +
+    atomic-pointer discipline: each applied batch writes a snapshot
+    directory named by its (run, batch) identity and then flips
+    meta.json (tmp + os.replace). A replay at/below the run's
+    high-water mark is skipped; a crash BEFORE the pointer flip
+    leaves the old pointer valid, and the replay recomputes from the
+    POINTED-AT snapshot — overwriting the orphan byte-identically
+    (the batch's counters are a pure function of its rows) — so no
+    ordering of crash and replay can double-count.
+    """
+    import hashlib
+    import os
+    import shutil
+    import uuid
+
+    from .scd import _scd2_read_meta, _scd2_write_meta
+
+    token = (
+        hashlib.md5(run_id.encode()).hexdigest()[:16]
+        if run_id
+        else uuid.uuid4().hex[:16]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _scd2_read_meta(path) or {"current": None, "applied": {}}
+        if int(batch_id) <= meta["applied"].get(token, -1):
+            return
+        new = count_min_counters(
+            batch_df.select(F.col(value_col).alias("v")), "v",
+            depth, width,
+        )
+        cur = (
+            None
+            if meta["current"] is None
+            else spark.read.parquet(os.path.join(path, meta["current"]))
+        )
+        merged = new if cur is None else cms_merge(cur, new)
+        vdir = f"v_{token}_{int(batch_id)}"
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, vdir)
+        )
+        prev = meta["current"]
+        meta["current"] = vdir
+        meta["applied"][token] = int(batch_id)
+        _scd2_write_meta(path, meta)
+        if prev is not None and prev != vdir:
+            shutil.rmtree(os.path.join(path, prev), ignore_errors=True)
+
+    return sink
