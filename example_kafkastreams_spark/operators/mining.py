@@ -102,6 +102,77 @@ def contrastive_pairs(
     return pos.unionByName(neg)
 
 
+def hard_negative_pairs(
+    emb: DataFrame,
+    comp: DataFrame,
+    k: int = 2,
+    num_anchors: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    comp_id_col: str = "doc_id",
+) -> DataFrame:
+    """Hard negatives for contrastive training: per anchor, the top-k
+    COSINE-nearest vectors that are NOT in the anchor's near-dup
+    component — the most-confusable non-duplicates, the pairs that
+    actually move an embedding model (random negatives are trivially
+    separable). ``contrastive_pairs`` gives the cheap random picks;
+    this gives the curriculum's hard end.
+
+    Shape: the anchor side broadcasts (bounded by ``num_anchors``),
+    the corpus streams through the scored join once, and the top-k is
+    the house two-phase rank — no per-key corpus sort. Component
+    labels join onto both sides as (id, component) pairs (label-sized,
+    not vector-sized). For corpora too big for brute-force scoring,
+    shortlist first (matryoshka_knn / pca_knn / the ANN family) and
+    anti-join components after — the exclusion composes with any
+    scorer.
+    """
+    from .knn import _two_phase_topk
+
+    lab = comp.select(
+        F.col(comp_id_col).alias("__id"),
+        F.col("component_id").alias("__comp"),
+    )
+    e = emb.join(
+        lab, emb[id_col] == lab["__id"], "left"
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.coalesce(F.col("__comp"), F.col(id_col)).alias("__comp"),
+    )
+    q = e.filter(
+        F.col(id_col) < num_anchors
+        if num_anchors is not None
+        else F.lit(True)
+    ).select(
+        F.col(id_col).alias("anchor"),
+        F.col(vec_col).alias("qv"),
+        F.col("__comp").alias("qc"),
+    )
+    c = e.select(
+        F.col(id_col).alias("partner"),
+        F.col(vec_col).alias("cv"),
+        F.col("__comp").alias("cc"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("partner") != F.col("anchor"))
+        & (F.col("cc") != F.col("qc")),
+    ).withColumn("__cos", F.expr(P.cosine("qv", "cv", P.SPARK)))
+    return _two_phase_topk(
+        scored,
+        "anchor",
+        [F.col("__cos").desc(), F.col("partner")],
+        k,
+        rank_name="neg_rank",
+    ).select(
+        "anchor",
+        "partner",
+        F.expr(P.round_dbl("__cos", 6, P.SPARK)).alias("cosine"),
+        "neg_rank",
+    )
+
+
 def epoch_shuffle_key(
     id_col: str = "doc_id", epoch: int = 0
 ) -> Column:

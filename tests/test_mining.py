@@ -57,6 +57,52 @@ def test_contrastive_pairs_partition_invariant(spark):
     assert a == b
 
 
+def test_hard_negative_pairs_excludes_component_and_ranks(spark):
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.knn import brute_force_knn
+    from example_kafkastreams_spark.operators.mining import (
+        hard_negative_pairs,
+    )
+    from tests.conftest import SMOKE
+
+    emb = load_table(spark, SMOKE, "embeddings")
+    # components: pair up ids (2i, 2i+1) — every even anchor's twin is
+    # its component-mate and must NEVER appear as a negative
+    comp = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("vec_id") - F.col("vec_id") % 2).alias("component_id"),
+    )
+    out = hard_negative_pairs(emb, comp, k=3, num_anchors=8)
+    rows = out.collect()
+    assert {r.anchor for r in rows} == set(range(8))
+    for r in rows:
+        assert r.partner != r.anchor
+        assert (r.partner - r.partner % 2) != (r.anchor - r.anchor % 2)
+    # per anchor: ranks 1..3, cosine non-increasing
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor, []).append((r.neg_rank, r.cosine))
+    for a, lst in by_anchor.items():
+        lst.sort()
+        assert [x[0] for x in lst] == [1, 2, 3]
+        assert all(
+            lst[i][1] >= lst[i + 1][1] for i in range(len(lst) - 1)
+        )
+    # the hard negatives are the brute-force top neighbors minus the
+    # component: with singleton-ish components, rank-1 negatives match
+    # the brute top-1 whenever that neighbor isn't the anchor's twin
+    truth = {
+        (r.query_id, r.knn_rank): r.neighbor_id
+        for r in brute_force_knn(emb, num_queries=8, k=1).collect()
+    }
+    for a in range(8):
+        top = truth[(a, 1)]
+        if (top - top % 2) != (a - a % 2):
+            got1 = [r.partner for r in rows
+                    if r.anchor == a and r.neg_rank == 1]
+            assert got1 == [top], (a, got1, top)
+
+
 def test_epoch_shuffle_distinct_orders_per_epoch(spark):
     df = spark.range(200).withColumnRenamed("id", "doc_id")
     o0 = [
