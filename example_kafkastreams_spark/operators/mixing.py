@@ -239,15 +239,34 @@ def mix_sources_budget(
     alpha: float = 1.0,
     source_col: str = "source",
     id_col: str = "doc_id",
+    weight_expr: str | None = None,
 ) -> DataFrame:
-    """Down-sample to an absolute row budget with temperature-shaped
+    """Down-sample to an absolute budget with temperature-shaped
     per-source quotas (``budget_quotas``): one S-row count job derives
     the quotas, then survival is the same pure map-side hash-threshold
     filter every mixer here uses — expected survivors ≈ quota per
     source, pinned sources (rate 1.0) keep every row exactly. At
     100 TB the scan carries literal predicates; no join, no shuffle,
-    no rand()."""
-    counts = _source_counts(docs, source_col)
+    no rand().
+
+    ``weight_expr``: a SQL expression giving each row's budget weight
+    (e.g. a token count — ``size(split(text, ' +'))``), making
+    ``budget`` a TOKEN budget instead of a row budget: per-source
+    masses are the weight SUMS, quotas water-fill in the same units,
+    and the acceptance rate quota/mass makes the EXPECTED surviving
+    mass hit the quota (the hash is content-independent of the
+    weight, so sampled mass concentrates around rate × mass). Default
+    ``None`` keeps row counting."""
+    if weight_expr is None:
+        counts = _source_counts(docs, source_col)
+    else:
+        counts = {
+            r[source_col]: r["n"]
+            for r in docs.filter(F.col(source_col).isNotNull())
+            .groupBy(source_col)
+            .agg(F.sum(F.expr(weight_expr)).alias("n"))
+            .collect()
+        }
     quotas = budget_quotas(counts, budget, alpha)
     rates = {
         s: 1.0 if quotas[s] >= counts[s] else quotas[s] / counts[s]

@@ -231,6 +231,38 @@ def test_budget_quotas_waterfill_and_sum(spark):
         budget_quotas({}, 10)
 
 
+def test_mix_sources_budget_token_weighted(spark):
+    """weight_expr turns the budget into token units: per-source
+    masses are weight sums, quotas water-fill in tokens, and the
+    surviving token mass lands near the budget."""
+    from example_kafkastreams_spark.operators.mixing import (
+        mix_sources_budget,
+    )
+
+    docs = load_table(spark, SMOKE, "documents")
+    w = "size(split(text, ' +'))"
+    total_tokens = docs.filter(F.col("source").isNotNull()).agg(
+        F.sum(F.expr(w))
+    ).first()[0]
+    budget = total_tokens // 2
+    out = mix_sources_budget(docs, budget, alpha=0.5, weight_expr=w)
+    kept_tokens = out.agg(F.sum(F.expr(w))).first()[0]
+    # hash sampling over ~500 docs with ~50-token docs: allow a few
+    # hundred tokens of noise around the target
+    assert abs(kept_tokens - budget) < 0.1 * total_tokens, (
+        kept_tokens, budget, total_tokens,
+    )
+    # deterministic
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in mix_sources_budget(
+            docs.repartition(11), budget, alpha=0.5, weight_expr=w
+        ).collect()
+    )
+    assert a == b
+
+
 def test_mix_sources_budget_end_to_end(spark):
     from example_kafkastreams_spark.operators.mixing import (
         budget_quotas,
