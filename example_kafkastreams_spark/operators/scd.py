@@ -260,6 +260,45 @@ def scd2_point_in_time_join(
     )
 
 
+def changelog_from_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts,
+) -> DataFrame:
+    """Derive the day-2 change-log batch from two FULL snapshots —
+    most upstream sources deliver snapshots, not changelogs, and this
+    is the bridge into ``scd2_apply_delta``: keys whose attrs changed
+    (or appeared) emit one update stamped ``ts``. The comparison is
+    the snapshot-diff shape (operators.diffs): both sides reduce to
+    (key, attrs) before the join, the unchanged majority drops, and
+    the emitted batch is delta-sized. Deletions are out of SCD2's
+    vocabulary (a vanished key keeps its last version open) — handle
+    tombstones upstream if the source hard-deletes.
+
+    Output columns: key, ``ts`` (the snapshot's effective timestamp),
+    ``tie`` (constant 0 — one update per key per snapshot, so the
+    tie-break never fires), and ``attrs``.
+    """
+    o = old.select(key, *attrs).alias("o")
+    n = new.select(key, *attrs).alias("n")
+    # a NEW key's left join yields all-NULL old attrs, which fails the
+    # null-safe equality against any non-null new attrs — so appeared
+    # keys emit without a separate branch
+    changed = n.join(o, on=key, how="left").filter(
+        ~F.struct(*[F.col(f"o.{a}") for a in attrs]).eqNullSafe(
+            F.struct(*[F.col(f"n.{a}") for a in attrs])
+        )
+    )
+    return changed.select(
+        F.col(key),
+        F.lit(ts).cast("timestamp").alias("ts"),
+        F.lit(0).cast("long").alias("tie"),
+        *[F.col(f"n.{a}").alias(a) for a in attrs],
+    )
+
+
 def scd2_as_of(dim: DataFrame, ts) -> DataFrame:
     """Time-travel snapshot: the version of every key current AT
     ``ts`` (half-open intervals, same boundary rule as the

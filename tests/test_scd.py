@@ -86,6 +86,58 @@ def test_scd2_point_in_time_semantics(spark):
     assert out.count() == facts.count()
 
 
+def test_changelog_from_snapshots_feeds_apply_delta(spark):
+    """Two full snapshots -> a delta-sized changelog batch -> the
+    delta apply: changed and appeared keys emit, unchanged keys don't,
+    and the folded dimension carries the new values."""
+    from example_kafkastreams_spark.operators.scd import (
+        changelog_from_snapshots,
+        scd2_apply_delta,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "bronze"), (2, "silver"), (3, "gold")],
+        "user_id long, tier string",
+    )
+    new = spark.createDataFrame(
+        [(1, "bronze"), (2, "gold"), (4, "bronze")],
+        "user_id long, tier string",
+    )
+    batch = changelog_from_snapshots(
+        old, new, "user_id", ["tier"], "2024-02-01T00:00:00"
+    )
+    got = {(r.user_id, r.tier) for r in batch.collect()}
+    # 1 unchanged -> silent; 2 changed; 4 appeared; 3 vanished -> no
+    # tombstone (SCD2 keeps its last version open)
+    assert got == {(2, "gold"), (4, "bronze")}
+
+    day1 = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), 10, "bronze"),
+            (2, _ts("2024-01-01T00:00:00"), 20, "silver"),
+            (3, _ts("2024-01-01T00:00:00"), 30, "gold"),
+        ],
+        _UPD_SCHEMA,
+    )
+    dim1 = scd2_from_changelog(day1, "user_id", "ts", ["tier"], "event_id")
+    dim2 = scd2_apply_delta(
+        dim1,
+        batch.withColumnRenamed("tie", "event_id"),
+        "user_id", "ts", ["tier"], "event_id",
+    )
+    cur = {
+        r.user_id: r.tier
+        for r in dim2.filter(F.col("is_current")).collect()
+    }
+    assert cur == {1: "bronze", 2: "gold", 3: "gold", 4: "bronze"}
+    # user 2's silver closed at the snapshot timestamp
+    closed = dim2.filter(
+        (F.col("user_id") == 2) & ~F.col("is_current")
+    ).collect()
+    assert len(closed) == 1
+    assert closed[0].valid_to == _ts("2024-02-01T00:00:00")
+
+
 def test_scd2_as_of_snapshot(spark):
     from example_kafkastreams_spark.operators.scd import scd2_as_of
 
