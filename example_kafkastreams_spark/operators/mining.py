@@ -65,9 +65,11 @@ def contrastive_pairs(
         F.lit(True).alias("is_positive"),
     )
 
-    n_nodes = comp.count()  # one count job; the labeling is persisted
     if num_buckets is None:
-        num_buckets = max(1, n_nodes // 64)
+        # one count job; the labeling is persisted — skipped entirely
+        # when the caller supplies the bucket count (q57 feeds it from
+        # the cheap doc count precisely to avoid this job)
+        num_buckets = max(1, comp.count() // 64)
     bucket = (
         _hash32(f"concat(CAST({id_col} AS STRING), ':b{seed}')")
         % num_buckets

@@ -675,6 +675,18 @@ BLOOM_M = 8192  # bits (power of two); 256 packed words
 BLOOM_K = 4     # hash functions
 
 
+def _bloom_check_m(m_bits: int) -> None:
+    """The packed layout sizes the vector as m_bits//32 words while
+    positions reach m_bits−1: a non-multiple-of-32 m_bits would index
+    past the last word (IndexError in bloom_vector, or a NULL
+    element_at in bloom_probe_expr that reads as a silent FALSE
+    NEGATIVE). Reject it at every entry point instead."""
+    if m_bits <= 0 or m_bits % 32 != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of 32, got {m_bits}"
+        )
+
+
 def _bloom_pos(var: str, i: int, m_bits: int, d: str) -> str:
     """Bit position of hash i for value expression ``var``."""
     salted = f"CONCAT('{i}:', {var})"
@@ -690,6 +702,7 @@ def bloom_words(
     """Build the filter as (word, bits) rows — word = pos div 32, bits
     = OR of (1 << pos%32) — at most m_bits/32 rows, exact integers,
     partitioning-independent."""
+    _bloom_check_m(m_bits)
     coords = F.explode(
         F.array(
             *[
@@ -719,6 +732,7 @@ def bloom_words_sql(
 ) -> str:
     """DuckDB twin of ``bloom_words`` over ``values_sql`` (one column
     ``v``): identical (word, bits) rows."""
+    _bloom_check_m(m_bits)
     pos_arms = " UNION ALL ".join(
         f"SELECT {_bloom_pos('v', i, m_bits, P.DUCK)} AS pos"
         f" FROM vals" for i in range(k)
@@ -736,6 +750,7 @@ def bloom_vector(
 ) -> list[int]:
     """Collect the filter into a dense word vector — bounded BY
     CONSTRUCTION at m_bits/32 rows."""
+    _bloom_check_m(m_bits)
     vec = [0] * (m_bits // 32)
     for r in words.collect():
         vec[int(r["word"])] = int(r["bits"])
@@ -752,6 +767,7 @@ def bloom_probe_expr(
     k bits set in the LITERAL word array — map-side, no join). Usable
     inside higher-order-function lambdas (``var`` may be a lambda
     variable)."""
+    _bloom_check_m(m_bits)
     arr = "array(" + ",".join(f"{x}L" for x in vec) + ")"
     checks = []
     for i in range(k):
@@ -775,6 +791,7 @@ def bloom_member_sql(
     ``member`` true iff all k bits are set in the registers CTE named
     ``regs_cte`` (a missing word row reads as unset bits via the left
     join)."""
+    _bloom_check_m(m_bits)
     arms = " UNION ALL ".join(
         f"SELECT v, {_bloom_pos('v', i, m_bits, P.DUCK)} AS pos"
         f" FROM probevals" for i in range(k)
@@ -866,9 +883,16 @@ def bloom_store_sink(
         shutil.rmtree(staged, ignore_errors=True)
         merged.coalesce(1).write.mode("overwrite").parquet(staged)
         old = path + ".__old__"
-        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(path):
+            # normal batch: retire the previous filter to .__old__
+            # (clearing any stale .__old__ only now that a current
+            # `path` exists to take its place as the fallback)
+            shutil.rmtree(old, ignore_errors=True)
             os.rename(path, old)
+        # recovery batch (`path` absent, .__old__ serving): keep
+        # .__old__ readable until the publish rename lands — a crash
+        # anywhere in this window still leaves one _SUCCESS-bearing
+        # copy for bloom_store_read
         os.rename(staged, path)
         shutil.rmtree(old, ignore_errors=True)
 
@@ -942,7 +966,9 @@ def histogram_quantile(
     run = 0
     for bkt in range(n_buckets):
         run += counts.get(bkt, 0)
-        if run >= target and (run > 0 or target == 0):
+        # q == 0 means "the minimum": that lies in the first
+        # NON-EMPTY bucket, so an empty leading bucket never answers
+        if run >= target and counts.get(bkt, 0) > 0:
             return (lo + bkt * width, lo + (bkt + 1) * width)
     return (hi - width, hi)
 
@@ -1001,15 +1027,18 @@ def cms_store_sink(
     import hashlib
     import os
     import shutil
-    import uuid
 
     from .scd import _scd2_read_meta, _scd2_write_meta
 
-    token = (
-        hashlib.md5(run_id.encode()).hexdigest()[:16]
-        if run_id
-        else uuid.uuid4().hex[:16]
-    )
+    # The token must SURVIVE a driver restart, or the checkpoint's
+    # replayed micro-batch arrives under a fresh identity and the
+    # high-water mark can't recognize it — double-counting. Default
+    # to the store path itself (stable across restarts of the same
+    # query); pass run_id only to let distinct logical streams share
+    # one store.
+    token = hashlib.md5(
+        (run_id if run_id else path).encode()
+    ).hexdigest()[:16]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         meta = _scd2_read_meta(path) or {"current": None, "applied": {}}

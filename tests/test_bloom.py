@@ -226,3 +226,85 @@ def test_bloom_decontam_superset_of_exact_and_map_side(spark):
         r.doc_id for r in bloom_df.filter("contaminated").collect()
     }
     assert exact_ids <= flagged
+
+
+def test_bloom_store_sink_recovery_batch_keeps_fallback_readable(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9 regression: in a RECOVERY batch (store dir missing,
+    .__old__ serving), the sink must NOT delete .__old__ before the
+    publish rename — a crash in that window would otherwise leave no
+    _SUCCESS-bearing copy and the next replay would silently rebuild
+    from None, dropping all pre-batch history."""
+    import os
+
+    from example_kafkastreams_spark.operators.sketches import (
+        bloom_store_read,
+        bloom_store_sink,
+    )
+
+    store = str(tmp_path / "bloom")
+    sink = bloom_store_sink(spark, store)
+    sink(_vals(spark, 100), 0)
+    served = sorted(map(tuple, bloom_store_read(spark, store).collect()))
+
+    # crash state: mid-publish of some later batch — store renamed
+    # away, .__old__ is the only readable copy
+    os.rename(store, store + ".__old__")
+
+    # the recovery batch itself crashes right at the publish rename
+    real_rename = os.rename
+
+    def exploding_rename(src, dst):
+        if dst == store:
+            raise OSError("simulated crash at publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", exploding_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated crash"):
+        sink(_vals(spark, 100), 1)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # the previous filter MUST still serve (pre-fix: .__old__ was
+    # rmtree'd before the rename and this read returned None)
+    cur = bloom_store_read(spark, store)
+    assert cur is not None
+    assert sorted(map(tuple, cur.collect())) == served
+
+    # and the replay completes the recovery
+    sink(_vals(spark, 100), 1)
+    assert sorted(
+        map(tuple, bloom_store_read(spark, store).collect())
+    ) == served
+    assert not os.path.exists(store + ".__old__")
+
+
+def test_bloom_rejects_bad_m_bits(spark):
+    """ADVICE r9 regression: a non-multiple-of-32 (or non-positive)
+    m_bits would index past the packed word vector — IndexError on
+    build or a NULL element_at probing, i.e. silent FALSE NEGATIVES.
+    Every entry point rejects it."""
+    import pytest as _pytest
+
+    from example_kafkastreams_spark.operators.sketches import (
+        bloom_member_sql,
+        bloom_probe_expr,
+        bloom_vector,
+        bloom_words,
+        bloom_words_sql,
+    )
+
+    vals = _vals(spark, 10)
+    for bad in (100, 0, -32, 33):
+        with _pytest.raises(ValueError, match="multiple of 32"):
+            bloom_words(vals, "v", m_bits=bad)
+        with _pytest.raises(ValueError, match="multiple of 32"):
+            bloom_words_sql("SELECT 'a' AS v", m_bits=bad)
+        with _pytest.raises(ValueError, match="multiple of 32"):
+            bloom_vector(vals, m_bits=bad)
+        with _pytest.raises(ValueError, match="multiple of 32"):
+            bloom_probe_expr("v", [0] * 4, m_bits=bad)
+        with _pytest.raises(ValueError, match="multiple of 32"):
+            bloom_member_sql("SELECT 'a' AS v", "regs", m_bits=bad)

@@ -93,3 +93,24 @@ def test_cms_store_sink_replay_skipped_and_crash_heals(spark, tmp_path):
     assert sorted(
         map(tuple, cms_store_read(spark, store).collect())
     ) == rows1
+
+
+def test_cms_store_default_token_survives_restart(spark, tmp_path):
+    """ADVICE r9 regression: with the default run_id=None the token is
+    derived from the store PATH, not a per-process uuid — so a driver
+    restart followed by a checkpoint replay of an already-applied
+    batch is recognized by the high-water mark and skipped, never
+    double-counted."""
+    store = str(tmp_path / "cms")
+    sink_a = cms_store_sink(spark, store)  # default run_id
+    b0, b1 = _vals(spark, 0, 100), _vals(spark, 100, 250)
+    sink_a(b0, 0)
+    sink_a(b1, 1)
+    rows1 = sorted(map(tuple, cms_store_read(spark, store).collect()))
+
+    # driver restart: a FRESH sink instance replays batch 1
+    sink_b = cms_store_sink(spark, store)
+    sink_b(b1, 1)
+    assert sorted(
+        map(tuple, cms_store_read(spark, store).collect())
+    ) == rows1, "replayed batch after restart must be skipped"

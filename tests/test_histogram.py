@@ -77,3 +77,22 @@ def test_histogram_rejects_bad_args(spark):
         histogram_quantile(rows, 1.5, 0.0, 10.0)
     with pytest.raises(ValueError):
         histogram_quantile([], 0.5, 0.0, 10.0)
+
+
+def test_histogram_quantile_q0_skips_empty_leading_buckets():
+    """ADVICE r9 regression: q=0 (the minimum) must return the first
+    NON-EMPTY bucket's edges — with all mass in bucket 32 of [0,1000)
+    x 64, the minimum is in [500, 515.625), never bucket 0."""
+    from example_kafkastreams_spark.operators.sketches import (
+        histogram_quantile,
+    )
+
+    rows = [{"bucket": 32, "cnt": 100}]
+    lo_edge, hi_edge = histogram_quantile(rows, 0.0, 0.0, 1000.0, 64)
+    assert (lo_edge, hi_edge) == (500.0, 515.625)
+    # and the guarantee holds for every q over the same rows
+    for q in (0.0, 0.5, 1.0):
+        assert histogram_quantile(rows, q, 0.0, 1000.0, 64) == (
+            500.0,
+            515.625,
+        )

@@ -150,3 +150,21 @@ def test_ordering_keys_are_map_side(spark):
     docs = load_table(spark, SMOKE, "documents").select("doc_id")
     keyed = docs.withColumn("k", epoch_shuffle_key("doc_id", 3))
     assert count_exchanges(keyed) == 0
+
+
+def test_contrastive_pairs_explicit_buckets_skip_count_job(spark):
+    """ADVICE r9 regression: an explicit num_buckets must skip the
+    comp.count() job entirely (q57 feeds the bucket count from the
+    cheap doc count for exactly this reason)."""
+    comp = _comp(spark)
+    counted = {"n": 0}
+    orig = type(comp).count
+    type(comp).count = lambda self: counted.__setitem__(
+        "n", counted["n"] + 1
+    ) or orig(self)
+    try:
+        pairs = contrastive_pairs(comp, neg_per_anchor=1, num_buckets=1)
+        pairs.collect()
+        assert counted["n"] == 0, "explicit num_buckets ran count()"
+    finally:
+        type(comp).count = orig
