@@ -1440,6 +1440,37 @@ def main() -> None:
     release_sketch_caches()
     compare["ann_recall"] = ann_rows
 
+    # Serving-quality gate (VERDICT r9 item 2): recall was the one
+    # number with no regression flag — a silent drop in a trained
+    # family would have gone unnoticed. Every TRAINED family must (a)
+    # hold recall@10 at or above its committed floor and (b) serve
+    # faster than same-run brute force (the whole point of an index).
+    # The sample-codebook rows (lsh/pq/ivfpq without training) are
+    # oracle-shape demonstrations, documented low-recall — not gated.
+    RECALL_FLOOR = 0.85
+    bf_wall = ann_rows["brute_force"]["sec"]
+    recall_flags: dict[str, dict] = {}
+    for fam in (
+        "pq_trained",
+        "ivfpq_trained",
+        "ivfflat_trained",
+        "ivfpq_trained_index",
+        "ivfflat_trained_index",
+    ):
+        row = ann_rows.get(fam)
+        if not row:
+            recall_flags[fam] = {"err": "row missing from sweep"}
+            continue
+        bad = {}
+        if row["recall_at_10"] < RECALL_FLOOR:
+            bad["recall_at_10"] = row["recall_at_10"]
+            bad["floor"] = RECALL_FLOOR
+        if row["serve_sec"] >= bf_wall:
+            bad["serve_sec"] = row["serve_sec"]
+            bad["brute_force_sec"] = bf_wall
+        if bad:
+            recall_flags[fam] = bad
+
     # Regression gate (VERDICT r6 item 5; share-normalized round 9).
     # Shuffle records are deterministic — a shuffle flag means "the
     # plan changed" and is the trustworthy signal. Walls on this host
@@ -1462,7 +1493,11 @@ def main() -> None:
     wall_base, shuf_base, base_src, base_canary, base_queries = (
         load_baselines()
     )
-    regressions: dict[str, dict] = {"wall": {}, "shuffle": {}}
+    regressions: dict[str, dict] = {
+        "wall": {},
+        "shuffle": {},
+        "recall": recall_flags,
+    }
     cur_total = sum(timings.values()) or 1.0
     for k, sec in timings.items():
         b = wall_base.get(k)

@@ -240,6 +240,7 @@ def mix_sources_budget(
     source_col: str = "source",
     id_col: str = "doc_id",
     weight_expr: str | None = None,
+    counts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Down-sample to an absolute budget with temperature-shaped
     per-source quotas (``budget_quotas``): one S-row count job derives
@@ -256,17 +257,22 @@ def mix_sources_budget(
     and the acceptance rate quota/mass makes the EXPECTED surviving
     mass hit the quota (the hash is content-independent of the
     weight, so sampled mass concentrates around rate × mass). Default
-    ``None`` keeps row counting."""
-    if weight_expr is None:
-        counts = _source_counts(docs, source_col)
-    else:
-        counts = {
-            r[source_col]: r["n"]
-            for r in docs.filter(F.col(source_col).isNotNull())
-            .groupBy(source_col)
-            .agg(F.sum(F.expr(weight_expr)).alias("n"))
-            .collect()
-        }
+    ``None`` keeps row counting.
+
+    ``counts``: precomputed per-source masses — callers that already
+    ran the count job (e.g. to derive ``budget`` as a fraction of the
+    total mass) pass it through and skip the recount."""
+    if counts is None:
+        if weight_expr is None:
+            counts = _source_counts(docs, source_col)
+        else:
+            counts = {
+                r[source_col]: r["n"]
+                for r in docs.filter(F.col(source_col).isNotNull())
+                .groupBy(source_col)
+                .agg(F.sum(F.expr(weight_expr)).alias("n"))
+                .collect()
+            }
     quotas = budget_quotas(counts, budget, alpha)
     rates = {
         s: 1.0 if quotas[s] >= counts[s] else quotas[s] / counts[s]

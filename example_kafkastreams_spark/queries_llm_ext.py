@@ -1144,6 +1144,11 @@ CMS_PROBES = 3
 HLL_Q58_P = 8  # 256 registers, RSE ≈ 6.5% — over the 3-shingle domain
 HLL_GRP_P = 6  # 64 registers per group — distinct users per event_type
 KMV_OPS_K = 256  # set-op sketch size — vocab overlap of two sources
+# hist branch (round 10): equi-width histogram over events.value —
+# lo/hi/width are DYADIC literals (width 8.0) so the bucket division
+# is exact IEEE in both engines; values ≥ hi clamp to the last bucket
+HIST_LO, HIST_HI, HIST_N = 0.0, 512.0, 64
+HIST_W = (HIST_HI - HIST_LO) / HIST_N
 
 
 def _q58_sql() -> str:
@@ -1236,6 +1241,18 @@ def _q58_sql() -> str:
     pexact AS (
       SELECT t.v AS probe, count(*) AS exact_cnt
       FROM ({toks}) t JOIN probes pr ON pr.v = t.v GROUP BY t.v
+    ),
+    -- hist branch: the mergeable equi-width histogram re-derived as a
+    -- direct bucket count — same clamped-tail bucket expression as
+    -- histogram_sketch (floor of an exact dyadic-width division), so
+    -- the merged two-half Spark build must match the one-shot count
+    hist AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(
+               (CAST(value AS DOUBLE) - CAST('{HIST_LO!r}' AS DOUBLE))
+               / CAST('{HIST_W!r}' AS DOUBLE)) AS INTEGER), 0),
+             {HIST_N - 1}) AS bucket,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1
     )
     SELECT 'srp' AS mode, srp_bucket,
            count(*) AS n_vectors, min(vec_id) AS min_vec_id,
@@ -1321,6 +1338,17 @@ def _q58_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM hllgrpest e JOIN grpexact x ON x.grp = e.grp
+    UNION ALL
+    SELECT 'hist', bucket, cnt,
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT)
+    FROM hist
     """
 
 
@@ -1472,6 +1500,30 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_zero_regs",
         )
     )
+    # hist branch (round 10): the MERGEABLE histogram driver-checked —
+    # build over two disjoint halves (user_id parity), counter-sum
+    # merge, so the driver row value-checks build AND merge against
+    # the oracle's one-shot bucket count (merge==build is the
+    # mergeability contract; the halves union covers every row since
+    # events.user_id is never NULL on this testdata — and if a
+    # regeneration ever added NULLs the count mismatch would SHOW)
+    from .operators.sketches import histogram_merge, histogram_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = histogram_merge(
+        histogram_sketch(
+            ev.filter(F.col("user_id") % 2 == 0), "value",
+            HIST_LO, HIST_HI, HIST_N,
+        ),
+        histogram_sketch(
+            ev.filter(F.col("user_id") % 2 != 0), "value",
+            HIST_LO, HIST_HI, HIST_N,
+        ),
+    ).select(
+        F.col("bucket").alias("srp_bucket"),
+        F.col("cnt").alias("n_vectors"),
+    )
+
     null = {
         "k_used": "int", "kth_hash": "long", "est_distinct": "double",
         "exact_distinct": "long", "probe": "string", "cms_est": "long",
@@ -1507,4 +1559,5 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pad(grp_est, "hll_grp_est",
                          ["probe", "est_distinct", "exact_distinct",
                           "n_zero_regs"]))
+        .unionByName(pad(hist, "hist", ["srp_bucket", "n_vectors"]))
     )

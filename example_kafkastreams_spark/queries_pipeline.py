@@ -59,6 +59,16 @@ _MIX_NORM = [w / _MIX_TOTAL for w in _MIX_RANK_WEIGHTS]
 # the oracle so the per-doc assignment is value-checked end to end)
 _SPLIT_RATIOS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 
+# q61 `budget` branch (round 10): an ABSOLUTE token budget — 97% of
+# the corpus token mass, high enough that several small sources'
+# n^0.5-boosted shares exceed what they have, so the water-fill
+# fixpoint (operators.mixing.budget_quotas) actually iterates (2-3
+# pin rounds on this testdata at every SF). α and the budget fraction
+# are literals; masses are data-derived, and the oracle re-runs the
+# SAME fixpoint as a recursive CTE over a single-row list state.
+_BUDGET_FRAC = "0.97"
+_BUDGET_ALPHA = 0.5
+
 
 def _mixing_sql() -> str:
     """DuckDB twin of mix_sources: derive the per-source acceptance
@@ -90,7 +100,7 @@ def _mixing_sql() -> str:
            CAST(NULL AS DOUBLE) AS pct_lang_pure,
            CAST(NULL AS DOUBLE) AS gini_chars"""
     return f"""
-    WITH ranked AS (
+    WITH RECURSIVE ranked AS (
       SELECT source, row_number() OVER (ORDER BY source) AS rk
       FROM (SELECT DISTINCT source FROM documents)
     ),
@@ -172,6 +182,85 @@ def _mixing_sql() -> str:
                          - 2 * sum(ch * (n - rn + 1))) AS DOUBLE)
                    / CAST((max(n) * max(tot)) AS DOUBLE), 6) AS gini_chars
       FROM rw GROUP BY source
+    ),
+    -- budget branch: water-fill an absolute token budget over sources
+    -- (operators.mixing.budget_quotas) re-run as a recursive CTE over
+    -- ONE row of sorted per-source lists. Per round: remaining =
+    -- budget minus pinned masses (exact integer-valued doubles, so
+    -- order-free), sumw = the left fold over FREE weights in sorted
+    -- source order (Python's sum() over the sorted free list), pin
+    -- every free source whose w*rem/sumw >= n. Recursion stops when a
+    -- round pins nothing; rates then mirror mix_sources_budget's
+    -- quota/mass (pinned sources rate exactly 1.0). Every float op is
+    -- the same IEEE sequence Python runs, so survivor sets match
+    -- bit-exact with NO tolerance.
+    bsrc AS (
+      SELECT source, CAST(sum({qx['n_tokens']}) AS DOUBLE) AS n
+      FROM documents WHERE source IS NOT NULL GROUP BY source
+    ),
+    bbud AS (
+      SELECT CAST(floor(CAST('{_BUDGET_FRAC}' AS DOUBLE)
+                        * CAST(sum(CAST(n AS BIGINT)) AS DOUBLE))
+                  AS DOUBLE) AS b
+      FROM bsrc
+    ),
+    wfill AS (
+      SELECT 0 AS rnd, (SELECT b FROM bbud) AS b,
+             list(source ORDER BY source) AS srcs,
+             list(n ORDER BY source) AS ns,
+             list({P.dyadic_pow('n', _BUDGET_ALPHA, D)}
+                  ORDER BY source) AS ws,
+             list(FALSE ORDER BY source) AS pinned
+      FROM bsrc
+      UNION ALL
+      SELECT rnd + 1, b, srcs, ns, ws, newpinned FROM (
+        SELECT rnd, b, srcs, ns, ws, pinned,
+               list_transform(range(1, len(srcs) + 1),
+                 i -> pinned[i] OR (ws[i] * rem / sumw >= ns[i])
+               ) AS newpinned
+        FROM (
+          SELECT *,
+            b - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(
+                    list_filter(range(1, len(srcs) + 1),
+                                i -> pinned[i]),
+                    i -> ns[i])),
+                  (acc, x) -> acc + x) AS rem,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(
+                    list_filter(range(1, len(srcs) + 1),
+                                i -> NOT pinned[i]),
+                    i -> ws[i])),
+                  (acc, x) -> acc + x) AS sumw
+          FROM wfill
+        )
+      ) WHERE newpinned <> pinned
+    ),
+    wfin AS (
+      SELECT *,
+        b - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(
+                list_filter(range(1, len(srcs) + 1), i -> pinned[i]),
+                i -> ns[i])),
+              (acc, x) -> acc + x) AS rem,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(
+                list_filter(range(1, len(srcs) + 1),
+                            i -> NOT pinned[i]),
+                i -> ws[i])),
+              (acc, x) -> acc + x) AS sumw
+      FROM wfill ORDER BY rnd DESC LIMIT 1
+    ),
+    widx AS (
+      SELECT unnest(range(1, len(srcs) + 1)) AS i,
+             srcs, ns, ws, pinned, rem, sumw
+      FROM wfin
+    ),
+    wrates AS (
+      SELECT srcs[i] AS source,
+             CASE WHEN pinned[i] THEN CAST(1.0 AS DOUBLE)
+                  ELSE (ws[i] * rem / sumw) / ns[i] END AS rate
+      FROM widx
     )
     SELECT 'mix' AS mode, d.doc_id, d.source,{null_card}
     FROM documents d JOIN rates r ON d.source = r.source
@@ -186,6 +275,10 @@ def _mixing_sql() -> str:
            round(1.0 - CAST(c.distinct_texts AS DOUBLE) / c.n_docs, 6),
            c.mean_quality, c.pct_lang_pure, g.gini_chars
     FROM cardbase c JOIN gin g USING (source)
+    UNION ALL
+    SELECT 'budget', d.doc_id, d.source,{null_card}
+    FROM documents d JOIN wrates r ON d.source = r.source
+    WHERE {h} < CAST(floor(r.rate * {_M}) AS BIGINT)
     UNION ALL
     -- split branch: the shipped train/val/test assignment, re-derived
     -- per doc from the same content hash + exact integer thresholds
@@ -257,6 +350,38 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
     )
+    # budget branch (round 10): water-fill an absolute TOKEN budget —
+    # 97% of the corpus token mass, n^0.5 target shares — over the
+    # sources (operators.mixing.budget_quotas / mix_sources_budget).
+    # One S-row mass job feeds BOTH the budget derivation and the
+    # operator (counts= skips the recount); survival is the same pure
+    # map-side literal hash-threshold filter as mix/temp. The oracle
+    # re-runs the fixpoint as a recursive CTE, so the pinned set, the
+    # quotas, and the per-doc survivor set are all value-checked.
+    import math
+
+    from .operators.mixing import mix_sources_budget
+
+    tok_expr = QL._quality_exprs(P.SPARK)["n_tokens"]
+    masses = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.sum(F.expr(tok_expr)).alias("n"))
+        .collect()
+    }
+    b = float(math.floor(
+        float(_BUDGET_FRAC) * float(sum(masses.values()))
+    ))
+    budget = mix_sources_budget(
+        docs, b, alpha=_BUDGET_ALPHA, weight_expr=tok_expr,
+        counts=masses,
+    ).select(
+        F.lit("budget").alias("mode"),
+        "doc_id",
+        "source",
+        *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
+    )
     card = corpus_report(docs).select(
         F.lit("card").alias("mode"),
         F.lit(None).cast("long").alias("doc_id"),
@@ -270,7 +395,8 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
     )
     return (
-        mix.unionByName(temp).unionByName(card).unionByName(split)
+        mix.unionByName(temp).unionByName(budget)
+        .unionByName(card).unionByName(split)
     )
 
 
