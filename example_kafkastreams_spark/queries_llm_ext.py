@@ -856,6 +856,11 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the spanning-cluster set — is value-checked end to end
 _LEAK_RATIOS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 
+# mine_hard branch (round 10): hard-negative mining parameters — the
+# curriculum's hard end next to mine_neg's cheap random picks
+_HARD_NEG_ANCHORS = 8
+_HARD_NEG_K = 2
+
 
 @query(
     "q57_neardup_components",
@@ -938,23 +943,55 @@ _LEAK_RATIOS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
                           partner) AS rn
         FROM mcand
       ) WHERE rn <= 1
+    ),
+    -- mine_hard branch: hard negatives (operators.mining
+    -- .hard_negative_pairs) — per anchor embedding, the top-k
+    -- cosine-nearest vectors NOT in the anchor's near-dup component
+    -- (embeddings.vec_id shares the documents.doc_id id space);
+    -- the rank is the same two-phase top-k the Spark side runs
+    hne AS (
+      SELECT e.vec_id AS id, e.embedding AS v,
+             COALESCE(l.component_id, e.vec_id) AS cid
+      FROM embeddings e LEFT JOIN labeled l ON l.doc_id = e.vec_id
+    ),
+    hq AS (SELECT id AS anchor, v AS qv, cid AS qc FROM hne
+           WHERE id < {_HARD_NEG_ANCHORS}),
+    hsc AS (
+      SELECT q.anchor, c.id AS partner,
+             {P.cosine('q.qv', 'c.v', D)} AS cos
+      FROM hne c JOIN hq q
+        ON c.id <> q.anchor AND c.cid <> q.qc
+    ),
+    hrk AS (
+      SELECT anchor, partner, cos,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY cos DESC, partner) AS rk
+      FROM hsc
     )
     SELECT 'comp' AS mode, doc_id, component_id, component_size,
            CAST(NULL AS BIGINT) AS n_splits,
-           CAST(NULL AS VARCHAR) AS splits_csv
+           CAST(NULL AS VARCHAR) AS splits_csv,
+           CAST(NULL AS DOUBLE) AS cosine
     FROM sized
     UNION ALL
     SELECT 'leak', CAST(NULL AS BIGINT), component_id, component_size,
-           n_splits, splits_csv
+           n_splits, splits_csv, CAST(NULL AS DOUBLE)
     FROM leak
     UNION ALL
     SELECT 'mine_pos', component_id, doc_id, CAST(NULL AS BIGINT),
-           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
     FROM labeled WHERE doc_id <> component_id
     UNION ALL
     SELECT 'mine_neg', anchor, partner, CAST(NULL AS BIGINT),
-           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
     FROM mneg
+    UNION ALL
+    SELECT 'mine_hard', anchor, partner, rk,
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           {P.round_dbl('cos', 6, D)}
+    FROM hrk WHERE rk <= {_HARD_NEG_K}
     """,
 )
 def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,27 +1060,51 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=max(1, docs.count() // 64),
     )
     null_sz = F.lit(None).cast("bigint").alias("component_size")
+    null_cos = F.lit(None).cast("double").alias("cosine")
 
     def mine_child(flag: bool, mode: str):
         return mined.filter(F.col("is_positive") == flag).select(
             F.lit(mode).alias("mode"),
             F.col("anchor").alias("doc_id"),
             F.col("partner").alias("component_id"),
-            null_sz, *null_l,
+            null_sz, *null_l, null_cos,
         )
+
+    # mine_hard (round 10): operators.mining.hard_negative_pairs — per
+    # anchor embedding, the top-k cosine-nearest vectors OUTSIDE the
+    # anchor's near-dup component (vec_id shares doc_id's id space, so
+    # the SimHash labels transfer directly). The anchor side
+    # broadcasts; the corpus streams through the scored join once;
+    # the exclusion and the two-phase rank are re-derived in DuckDB,
+    # so the exact pair picks AND their cosines are value-checked.
+    from .operators.mining import hard_negative_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hard = hard_negative_pairs(
+        emb, comp, k=_HARD_NEG_K, num_anchors=_HARD_NEG_ANCHORS,
+        comp_id_col="doc_id",
+    ).select(
+        F.lit("mine_hard").alias("mode"),
+        F.col("anchor").alias("doc_id"),
+        F.col("partner").alias("component_id"),
+        F.col("neg_rank").cast("bigint").alias("component_size"),
+        *null_l,
+        F.col("cosine"),
+    )
 
     return sized.select(
         F.lit("comp").alias("mode"),
-        "doc_id", "component_id", "component_size", *null_l,
+        "doc_id", "component_id", "component_size", *null_l, null_cos,
     ).unionByName(
         leak.select(
             F.lit("leak").alias("mode"),
             F.lit(None).cast("bigint").alias("doc_id"),
             "component_id", "component_size", "n_splits", "splits_csv",
+            null_cos,
         )
     ).unionByName(mine_child(True, "mine_pos")).unionByName(
         mine_child(False, "mine_neg")
-    )
+    ).unionByName(hard)
 
 
 # --- q60: multimodal frame sampling (1 → N inside the Arrow batch) --------

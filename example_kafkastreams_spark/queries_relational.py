@@ -623,6 +623,64 @@ def _q26_sql() -> str:
                  END) AS dur_us_closed
       FROM dim GROUP BY tier
     ),
+    -- asof branch: the time-travel snapshot (scd2_as_of) — the version
+    -- of every key current AT the literal timestamp, half-open
+    -- boundary rule; intervals partition the timeline per key, so
+    -- count(*) == one row per present key
+    asofstats AS (
+      SELECT tier, COUNT(*) AS n_versions,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM dim
+      WHERE valid_from <= TIMESTAMP '2024-01-15'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15')
+      GROUP BY tier
+    ),
+    -- chlog branch: the snapshot-bridge path — most sources deliver
+    -- snapshots, not changelogs. Derive the day-2 change batch by
+    -- diffing the day-1 dimension's CURRENT rows against the full
+    -- log's CURRENT rows (changelog_from_snapshots), stamp it at the
+    -- literal T2, fold into the day-1 dimension (scd2_apply_delta).
+    -- The re-derivation here is the apply's closed form: touched
+    -- keys' open rows close at T2 and gain one new current version;
+    -- new keys gain their first
+    dim1 AS (
+      SELECT user_id, tier, ts AS valid_from,
+             lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM (
+        SELECT user_id, ts, event_id, tier FROM (
+          SELECT *, lag(tier) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+          FROM upd WHERE ts < TIMESTAMP '2024-01-21'
+        ) WHERE prev_tier IS NULL OR prev_tier <> tier
+      )
+    ),
+    snapa AS (SELECT user_id, tier FROM dim1 WHERE valid_to IS NULL),
+    snapb AS (SELECT user_id, tier FROM dim WHERE valid_to IS NULL),
+    chg AS (
+      SELECT b.user_id, b.tier FROM snapb b
+      LEFT JOIN snapa a ON a.user_id = b.user_id
+      WHERE a.user_id IS NULL OR a.tier <> b.tier
+    ),
+    dimc AS (
+      SELECT d.user_id, d.tier, d.valid_from,
+             CASE WHEN d.valid_to IS NULL AND c.user_id IS NOT NULL
+                  THEN TIMESTAMP '2024-02-01' ELSE d.valid_to
+             END AS valid_to
+      FROM dim1 d LEFT JOIN chg c ON c.user_id = d.user_id
+      UNION ALL
+      SELECT user_id, tier, TIMESTAMP '2024-02-01',
+             CAST(NULL AS TIMESTAMP)
+      FROM chg
+    ),
+    chlogstats AS (
+      SELECT tier, COUNT(*) AS n_versions,
+             SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_current,
+             SUM(CASE WHEN valid_to IS NULL THEN 0
+                      ELSE epoch_us(valid_to) - epoch_us(valid_from)
+                 END) AS dur_us_closed
+      FROM dimc GROUP BY tier
+    ),
     enr AS (
       SELECT f.event_id, f.user_id, f.value, d.tier
       FROM (SELECT * FROM events WHERE event_type = 'purchase') f
@@ -659,6 +717,19 @@ def _q26_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM deltastats
+    UNION ALL
+    SELECT 'asof', CAST(NULL AS VARCHAR), tier,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           n_versions, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), n_users, CAST(NULL AS DOUBLE)
+    FROM asofstats
+    UNION ALL
+    SELECT 'chlog', CAST(NULL AS VARCHAR), tier,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           n_versions, n_current, dur_us_closed,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM chlogstats
     """
 
 
@@ -687,7 +758,9 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-only contract — the maintenance operator itself is
     driver-value-checked."""
     from .operators.scd import (
+        changelog_from_snapshots,
         scd2_apply_delta,
+        scd2_as_of,
         scd2_dim_stats,
         scd2_from_changelog,
         scd2_point_in_time_join,
@@ -755,6 +828,33 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deltastats = scd2_dim_stats(dim2, ["tier"])
 
+    # asof branch (round 10): scd2_as_of — the time-travel snapshot at
+    # a literal mid-history timestamp; a pure map-side filter over the
+    # dimension (no join, no shuffle beyond the census agg), so at
+    # 100 TB "the table as of last Tuesday" costs one dimension scan
+    asofstats = scd2_as_of(dim, "2024-01-15").groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+    # chlog branch (round 10): the snapshot-bridge —
+    # changelog_from_snapshots diffs the day-1 dimension's current
+    # rows against the target current state (both dimension-sized,
+    # reduced to (key, attrs) before the join, the unchanged majority
+    # drops), and the delta-sized batch folds in via scd2_apply_delta;
+    # the oracle value-checks the resulting census against its own
+    # closed-form re-derivation
+    chg = changelog_from_snapshots(
+        dim1.filter(F.col("is_current")).select("user_id", "tier"),
+        dim.filter(F.col("is_current")).select("user_id", "tier"),
+        key="user_id", attrs=["tier"], ts="2024-02-01",
+    ).withColumnRenamed("tie", "event_id")
+    dimc = scd2_apply_delta(
+        dim1, chg, key="user_id", ts="ts", attrs=["tier"],
+        tie="event_id",
+    )
+    chlogstats = scd2_dim_stats(dimc, ["tier"])
+
     out_cols = [
         ("mode", "string"),
         ("event_type", "string"),
@@ -789,4 +889,6 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shape(dimstats, "dim"))
         .unionByName(shape(enrstats, "enrich"))
         .unionByName(shape(deltastats, "delta"))
+        .unionByName(shape(asofstats, "asof"))
+        .unionByName(shape(chlogstats, "chlog"))
     )
