@@ -1158,10 +1158,36 @@ def main() -> None:
                 else None
             ),
         }
-    f_digest.unpersist()
-    f_band.unpersist()
     fd_rows["delta_fraction"] = 0.1
     compare["delta_funnel"] = fd_rows
+
+    # Per-stage attribution for the DELTA branch (VERDICT r9 item 7):
+    # the delta-funnel wall above exceeds the one-shot wall at this
+    # scale because fixed per-stage job overheads dominate (the
+    # shuffle column is the scale signal) — record each delta stage's
+    # INCREMENTAL wall + shuffle, same discipline as funnel_stages, so
+    # any future optimization targets the measured mover.
+    dstages = corpus_stages_delta(delta, f_digest, f_band)
+    fd_stage_rows: dict[str, dict] = {}
+    for sname, sdf in dstages.items():
+        before = shuffle_totals(spark)
+        t0 = time.perf_counter()
+        n_rows = sdf.count()
+        sec = round(time.perf_counter() - t0, 3)
+        after = shuffle_totals(spark)
+        fd_stage_rows[sname] = {
+            "sec": sec,
+            "rows": n_rows,
+            "shuffle_write_records": (
+                after[0] - before[0]
+                if before is not None and after is not None
+                else None
+            ),
+        }
+    release_sketch_caches()
+    compare["delta_funnel_stages"] = fd_stage_rows
+    f_digest.unpersist()
+    f_band.unpersist()
 
     # ANN recall/cost (VERDICT r5 item 3): recall is unit-asserted on
     # fixtures but a USER picks an index by the recall-vs-wall curve at

@@ -186,13 +186,15 @@ def scd2_store_sink(
     """
     import hashlib
     import os
-    import uuid
 
-    token = (
-        hashlib.md5(run_id.encode()).hexdigest()[:16]
-        if run_id
-        else uuid.uuid4().hex[:16]
-    )
+    # Path-derived default token (same rationale as cms_store_sink): a
+    # restart's checkpoint-replayed batch is recognized and skipped
+    # outright. A fresh-uuid token would merely heal instead — the
+    # replayed apply is idempotent under drop_unchanged compaction —
+    # but recognizing it skips the recompute entirely.
+    token = hashlib.md5(
+        (run_id if run_id else path).encode()
+    ).hexdigest()[:16]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         meta = _scd2_read_meta(path) or {"current": None, "applied": {}}

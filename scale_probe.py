@@ -824,12 +824,123 @@ def probe_streaming(spark, base: str, n_batches: int = 6) -> dict:
             stream.select("doc_id", "text"), f"bm25_{label}", sink_fn=sink
         )
 
+    # Streaming maintenance sinks (VERDICT r9 item 5): Bloom, count-min
+    # and the SCD2 store driven through the same N real micro-batches
+    # at 1x/10x. The claims: per-batch wall flat in stream position,
+    # and state bounded BY CONSTRUCTION — Bloom ≤ m/32 word rows
+    # (constant), CMS ≤ depth×width counter rows (constant), SCD2 =
+    # retained versions (dimension-sized, grows only with CHANGES, and
+    # this feed alternates each key between two values so versions =
+    # keys × batches seen, never row count).
+    from example_kafkastreams_spark.operators.scd import (
+        scd2_store_read,
+        scd2_store_sink,
+    )
+    from example_kafkastreams_spark.operators.sketches import (
+        bloom_store_read,
+        bloom_store_sink,
+        cms_store_read,
+        cms_store_sink,
+    )
+
+    val_schema = T.StructType(
+        [
+            T.StructField("v", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    upd_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("tier", T.StringType()),
+        ]
+    )
+    for label, bsz in (("x1", 100), ("x10", 1000)):
+        vbatches = [
+            [
+                (
+                    f"tok{b}_{i}",
+                    epoch + dt.timedelta(seconds=60.0 * b + i * 0.001),
+                )
+                for i in range(bsz)
+            ]
+            for b in range(n_batches)
+        ]
+        for fam, mk_sink, read_store, bound in (
+            (
+                "bloom_sink",
+                lambda p: bloom_store_sink(spark, p),
+                bloom_store_read,
+                256,  # m/32 words at the default BLOOM_M=8192
+            ),
+            (
+                "cms_sink",
+                lambda p: cms_store_sink(spark, p),
+                cms_store_read,
+                4 * 256,  # depth x width counters
+            ),
+        ):
+            src = os.path.join(work, f"{fam}_src_{label}")
+            stage_replayable_batches(spark, src, val_schema, vbatches)
+            stream = file_stream(
+                spark, src, val_schema, max_files_per_trigger=1
+            )
+            store = os.path.join(work, f"{fam}_store_{label}")
+            summary = drive(
+                stream.select("v"), f"{fam}_{label}",
+                sink_fn=mk_sink(store),
+            )
+            summary["store_rows"] = read_store(spark, store).count()
+            summary["store_rows_bound"] = bound
+            out[f"{fam}_{label}"] = summary
+
+        # SCD2 store: bsz keys per batch, each batch flips every key's
+        # tier — every batch is change-log-sized work, versions grow
+        # by exactly bsz per batch (the dimension, not the stream)
+        ubatches = [
+            [
+                (
+                    i,
+                    epoch + dt.timedelta(seconds=60.0 * b),
+                    b * 1_000_000 + i,
+                    "gold" if b % 2 else "bronze",
+                )
+                for i in range(bsz)
+            ]
+            for b in range(n_batches)
+        ]
+        src = os.path.join(work, f"scd2_src_{label}")
+        stage_replayable_batches(spark, src, upd_schema, ubatches)
+        stream = file_stream(
+            spark, src, upd_schema, max_files_per_trigger=1
+        )
+        store = os.path.join(work, f"scd2_store_{label}")
+        summary = drive(
+            stream, f"scd2_{label}",
+            sink_fn=scd2_store_sink(
+                spark, store, key="user_id", ts="ts",
+                attrs=["tier"], tie="event_id",
+            ),
+        )
+        summary["store_rows"] = scd2_store_read(spark, store).count()
+        summary["store_rows_bound"] = bsz * n_batches
+        out[f"scd2_sink_{label}"] = summary
+
     shutil.rmtree(work, ignore_errors=True)
     # cross-size per-batch wall ratio on the steady-state median — the
     # "cost tracks batch size, not stream length" axis
     import statistics
 
-    for fam in ("packs_pipeline", "embedding_ingest", "bm25_ingest"):
+    for fam in (
+        "packs_pipeline",
+        "embedding_ingest",
+        "bm25_ingest",
+        "bloom_sink",
+        "cms_sink",
+        "scd2_sink",
+    ):
         b1 = out.get(f"{fam}_x1", {}).get("batches", [])[1:]
         b10 = out.get(f"{fam}_x10", {}).get("batches", [])[1:]
         if b1 and b10:
