@@ -341,6 +341,7 @@ def main() -> None:
         ("q40_dedup_exact_text", "mode",
          ("full", "incr", "diff_changed", "diff_unchanged")),
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr")),
+        ("q44_dedup_ngram_jaccard", "mode", ("jac", "contain")),
         ("q45_knn_bruteforce", "method", ("brute", "mrl")),
         (
             "q46_ann_lsh_ivf",

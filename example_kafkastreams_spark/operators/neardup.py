@@ -449,6 +449,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    sample_mod: int = 4,
+    max_df: int = 64,
+    min_shared: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection by Broder CONTAINMENT
+    C(A→B) = |A∩B| / |A| — the boilerplate-wrap / quote-inclusion
+    case Jaccard-threshold dedup is structurally blind to: a small
+    document embedded in a much larger one has high containment but
+    LOW Jaccard (|A∩B|/|A∪B| shrinks with the big side), so it never
+    crosses a MinHash-LSH Jaccard gate.
+
+    Candidates come from a SAMPLED-SHINGLE inverted index rather than
+    MinHash bands (bands collide on Jaccard — using them here would
+    reintroduce the blindness this operator exists to fix): each
+    document posts the shingles whose portable hash ≡ 0 mod
+    ``sample_mod`` (deterministic, content-keyed — both sides of a
+    containment pair sample the SAME shingles, so an A ⊆ B pair
+    shares ≈ |A|/sample_mod postings regardless of |B|), and pairs
+    sharing ≥ ``min_shared`` sampled shingles graduate to exact
+    verification. Shingles with document frequency > ``max_df`` are
+    dropped from the index as stop-shingles (near-universal
+    boilerplate n-grams would otherwise quadratically explode their
+    posting lists; dropping them only suppresses candidates whose
+    ONLY overlap is that boilerplate).
+
+    Exact verify: both directed containments from the distinct
+    shingle arrays; emit pairs whose max direction ≥ ``threshold``.
+
+    Scale shape: the postings exchange carries ~1/sample_mod of the
+    corpus shingle occurrences (df-capped), the pair aggregation is
+    bounded by Σ df² ≤ max_df × postings, and the exact verify joins
+    only the candidate ids back to the persisted shingle table — the
+    same collide-then-verify contract as every dedup family here.
+    Output: (doc_a, doc_b, n_shared_sampled, cont_a_in_b, cont_b_in_a)
+    with doc_a < doc_b.
+    """
+    base = persist_tracked(
+        with_shingles(_rebalance(docs, id_col), id_col, text_col, shingle_n)
+    )
+    post = (
+        base.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        .filter(
+            F.expr(P.token_hash32("shingle", P.SPARK)) % sample_mod == 0
+        )
+    )
+    # stop-shingle cap: df computed over the SAMPLED postings
+    keep = (
+        post.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    post = post.join(keep, "shingle")
+    a = post.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
+    b = post.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_sampled"))
+        .filter(F.col("n_shared_sampled") >= min_shared)
+    )
+    sha = base.select(
+        F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")
+    ).hint("shuffle_hash")
+    shb = base.select(
+        F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")
+    ).hint("shuffle_hash")
+    inter = P.size_(P.intersect_("sh_a", "sh_b", P.SPARK), P.SPARK)
+    cab = f"CAST({inter} AS DOUBLE) / {P.size_('sh_a', P.SPARK)}"
+    cba = f"CAST({inter} AS DOUBLE) / {P.size_('sh_b', P.SPARK)}"
+    return (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_sampled",
+            F.expr(P.round_dbl(cab, 6, P.SPARK)).alias("cont_a_in_b"),
+            F.expr(P.round_dbl(cba, 6, P.SPARK)).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= threshold
+        )
+    )
+
+
 def edit_distance_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -358,7 +358,13 @@ def q43_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- q44: exact n-gram Jaccard on LSH candidates --------------------------
+# --- q44: exact n-gram verify on pruned candidates -------------------------
+
+_CONT_SAMPLE_MOD = 4
+_CONT_MAX_DF = 64
+_CONT_MIN_SHARED = 2
+_CONT_THRESHOLD = 0.8
+
 
 @query(
     "q44_dedup_ngram_jaccard",
@@ -381,8 +387,52 @@ def q43_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     shn AS (
       SELECT doc_id, {P.shingles('text', SHINGLE_N, D)} AS sh FROM documents
+    ),
+    -- contain branch: sampled-shingle inverted index (content-keyed
+    -- hash mod — both sides of a containment pair sample the SAME
+    -- shingles), stop-shingle df cap, pair counts, exact DIRECTED
+    -- containments on the survivors
+    cpost0 AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM shn
+    ),
+    cpost AS (
+      SELECT doc_id, shingle FROM cpost0
+      WHERE {P.token_hash32('shingle', D)} % {_CONT_SAMPLE_MOD} = 0
+    ),
+    ckeep AS (
+      SELECT shingle FROM cpost GROUP BY shingle
+      HAVING count(*) <= {_CONT_MAX_DF}
+    ),
+    cpostk AS (
+      SELECT p.doc_id, p.shingle FROM cpost p JOIN ckeep k USING (shingle)
+    ),
+    ccand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared_sampled
+      FROM cpostk a JOIN cpostk b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_CONT_MIN_SHARED}
+    ),
+    cver AS (
+      SELECT c.doc_a, c.doc_b, c.n_shared_sampled,
+             {P.round_dbl(
+                 'CAST(' + P.size_(P.intersect_('a.sh', 'b.sh', D), D)
+                 + ' AS DOUBLE) / ' + P.size_('a.sh', D), 6, D)}
+               AS cont_a_in_b,
+             {P.round_dbl(
+                 'CAST(' + P.size_(P.intersect_('a.sh', 'b.sh', D), D)
+                 + ' AS DOUBLE) / ' + P.size_('b.sh', D), 6, D)}
+               AS cont_b_in_a
+      FROM ccand c
+      JOIN shn a ON a.doc_id = c.doc_a
+      JOIN shn b ON b.doc_id = c.doc_b
     )
-    SELECT * FROM (
+    SELECT 'jac' AS mode, doc_a, doc_b, jaccard,
+           CAST(NULL AS BIGINT) AS n_shared_sampled,
+           CAST(NULL AS DOUBLE) AS cont_a_in_b,
+           CAST(NULL AS DOUBLE) AS cont_b_in_a
+    FROM (
       SELECT c.doc_a, c.doc_b,
              {P.round_dbl(
                  P.size_(P.intersect_('a.sh', 'b.sh', D), D)
@@ -391,16 +441,54 @@ def q43_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN shn a ON a.doc_id = c.doc_a
       JOIN shn b ON b.doc_id = c.doc_b
     ) WHERE jaccard >= 0.5
+    UNION ALL
+    SELECT 'contain', doc_a, doc_b, CAST(NULL AS DOUBLE),
+           n_shared_sampled, cont_a_in_b, cont_b_in_a
+    FROM cver
+    WHERE greatest(cont_a_in_b, cont_b_in_a) >= {_CONT_THRESHOLD}
     """,
 )
 def q44_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard ≥ 0.5, evaluated only on LSH candidates —
-    the prune-then-verify shape that survives 100 TB."""
-    return ND.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
+    """Exact n-gram verification on pruned candidates, two regimes in
+    one driver row. ``jac``: exact 3-gram Jaccard ≥ 0.5 on MinHash-LSH
+    candidates — the prune-then-verify shape that survives 100 TB.
+    ``contain`` (round 10): Broder CONTAINMENT |A∩B|/|A| ≥ 0.8 on
+    sampled-shingle inverted-index candidates
+    (neardup.containment_pairs) — the asymmetric near-superset case
+    (small doc wrapped in boilerplate, quoted inclusion) that a
+    Jaccard gate is structurally blind to, with a candidate generator
+    whose recall for A ⊆ B pairs does NOT degrade with |B| (MinHash
+    bands collide on Jaccard and would). Both directed containments
+    are value-checked against DuckDB's independent re-derivation of
+    the sampled index, the stop-shingle cap, and the exact verify."""
+    docs = load_table(spark, sf_dir, "documents")
+    null_c = (
+        F.lit(None).cast("bigint").alias("n_shared_sampled"),
+        F.lit(None).cast("double").alias("cont_a_in_b"),
+        F.lit(None).cast("double").alias("cont_b_in_a"),
+    )
+    jac = ND.ngram_jaccard_pairs(
+        docs,
         num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
         candidate_threshold=0.25, threshold=0.5,
+    ).select(F.lit("jac").alias("mode"), "doc_a", "doc_b", "jaccard", *null_c)
+    contain = ND.containment_pairs(
+        docs,
+        shingle_n=SHINGLE_N,
+        sample_mod=_CONT_SAMPLE_MOD,
+        max_df=_CONT_MAX_DF,
+        min_shared=_CONT_MIN_SHARED,
+        threshold=_CONT_THRESHOLD,
+    ).select(
+        F.lit("contain").alias("mode"),
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("double").alias("jaccard"),
+        "n_shared_sampled",
+        "cont_a_in_b",
+        "cont_b_in_a",
     )
+    return jac.unionByName(contain)
 
 
 # --- q45/q46/q47: similarity search over embeddings -----------------------

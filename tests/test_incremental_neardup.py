@@ -289,3 +289,69 @@ def test_simhash_two_delta_ingest_equals_one_shot_closure(spark):
     assert _closure(got_edges, nodes) == want
     idx0.unpersist()
     idx1.unpersist()
+
+
+def test_containment_catches_jaccard_blind_superset(spark):
+    """The operator's reason to exist: a small document embedded in a
+    much larger one has containment ~1 but Jaccard far below any dedup
+    gate — containment_pairs must flag it, and the directed values
+    must point the right way (A in B, not B in A)."""
+    from example_kafkastreams_spark.operators.neardup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} tok{i} pad{i}" for i in range(60))
+    big = small + " " + filler
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "entirely different content here")],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(
+        docs, sample_mod=1, min_shared=1, threshold=0.8
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in got}
+    assert (1, 2) in pairs, "embedded small doc must flag"
+    r = pairs[(1, 2)]
+    assert r.cont_a_in_b == 1.0          # every small-doc shingle in big
+    assert r.cont_b_in_a < 0.2           # big doc NOT inside small
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # the same pair is invisible to a 0.5-Jaccard gate
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert not any(r.doc_a == 1 and r.doc_b == 2 for r in jac)
+
+
+def test_containment_stop_shingle_cap_and_sampling_determinism(spark):
+    """df-capped shingles leave the index (no quadratic boilerplate
+    blowup — a pair whose ONLY overlap is the universal boilerplate
+    yields no candidate), and the survivor set is repartition-
+    invariant (every choice content-hash-derived)."""
+    from example_kafkastreams_spark.operators.neardup import (
+        containment_pairs,
+    )
+
+    boiler = "copyright footer legal notice reserved rights"
+    rows = [
+        (i, f"{boiler} unique{i} distinct{i} body{i} text{i}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(
+        docs, sample_mod=1, max_df=5, min_shared=1, threshold=0.5
+    ).collect()
+    assert got == [], "boilerplate-only overlap must not flag"
+
+    a = sorted(
+        map(tuple, containment_pairs(
+            docs.repartition(7), sample_mod=1, max_df=5,
+            min_shared=1, threshold=0.5,
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, containment_pairs(
+            docs.coalesce(1), sample_mod=1, max_df=5,
+            min_shared=1, threshold=0.5,
+        ).collect())
+    )
+    assert a == b
