@@ -140,6 +140,11 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         # duplicate-amplified corpus (VERDICT r4 item 3)
         return ND.minhash_components_edges(docs, threshold=0.5)
 
+    def containment():
+        # q44's contain branch: sampled-shingle postings are linear in
+        # the corpus (df-capped), the pair agg in shared postings
+        return ND.containment_pairs(docs)
+
     def components():
         # the shipped q57/funnel path: star-contracted edges, not the
         # full C(k,2) pair set
@@ -561,6 +566,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("flagship_enrich", flagship),
         ("minhash_lsh_pairs", minhash_pairs),
         ("minhash_components_edges", minhash_edges),
+        ("containment_pairs", containment),
         ("incremental_minhash_delta", incr_neardup),
         ("delta_funnel", delta_funnel),
         ("substr_spans", substr_spans),
