@@ -42,12 +42,9 @@ def q10_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
 
 
-# --- q11: TPC-H Q1-style pricing summary ----------------------------------
+# --- q11: TPC-H Q1-style pricing summary + incremental maintenance --------
 
-@query(
-    "q11_pricing_summary",
-    oracle=f"""
-    SELECT l_returnflag, l_linestatus,
+_PRICING_AGG_SQL = f"""
            {dsum_sql('l_quantity', 2)} AS sum_qty,
            {dsum_sql('l_extendedprice', 2)} AS sum_base_price,
            {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
@@ -58,18 +55,45 @@ def q10_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+"""
+
+
+@query(
+    "q11_pricing_summary",
+    oracle=f"""
+    SELECT 'full' AS mode, l_returnflag, l_linestatus, {_PRICING_AGG_SQL}
+    GROUP BY l_returnflag, l_linestatus
+    UNION ALL
+    SELECT 'mv' AS mode, l_returnflag, l_linestatus, {_PRICING_AGG_SQL}
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide hash aggregation with partial (map-side) combine — the agg
-    every scan-heavy 100 TB report reduces to."""
-    li = load_table(spark, sf_dir, "lineitem")
+    every scan-heavy 100 TB report reduces to — in both regimes:
+    ``full`` = the one-shot GROUP BY; ``mv`` = the same summary
+    MAINTAINED incrementally (operators/rollup.py): build partial
+    state from the historical split (l_orderkey % 20 != 0), fold the
+    delta split in with ``rollup_apply_delta``, finalize. Both oracle
+    arms are the plain full-scan aggregate — the mv row hash-matching
+    it IS the incremental-view-maintenance correctness claim (scaled
+    long partials are associative, so merge order cannot change the
+    finalized bits). At 100 TB the mv path aggregates only the day's
+    delta plus a |groups|-row state merge; the full path re-scans
+    history."""
+    from .operators.rollup import (
+        rollup_apply_delta,
+        rollup_build,
+        rollup_finalize,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
     disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     charge = disc_price * (F.lit(1) + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+    full = (
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), 2).alias("sum_qty"),
             dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
@@ -80,7 +104,49 @@ def q11_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.col("l_discount"), 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .select(F.lit("full").alias("mode"), "*")
     )
+
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = {
+        "sum_qty": (F.col("l_quantity"), 2),
+        "sum_base_price": (F.col("l_extendedprice"), 2),
+        "sum_disc_price": (disc_price, 4),
+        "sum_charge": (charge, 6),
+        "avg_disc_sum": (F.col("l_discount"), 2),
+    }
+    state = rollup_build(li.filter(F.col("l_orderkey") % 20 != 0), keys, sums)
+    merged = rollup_apply_delta(
+        state, li.filter(F.col("l_orderkey") % 20 == 0), keys, sums
+    )
+    mv = rollup_finalize(
+        merged,
+        sums={
+            "sum_qty": 2,
+            "sum_base_price": 2,
+            "sum_disc_price": 4,
+            "sum_charge": 6,
+        },
+        avgs={
+            "avg_qty": ("sum_qty", 2),
+            "avg_price": ("sum_base_price", 2),
+            "avg_disc": ("avg_disc_sum", 2),
+        },
+        count_alias="count_order",
+    ).select(
+        F.lit("mv").alias("mode"),
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
+    )
+    return full.unionByName(mv)
 
 
 # --- q12: multi-way inner join + left-count (merged q12/q13, round 4) -----
