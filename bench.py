@@ -155,7 +155,7 @@ _MERGED_SINCE = {
     "q65_lm_score": 9,            # +clf (r9)
     "q41_dedup_minhash_lsh": 6,   # +incr (r6)
     "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
-    "q47_embedding_neardup": 8,   # +delta/+deltaidx (r8)
+    "q47_embedding_neardup": 10,  # +delta/+deltaidx (r8), +prune (r10)
     "q34_hash_sample": 9,         # +wsample (r9)
     "q56_quantize_embeddings": 8, # +adc (r8)
     "q57_neardup_components": 9,  # +leak, +mine_pos/+mine_neg (r9)
@@ -350,7 +350,8 @@ def main() -> None:
             "method",
             ("lsh", "ivf", "lsh_mp", "ivfflat_mp", "ivfflat_idx"),
         ),
-        ("q47_embedding_neardup", "mode", ("pair", "sem", "delta", "deltaidx")),
+        ("q47_embedding_neardup", "mode",
+         ("pair", "sem", "delta", "deltaidx", "prune")),
         ("q50_token_stats", "mode", ("stats", "bpe")),
         ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt", "shard")),
         (

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import load_table
 from .functions import portable as P
+from .operators import curation as CUR
 from .operators import knn as KNN
 from .operators import multimodal as MM
 from .operators import neardup as ND
@@ -866,7 +867,42 @@ _SEM_THRESHOLD = "0.4"  # spliced via CAST('…' AS DOUBLE) both dialects
         SELECT 1 FROM dlab p JOIN touched t ON p.vec_id = t.vec_id
         WHERE p.comp = l.comp
       )
+    ),
+    -- prototypicality prune (the 'prune' branch): deterministic-sample
+    -- centroids (first 8 vectors), nearest-centroid assignment with
+    -- argmax ties to the lowest cid, per-cluster keep of the
+    -- ceil(0.5·n) LEAST prototypical (hard-first), id tie-break
+    pcent AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < 8
+    ),
+    passign AS (
+      SELECT e.vec_id, c.cid,
+             {P.cosine('e.embedding', 'c.cv', D)} AS cos
+      FROM embeddings e JOIN pcent c ON TRUE
+    ),
+    pbest AS (
+      SELECT vec_id, cid AS cluster, cos AS proto FROM (
+        SELECT vec_id, cid, cos,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY cos DESC, cid
+               ) AS rn
+        FROM passign
+      ) WHERE rn = 1
+    ),
+    pranked AS (
+      SELECT vec_id, cluster, proto,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY proto ASC, vec_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY cluster) AS n
+      FROM pbest
     )
+    SELECT 'prune' AS mode, vec_id AS id_a, CAST(cluster AS BIGINT) AS id_b,
+           round(CAST(proto AS DOUBLE), 6) AS score
+    FROM pranked
+    WHERE rk <= CAST(ceil(CAST('0.5' AS DOUBLE) * n) AS BIGINT)
+    UNION ALL
     SELECT 'pair' AS mode, id_a, id_b, score FROM (
       SELECT vec_a AS id_a, vec_b AS id_b,
              round(CAST(cos_raw AS DOUBLE), 6) AS score
@@ -894,6 +930,12 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01); the Spark side is the O(diameter) component loop that
     closes billion-edge graphs, with exact-duplicate vectors
     contracted to one representative before the pair join.
+
+    ``prune`` (round 10): prototypicality pruning (Sorscher et al.
+    2022, operators/curation.py) — deterministic-sample centroids
+    (first 8), broadcast max_by assignment, keep the ceil(0.5·n)
+    LEAST prototypical per cluster (the abundant-data regime); rows
+    are the kept set with (cluster, cosine-to-centroid) value-checked.
 
     ``delta``/``deltaidx`` (round 8): INCREMENTAL semantic dedup —
     vec_id % 5 partitions the table into a day-1 corpus and a day-2
@@ -947,6 +989,26 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("id_a"),
                 F.col("bucket").cast("bigint").alias("id_b"),
                 F.lit(None).cast("double").alias("score"),
+            )
+        )
+        .unionByName(
+            CUR.cluster_prune(
+                CUR.cluster_assign(
+                    emb,
+                    cent_df=emb.filter(F.col("vec_id") < 8).select(
+                        F.col("vec_id").alias("cid"),
+                        F.col("embedding").alias("cv"),
+                    ),
+                ),
+                keep_frac=0.5,
+                keep="hard",
+            )
+            .filter(F.col("kept"))
+            .select(
+                F.lit("prune").alias("mode"),
+                F.col("vec_id").alias("id_a"),
+                F.col("cluster").cast("bigint").alias("id_b"),
+                F.expr(P.round_dbl("proto", 6, P.SPARK)).alias("score"),
             )
         )
     )
