@@ -164,6 +164,7 @@ _MERGED_SINCE = {
     "q50_token_stats": 9,         # +bpe (r9)
     "q54_chunk_documents": 8,     # +shard (r8)
     "q55_tfidf_top_term": 9,      # +bm25idx (r9)
+    "q59_dedup_edit_distance": 10,  # +er record linkage (r10)
     "q61_domain_mixing": 9,       # +card (r9)
     "q62_pii_scrub": 9,           # +norm (r9)
     "q63_corpus_funnel": 6,       # +delta (r6)
@@ -368,6 +369,7 @@ def main() -> None:
             ("srp", "kmv", "kmvops", "cms", "hll", "hll_est",
              "hll_grp", "hll_grp_est", "hist"),
         ),
+        ("q59_dedup_edit_distance", "mode", ("edit", "er")),
         ("q61_domain_mixing", "mode", ("mix", "card", "temp", "budget")),
         ("q62_pii_scrub", "mode", ("pii", "norm")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),

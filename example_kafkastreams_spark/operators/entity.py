@@ -1,0 +1,168 @@
+"""Entity resolution — blocking + multi-attribute record linkage on
+relational tables.
+
+The record-linkage twin of the document near-dup family: find rows
+that DESCRIBE THE SAME ENTITY under different keys (duplicate
+suppliers, re-listed parts, merged customer accounts). All-pairs
+comparison is quadratic; the standard fix (Fellegi–Sunter linkage
+behind token blocking, Papadakis et al.'s blocking surveys) is:
+
+1. **Block**: each record emits ONE key — its globally RAREST name
+   token (lowest document frequency, ties to the lexicographically
+   smallest). Rare tokens are the discriminative ones, so co-referent
+   records (which share their name tokens, hence their rarest token)
+   land in the same block, while blocks stay small: a block's size is
+   bounded by its token's df, and records whose every token is
+   boilerplate fall into oversized blocks that ``max_block`` drops
+   outright (the df-cap/stop-token discipline
+   ``neardup.containment_pairs`` uses).
+2. **Compare within blocks**: weighted multi-attribute score —
+   Jaccard over distinct name tokens plus exact-match indicators on
+   categorical attributes (brand, type, ...). Candidates are
+   Σ_blocks size², never |table|².
+
+Spark shape: token df is a vocabulary-sized aggregate; the df table
+broadcasts back onto the exploded tokens and ``min_by`` collapses to
+one (record, block) row map-side before a record-keyed exchange; the
+self-join shuffles on the block key only (ids + tokens, never full
+rows — attributes join back id-sized for scoring). Every stage's
+exchange is bounded by records or vocabulary, not pairs.
+
+Cross-engine determinism: token split/distinct are the portable
+expressions, the rarest pick ties to (df, token) in both engines, and
+the score is a fixed chain of exact small-integer ratios and 0/1
+indicators scaled by decimal literals — the q59 ``er`` branch
+hash-checks matches AND scores against DuckDB re-deriving the whole
+funnel.
+
+Blocking recall caveat (documented, standard): a pair is guaranteed a
+shared block only when the two records agree on their rarest token —
+true for same-name pairs by construction. Cross-name matches need
+multi-key blocking (emit top-j rarest tokens; same join, j× keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import portable as P
+
+__all__ = ["token_df", "rarest_token_blocks", "blocked_er_matches"]
+
+
+def _toks(text_col: str) -> str:
+    return P.distinct_(P.split_ws(text_col, P.SPARK), P.SPARK)
+
+
+def token_df(
+    records: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(tok, df) — document frequency of each distinct token of
+    ``text_col``. Vocabulary-sized output."""
+    return (
+        records.select(F.explode(F.expr(_toks(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def rarest_token_blocks(
+    records: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_block: int | None = None,
+) -> DataFrame:
+    """(id, block) — each record keyed by its rarest name token (ties
+    to the smallest token). With ``max_block``, blocks holding more
+    than that many records are dropped entirely: their token is
+    boilerplate and their candidates quadratic noise."""
+    dfs = token_df(records, id_col, text_col)
+    blocks = (
+        records.select(
+            F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
+        )
+        .join(F.broadcast(dfs), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.col("tok"), F.struct(F.col("df"), F.col("tok"))
+            ).alias("block")
+        )
+    )
+    if max_block is not None:
+        sizes = blocks.groupBy("block").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        blocks = (
+            blocks.join(F.broadcast(sizes), "block")
+            .filter(F.col("__bn") <= max_block)
+            .drop("__bn")
+        )
+    return blocks
+
+
+def blocked_er_matches(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    exact_cols: dict[str, float],
+    name_weight: float = 0.5,
+    threshold: float = 0.7,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Matched pairs (id_a < id_b) with their linkage score:
+
+        score = name_weight · jaccard(name tokens)
+              + Σ weight_c · [record_a.c == record_b.c]
+
+    kept when score >= threshold. ``exact_cols`` maps each categorical
+    attribute to its weight. The Jaccard is over DISTINCT tokens —
+    small exact integer counts, one IEEE division — and each indicator
+    is 0/1 scaled by a decimal literal, so scores are bit-reproducible
+    cross-engine."""
+    cols = [F.col(id_col), F.expr(_toks(name_col)).alias("__toks")] + [
+        F.col(c) for c in exact_cols
+    ]
+    attrs = records.select(*cols)
+    blocks = rarest_token_blocks(records, id_col, name_col, max_block)
+    sides = blocks.join(attrs, id_col)
+    a = sides.select(
+        F.col("block"),
+        F.col(id_col).alias("id_a"),
+        F.col("__toks").alias("__ta"),
+        *[F.col(c).alias(f"__a_{c}") for c in exact_cols],
+    )
+    b = sides.select(
+        F.col("block"),
+        F.col(id_col).alias("id_b"),
+        F.col("__toks").alias("__tb"),
+        *[F.col(c).alias(f"__b_{c}") for c in exact_cols],
+    )
+    jac = (
+        F.expr(
+            f"CAST({P.size_(P.intersect_('__ta', '__tb', P.SPARK), P.SPARK)}"
+            " AS DOUBLE)"
+        )
+        / F.expr(
+            f"CAST({P.union_size('__ta', '__tb', P.SPARK)} AS DOUBLE)"
+        )
+    )
+    score = F.lit(float(name_weight)) * jac
+    for c, w in exact_cols.items():
+        score = score + F.lit(float(w)) * F.when(
+            F.col(f"__a_{c}") == F.col(f"__b_{c}"), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", score)
+        .filter(
+            F.expr(P.round_dbl("score", 6, P.SPARK))
+            >= F.lit(float(threshold))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(P.round_dbl("score", 6, P.SPARK)).alias("score"),
+        )
+    )

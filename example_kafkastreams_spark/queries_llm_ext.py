@@ -1148,7 +1148,11 @@ def q60_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(MM.attach_payload(docs))
 
 
-# --- q59: edit-distance fuzzy dedup on LSH candidates ---------------------
+# --- q59: edit-distance fuzzy dedup on LSH candidates + part ER -----------
+
+# Blocks bigger than this are boilerplate-token noise: dropped from
+# candidate generation in BOTH engines (entity.py's max_block).
+_ER_MAX_BLOCK = 256
 
 @query(
     "q59_dedup_edit_distance",
@@ -1168,29 +1172,105 @@ def q60_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                {P.round_dbl(P.sig_agreement('sig_a', 'sig_b', QL.NUM_HASHES, D), 6, D)} AS est
         FROM pairsig
       ) WHERE est >= 0.25
+    ),
+    -- entity resolution (the 'er' branch): rarest-token blocking +
+    -- weighted multi-attribute linkage over part, re-derived stage by
+    -- stage (df table, rarest pick with (df, tok) ties, max_block
+    -- cap, within-block weighted score)
+    ptoks AS (
+      SELECT p_partkey, {P.distinct_(P.split_ws('p_name', D), D)} AS toks,
+             p_brand, p_type
+      FROM part
+    ),
+    pex AS (
+      SELECT p_partkey, unnest(toks) AS tok FROM ptoks
+    ),
+    pdf AS (
+      SELECT tok, count(*) AS df FROM pex GROUP BY tok
+    ),
+    pblock AS (
+      SELECT p_partkey, tok AS block FROM (
+        SELECT e.p_partkey, e.tok,
+               row_number() OVER (
+                 PARTITION BY e.p_partkey ORDER BY d.df, e.tok
+               ) AS rn
+        FROM pex e JOIN pdf d ON d.tok = e.tok
+      ) WHERE rn = 1
+    ),
+    pbsz AS (
+      SELECT block, count(*) AS bn FROM pblock GROUP BY block
+    ),
+    pb AS (
+      SELECT p.p_partkey, p.block FROM pblock p
+      JOIN pbsz s ON s.block = p.block WHERE s.bn <= {_ER_MAX_BLOCK}
+    ),
+    erpairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             CAST('0.5' AS DOUBLE)
+               * (CAST({P.size_(P.intersect_('ta.toks', 'tb.toks', D), D)}
+                    AS DOUBLE)
+                  / CAST({P.union_size('ta.toks', 'tb.toks', D)} AS DOUBLE))
+             + CAST('0.3' AS DOUBLE)
+               * (CASE WHEN ta.p_brand = tb.p_brand
+                       THEN CAST('1.0' AS DOUBLE)
+                       ELSE CAST('0.0' AS DOUBLE) END)
+             + CAST('0.2' AS DOUBLE)
+               * (CASE WHEN ta.p_type = tb.p_type
+                       THEN CAST('1.0' AS DOUBLE)
+                       ELSE CAST('0.0' AS DOUBLE) END) AS score
+      FROM pb a JOIN pb b
+        ON a.block = b.block AND a.p_partkey < b.p_partkey
+      JOIN ptoks ta ON ta.p_partkey = a.p_partkey
+      JOIN ptoks tb ON tb.p_partkey = b.p_partkey
     )
-    SELECT * FROM (
-      SELECT c.doc_a, c.doc_b,
+    SELECT 'edit' AS mode, id_a, id_b, score FROM (
+      SELECT c.doc_a AS id_a, c.doc_b AS id_b,
              round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
-                   / greatest(length(a.text), length(b.text)), 6) AS edit_ratio
+                   / greatest(length(a.text), length(b.text)), 6) AS score
       FROM cand c
       JOIN documents a ON a.doc_id = c.doc_a
       JOIN documents b ON b.doc_id = c.doc_b
-    ) WHERE edit_ratio <= 0.2
+    ) WHERE score <= 0.2
+    UNION ALL
+    SELECT 'er' AS mode, id_a, id_b, round(CAST(score AS DOUBLE), 6)
+    FROM erpairs WHERE round(CAST(score AS DOUBLE), 6) >= 0.7
     """,
 )
 def q59_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized Levenshtein ≤ 0.2 on MinHash-LSH candidates — the
+    """Fuzzy identity, both grains in one driver row. ``edit``:
+    normalized Levenshtein ≤ 0.2 on MinHash-LSH candidates — the
     character-level fuzzy-dedup modality (catches small in-place edits
     that shingle sets blur), O(len²) verifier safely gated behind the
-    candidate prune."""
+    candidate prune. ``er`` (round 10): RECORD linkage on the ``part``
+    dimension (operators/entity.py) — rarest-token blocking (blocks
+    over {_ER_MAX_BLOCK} records dropped as boilerplate), then the
+    weighted multi-attribute score 0.5·jaccard(name tokens) +
+    0.3·[brand equal] + 0.2·[type equal] ≥ 0.7 within blocks; the
+    dedup machinery generalizing beyond documents to relational
+    entities."""
+    from .operators.entity import blocked_er_matches
     from .operators.neardup import edit_distance_pairs
 
-    return edit_distance_pairs(
+    edit = edit_distance_pairs(
         load_table(spark, sf_dir, "documents"),
         num_hashes=QL.NUM_HASHES, bands=QL.BANDS, shingle_n=QL.SHINGLE_N,
         candidate_threshold=0.25, max_ratio=0.2,
+    ).select(
+        F.lit("edit").alias("mode"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("edit_ratio").alias("score"),
     )
+    er = blocked_er_matches(
+        load_table(spark, sf_dir, "part"),
+        id_col="p_partkey",
+        name_col="p_name",
+        exact_cols={"p_brand": 0.3, "p_type": 0.2},
+        name_weight=0.5,
+        threshold=0.7,
+        max_block=_ER_MAX_BLOCK,
+    ).select(F.lit("er").alias("mode"), "id_a", "id_b", "score")
+    return edit.unionByName(er)
 
 
 # --- q58: sign-random-projection bucket histogram -------------------------

@@ -1,0 +1,116 @@
+"""Entity resolution — blocking + record linkage (operators/entity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from example_kafkastreams_spark.operators.entity import (
+    blocked_er_matches,
+    rarest_token_blocks,
+    token_df,
+)
+
+
+def _recs(spark, rows):
+    return spark.createDataFrame(
+        rows, "id bigint, name string, brand string, typ string"
+    )
+
+
+def test_rarest_token_block_prefers_discriminative_token(spark):
+    # 'widget' appears 3x, 'crimson' once — the crimson widget blocks
+    # on crimson; ties fall to the lexicographically smaller token
+    recs = _recs(
+        spark,
+        [
+            (1, "crimson widget", "b1", "t1"),
+            (2, "small widget", "b1", "t1"),
+            (3, "small widget", "b2", "t1"),
+        ],
+    )
+    blocks = {r["id"]: r["block"] for r in
+              rarest_token_blocks(recs, "id", "name").collect()}
+    assert blocks[1] == "crimson"
+    # 'small' (df 2) beats 'widget' (df 3) for records 2/3
+    assert blocks[2] == blocks[3] == "small"
+    dfs = {r["tok"]: r["df"] for r in token_df(recs, "id", "name").collect()}
+    assert dfs == {"crimson": 1, "widget": 3, "small": 2}
+
+
+def test_max_block_drops_boilerplate_blocks(spark):
+    recs = _recs(
+        spark,
+        [(i, "common token", "b", "t") for i in range(10)],
+    )
+    assert rarest_token_blocks(recs, "id", "name", max_block=5).count() == 0
+    assert rarest_token_blocks(recs, "id", "name", max_block=10).count() == 10
+
+
+def test_match_semantics(spark):
+    recs = _recs(
+        spark,
+        [
+            (1, "red widget", "b1", "t1"),
+            (2, "red widget", "b1", "t2"),   # name+brand: 0.8 -> match
+            (3, "red widget", "b2", "t1"),   # name+type:  0.7 -> match
+            (4, "red widget", "b3", "t9"),   # name only:  0.5 -> no
+            (5, "red gadget", "b1", "t1"),   # j=1/3+0.5 = .667 -> no
+        ],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in blocked_er_matches(
+            recs,
+            "id",
+            "name",
+            exact_cols={"brand": 0.3, "typ": 0.2},
+            threshold=0.7,
+        ).collect()
+    }
+    assert (1, 2) in got and abs(got[(1, 2)] - 0.8) < 1e-9
+    assert (1, 3) in got and abs(got[(1, 3)] - 0.7) < 1e-9
+    assert all(4 not in pair for pair in got)
+    assert all(5 not in pair for pair in got)
+    # 2-3 share name only (brand and type both differ): 0.5 -> no
+    assert (2, 3) not in got
+
+
+def test_candidates_bounded_by_blocks(spark):
+    """Records in different blocks are never compared, even when they
+    would score above threshold — the blocking recall caveat, stated
+    and pinned."""
+    recs = _recs(
+        spark,
+        [
+            # same brand+type (0.5) + j=1/3 -> 0.667 < 0.7 anyway, but
+            # make the pair share NO rarest token: ruby/pearl blocks
+            (1, "ruby clasp", "b1", "t1"),
+            (2, "pearl clasp", "b1", "t1"),
+            (3, "ruby clasp", "b1", "t1"),  # exact twin of 1 -> match
+        ],
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_er_matches(
+            recs, "id", "name",
+            exact_cols={"brand": 0.3, "typ": 0.2}, threshold=0.7,
+        ).collect()
+    }
+    assert got == {(1, 3)}
+
+
+def test_er_shuffles_carry_ids_not_pairs(spark):
+    """Plan shape: the exchanges feeding the block self-join carry
+    (id, token)-sized rows; no cartesian anywhere."""
+    from example_kafkastreams_spark.catalog import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part")
+    plan = blocked_er_matches(
+        part,
+        "p_partkey",
+        "p_name",
+        exact_cols={"p_brand": 0.3, "p_type": 0.2},
+        max_block=256,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
