@@ -149,6 +149,7 @@ def input_totals(spark) -> tuple[int, int] | None:
 # ``branch_timings``.
 _MERGED_SINCE = {
     "q11_pricing_summary": 10,    # +mv incremental maintenance (r10)
+    "q19_window_topn_per_user": 10,  # +topk two-phase combiner (r10)
     "q26_interval_join_symmetric": 9,  # +dim/+enrich SCD2 (r9)
     "q40_dedup_exact_text": 9,    # +diff_* snapshot audit (r9)
     "q45_knn_bruteforce": 9,      # +mrl Matryoshka (r9)
@@ -338,6 +339,7 @@ def main() -> None:
     branch_timings: dict[str, dict] = {}
     for qname, disc, modes in (
         ("q11_pricing_summary", "mode", ("full", "mv")),
+        ("q19_window_topn_per_user", "mode", ("window", "topk")),
         ("q26_interval_join_symmetric", "mode",
          ("pairs", "dim", "enrich", "delta", "asof", "chlog")),
         ("q34_hash_sample", "method", ("hash", "strat", "wsample")),

@@ -1,0 +1,77 @@
+"""Two-phase top-k per group — the combiner-style alternative to a
+full window sort.
+
+The window plan (``row_number() OVER (PARTITION BY g ORDER BY ...)``,
+q19's declared branch) shuffles EVERY row to its group's partition and
+sorts each group — at 100 TB that is a full-corpus exchange whose
+hottest key's whole history lands in one task. But top-k is a
+mergeable aggregate: any row in the global top-k of its group is in
+the local top-k of every subset containing it. So:
+
+1. **Local prune** (``_local_topk`` via ``mapInPandas``): each Arrow
+   batch keeps at most k rows per group it contains — pure partition-
+   local work, ZERO shuffle, vectorized sort + group-head in pandas.
+   Output is ≤ k · (groups present in the batch) rows: a superset of
+   the answer, usually ~k·groups·partitions total instead of |table|.
+2. **Global rank**: the ordinary window over the pruned survivors —
+   the one exchange now carries the pruned rows only.
+
+This is the MapReduce combiner / Flink partial-final agg shape; Spark
+has no bounded top-k UDAF (``collect_list`` partials are unbounded —
+its map-side "combine" ships every row), so the local phase is an
+Arrow ``mapInPandas`` rather than an expression. Correctness does not
+depend on batch boundaries: per-batch pruning only ever REMOVES rows
+that some strictly better k rows of the same group accompany.
+
+Null ordering caveat: the local prune sorts nulls to the losing end
+(matching Spark's default NULLS LAST for DESC / NULLS FIRST for ASC
+only when all order columns share one direction) — order columns must
+be non-null when directions are mixed; q19's (value DESC, event_id
+ASC) tie-break column is a unique non-null id, which is exactly the
+registry's determinism rule anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+__all__ = ["topk_per_group"]
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[tuple[str, bool]],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-``k`` rows per group with their 1-based rank, ordered by
+    ``order_cols`` — (column, descending?) pairs whose last entry
+    should be a unique tie-break. Same result as the window-rank
+    plan; the exchange carries only locally-pruned survivors."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    by = [c for c, _ in order_cols]
+    asc = [not d for _, d in order_cols]
+    groups = list(group_cols)
+    schema = df.schema
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(by=by, ascending=asc, kind="mergesort")
+                .groupby(groups, sort=False)
+                .head(k)
+            )
+
+    pruned = df.mapInPandas(prune, schema=schema)
+    order = [
+        F.col(c).desc() if d else F.col(c).asc() for c, d in order_cols
+    ]
+    w = W.partitionBy(*groups).orderBy(*order)
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

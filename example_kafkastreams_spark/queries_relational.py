@@ -385,22 +385,51 @@ def q18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_window_topn_per_user",
     oracle="""
-    SELECT user_id, event_id, event_type, value, rn FROM (
+    WITH ranked AS (
       SELECT user_id, event_id, event_type, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY value DESC, event_id) AS rn
       FROM events
-    ) WHERE rn <= 3
+    )
+    SELECT 'window' AS mode, user_id, event_id, event_type, value, rn
+    FROM ranked WHERE rn <= 3
+    UNION ALL
+    SELECT 'topk', user_id, event_id, event_type, value, rn
+    FROM ranked WHERE rn <= 3
     """,
 )
 def q19_window_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user, both physical strategies in one row.
+    ``window``: the declarative row_number plan — a full exchange on
+    user_id plus a per-group sort (fine when the optimizer owns it,
+    skew-prone at 100 TB). ``topk``: operators/topk.py's two-phase
+    combiner — Arrow map-side local top-k prune (zero shuffle), then
+    the same window over survivors only, so the exchange carries
+    ≤ k·groups·partitions rows instead of the corpus. Both oracle arms
+    are the plain window rank — the topk row hash-matching it IS the
+    claim that the prune never drops a global top-k row."""
+    from .operators.topk import topk_per_group
+
     events = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
-    return (
+    window = (
         events.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("user_id", "event_id", "event_type", "value", "rn")
+        .select(
+            F.lit("window").alias("mode"),
+            "user_id", "event_id", "event_type", "value", "rn",
+        )
     )
+    topk = topk_per_group(
+        events.select("user_id", "event_id", "event_type", "value"),
+        group_cols=["user_id"],
+        order_cols=[("value", True), ("event_id", False)],
+        k=3,
+    ).select(
+        F.lit("topk").alias("mode"),
+        "user_id", "event_id", "event_type", "value", "rn",
+    )
+    return window.unionByName(topk)
 
 
 # --- q20: lag + sessionization (batch analog of session windows) ----------

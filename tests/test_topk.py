@@ -1,0 +1,90 @@
+"""Two-phase partial top-k per group (operators/topk.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W, functions as F
+
+from example_kafkastreams_spark.operators.topk import topk_per_group
+
+
+def _events(spark):
+    from example_kafkastreams_spark.catalog import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+def _window_topk(df, k):
+    w = W.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    )
+
+
+@pytest.mark.parametrize("k", [1, 3, 7])
+def test_equals_window_plan(spark, k):
+    df = _events(spark)
+    got = sorted(
+        map(
+            tuple,
+            topk_per_group(
+                df, ["user_id"], [("value", True), ("event_id", False)], k
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, _window_topk(df, k).collect()))
+    assert got == want
+
+
+def test_survives_adversarial_partitioning(spark):
+    """One group's global top-k scattered across many partitions: the
+    per-batch prune must keep every global winner regardless of which
+    batch it lands in."""
+    df = _events(spark).repartition(16)  # round-robin scatter
+    got = sorted(
+        map(
+            tuple,
+            topk_per_group(
+                df, ["user_id"], [("value", True), ("event_id", False)], 3
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, _window_topk(_events(spark), 3).collect()))
+    assert got == want
+
+
+def test_prune_bounds_exchange_rows(spark):
+    """The point of the operator: the window's exchange sees only the
+    locally-pruned survivors — ≤ k · (groups present per batch summed
+    over batches) rows, far under the full table."""
+    df = _events(spark)
+    total = df.count()
+    n_users = df.select("user_id").distinct().count()
+    k = 3
+    schema = df.schema
+
+    # replicate the internal prune stage and count its output
+    by = ["value", "event_id"]
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(by=by, ascending=[False, True])
+                    .groupby(["user_id"], sort=False)
+                    .head(k)
+                )
+
+    pruned_rows = df.mapInPandas(prune, schema=schema).count()
+    n_parts = df.rdd.getNumPartitions()
+    assert pruned_rows <= k * n_users * max(n_parts, 1) * 2  # batch slack
+    assert pruned_rows < total
+
+
+def test_bad_k_raises(spark):
+    with pytest.raises(ValueError):
+        topk_per_group(_events(spark), ["user_id"], [("value", True)], 0)
