@@ -154,7 +154,7 @@ _MERGED_SINCE = {
     "q40_dedup_exact_text": 9,    # +diff_* snapshot audit (r9)
     "q45_knn_bruteforce": 9,      # +mrl Matryoshka (r9)
     "q65_lm_score": 9,            # +clf (r9)
-    "q41_dedup_minhash_lsh": 6,   # +incr (r6)
+    "q41_dedup_minhash_lsh": 10,  # +incr (r6), +eval (r10)
     "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
     "q47_embedding_neardup": 10,  # +delta/+deltaidx (r8), +prune (r10)
     "q34_hash_sample": 9,         # +wsample (r9)
@@ -345,7 +345,7 @@ def main() -> None:
         ("q34_hash_sample", "method", ("hash", "strat", "wsample")),
         ("q40_dedup_exact_text", "mode",
          ("full", "incr", "diff_changed", "diff_unchanged")),
-        ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr")),
+        ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr", "eval")),
         ("q44_dedup_ngram_jaccard", "mode", ("jac", "contain")),
         ("q45_knn_bruteforce", "method", ("brute", "mrl")),
         (

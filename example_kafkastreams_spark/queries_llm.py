@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .catalog import load_table
 from .functions import portable as P
 from .operators import curation as CUR
+from .operators import dedup_eval as DE
 from .operators import knn as KNN
 from .operators import multimodal as MM
 from .operators import neardup as ND
@@ -219,6 +220,15 @@ def _bands_sig_cte(src: str, d: str) -> str:
     return " UNION ALL ".join(parts)
 
 
+# q41 eval-branch sample: the blocking eval runs on id % 2 == 0 (half
+# the corpus) so truth generation stays sample-bounded.
+# The truth threshold sits BELOW the banding's tuning point (0.3 vs
+# 0.5) so the eval exercises the S-curve's miss region — candidate
+# recall < 1 is the number being measured, not a degenerate 1.0.
+_EVAL_MOD = 2
+_EVAL_THRESHOLD = "0.3"
+
+
 def _minhash_pairs_incr_sql(threshold: float) -> str:
     """q41's merged oracle: the one-shot ``pairs`` branch plus the
     INCREMENTAL branch — delta (doc_id % 3 = 0) near-dup'd against the
@@ -262,6 +272,49 @@ def _minhash_pairs_incr_sql(threshold: float) -> str:
       FROM dbands da JOIN cbands ca
         ON da.band_idx = ca.band_idx AND da.band_key = ca.band_key
       WHERE ca.doc_id <> da.doc_id AND {agree} >= {threshold}
+    ),
+    -- blocking eval (the 'eval' branch): exact-Jaccard truth vs band
+    -- collisions on the id % {_EVAL_MOD} sample, P/R/F1 from exact counts
+    esig AS (SELECT * FROM sig WHERE doc_id % {_EVAL_MOD} = 0),
+    ebands AS ({_bands_sig_cte('esig', D)}),
+    ecand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ebands a JOIN ebands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    esh AS (
+      SELECT doc_id,
+             {P.distinct_(P.shingles('text', SHINGLE_N, D), D)} AS sh
+      FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    epost AS (SELECT doc_id, unnest(sh) AS tok FROM esh),
+    etcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM epost a JOIN epost b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    etruth AS (
+      SELECT t.doc_a, t.doc_b
+      FROM etcand t
+      JOIN esh x ON x.doc_id = t.doc_a
+      JOIN esh y ON y.doc_id = t.doc_b
+      WHERE {P.round_dbl(
+        f"CAST({P.size_(P.intersect_('x.sh', 'y.sh', D), D)} AS DOUBLE)"
+        f" / CAST({P.union_size('x.sh', 'y.sh', D)} AS DOUBLE)", 6, D)}
+            >= CAST('{_EVAL_THRESHOLD}' AS DOUBLE)
+    ),
+    eagg AS (
+      SELECT
+        COALESCE(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END),
+                 0) AS n_truth,
+        COALESCE(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END),
+                 0) AS n_cand,
+        COALESCE(SUM(CASE WHEN t.doc_a IS NOT NULL
+                           AND c.doc_a IS NOT NULL
+                          THEN 1 ELSE 0 END), 0) AS n_hit
+      FROM etruth t FULL OUTER JOIN ecand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
     )
     SELECT 'pairs' AS mode, doc_a, doc_b, est_jaccard FROM (
       SELECT doc_a, doc_b, {est} AS est_jaccard FROM pairsig
@@ -269,6 +322,19 @@ def _minhash_pairs_incr_sql(threshold: float) -> str:
     UNION ALL SELECT 'incr', doc_a, doc_b, CAST(NULL AS DOUBLE)
     FROM (SELECT * FROM star UNION ALL SELECT * FROM dpairs
           UNION ALL SELECT * FROM xedges)
+    UNION ALL SELECT 'eval', CAST(1 AS BIGINT), CAST(n_cand AS BIGINT),
+      CASE WHEN n_cand = 0 THEN CAST('0.0' AS DOUBLE)
+           ELSE CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END
+    FROM eagg
+    UNION ALL SELECT 'eval', CAST(2 AS BIGINT), CAST(n_truth AS BIGINT),
+      CASE WHEN n_truth = 0 THEN CAST('0.0' AS DOUBLE)
+           ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+    FROM eagg
+    UNION ALL SELECT 'eval', CAST(3 AS BIGINT), CAST(n_hit AS BIGINT),
+      CASE WHEN n_truth + n_cand = 0 THEN CAST('0.0' AS DOUBLE)
+           ELSE CAST(2 * n_hit AS DOUBLE)
+                / CAST(n_truth + n_cand AS DOUBLE) END
+    FROM eagg
     """
 
 
@@ -282,7 +348,13 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-proportional path where the historical corpus never
     re-sketches. One shared persisted signature scan feeds both
     branches (the corpus/delta sig tables are filters of it), so the
-    merged row costs one text pass, not three."""
+    merged row costs one text pass, not three.
+
+    ``eval`` (round 10, operators/dedup_eval.py): measured blocking
+    quality — band-collision candidates vs exact distinct-shingle
+    Jaccard truth on the id % 2 sample; rows are (ordinal 1/2/3 =
+    precision/recall/F1, exact pair count, ratio) — the S-curve
+    replaced by a number the bench can gate on."""
     docs = load_table(spark, sf_dir, "documents")
     sig_all = ND.persist_tracked(ND.with_minhash(
         docs=ND._rebalance(docs, "doc_id"),
@@ -306,7 +378,20 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("incr").alias("mode"), "doc_a", "doc_b",
         F.lit(None).cast("double").alias("est_jaccard"),
     )
-    return pairs.unionByName(incr)
+    ev = DE.candidate_eval(
+        docs, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
+        threshold=float(_EVAL_THRESHOLD), sample_mod=_EVAL_MOD,
+    ).select(
+        F.lit("eval").alias("mode"),
+        F.when(F.col("metric") == "precision", 1)
+        .when(F.col("metric") == "recall", 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("doc_a"),
+        F.col("n").cast("bigint").alias("doc_b"),
+        F.col("value").alias("est_jaccard"),
+    )
+    return pairs.unionByName(incr).unionByName(ev)
 
 
 # q42_dedup_simhash (the per-doc SimHash map) was retired from the
