@@ -46,6 +46,7 @@ __all__ = [
     "cluster_assign",
     "cluster_prune",
     "cluster_prune_by_threshold",
+    "prune_thresholds",
 ]
 
 
@@ -126,6 +127,46 @@ def cluster_prune(
             <= F.ceil(F.lit(float(keep_frac)) * F.col("n_cluster")),
         )
     )
+
+
+def prune_thresholds(
+    assigned: DataFrame,
+    keep_frac: float,
+    keep: str = "hard",
+    n_buckets: int = 256,
+) -> dict[int, float]:
+    """Per-cluster score cutoffs for ``cluster_prune_by_threshold``,
+    from ONE ``histogram_sketch_grouped`` pass (exchange ≤ k·n_buckets
+    rows — the 100 TB replacement for the per-cluster window sort).
+    ``keep="hard"`` returns each cluster's keep_frac-quantile UPPER
+    bucket edge (keeping proto <= it never under-keeps the quota;
+    over-keep bounded by one bucket's mass), ``"easy"`` the mirrored
+    (1-keep_frac) LOWER edge. The collect is bounded by construction:
+    clusters × buckets rows."""
+    from .sketches import histogram_quantile, histogram_sketch_grouped
+
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    rows = histogram_sketch_grouped(
+        assigned, ["cluster"], "proto", lo=-1.0, hi=1.0,
+        n_buckets=n_buckets,
+    ).collect()
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(int(r["cluster"]), []).append(
+            {"bucket": r["bucket"], "cnt": r["cnt"]}
+        )
+    cuts: dict[int, float] = {}
+    for c, hist in per.items():
+        if keep == "hard":
+            cuts[c] = histogram_quantile(
+                hist, float(keep_frac), -1.0, 1.0, n_buckets
+            )[1]
+        else:
+            cuts[c] = histogram_quantile(
+                hist, 1.0 - float(keep_frac), -1.0, 1.0, n_buckets
+            )[0]
+    return cuts
 
 
 def cluster_prune_by_threshold(

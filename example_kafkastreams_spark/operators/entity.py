@@ -71,24 +71,41 @@ def rarest_token_blocks(
     id_col: str,
     text_col: str,
     max_block: int | None = None,
+    num_keys: int = 1,
 ) -> DataFrame:
-    """(id, block) — each record keyed by its rarest name token (ties
-    to the smallest token). With ``max_block``, blocks holding more
+    """(id, block) — each record keyed by its ``num_keys`` rarest name
+    tokens (ties to the smaller token). One key is the cheap default;
+    multi-key blocking is the standard recall extension: a pair is a
+    candidate if ANY of their rare tokens coincide, so cross-name
+    matches that disagree on the single rarest token still meet (at
+    num_keys× the block rows — same join, candidate growth bounded by
+    the same per-block cap). With ``max_block``, blocks holding more
     than that many records are dropped entirely: their token is
     boilerplate and their candidates quadratic noise."""
+    if num_keys < 1:
+        raise ValueError("num_keys must be >= 1")
     dfs = token_df(records, id_col, text_col)
-    blocks = (
+    ranked = (
         records.select(
             F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
         )
         .join(F.broadcast(dfs), "tok")
-        .groupBy(id_col)
-        .agg(
+    )
+    if num_keys == 1:
+        blocks = ranked.groupBy(id_col).agg(
             F.min_by(
                 F.col("tok"), F.struct(F.col("df"), F.col("tok"))
             ).alias("block")
         )
-    )
+    else:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(id_col).orderBy(F.col("df"), F.col("tok"))
+        blocks = (
+            ranked.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= num_keys)
+            .select(F.col(id_col), F.col("tok").alias("block"))
+        )
     if max_block is not None:
         sizes = blocks.groupBy("block").agg(
             F.count(F.lit(1)).alias("__bn")
@@ -109,6 +126,7 @@ def blocked_er_matches(
     name_weight: float = 0.5,
     threshold: float = 0.7,
     max_block: int | None = None,
+    num_keys: int = 1,
 ) -> DataFrame:
     """Matched pairs (id_a < id_b) with their linkage score:
 
@@ -124,16 +142,25 @@ def blocked_er_matches(
         F.col(c) for c in exact_cols
     ]
     attrs = records.select(*cols)
-    blocks = rarest_token_blocks(records, id_col, name_col, max_block)
-    sides = blocks.join(attrs, id_col)
-    a = sides.select(
-        F.col("block"),
+    blocks = rarest_token_blocks(
+        records, id_col, name_col, max_block, num_keys
+    )
+    # candidate ID pairs first, DISTINCT before scoring: multi-key
+    # blocking surfaces the same pair through several blocks
+    ba = blocks.select(F.col("block"), F.col(id_col).alias("id_a"))
+    bb = blocks.select(F.col("block"), F.col(id_col).alias("id_b"))
+    cand = (
+        ba.join(bb, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = attrs.select(
         F.col(id_col).alias("id_a"),
         F.col("__toks").alias("__ta"),
         *[F.col(c).alias(f"__a_{c}") for c in exact_cols],
     )
-    b = sides.select(
-        F.col("block"),
+    b = attrs.select(
         F.col(id_col).alias("id_b"),
         F.col("__toks").alias("__tb"),
         *[F.col(c).alias(f"__b_{c}") for c in exact_cols],
@@ -153,8 +180,8 @@ def blocked_er_matches(
             F.col(f"__a_{c}") == F.col(f"__b_{c}"), F.lit(1.0)
         ).otherwise(F.lit(0.0))
     return (
-        a.join(b, "block")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("score", score)
         .filter(
             F.expr(P.round_dbl("score", 6, P.SPARK))

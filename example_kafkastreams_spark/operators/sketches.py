@@ -944,6 +944,34 @@ def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def histogram_sketch_grouped(
+    values: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(group..., bucket, cnt) — one histogram PER GROUP in a single
+    pass (the ``hll_registers_grouped`` convention): answers "the
+    score distribution of every cluster/source at once" with one
+    exchange of ≤ |groups|·n_buckets rows instead of one job per
+    group. Feeds ``histogram_quantile`` per group for e.g.
+    ``curation.cluster_prune_by_threshold`` cutoffs."""
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / n_buckets
+    b = F.floor(
+        (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)
+    ).cast("int")
+    bucket = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1))
+    return (
+        values.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def histogram_quantile(
     hist_rows: list,
     q: float,

@@ -102,31 +102,17 @@ def test_threshold_prune_matches_quota_via_histogram(spark):
     histogram's quantile bound reproduce a quota prune within the
     bucket-width error bound — kept counts land in [target, target +
     bucket mass]."""
-    from example_kafkastreams_spark.operators.sketches import (
-        histogram_quantile,
-        histogram_sketch,
+    from example_kafkastreams_spark.operators.curation import (
+        prune_thresholds,
     )
 
     emb = _emb(spark)
     assigned = cluster_assign(emb, cent_df=_cent_df(emb)).cache()
     try:
-        cuts: dict[int, float] = {}
-        for c in [r["cluster"] for r in assigned.select("cluster").distinct().collect()]:
-            rows = [
-                {"bucket": r["bucket"], "cnt": r["cnt"]}
-                for r in histogram_sketch(
-                    assigned.filter(F.col("cluster") == c).select(
-                        F.col("proto").alias("v")
-                    ),
-                    "v",
-                    lo=-1.0,
-                    hi=1.0,
-                    n_buckets=64,
-                ).collect()
-            ]
-            # hard prune: keep below the 30th-percentile proto; the
-            # bucket's UPPER edge over-keeps by at most one bucket's mass
-            cuts[c] = histogram_quantile(rows, 0.3, -1.0, 1.0, 64)[1]
+        # hard prune: keep below the 30th-percentile proto from ONE
+        # grouped-histogram pass; the bucket's UPPER edge over-keeps
+        # by at most one bucket's mass
+        cuts = prune_thresholds(assigned, 0.3, keep="hard", n_buckets=64)
         kept = cluster_prune_by_threshold(assigned, cuts, keep="hard")
         per = {
             r["cluster"]: r["n"]
@@ -158,3 +144,72 @@ def test_bad_args_raise(spark):
         cluster_prune(assigned, 0.5, keep="sideways")
     with pytest.raises(ValueError):
         cluster_prune_by_threshold(assigned, {}, keep="sideways")
+
+
+def test_grouped_histogram_equals_per_group(spark):
+    """histogram_sketch_grouped == one histogram_sketch per group,
+    in a single pass."""
+    from example_kafkastreams_spark.operators.sketches import (
+        histogram_sketch,
+        histogram_sketch_grouped,
+    )
+
+    emb = _emb(spark)
+    assigned = cluster_assign(emb, cent_df=_cent_df(emb)).cache()
+    try:
+        got = {
+            (r["cluster"], r["bucket"]): r["cnt"]
+            for r in histogram_sketch_grouped(
+                assigned, ["cluster"], "proto", -1.0, 1.0, 64
+            ).collect()
+        }
+        want = {}
+        for c in [
+            r["cluster"]
+            for r in assigned.select("cluster").distinct().collect()
+        ]:
+            for r in histogram_sketch(
+                assigned.filter(F.col("cluster") == c).select(
+                    F.col("proto").alias("v")
+                ),
+                "v", -1.0, 1.0, 64,
+            ).collect():
+                want[(c, r["bucket"])] = r["cnt"]
+        assert got == want
+    finally:
+        assigned.unpersist()
+
+
+def test_prune_thresholds_easy_direction(spark):
+    """easy keeps the TOP of the proto range: the easy cutoff's kept
+    set and the hard cutoff's kept set at the same frac overlap only
+    in the histogram-edge slack."""
+    from example_kafkastreams_spark.operators.curation import (
+        prune_thresholds,
+    )
+
+    emb = _emb(spark)
+    assigned = cluster_assign(emb, cent_df=_cent_df(emb)).cache()
+    try:
+        hard = prune_thresholds(assigned, 0.3, keep="hard")
+        easy = prune_thresholds(assigned, 0.3, keep="easy")
+        for c in hard:
+            assert easy[c] >= hard[c]  # easy cutoff sits above hard's
+        kept_easy = cluster_prune_by_threshold(assigned, easy, "easy")
+        # never under-keeps the 30% quota
+        tot = dict(
+            (r["cluster"], r["n"])
+            for r in assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per = dict(
+            (r["cluster"], r["n"])
+            for r in kept_easy.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for c, n in tot.items():
+            assert per.get(c, 0) >= math.ceil(0.3 * n)
+    finally:
+        assigned.unpersist()

@@ -114,3 +114,33 @@ def test_er_shuffles_carry_ids_not_pairs(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 0
+
+
+def test_multikey_blocking_recovers_cross_name_match(spark):
+    """num_keys=2 emits the second-rarest token too: a pair whose
+    single rarest tokens differ but who share their next token meets
+    in the shared block — the stated recall extension, measured."""
+    recs = _recs(
+        spark,
+        [
+            (1, "xxuniq shared", "b1", "t1"),
+            (2, "yyuniq shared", "b1", "t1"),
+            (3, "other thing", "b9", "t9"),
+        ],
+    )
+    kw = dict(
+        id_col="id",
+        name_col="name",
+        exact_cols={"brand": 0.3, "typ": 0.2},
+        threshold=0.6,  # j=1/3 -> 0.5/3 + 0.3 + 0.2 = 0.667
+    )
+    from example_kafkastreams_spark.operators.entity import (
+        blocked_er_matches as erm,
+    )
+
+    one = {(r["id_a"], r["id_b"]) for r in erm(recs, **kw).collect()}
+    two_df = erm(recs, num_keys=2, **kw)
+    two = [(r["id_a"], r["id_b"]) for r in two_df.collect()]
+    assert (1, 2) not in one        # rarest tokens differ: never meet
+    assert (1, 2) in two            # second key is the shared token
+    assert len(two) == len(set(two))  # multi-block pairs deduped

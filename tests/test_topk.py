@@ -88,3 +88,78 @@ def test_prune_bounds_exchange_rows(spark):
 def test_bad_k_raises(spark):
     with pytest.raises(ValueError):
         topk_per_group(_events(spark), ["user_id"], [("value", True)], 0)
+
+
+def _stream_rows(lo, hi):
+    # values interleave so every batch updates several groups' top-k
+    return [
+        (i % 7, i, float((i * 37) % 101)) for i in range(lo, hi)
+    ]
+
+
+def test_topk_store_stream_equals_batch_build(spark, tmp_path):
+    """Golden: micro-batches through the sink leave per-group top-k
+    EQUAL to the one-shot two-phase top-k over all rows, through a
+    real streaming query."""
+    import pyspark.sql.types as T
+
+    from example_kafkastreams_spark.operators.topk import (
+        topk_store_read,
+        topk_store_sink,
+    )
+    from example_kafkastreams_spark.streaming.sources import (
+        file_stream,
+        stage_replayable_batches,
+    )
+
+    schema = (
+        T.StructType()
+        .add("g", "long")
+        .add("id", "long")
+        .add("v", "double")
+    )
+    batches = [_stream_rows(0, 80), _stream_rows(80, 200), _stream_rows(200, 260)]
+    src = str(tmp_path / "in")
+    stage_replayable_batches(spark, src, schema, batches)
+    store = str(tmp_path / "topk")
+    order = [("v", True), ("id", False)]
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            topk_store_sink(spark, store, ["g"], order, k=3)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(map(tuple, topk_store_read(spark, store).collect()))
+    all_df = spark.createDataFrame(_stream_rows(0, 260), schema)
+    want = sorted(
+        map(tuple, topk_per_group(all_df, ["g"], order, 3).collect())
+    )
+    assert got == want
+
+
+def test_topk_store_replay_skipped(spark, tmp_path):
+    """A replayed batch would enter the ranking twice and evict
+    legitimate rows — the high-water mark must skip it."""
+    from example_kafkastreams_spark.operators.topk import (
+        topk_store_read,
+        topk_store_sink,
+    )
+
+    store = str(tmp_path / "topk")
+    order = [("v", True), ("id", False)]
+    sink = topk_store_sink(spark, store, ["g"], order, k=3)
+    b0 = spark.createDataFrame(_stream_rows(0, 100), "g long, id long, v double")
+    b1 = spark.createDataFrame(_stream_rows(100, 180), "g long, id long, v double")
+    sink(b0, 0)
+    sink(b1, 1)
+    rows = sorted(map(tuple, topk_store_read(spark, store).collect()))
+    sink(b1, 1)  # replay
+    assert sorted(map(tuple, topk_store_read(spark, store).collect())) == rows
+    # fresh sink instance (driver restart) also recognizes the replay
+    topk_store_sink(spark, store, ["g"], order, k=3)(b1, 1)
+    assert sorted(map(tuple, topk_store_read(spark, store).collect())) == rows
