@@ -127,6 +127,7 @@ def blocked_er_matches(
     threshold: float = 0.7,
     max_block: int | None = None,
     num_keys: int = 1,
+    contract_exact: bool = False,
 ) -> DataFrame:
     """Matched pairs (id_a < id_b) with their linkage score:
 
@@ -137,10 +138,21 @@ def blocked_er_matches(
     attribute to its weight. The Jaccard is over DISTINCT tokens —
     small exact integer counts, one IEEE division — and each indicator
     is 0/1 scaled by a decimal literal, so scores are bit-reproducible
-    cross-engine."""
+    cross-engine.
+
+    ``contract_exact``: collapse records with IDENTICAL (name, attrs)
+    to one min-id representative BEFORE blocking — the dedup family's
+    star-contraction move. An N-way-duplicated catalog otherwise costs
+    N² comparisons per entity inside every block; exact twins are the
+    same entity by definition, so matching reps loses nothing. Output
+    pairs are then REP pairs (group membership recovers the rest)."""
     cols = [F.col(id_col), F.expr(_toks(name_col)).alias("__toks")] + [
         F.col(c) for c in exact_cols
     ]
+    if contract_exact:
+        records = records.groupBy(name_col, *exact_cols).agg(
+            F.min(id_col).alias(id_col)
+        )
     attrs = records.select(*cols)
     blocks = rarest_token_blocks(
         records, id_col, name_col, max_block, num_keys

@@ -95,12 +95,26 @@ def amplify(spark, base: str, factor: int) -> str:
         emb,
         lambda df, k: df.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10**7)),
     ).write.mode("overwrite").parquet(os.path.join(AMP_DIR, "embeddings.parquet"))
+    # round 10: lineitem (rollup_mv_maintain — rows x N, groups fixed)
+    # and part (er_blocking — every entity duplicated N ways, the
+    # adversarial ER regime exact-contraction defends against)
+    copies(
+        load_table(spark, base, "lineitem"),
+        lambda df, k: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(k * 10**9)
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(AMP_DIR, "lineitem.parquet"))
+    copies(
+        load_table(spark, base, "part"),
+        lambda df, k: df.withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(k * 10**7)
+        ),
+    ).write.mode("overwrite").parquet(os.path.join(AMP_DIR, "part.parquet"))
     # the non-amplified tables: plain copies so load_table works on
     # AMP_DIR. A table may be a single file (current generator) or a
     # directory-style parquet (a Spark re-write) — handle both
     # (ADVICE r4).
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"):
+    for t in ("region", "nation", "customer", "supplier", "orders"):
         src = os.path.join(base, f"{t}.parquet")
         dst = os.path.join(AMP_DIR, f"{t}.parquet")
         if os.path.isdir(src):
@@ -560,6 +574,76 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             key="user_id",
         )
 
+    def rollup_mv():
+        # incremental maintenance vs rebuild: the delta (5% of rows)
+        # aggregates delta-sized, the merge exchange is 2x|groups| —
+        # at 10x corpus the delta agg grows 10x but the merge stays
+        # group-bounded, so total shuffle grows FAR slower than rows
+        from example_kafkastreams_spark.operators.rollup import (
+            rollup_apply_delta,
+            rollup_build,
+            rollup_finalize,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        sums = {"q": (F.col("l_quantity"), 2)}
+        state = rollup_build(
+            li.filter(F.col("l_orderkey") % 20 != 0),
+            ["l_returnflag", "l_linestatus"], sums,
+        )
+        merged = rollup_apply_delta(
+            state, li.filter(F.col("l_orderkey") % 20 == 0),
+            ["l_returnflag", "l_linestatus"], sums,
+        )
+        return rollup_finalize(merged, sums={"q": 2})
+
+    def er_blocking():
+        # the amplified catalog duplicates every entity N ways — the
+        # adversarial ER regime. contract_exact collapses exact twins
+        # to reps BEFORE blocking (the star-contraction move), so rep
+        # counts, blocks, and candidates return to ~base scale and the
+        # growth curve stays near-flat instead of N²
+        from example_kafkastreams_spark.operators.entity import (
+            blocked_er_matches,
+        )
+
+        return blocked_er_matches(
+            load_table(spark, sf_dir, "part"),
+            id_col="p_partkey", name_col="p_name",
+            exact_cols={"p_brand": 0.3, "p_type": 0.2},
+            threshold=0.7, max_block=256, contract_exact=True,
+        )
+
+    def topk_two_phase():
+        # the combiner claim at scale: the exchange carries only
+        # locally-pruned survivors (~k.groups.batches), so shuffle
+        # records grow with GROUPS, not rows
+        from example_kafkastreams_spark.operators.topk import (
+            topk_per_group,
+        )
+
+        return topk_per_group(
+            events.select("user_id", "event_id", "value"),
+            ["user_id"], [("value", True), ("event_id", False)], 3,
+        )
+
+    def cluster_prune_op():
+        # assignment is map-side (broadcast sample centroids); the
+        # quota window keys on 8 clusters — the probe watches whether
+        # the cluster-keyed exchange becomes the bottleneck (it does,
+        # by design; prune_thresholds is the stated scale path)
+        from example_kafkastreams_spark.operators.curation import (
+            cluster_assign,
+            cluster_prune,
+        )
+
+        cent = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+        )
+        return cluster_prune(
+            cluster_assign(emb, cent_df=cent), keep_frac=0.5
+        ).filter(F.col("kept"))
+
     out: dict[str, dict] = {}
     for name, mk in (
         ("scan_agg", scan_agg),
@@ -588,6 +672,10 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("snapshot_diff", snap_diff),
         ("clf_train_score", clf_train_score),
         ("scd2_build_enrich", scd2),
+        ("rollup_mv_maintain", rollup_mv),
+        ("er_blocking", er_blocking),
+        ("topk_two_phase", topk_two_phase),
+        ("cluster_prune", cluster_prune_op),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)
@@ -934,6 +1022,93 @@ def probe_streaming(spark, base: str, n_batches: int = 6) -> dict:
         summary["store_rows_bound"] = bsz * n_batches
         out[f"scd2_sink_{label}"] = summary
 
+        # rollup store: 20 groups regardless of batch size — state is
+        # |groups| rows of keys + longs, CONSTANT in stream length
+        from pyspark.sql import functions as F
+
+        from example_kafkastreams_spark.operators.rollup import (
+            rollup_store_read,
+            rollup_store_sink,
+        )
+        from example_kafkastreams_spark.operators.topk import (
+            topk_store_read,
+            topk_store_sink,
+        )
+
+        kv_schema = T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        kvbatches = [
+            [
+                (
+                    f"k{i % 20}",
+                    float((b * bsz + i) % 997) / 8.0,
+                    epoch + dt.timedelta(seconds=60.0 * b + i * 0.001),
+                )
+                for i in range(bsz)
+            ]
+            for b in range(n_batches)
+        ]
+        src = os.path.join(work, f"rollup_src_{label}")
+        stage_replayable_batches(spark, src, kv_schema, kvbatches)
+        stream = file_stream(
+            spark, src, kv_schema, max_files_per_trigger=1
+        )
+        store = os.path.join(work, f"rollup_store_{label}")
+        summary = drive(
+            stream.select("k", "v"), f"rollup_{label}",
+            sink_fn=rollup_store_sink(
+                spark, store, ["k"],
+                sums={"v_sum": (F.col("v"), 3)},
+                mins={"v_min": F.col("v")},
+                maxs={"v_max": F.col("v")},
+            ),
+        )
+        summary["store_rows"] = rollup_store_read(spark, store).count()
+        summary["store_rows_bound"] = 20  # |groups|, not rows
+        out[f"rollup_sink_{label}"] = summary
+
+        # top-k store: 20 groups x k=5 — state bounded by k.groups
+        gk_schema = T.StructType(
+            [
+                T.StructField("g", T.LongType()),
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+        gkbatches = [
+            [
+                (
+                    i % 20,
+                    b * 1_000_000 + i,
+                    float((b * bsz + i) * 37 % 9973),
+                    epoch + dt.timedelta(seconds=60.0 * b + i * 0.001),
+                )
+                for i in range(bsz)
+            ]
+            for b in range(n_batches)
+        ]
+        src = os.path.join(work, f"topk_src_{label}")
+        stage_replayable_batches(spark, src, gk_schema, gkbatches)
+        stream = file_stream(
+            spark, src, gk_schema, max_files_per_trigger=1
+        )
+        store = os.path.join(work, f"topk_store_{label}")
+        summary = drive(
+            stream.select("g", "id", "v"), f"topk_{label}",
+            sink_fn=topk_store_sink(
+                spark, store, ["g"], [("v", True), ("id", False)], k=5
+            ),
+        )
+        summary["store_rows"] = topk_store_read(spark, store).count()
+        summary["store_rows_bound"] = 20 * 5
+        out[f"topk_sink_{label}"] = summary
+
     shutil.rmtree(work, ignore_errors=True)
     # cross-size per-batch wall ratio on the steady-state median — the
     # "cost tracks batch size, not stream length" axis
@@ -946,6 +1121,8 @@ def probe_streaming(spark, base: str, n_batches: int = 6) -> dict:
         "bloom_sink",
         "cms_sink",
         "scd2_sink",
+        "rollup_sink",
+        "topk_sink",
     ):
         b1 = out.get(f"{fam}_x1", {}).get("batches", [])[1:]
         b10 = out.get(f"{fam}_x10", {}).get("batches", [])[1:]

@@ -144,3 +144,36 @@ def test_multikey_blocking_recovers_cross_name_match(spark):
     assert (1, 2) not in one        # rarest tokens differ: never meet
     assert (1, 2) in two            # second key is the shared token
     assert len(two) == len(set(two))  # multi-block pairs deduped
+
+
+def test_contract_exact_collapses_duplicates(spark):
+    """An N-way duplicated catalog matches at REP grain under
+    contraction: rep pairs equal the uncontracted matches projected
+    onto min-id representatives."""
+    base = [
+        (1, "red widget", "b1", "t1"),
+        (2, "red widget", "b1", "t2"),
+        (3, "blue bolt", "b2", "t2"),
+    ]
+    dup = base + [
+        (i + 100, n, b, t) for (i, n, b, t) in base
+    ] + [(i + 200, n, b, t) for (i, n, b, t) in base]
+    recs = _recs(spark, dup)
+    from example_kafkastreams_spark.operators.entity import (
+        blocked_er_matches as erm,
+    )
+
+    kw = dict(
+        id_col="id", name_col="name",
+        exact_cols={"brand": 0.3, "typ": 0.2}, threshold=0.7,
+    )
+    got = {
+        (r["id_a"], r["id_b"]) for r in
+        erm(recs, contract_exact=True, **kw).collect()
+    }
+    # reps are the min ids 1/2/3; only (1,2) scores 0.8
+    assert got == {(1, 2)}
+    # and the candidate volume collapsed: uncontracted compares the
+    # 3x-duplicated block (9 reds -> 36 pairs), contracted just 1
+    plain = erm(recs, **kw).count()
+    assert plain > len(got)
