@@ -70,6 +70,22 @@ _BUDGET_FRAC = "0.97"
 _BUDGET_ALPHA = 0.5
 
 
+# q61 drift branch: equi-width buckets over token counts (lo 0, hi
+# 512, 64 buckets => width 8.0 exact) — MUST mirror
+# sketches.histogram_sketch_grouped's clamp chain; and the derived
+# "re-release" snapshot (10% of keys dropped, every 5th text doubled)
+_DRIFT_NEW_TEXT = (
+    "(CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text ELSE text END)"
+)
+
+
+def _drift_bucket(v: str) -> str:
+    return (
+        f"CAST(least(greatest(floor((CAST({v} AS DOUBLE) - 0.0) / 8.0),"
+        " 0), 63) AS INT)"
+    )
+
+
 def _mixing_sql() -> str:
     """DuckDB twin of mix_sources: derive the per-source acceptance
     rates from the data with the SAME double-precision op sequence
@@ -261,6 +277,48 @@ def _mixing_sql() -> str:
              CASE WHEN pinned[i] THEN CAST(1.0 AS DOUBLE)
                   ELSE (ws[i] * rem / sumw) / ns[i] END AS rate
       FROM widx
+    ),
+    -- drift branch: per-source length-distribution TVD between the
+    -- corpus and its derived re-release (10% of keys dropped, every
+    -- 5th text doubled), re-deriving the bucketization, the exact
+    -- cross-multiplied L1 numerator, and the one final division
+    dr_old AS (
+      SELECT source, {_drift_bucket(P.size_(P.split_ws('text', D), D))}
+             AS bucket
+      FROM documents WHERE source IS NOT NULL
+    ),
+    dr_new AS (
+      SELECT source,
+             {_drift_bucket(P.size_(P.split_ws(_DRIFT_NEW_TEXT, D), D))}
+             AS bucket
+      FROM documents
+      WHERE source IS NOT NULL AND doc_id % 10 <> 3
+    ),
+    dr_ha AS (
+      SELECT source, bucket, count(*) AS a FROM dr_old
+      GROUP BY source, bucket
+    ),
+    dr_hb AS (
+      SELECT source, bucket, count(*) AS b FROM dr_new
+      GROUP BY source, bucket
+    ),
+    dr_j AS (
+      SELECT COALESCE(ha.source, hb.source) AS source,
+             COALESCE(a, 0) AS a, COALESCE(b, 0) AS b
+      FROM dr_ha ha FULL OUTER JOIN dr_hb hb
+        ON ha.source = hb.source AND ha.bucket = hb.bucket
+    ),
+    dr_tot AS (
+      SELECT source, CAST(SUM(a) AS BIGINT) AS n_old,
+             CAST(SUM(b) AS BIGINT) AS n_new
+      FROM dr_j GROUP BY source
+    ),
+    dr AS (
+      SELECT j.source, t.n_old, t.n_new,
+             CAST(SUM(ABS(j.a * t.n_new - j.b * t.n_old)) AS BIGINT)
+               AS l1_num
+      FROM dr_j j JOIN dr_tot t ON t.source = j.source
+      GROUP BY j.source, t.n_old, t.n_new
     )
     SELECT 'mix' AS mode, d.doc_id, d.source,{null_card}
     FROM documents d JOIN rates r ON d.source = r.source
@@ -285,6 +343,14 @@ def _mixing_sql() -> str:
     SELECT 'split_' || ({P.split_assign('text', list(_SPLIT_RATIOS), D)}),
            doc_id, source,{null_card}
     FROM documents
+    UNION ALL
+    SELECT 'drift', CAST(NULL AS BIGINT), source, n_old, n_new, l1_num,
+           CASE WHEN n_old = 0 OR n_new = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST(l1_num AS DOUBLE)
+                     / CAST(2 * n_old * n_new AS DOUBLE) END,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
+    FROM dr
     """
 
 
@@ -394,9 +460,38 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
     )
+    # drift branch (round 10): per-source length-distribution TVD vs a
+    # derived re-release (operators.diffs.corpus_drift_report) — the
+    # statistical release audit next to q40's key-level diff. Columns
+    # shoehorn into the slot contract: n_docs=n_old, n_tokens=n_new,
+    # distinct_texts=the exact integer L1 numerator, dup_rate=tvd.
+    from .operators.diffs import corpus_drift_report
+
+    src_docs = docs.filter(F.col("source").isNotNull())
+    snap_new = src_docs.filter(F.col("doc_id") % 10 != 3).select(
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    drift = corpus_drift_report(src_docs, snap_new).select(
+        F.lit("drift").alias("mode"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "source",
+        F.col("n_old").alias("n_docs"),
+        F.col("n_new").alias("n_tokens"),
+        F.col("l1_num").alias("distinct_texts"),
+        F.col("tvd").alias("dup_rate"),
+        F.lit(None).cast("double").alias("mean_quality"),
+        F.lit(None).cast("double").alias("pct_lang_pure"),
+        F.lit(None).cast("double").alias("gini_chars"),
+    )
     return (
         mix.unionByName(temp).unionByName(budget)
-        .unionByName(card).unionByName(split)
+        .unionByName(card).unionByName(split).unionByName(drift)
     )
 
 
