@@ -166,7 +166,7 @@ _MERGED_SINCE = {
     "q54_chunk_documents": 8,     # +shard (r8)
     "q55_tfidf_top_term": 9,      # +bm25idx (r9)
     "q59_dedup_edit_distance": 10,  # +er record linkage (r10)
-    "q61_domain_mixing": 9,       # +card (r9)
+    "q61_domain_mixing": 10,      # +card (r9), +drift (r10)
     "q62_pii_scrub": 9,           # +norm (r9)
     "q63_corpus_funnel": 6,       # +delta (r6)
     "q64_decontaminate": 9,       # +bloom (r9)
@@ -372,7 +372,8 @@ def main() -> None:
              "hll_grp", "hll_grp_est", "hist"),
         ),
         ("q59_dedup_edit_distance", "mode", ("edit", "er")),
-        ("q61_domain_mixing", "mode", ("mix", "card", "temp", "budget")),
+        ("q61_domain_mixing", "mode",
+         ("mix", "card", "temp", "budget", "drift")),
         ("q62_pii_scrub", "mode", ("pii", "norm")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
         ("q64_decontaminate", "mode", ("exact", "fuzzy", "bloom")),
