@@ -60,9 +60,11 @@ def topk_per_group(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # dropna=False: a NULL group key is a legitimate group to
+            # the window plan — pandas' default would silently drop it
             yield (
                 pdf.sort_values(by=by, ascending=asc, kind="mergesort")
-                .groupby(groups, sort=False)
+                .groupby(groups, sort=False, dropna=False)
                 .head(k)
             )
 

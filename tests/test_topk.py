@@ -163,3 +163,32 @@ def test_topk_store_replay_skipped(spark, tmp_path):
     # fresh sink instance (driver restart) also recognizes the replay
     topk_store_sink(spark, store, ["g"], order, k=3)(b1, 1)
     assert sorted(map(tuple, topk_store_read(spark, store).collect())) == rows
+
+
+def test_null_group_keys_survive(spark):
+    """A NULL group key is a legitimate window partition — the local
+    prune must not drop it (pandas groupby's default would)."""
+    df = spark.createDataFrame(
+        [(None, 1, 5.0), (None, 2, 9.0), (None, 3, 1.0), (7, 4, 2.0)],
+        "g long, id long, v double",
+    )
+    got = sorted(
+        map(
+            tuple,
+            topk_per_group(
+                df, ["g"], [("v", True), ("id", False)], 2
+            ).collect(),
+        ),
+        key=str,
+    )
+    w = W.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    want = sorted(
+        map(
+            tuple,
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .collect(),
+        ),
+        key=str,
+    )
+    assert got == want and len(got) == 3
