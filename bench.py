@@ -1509,6 +1509,34 @@ def main() -> None:
         if bad:
             recall_flags[fam] = bad
 
+    # Blocking-quality gate (round 10): the q41 eval branch measures
+    # MinHash-LSH candidate recall against exact-Jaccard truth on a
+    # sample; a bands/hashes retune that silently drops it is data
+    # loss. Floor 0.8 (current data measures 1.0); precision is
+    # reported, not gated — low precision is a cost, not a loss.
+    DEDUP_RECALL_FLOOR = 0.8
+    ev = {
+        int(r["doc_a"]): (int(r["doc_b"]), float(r["est_jaccard"]))
+        for r in QUERIES["q41_dedup_minhash_lsh"](spark, SF_DIR)
+        .filter(F.col("mode") == "eval")
+        .collect()
+    }
+    # ordinals: 1=precision, 2=recall, 3=f1 (counts ride alongside)
+    compare["dedup_blocking_eval"] = {
+        "precision": ev.get(1, (0, None))[1],
+        "recall": ev.get(2, (0, None))[1],
+        "f1": ev.get(3, (0, None))[1],
+        "n_truth": ev.get(2, (0, None))[0],
+        "n_candidates": ev.get(1, (0, None))[0],
+    }
+    if ev.get(2) and ev[2][1] is not None and ev[2][1] < DEDUP_RECALL_FLOOR:
+        recall_flags["dedup_blocking"] = {
+            "recall": ev[2][1],
+            "floor": DEDUP_RECALL_FLOOR,
+            "n_truth": ev[2][0],
+        }
+    release_sketch_caches()
+
     # Regression gate (VERDICT r6 item 5; share-normalized round 9).
     # Shuffle records are deterministic — a shuffle flag means "the
     # plan changed" and is the trustworthy signal. Walls on this host
