@@ -1537,6 +1537,117 @@ def main() -> None:
         }
     release_sketch_caches()
 
+    # Round-10 physical-strategy compares — the measured halves of the
+    # q19/q11 branch claims.
+    # (a) group-wise top-k: the window plan exchanges every row; the
+    # two-phase combiner exchanges only locally-pruned survivors.
+    from pyspark.sql import Window as _W
+
+    from example_kafkastreams_spark.operators.topk import topk_per_group
+
+    ev_src = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    _w19 = _W.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    topk_cmp: dict[str, dict] = {}
+    for label, mk in (
+        (
+            "window_rank",
+            lambda: ev_src.withColumn("rn", F.row_number().over(_w19))
+            .filter(F.col("rn") <= 3),
+        ),
+        (
+            "two_phase_topk",
+            lambda: topk_per_group(
+                ev_src, ["user_id"],
+                [("value", True), ("event_id", False)], 3,
+            ),
+        ),
+    ):
+        best = float("inf")
+        shuffled = None
+        for i in range(3):
+            before = shuffle_totals(spark)
+            t0 = time.perf_counter()
+            run_noop(mk())
+            best = min(best, time.perf_counter() - t0)
+            after = shuffle_totals(spark)
+            if i == 0 and before is not None and after is not None:
+                shuffled = (after[0] - before[0], after[1] - before[1])
+        topk_cmp[label] = {
+            "sec": round(best, 3),
+            "shuffle_write_records": shuffled[0] if shuffled else None,
+            "shuffle_write_bytes": shuffled[1] if shuffled else None,
+        }
+    compare["topk_vs_window"] = topk_cmp
+
+    # (b) incremental rollup: ONE maintenance step over a
+    # pre-materialized state + the day's delta vs the full re-scan
+    # rebuild. The honest comparison at 100 TB: the rebuild reads all
+    # history, the maintenance step reads |delta| rows + |groups|
+    # state rows.
+    import tempfile as _tf
+
+    from example_kafkastreams_spark.operators.rollup import (
+        rollup_apply_delta,
+        rollup_build,
+        rollup_finalize,
+    )
+
+    li10 = load_table(spark, SF_DIR, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    mv_sums = {"sum_qty": (F.col("l_quantity"), 2)}
+    mv_keys = ["l_returnflag", "l_linestatus"]
+    state_dir = _tf.mkdtemp(prefix="bench_mv_state_")
+    t0 = time.perf_counter()
+    rollup_build(
+        li10.filter(F.col("l_orderkey") % 20 != 0), mv_keys, mv_sums
+    ).write.mode("overwrite").parquet(state_dir)
+    build_sec = round(time.perf_counter() - t0, 3)
+    mv_cmp: dict[str, dict] = {"state_build_once": {"sec": build_sec}}
+    for label, mk in (
+        (
+            "full_rebuild",
+            lambda: rollup_finalize(
+                rollup_build(li10, mv_keys, mv_sums), sums={"sum_qty": 2}
+            ),
+        ),
+        (
+            "delta_maintain",
+            lambda: rollup_finalize(
+                rollup_apply_delta(
+                    spark.read.parquet(state_dir),
+                    li10.filter(F.col("l_orderkey") % 20 == 0),
+                    mv_keys,
+                    mv_sums,
+                ),
+                sums={"sum_qty": 2},
+            ),
+        ),
+    ):
+        best = float("inf")
+        shuffled = None
+        for i in range(3):
+            before = shuffle_totals(spark)
+            t0 = time.perf_counter()
+            run_noop(mk())
+            best = min(best, time.perf_counter() - t0)
+            after = shuffle_totals(spark)
+            if i == 0 and before is not None and after is not None:
+                shuffled = (after[0] - before[0], after[1] - before[1])
+        mv_cmp[label] = {
+            "sec": round(best, 3),
+            "shuffle_write_records": shuffled[0] if shuffled else None,
+            "shuffle_write_bytes": shuffled[1] if shuffled else None,
+        }
+    import shutil as _sh
+
+    _sh.rmtree(state_dir, ignore_errors=True)
+    compare["mv_maintenance"] = mv_cmp
+
     # Regression gate (VERDICT r6 item 5; share-normalized round 9).
     # Shuffle records are deterministic — a shuffle flag means "the
     # plan changed" and is the trustworthy signal. Walls on this host
