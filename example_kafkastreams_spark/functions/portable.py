@@ -636,22 +636,29 @@ _CTRL_CLASS = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]"
 
 def normalize_text(text_col: str, d: str) -> str:
     """The pre-clean as ONE cross-engine expression chain, in fix-
-    point-safe order: mojibake repair FIRST (its inputs are multi-char
-    sequences later stages would mangle), then combining-mark
-    recomposition, then CRLF/CR → LF, control strip, space/tab-run
-    collapse, and an outer space trim. Pure map-side scan work — the
-    same zero-shuffle shape as ``pii_scrub``."""
+    point-safe order: control strip FIRST — it is the only stage that
+    DELETES characters and can therefore join two survivors into a new
+    multi-char pattern (a C0 byte inside a mojibake pair: 'Ã\\x00©'
+    → 'Ã©', the hypothesis-found idempotence break round 10 fixed) —
+    then mojibake repair and combining-mark recomposition over the
+    already-joined text, then CRLF/CR → LF, space/tab-run collapse,
+    and an outer space trim. Safe because ``_CTRL_CLASS`` is C0-only
+    while every mojibake/NFC sequence is printable latin-1: the strip
+    cannot mangle a repair input. Downstream stages only REPLACE or
+    COLLAPSE-to-space, so a second pass is the identity. Pure
+    map-side scan work — the same zero-shuffle shape as
+    ``pii_scrub``."""
     _check(d)
     out = text_col
+    # DuckDB regexp_replace is first-match-only without the 'g' flag
+    # (the pii_scrub lesson); Spark's is global by default
+    g = "" if d == SPARK else ", 'g'"
+    out = f"regexp_replace({out}, {_regex_lit(_CTRL_CLASS, d)}, ''{g})"
     for seq, rep in MOJIBAKE_FIXES + NFC_FIXES:
         out = f"replace({out}, '{seq}', '{rep}')"
     # newline canonicalization via chr() — no escape-sensitive literals
     out = f"replace({out}, chr(13) || chr(10), chr(10))"
     out = f"replace({out}, chr(13), chr(10))"
-    # DuckDB regexp_replace is first-match-only without the 'g' flag
-    # (the pii_scrub lesson); Spark's is global by default
-    g = "" if d == SPARK else ", 'g'"
-    out = f"regexp_replace({out}, {_regex_lit(_CTRL_CLASS, d)}, ''{g})"
     ws_class = "[ \\x{09}]+"
     out = f"regexp_replace({out}, {_regex_lit(ws_class, d)}, ' '{g})"
     return f"trim({out})"

@@ -12,7 +12,7 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from example_kafkastreams_spark.functions import portable as P
 
@@ -250,6 +250,9 @@ RAW_DOCS = st.lists(RAW_DOC, min_size=1, max_size=8)
 
 @SETTINGS
 @given(docs=RAW_DOCS)
+@example(docs=["Ã\x00©"])  # C0 byte INSIDE a mojibake pair: the strip
+# joins it into 'Ã©', which must repair in the SAME pass (the
+# round-10 idempotence fix — control strip now runs first)
 def test_normalize_text_agrees(spark, docs):
     got, want = both_engines(
         spark,
