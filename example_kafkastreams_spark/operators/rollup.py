@@ -42,11 +42,11 @@ State column layout (schema-driven so merge needs no spec):
   ``__c_{name}``    — non-null count partial (the davg denominator)
   ``__min_{name}`` / ``__max_{name}``
 
-Reference parity: the reference's KTable aggregations (e.g.
-``groupByKey().aggregate(...)`` materializing running per-key state,
-src/main/scala/example/... topology builders) maintain exactly this
-shape inside RocksDB; here the state is an explicit DataFrame the
-batch AND streaming (``rollup_store_sink``) paths share.
+Reference parity: the reference's KTable materialization
+(``groupByKey().reduce(..., Materialized.as("deduplication_store"))``,
+ClickstreamJoinExample.scala:254-256) maintains exactly this running
+per-key aggregate state inside RocksDB; here the state is an explicit
+DataFrame the batch AND streaming (``rollup_store_sink``) paths share.
 """
 
 from __future__ import annotations
