@@ -155,6 +155,7 @@ _MERGED_SINCE = {
     "q45_knn_bruteforce": 9,      # +mrl Matryoshka (r9)
     "q65_lm_score": 9,            # +clf (r9)
     "q41_dedup_minhash_lsh": 10,  # +incr (r6), +eval (r10)
+    "q44_dedup_ngram_jaccard": 10,  # +contain (r10)
     "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
     "q47_embedding_neardup": 10,  # +delta/+deltaidx (r8), +prune (r10)
     "q34_hash_sample": 9,         # +wsample (r9)

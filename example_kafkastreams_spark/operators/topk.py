@@ -1,27 +1,32 @@
-"""Two-phase top-k per group — the combiner-style alternative to a
-full window sort.
+"""Two-phase top-k per group — the combiner shape, made explicit.
 
-The window plan (``row_number() OVER (PARTITION BY g ORDER BY ...)``,
-q19's declared branch) shuffles EVERY row to its group's partition and
-sorts each group — at 100 TB that is a full-corpus exchange whose
-hottest key's whole history lands in one task. But top-k is a
-mergeable aggregate: any row in the global top-k of its group is in
-the local top-k of every subset containing it. So:
+Top-k is a mergeable aggregate: any row in the global top-k of its
+group is in the local top-k of every subset containing it. So:
 
-1. **Local prune** (``_local_topk`` via ``mapInPandas``): each Arrow
-   batch keeps at most k rows per group it contains — pure partition-
-   local work, ZERO shuffle, vectorized sort + group-head in pandas.
-   Output is ≤ k · (groups present in the batch) rows: a superset of
-   the answer, usually ~k·groups·partitions total instead of |table|.
+1. **Local prune** (via ``mapInPandas``): each Arrow batch keeps at
+   most k rows per group it contains — pure partition-local work,
+   ZERO shuffle, vectorized sort + group-head in pandas. Output is ≤
+   k · (groups present in the batch) rows: a superset of the answer.
 2. **Global rank**: the ordinary window over the pruned survivors —
-   the one exchange now carries the pruned rows only.
+   the one exchange carries the pruned rows only.
 
-This is the MapReduce combiner / Flink partial-final agg shape; Spark
-has no bounded top-k UDAF (``collect_list`` partials are unbounded —
-its map-side "combine" ships every row), so the local phase is an
-Arrow ``mapInPandas`` rather than an expression. Correctness does not
-depend on batch boundaries: per-batch pruning only ever REMOVES rows
-that some strictly better k rows of the same group accompany.
+**Measured finding (round 10, recorded in ``bench.py``'s
+``plan_compare.topk_vs_window``): Catalyst already does this.** Spark
+≥ 3.5 plans a native ``WindowGroupLimit`` (SPARK-37099) under any
+``row_number()/rank()/dense_rank() <= k`` filter: a JVM-side map-side
+group-limit BEFORE the exchange. On the bench events table both plans
+shuffle the identical 4,500 survivor rows (k·groups·partitions) out
+of 100k input — and the native plan is faster (no Arrow round-trip).
+q19's ``window`` branch is therefore the SERVING plan; this module is
+(a) the explicit, plan-pattern-independent form — ``topk_store_sink``
+uses the local prune inside ``foreachBatch`` where no rank-filter
+pattern exists for Catalyst to recognize, and pre-join/pre-sink
+prunes generally don't match SPARK-37099's filter shape — and (b)
+the measured proof that the declarative plan needs no hand-rolled
+replacement (the MapReduce-combiner / Flink partial-final shape,
+verified subsumed). Correctness does not depend on batch boundaries:
+per-batch pruning only ever REMOVES rows that k strictly better rows
+of the same group accompany.
 
 Null ordering caveat: the local prune sorts nulls to the losing end
 (matching Spark's default NULLS LAST for DESC / NULLS FIRST for ASC

@@ -400,14 +400,16 @@ def q18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_window_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events per user, both physical strategies in one row.
-    ``window``: the declarative row_number plan — a full exchange on
-    user_id plus a per-group sort (fine when the optimizer owns it,
-    skew-prone at 100 TB). ``topk``: operators/topk.py's two-phase
-    combiner — Arrow map-side local top-k prune (zero shuffle), then
-    the same window over survivors only, so the exchange carries
-    ≤ k·groups·partitions rows instead of the corpus. Both oracle arms
-    are the plain window rank — the topk row hash-matching it IS the
-    claim that the prune never drops a global top-k row."""
+    ``window``: the declarative row_number plan — the SERVING plan:
+    Spark ≥ 3.5's native WindowGroupLimit (SPARK-37099) prunes each
+    map partition to k rows per group BEFORE the exchange, so the
+    shuffle carries only survivors (measured: 4,500 of 100k rows at
+    sf0.1, bench plan_compare.topk_vs_window). ``topk``:
+    operators/topk.py's explicit Arrow two-phase combiner — the same
+    shape hand-rolled, kept as the plan-pattern-independent form (and
+    the measured proof the declarative plan subsumes it). Both oracle
+    arms are the plain window rank — the topk row hash-matching it IS
+    the claim that the prune never drops a global top-k row."""
     from .operators.topk import topk_per_group
 
     events = load_table(spark, sf_dir, "events")
