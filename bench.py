@@ -150,7 +150,7 @@ def input_totals(spark) -> tuple[int, int] | None:
 _MERGED_SINCE = {
     "q11_pricing_summary": 10,    # +mv incremental maintenance (r10)
     "q19_window_topn_per_user": 10,  # +topk two-phase combiner (r10)
-    "q26_interval_join_symmetric": 9,  # +dim/+enrich SCD2 (r9)
+    "q26_interval_join_symmetric": 10,  # +dim/+enrich (r9), +asof/+chlog (r10)
     "q40_dedup_exact_text": 9,    # +diff_* snapshot audit (r9)
     "q45_knn_bruteforce": 9,      # +mrl Matryoshka (r9)
     "q65_lm_score": 9,            # +clf (r9)
@@ -160,8 +160,8 @@ _MERGED_SINCE = {
     "q47_embedding_neardup": 10,  # +delta/+deltaidx (r8), +prune (r10)
     "q34_hash_sample": 9,         # +wsample (r9)
     "q56_quantize_embeddings": 8, # +adc (r8)
-    "q57_neardup_components": 9,  # +leak, +mine_pos/+mine_neg (r9)
-    "q58_srp_histogram": 9,       # +kmv/kmvops/cms/hll* (r9 — the early
+    "q57_neardup_components": 10,  # +leak/+mine_* (r9), +mine_hard (r10)
+    "q58_srp_histogram": 10,      # +kmv/cms/hll* (r9), +hist (r10; the early
                                   # r9 artifact predates these branches)
     "q50_token_stats": 9,         # +bpe (r9)
     "q54_chunk_documents": 8,     # +shard (r8)
