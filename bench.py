@@ -365,7 +365,7 @@ def main() -> None:
         ),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
         ("q57_neardup_components", "mode",
-         ("comp", "leak", "mine_pos", "mine_neg", "mine_hard")),
+         ("comp", "leak", "mine_pos", "mine_neg", "mine_hard", "inc")),
         (
             "q58_srp_histogram",
             "mode",

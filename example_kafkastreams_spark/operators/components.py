@@ -175,3 +175,111 @@ def with_component_sizes(
     return components.join(sizes, "component_id").select(
         node_col, "component_id", "component_size"
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame,
+    node_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Fold a delta edge batch into an EXISTING labeling without
+    re-running the full graph — the day-2 path of the dedup cluster
+    table, completing the incremental family (digest index → band
+    index → SRP index → this).
+
+    The old labeling is a CONTRACTION of the old graph: every old
+    component is fully represented by its min-id label. A new edge
+    can therefore only (a) merge old components, (b) attach new nodes
+    to them, or (c) form new components — all decided on the
+    CONTRACTED graph whose nodes are the touched component ids plus
+    the delta's node ids, and whose edges are the delta edges with
+    each endpoint replaced by its old component id (self-edges drop).
+    Running ``connected_components`` there yields, per touched
+    representative, the merged min label (old component ids ARE min
+    member ids, so the contracted minimum IS the global minimum).
+
+    Cost shape at 100 TB: the contracted graph is DELTA-sized
+    (components touched by today's edges, never the corpus graph);
+    the only corpus-grain work is one map-side remap of the label
+    table against the broadcast (changed-label) remap — the daily
+    label-table rewrite every incremental index already pays. The
+    iterative loop's per-round joins shrink from |E_total| to
+    |E_delta|.
+
+    Contract: ``labels`` is corpus-grain (exactly what
+    ``connected_components`` returns — singletons included);
+    ``new_nodes`` lists every delta id (disjoint from ``labels``);
+    ``new_edges`` touch only ``labels`` ∪ ``new_nodes``. Verified
+    equal to a full recompute by unit tests over random splits and by
+    q57's ``inc`` branch against the oracle's full-graph closure.
+    """
+    la = labels.select(
+        F.col(node_col).alias("__n"), F.col("component_id").alias("__c")
+    )
+    e = new_edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    mapped = (
+        e.join(
+            la.select(
+                F.col("__n").alias("__a"), F.col("__c").alias("__ca")
+            ),
+            "__a",
+            "left",
+        )
+        .join(
+            la.select(
+                F.col("__n").alias("__b"), F.col("__c").alias("__cb")
+            ),
+            "__b",
+            "left",
+        )
+        .select(
+            F.coalesce("__ca", "__a").alias("ca"),
+            F.coalesce("__cb", "__b").alias("cb"),
+        )
+        .filter(F.col("ca") != F.col("cb"))
+    )
+    # the contracted edge set fans out three ways (cc's undirected
+    # union + both cnodes projections) and sits on top of the label
+    # join — checkpoint it once; it is delta-sized by construction
+    mapped = _truncate_lineage(mapped, cc_kwargs.get("reliable", False))
+    new_ids = new_nodes.select(F.col(node_col).alias("__id")).distinct()
+    cnodes = (
+        mapped.select(F.col("ca").alias("__id"))
+        .union(mapped.select(F.col("cb").alias("__id")))
+        .union(new_ids)
+        .distinct()
+    )
+    sub = connected_components(
+        mapped,
+        nodes=cnodes,
+        node_col="__id",
+        src="ca",
+        dst="cb",
+        **cc_kwargs,
+    )
+    # only labels that actually moved enter the broadcast remap — at
+    # most |contracted graph| rows, usually far fewer
+    remap = sub.filter(F.col("__id") != F.col("component_id")).select(
+        F.col("__id").alias("__old"), F.col("component_id").alias("__new")
+    )
+    out_old = (
+        labels.join(
+            F.broadcast(remap),
+            labels["component_id"] == F.col("__old"),
+            "left",
+        )
+        .select(
+            F.col(node_col),
+            F.coalesce(F.col("__new"), F.col("component_id")).alias(
+                "component_id"
+            ),
+        )
+    )
+    out_new = new_ids.join(sub, "__id").select(
+        F.col("__id").alias(node_col), "component_id"
+    )
+    return out_old.union(out_new)

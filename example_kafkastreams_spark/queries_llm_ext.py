@@ -992,9 +992,32 @@ _HARD_NEG_K = 2
            CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
            {P.round_dbl('cos', 6, D)}
     FROM hrk WHERE rk <= {_HARD_NEG_K}
+    UNION ALL
+    -- inc branch: the incrementally-folded day-2 labeling must equal
+    -- the full-graph closure EXACTLY — same CTE, new tag
+    SELECT 'inc', doc_id, component_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM labeled
     """,
 )
 def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(see _q57_build — memoized because the three component loops
+    run eagerly at DataFrame-build time; re-building per branch-timing
+    filter would re-pay them. The _Q46_IDX_CACHE convention, keyed by
+    session so a restarted session never serves stale plans.)"""
+    key = (id(spark), sf_dir)
+    cached = _Q57_CACHE.get(key)
+    if cached is None:
+        cached = _q57_build(spark, sf_dir)
+        _Q57_CACHE[key] = cached
+    return cached
+
+
+_Q57_CACHE: dict = {}
+
+
+def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: transitive closure of the SimHash near-dup
     graph via distributed min-label propagation (see
     operators.components). The oracle computes the same fixpoint with
@@ -1028,12 +1051,45 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cache import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = simhash_components_edges(docs, max_hamming=3)
+    # edges now fan out three ways (the full labeling + the inc
+    # branch's old/delta splits) — persist so banding runs once
+    edges = persist_tracked(simhash_components_edges(docs, max_hamming=3))
     # the labeling fans out into four union children (comp/leak/
     # mine_pos/mine_neg) plus the miner's bucket-count job — persist
     # it once or every child re-runs the banding + the component loop
     comp = persist_tracked(
         connected_components(edges, nodes=docs, node_col="doc_id")
+    )
+    # inc (round 10): operators.components.incremental_components —
+    # the day-2 path of the cluster table. Day 1 = docs with
+    # doc_id % 7 != 0 and the edges fully inside them; the delta batch
+    # is every edge touching a % 7 == 0 doc plus those docs as new
+    # nodes. The folded labeling must equal the FULL-graph closure —
+    # the oracle arm is literally the same recursive-CTE labels, so
+    # the hash match IS the merge-correctness claim (old components
+    # merged, new nodes attached, new components formed, untouched
+    # labels byte-stable).
+    from .operators.components import incremental_components
+
+    is_new = F.col("doc_id") % 7 == 0
+    # broadcast=True: the label tables here are corpus-fraction /
+    # delta-sized — skip the estimate job each loop would otherwise run
+    old_cc = connected_components(
+        edges.filter(
+            (F.col("doc_a") % 7 != 0) & (F.col("doc_b") % 7 != 0)
+        ),
+        nodes=docs.filter(~is_new),
+        node_col="doc_id",
+        broadcast=True,
+    )
+    inc = incremental_components(
+        old_cc,
+        edges.filter(
+            (F.col("doc_a") % 7 == 0) | (F.col("doc_b") % 7 == 0)
+        ),
+        docs.filter(is_new),
+        "doc_id",
+        broadcast=True,
     )
     sized = with_component_sizes(comp, "doc_id")
     leak = split_leakage_report(
@@ -1104,7 +1160,12 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).unionByName(mine_child(True, "mine_pos")).unionByName(
         mine_child(False, "mine_neg")
-    ).unionByName(hard)
+    ).unionByName(hard).unionByName(
+        inc.select(
+            F.lit("inc").alias("mode"),
+            "doc_id", "component_id", null_sz, *null_l, null_cos,
+        )
+    )
 
 
 # --- q60: multimodal frame sampling (1 → N inside the Arrow batch) --------

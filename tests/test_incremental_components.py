@@ -1,0 +1,129 @@
+"""Incremental connected components (operators/components.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from example_kafkastreams_spark.operators.components import (
+    connected_components,
+    incremental_components,
+)
+
+
+def _labels(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _full(spark, edges, nodes):
+    e = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    n = spark.createDataFrame([(x,) for x in nodes], "doc_id bigint")
+    return connected_components(e, nodes=n, node_col="doc_id")
+
+
+def _inc(spark, old_edges, old_nodes, delta_edges, delta_nodes):
+    old = _full(spark, old_edges, old_nodes)
+    de = spark.createDataFrame(
+        delta_edges or [(None, None)], "doc_a bigint, doc_b bigint"
+    )
+    if not delta_edges:
+        de = de.filter(F.col("doc_a").isNotNull())
+    dn = spark.createDataFrame(
+        [(x,) for x in delta_nodes] or [(None,)], "doc_id bigint"
+    )
+    if not delta_nodes:
+        dn = dn.filter(F.col("doc_id").isNotNull())
+    return incremental_components(old, de, dn, "doc_id")
+
+
+def test_merge_attach_and_new_component(spark):
+    """One delta batch exercising all three cases: merging two old
+    components, attaching a new node to an old one, and a brand-new
+    all-delta component — plus untouched components and singletons."""
+    old_edges = [(10, 11), (20, 21), (30, 31), (40, 41)]
+    old_nodes = list(range(10, 12)) + list(range(20, 22)) + \
+        list(range(30, 32)) + list(range(40, 42)) + [50]  # 50 singleton
+    delta_edges = [
+        (11, 20),   # merges comp(10) with comp(20) -> label 10
+        (31, 60),   # attaches new node 60 to comp(30)
+        (61, 62),   # brand-new component -> label 61
+    ]
+    delta_nodes = [60, 61, 62, 63]  # 63: new singleton
+    got = _labels(
+        _inc(spark, old_edges, old_nodes, delta_edges, delta_nodes)
+    )
+    want = _labels(
+        _full(spark, old_edges + delta_edges, old_nodes + delta_nodes)
+    )
+    assert got == want
+    d = dict(got)
+    assert d[20] == 10 and d[21] == 10     # merged
+    assert d[60] == 30                     # attached
+    assert d[61] == 61 and d[62] == 61     # new comp
+    assert d[50] == 50 and d[63] == 63     # singletons untouched/new
+    assert d[40] == 40                     # untouched comp
+
+
+def test_new_node_with_smaller_id_relabels_old_component(spark):
+    """A new node whose id undercuts the old component's min must pull
+    the WHOLE old component onto the new global minimum."""
+    got = dict(
+        _labels(_inc(spark, [(10, 11)], [10, 11], [(2, 11)], [2]))
+    )
+    assert got == {2: 2, 10: 2, 11: 2}
+
+
+def test_chain_merge_through_delta(spark):
+    """Delta edges can merge MANY old components transitively in one
+    batch (a ~ b ~ c through contracted edges)."""
+    old_edges = [(10, 11), (20, 21), (30, 31)]
+    old_nodes = [10, 11, 20, 21, 30, 31]
+    delta_edges = [(11, 21), (21, 31)]
+    got = _labels(_inc(spark, old_edges, old_nodes, delta_edges, []))
+    want = _labels(_full(spark, old_edges + delta_edges, old_nodes))
+    assert got == want
+    assert set(dict(got).values()) == {10}
+
+
+def test_random_splits_equal_full_recompute(spark):
+    """Property: for the real SimHash near-dup graph at sf0.001, ANY
+    node split (old/new) with the induced edge split folds back to the
+    full labeling exactly."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.neardup import (
+        simhash_components_edges,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    edges = simhash_components_edges(docs, max_hamming=3).cache()
+    try:
+        full = _labels(
+            connected_components(edges, nodes=docs, node_col="doc_id")
+        )
+        for mod in (3, 7):
+            is_new = F.col("doc_id") % mod == 0
+            old_docs = docs.filter(~is_new)
+            old_edges = edges.filter(
+                (F.col("doc_a") % mod != 0) & (F.col("doc_b") % mod != 0)
+            )
+            delta_edges = edges.filter(
+                (F.col("doc_a") % mod == 0) | (F.col("doc_b") % mod == 0)
+            )
+            old = connected_components(
+                old_edges, nodes=old_docs, node_col="doc_id"
+            )
+            got = _labels(
+                incremental_components(
+                    old, delta_edges, docs.filter(is_new), "doc_id"
+                )
+            )
+            assert got == full, f"mod={mod}"
+    finally:
+        edges.unpersist()
+
+
+def test_empty_delta_is_identity(spark):
+    old_edges = [(1, 2), (3, 4)]
+    old_nodes = [1, 2, 3, 4, 5]
+    old = _full(spark, old_edges, old_nodes)
+    got = _labels(_inc(spark, old_edges, old_nodes, [], []))
+    assert got == _labels(old)
