@@ -574,6 +574,33 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             key="user_id",
         )
 
+    def inc_components():
+        # the day-2 cluster fold: the contracted graph is DELTA-sized,
+        # so at 10x the fold's loop grows with the delta's touched
+        # components, never the full graph
+        from example_kafkastreams_spark.operators.components import (
+            incremental_components,
+        )
+
+        edges = ND.simhash_components_edges(docs, max_hamming=3)
+        old_cc = connected_components(
+            edges.filter(
+                (F.col("doc_a") % 7 != 0) & (F.col("doc_b") % 7 != 0)
+            ),
+            nodes=docs.filter(F.col("doc_id") % 7 != 0),
+            node_col="doc_id",
+            broadcast=True,
+        )
+        return incremental_components(
+            old_cc,
+            edges.filter(
+                (F.col("doc_a") % 7 == 0) | (F.col("doc_b") % 7 == 0)
+            ),
+            docs.filter(F.col("doc_id") % 7 == 0),
+            "doc_id",
+            broadcast=True,
+        )
+
     def rollup_mv():
         # incremental maintenance vs rebuild: the delta (5% of rows)
         # aggregates delta-sized, the merge exchange is 2x|groups| —
@@ -672,6 +699,7 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("snapshot_diff", snap_diff),
         ("clf_train_score", clf_train_score),
         ("scd2_build_enrich", scd2),
+        ("inc_components_fold", inc_components),
         ("rollup_mv_maintain", rollup_mv),
         ("er_blocking", er_blocking),
         ("topk_two_phase", topk_two_phase),
