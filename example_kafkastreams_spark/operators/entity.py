@@ -51,7 +51,15 @@ __all__ = ["token_df", "rarest_token_blocks", "blocked_er_matches"]
 
 
 def _toks(text_col: str) -> str:
-    return P.distinct_(P.split_ws(text_col, P.SPARK), P.SPARK)
+    # split('', ' ') yields [''] in both engines — without the blank
+    # filter every empty-name record would share one accidental block
+    # (quadratic noise at scale) and jaccard({''},{''}) would read 1
+    return P.filter_(
+        P.distinct_(P.split_ws(text_col, P.SPARK), P.SPARK),
+        "t",
+        "t <> ''",
+        P.SPARK,
+    )
 
 
 def token_df(

@@ -1277,7 +1277,11 @@ _ER_MAX_BLOCK = 256
     -- stage (df table, rarest pick with (df, tok) ties, max_block
     -- cap, within-block weighted score)
     ptoks AS (
-      SELECT p_partkey, {P.distinct_(P.split_ws('p_name', D), D)} AS toks,
+      -- blank-token filter mirrors entity._toks (split('',' ') yields
+      -- [''] in both engines)
+      SELECT p_partkey,
+             {P.filter_(P.distinct_(P.split_ws('p_name', D), D),
+                        't', "t <> ''", D)} AS toks,
              p_brand, p_type
       FROM part
     ),

@@ -213,3 +213,14 @@ def test_prune_thresholds_easy_direction(spark):
             assert per.get(c, 0) >= math.ceil(0.3 * n)
     finally:
         assigned.unpersist()
+
+
+def test_more_centroids_than_vectors(spark):
+    """k > |sample| centroid frames still assign every vector."""
+    emb = _emb(spark).limit(3)
+    cent = _emb(spark).filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    out = cluster_assign(emb, cent_df=cent)
+    assert out.count() == 3
+    assert out.filter(F.col("cluster").isNull()).count() == 0

@@ -177,3 +177,20 @@ def test_contract_exact_collapses_duplicates(spark):
     # 3x-duplicated block (9 reds -> 36 pairs), contracted just 1
     plain = erm(recs, **kw).count()
     assert plain > len(got)
+
+
+def test_empty_name_records_drop_out_of_blocking(spark):
+    """A record with no tokens emits no block key and silently forms
+    no candidates (the documented behavior for empty names)."""
+    recs = _recs(
+        spark,
+        [(1, "", "b", "t"), (2, "", "b", "t"), (3, "real part", "b", "t")],
+    )
+    from example_kafkastreams_spark.operators.entity import (
+        blocked_er_matches as erm,
+    )
+
+    assert (
+        erm(recs, "id", "name",
+            exact_cols={"brand": 0.3, "typ": 0.2}).count() == 0
+    )

@@ -202,3 +202,20 @@ def test_rollup_store_default_token_survives_restart(spark, tmp_path):
         sorted(map(tuple, rollup_store_read(spark, store).collect()))
         == rows
     )
+
+
+def test_finalize_minmax_only_state(spark):
+    """A state with only min/max partials (no sums) finalizes cleanly."""
+    st = rollup_build(_df(spark, 0, 40), ["k"], mins=MINS(), maxs=MAXS())
+    out = rollup_finalize(st)
+    assert set(out.columns) == {"k", "n_rows", "v_min", "v_max"}
+    assert out.count() == 5
+
+
+def test_merge_three_way_associative(spark):
+    a = rollup_build(_df(spark, 0, 40), ["k"], SUMS())
+    b = rollup_build(_df(spark, 40, 90), ["k"], SUMS())
+    c = rollup_build(_df(spark, 90, 150), ["k"], SUMS())
+    left = sorted(map(tuple, rollup_merge(rollup_merge(a, b), c).collect()))
+    right = sorted(map(tuple, rollup_merge(a, rollup_merge(b, c)).collect()))
+    assert left == right
