@@ -13,23 +13,38 @@ harness turns into a number — the retrieval twin is
 
 Shape: everything is restricted to the ``id % sample_mod == 0`` sample
 FIRST, so cost is sample-bounded by construction (the corpus never
-joins). Truth generation is exact WITHOUT an all-pairs scan: a pair
-with Jaccard > 0 shares ≥ 1 shingle, so truth candidates come from the
-shingle-postings self-join (DISTINCT pairs sharing a posting —
-worst-case sample², typically far less), then the exact
-distinct-shingle Jaccard filters. Candidates are the same band
-collisions ``minhash_lsh_pairs`` compares. Metrics are exact integer
-counts with single IEEE divisions (zero-denominator guarded to 0.0 in
-both engines) — bit-reproducible, hash-checked by q41's ``eval``
-branch.
+joins). Truth generation is exact WITHOUT an all-pairs scan AND
+without the naive postings self-join's common-shingle quadratic
+fan-out: prefix filtering (Bayardo, Ma & Srikant 2007, "Scaling Up
+All Pairs Similarity Search"). Under any global total order on
+tokens, a pair with Jaccard ≥ t has overlap o ≥ ceil(t·|A|); if the
+smallest COMMON token sat outside A's first ``|A| − ceil(t·|A|) + 1``
+tokens, all o common tokens would fit in the ``ceil(t·|A|) − 1``-slot
+suffix — contradiction. So the smallest common token lies in BOTH
+docs' prefixes, and the pair-generating self-join only needs the
+prefix postings. We order tokens by ascending GLOBAL frequency (ties
+by token), putting the rarest shingles in the prefix — the frequent
+"of the X" shingles that caused the fan-out never enter the join.
+The threshold is relaxed by 1e-6 when sizing prefixes because the
+verify step compares ``round(jaccard, 6) ≥ t`` (i.e. admits
+``jac ≥ t − 5e-7``), and ``t'·|A|`` is rounded to 9 decimals before
+``ceil`` so an IEEE product epsilon above an exact integer cannot
+shorten a prefix. Exact distinct-shingle Jaccard then verifies the
+surviving pairs. Candidates are the same band collisions
+``minhash_lsh_pairs`` compares. Metrics are exact integer counts with
+single IEEE divisions (zero-denominator guarded to 0.0 in both
+engines) — bit-reproducible, hash-checked by q41's ``eval`` branch
+(the DuckDB oracle keeps the naive postings formulation; prefix
+filtering is lossless, so the results are identical).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions import portable as P
-from .neardup import lsh_bands, with_minhash
+from .cache import persist_tracked
+from .neardup import lsh_bands, with_minhash, with_shingles
 
 __all__ = ["candidate_eval"]
 
@@ -53,14 +68,49 @@ def candidate_eval(
     where truth = sample pairs with exact distinct-shingle Jaccard ≥
     ``threshold`` and candidates = the sample's band-collision pairs.
     """
-    sample = docs.filter(F.col(id_col) % sample_mod == 0)
-    sh_expr = P.distinct_(
-        P.shingles(text_col, shingle_n, P.SPARK), P.SPARK
+    # Spread the sample across the cluster BEFORE shingling: a small
+    # parquet can arrive as one input split, and the shingle transform
+    # is the per-row hot loop — without this every downstream
+    # recomputation of the postings runs on a single core.  Keyed by
+    # id so the prefix window's partitionBy reuses the exchange.
+    sample = docs.filter(F.col(id_col) % sample_mod == 0).repartition(
+        F.col(id_col)
     )
-    sdocs = sample.select(F.col(id_col), F.expr(sh_expr).alias("__sh"))
-    post = sdocs.select(F.col(id_col), F.explode("__sh").alias("tok"))
-    pa = post.select(F.col(id_col).alias("doc_a"), "tok")
-    pb = post.hint("shuffle_hash").select(
+    # One persisted shingle pass feeds ALL downstream references (the
+    # postings/freq sides, the exact-Jaccard verify's two aliases, and
+    # the MinHash signature) — without it each reference re-runs the
+    # tokenize+slice tree over the sample (with_shingles doc).
+    sdocs = persist_tracked(
+        with_shingles(
+            sample, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        )
+    )
+    post = sdocs.select(F.col(id_col), F.explode("sh").alias("tok"))
+    # Prefix filtering: rank each doc's shingles by ascending global
+    # frequency (ties by token) and keep only the first
+    # |d| − ceil(t'·|d|) + 1 — every pair with round(J,6) ≥ t shares
+    # its smallest common token within both prefixes (see module doc).
+    freq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
+    t_relaxed = float(threshold) - 1e-6
+    prefix_len = (
+        F.col("__sz")
+        - F.ceil(F.round(F.lit(t_relaxed) * F.col("__sz"), 9))
+        + F.lit(1)
+    )
+    pref = (
+        post.join(freq, "tok")
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__f", "tok")
+            ),
+        )
+        .filter(F.col("__r") <= prefix_len)
+        .select(F.col(id_col), "tok")
+    )
+    pa = pref.select(F.col(id_col).alias("doc_a"), "tok")
+    pb = pref.hint("shuffle_hash").select(
         F.col(id_col).alias("doc_b"), "tok"
     )
     tcand = (
@@ -69,8 +119,8 @@ def candidate_eval(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sdocs.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
-    sb = sdocs.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
+    sa = sdocs.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("__sa"))
+    sb = sdocs.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("__sb"))
     jac = (
         f"CAST({P.size_(P.intersect_('__sa', '__sb', P.SPARK), P.SPARK)}"
         " AS DOUBLE)"
@@ -87,7 +137,7 @@ def candidate_eval(
 
     sig = with_minhash(
         sample, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_n=shingle_n,
+        num_hashes=num_hashes, shingle_n=shingle_n, shingle_df=sdocs,
     )
     bdf = lsh_bands(sig, id_col, bands, num_hashes // bands)
     ba = bdf.alias("ba")
