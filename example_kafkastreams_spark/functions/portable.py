@@ -578,6 +578,80 @@ def pii_count(text_col: str, d: str) -> str:
     return regexp_count(text_col, alternation, d)
 
 
+# --- Luhn-validated card-number detection ---------------------------------
+# The bare digit-run PII pattern over-redacts: order ids, timestamps,
+# and EAN codes are long digit runs too. Payment-card numbers carry a
+# mod-10 check digit (Luhn 1960, US patent 2,950,048 — public domain),
+# so a validating detector redacts ONLY runs whose checksum holds —
+# the precision/recall trade every production PII pass makes. Pure
+# integer expression work (substr + CASE + fold), engine-identical.
+
+CC_RUN_PATTERN = "[0-9]{13,19}"
+
+
+def luhn_sum(s: str, d: str) -> str:
+    """Luhn checksum of a digit-string expression: from the RIGHT,
+    double every second digit, subtract 9 from doubled digits above 9,
+    sum. A valid card number has ``luhn_sum(s) % 10 = 0``."""
+    _check(d)
+    base = f"CAST(substr({s}, i, 1) AS BIGINT)"
+    term = (
+        f"(CASE WHEN (length({s}) - i) % 2 = 1"
+        f" THEN (CASE WHEN 2 * {base} > 9 THEN 2 * {base} - 9"
+        f" ELSE 2 * {base} END)"
+        f" ELSE {base} END)"
+    )
+    arr = transform_(seq_incl("1", f"length({s})", d), "i", term, d)
+    return fold(arr, "CAST(0 AS BIGINT)", "acc", "x", "acc + x", d)
+
+
+def luhn_check_digit_py(base_digits: str) -> int:
+    """Python twin of the check-digit derivation: the digit c making
+    ``base_digits || c`` Luhn-valid (same doubling-from-the-right walk
+    as ``luhn_sum`` with c occupying the rightmost slot)."""
+    total = 0
+    for pos, ch in enumerate(reversed(base_digits)):
+        v = int(ch)
+        if pos % 2 == 0:  # positions 2,4,… from the right once c lands
+            v *= 2
+            if v > 9:
+                v -= 9
+        total += v
+    return (10 - total % 10) % 10
+
+
+def cc_candidate_runs(text_col: str, d: str) -> str:
+    """All 13-19 digit runs (the ISO/IEC 7812 PAN length range)."""
+    _check(d)
+    if d == SPARK:
+        return f"regexp_extract_all({text_col}, '{CC_RUN_PATTERN}', 0)"
+    return f"regexp_extract_all({text_col}, '{CC_RUN_PATTERN}')"
+
+
+def cc_valid_runs(text_col: str, d: str) -> str:
+    """Candidate runs that pass the Luhn check."""
+    return filter_(
+        cc_candidate_runs(text_col, d), "s",
+        f"{luhn_sum('s', d)} % 10 = 0", d,
+    )
+
+
+def cc_scrub(text_col: str, d: str) -> str:
+    """Replace every Luhn-VALID digit run with ``<CC>``, leaving
+    checksum-failing runs (order ids, phone fragments) untouched —
+    fold of global ``replace`` over the validated list, so repeated
+    occurrences of the same number all redact."""
+    return fold(
+        cc_valid_runs(text_col, d), text_col,
+        "acc", "x", "replace(acc, x, '<CC>')", d,
+    )
+
+
+def cc_count(text_col: str, d: str) -> str:
+    """Number of Luhn-validated runs (extraction grain, pre-replace)."""
+    return size_(cc_valid_runs(text_col, d), d)
+
+
 # --- text normalization ---------------------------------------------------
 # The standard CCNet/C4-style pre-clean every web-scraped corpus runs
 # BEFORE line cleaning and quality scoring: mojibake repair, combining-

@@ -497,6 +497,27 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q62: PII scrubbing ---------------------------------------------------
 
+def _ccn_text(d: str) -> str:
+    """The ``ccn`` branch's input: the corpus text with DERIVED digit
+    runs appended (the q61-drift convention for exercising a detector
+    the synthetic corpus can't) — a per-doc 16-digit number whose Luhn
+    check digit is CORRECT when doc_id % 3 = 0 and broken (+5 mod 10)
+    otherwise, plus a constant checksum-failing 16-digit decoy in
+    every doc. A validating scrubber must redact exactly the first
+    run on every third doc and nothing else."""
+    s = "STRING" if d == P.SPARK else "VARCHAR"
+    base = (
+        f"lpad(CAST((doc_id * 7919) % 1000000000000000 AS {s}), 15, '0')"
+    )
+    padded = f"({base} || '0')"
+    chk = f"((10 - ({P.luhn_sum(padded, d)}) % 10) % 10)"
+    cc = (
+        f"(CASE WHEN doc_id % 3 = 0 THEN {base} || CAST({chk} AS {s})"
+        f" ELSE {base} || CAST(({chk} + 5) % 10 AS {s}) END)"
+    )
+    return f"(text || ' card ' || {cc} || ' ref 1234567890123456')"
+
+
 @query(
     "q62_pii_scrub",
     oracle=f"""
@@ -510,6 +531,11 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text)
                 - length({P.normalize_text('text', D)}) AS BIGINT)
     FROM documents
+    UNION ALL
+    SELECT 'ccn', doc_id,
+           {P.cc_scrub(_ccn_text(D), D)},
+           CAST({P.cc_count(_ccn_text(D), D)} AS BIGINT)
+    FROM documents
     """,
 )
 def q62_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,10 +547,17 @@ def q62_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.portable.normalize_text — mojibake repair, NFC-lite
     recomposition, control strip, newline/whitespace canonicalization)
     with the character-count delta as its metric, driver-VALUE-checked
-    against DuckDB's independent rendering of the same chain. Both
-    branches are pure map-side column expressions; rebalanced off the
-    single scan partition so the per-byte regex work spreads across
-    cores (the q48 rationale)."""
+    against DuckDB's independent rendering of the same chain. ``ccn``
+    (round 10): Luhn-VALIDATED card-number redaction
+    (functions.portable.cc_scrub/cc_count) — the precision refinement
+    of the bare digit-run pattern: only runs whose mod-10 check digit
+    holds redact, so order ids and the constant checksum-failing decoy
+    pass through; exercised on a derived text with per-doc valid and
+    invalid runs (see _ccn_text), every digit of detector, checksum,
+    and replacement value-checked by the oracle. All branches are pure
+    map-side column expressions; rebalanced off the single scan
+    partition so the per-byte regex work spreads across cores (the
+    q48 rationale)."""
     docs = _rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
     pii = docs.select(
         F.lit("pii").alias("mode"),
@@ -541,7 +574,14 @@ def q62_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_delta"),
     )
-    return pii.unionByName(norm)
+    ccn_src = _ccn_text(P.SPARK)
+    ccn = docs.select(
+        F.lit("ccn").alias("mode"),
+        "doc_id",
+        F.expr(P.cc_scrub(ccn_src, P.SPARK)).alias("out_text"),
+        F.expr(P.cc_count(ccn_src, P.SPARK)).cast("long").alias("n_delta"),
+    )
+    return pii.unionByName(norm).unionByName(ccn)
 
 
 # --- q63: the corpus funnel end-to-end, one row ---------------------------

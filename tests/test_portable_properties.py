@@ -340,3 +340,55 @@ def test_classifier_weight_agrees(spark, counts):
         ).fetchall()
     ]
     assert got == want
+
+
+# --- Luhn card-number detection (round 10) ---------------------------------
+
+DIGIT_RUN = st.text(alphabet="0123456789", min_size=1, max_size=22)
+DIGIT_DOC = st.lists(
+    st.one_of(TOKEN, DIGIT_RUN), min_size=1, max_size=12
+).map(" ".join)
+
+
+@SETTINGS
+@given(docs=st.lists(DIGIT_DOC, min_size=1, max_size=8))
+@example(docs=["pay 4111111111111111 order 1234567890123456 ok"])
+@example(docs=["4539578763621486 79927398713 0000000000000"])
+def test_cc_scrub_and_count_agree(spark, docs):
+    """Luhn extraction, validation, and redaction must be identical in
+    both engines for arbitrary digit-run/token mixes — including runs
+    outside the 13-19 length window (ignored) and all-zero runs
+    (checksum 0 ⇒ valid by Luhn, redacted in both engines or
+    neither)."""
+    got, want = both_engines(
+        spark, docs, P.cc_scrub("text", P.SPARK), P.cc_scrub("text", P.DUCK)
+    )
+    assert got == want
+    got, want = both_engines(
+        spark, docs, P.cc_count("text", P.SPARK), P.cc_count("text", P.DUCK)
+    )
+    assert got == want
+
+
+def test_luhn_known_vectors(spark):
+    """Classic Luhn test numbers validate; off-by-one checksums do
+    not; the Python check-digit twin closes valid numbers."""
+    valid = ["4111111111111111", "4539578763621486"]
+    invalid = ["1234567890123456", "4111111111111112"]
+    sdf = spark.createDataFrame(
+        [(t,) for t in valid + invalid], "text string"
+    )
+    got = [
+        r.n
+        for r in sdf.selectExpr(
+            f"{P.cc_count('text', P.SPARK)} AS n"
+        ).collect()
+    ]
+    assert got == [1, 1, 0, 0]
+    base = "453957876362148"
+    cd = P.luhn_check_digit_py(base)
+    closed = base + str(cd)
+    sdf2 = spark.createDataFrame([(closed,)], "text string")
+    assert sdf2.selectExpr(
+        f"{P.cc_count('text', P.SPARK)} AS n"
+    ).collect()[0].n == 1
