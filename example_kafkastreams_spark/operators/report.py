@@ -98,6 +98,98 @@ def corpus_report(
     )
 
 
+def dup_ngram_stats(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-document n-gram redundancy per source — the corpus-health
+    number behind the ExactSubstr/Gopher dedup decisions: what share
+    of a source's distinct n-grams appear in MORE THAN ONE document
+    (boilerplate, templates, syndicated text), and how much of the
+    posting mass they carry.
+
+    (source, n_docs, distinct_grams, dup_grams, postings) — all exact
+    integers: distinct_grams = |{g : g in some doc}| within the
+    source, dup_grams = |{g : g in ≥ 2 docs}| (per-doc multiplicity
+    ignored — ``shingles`` is distinct-per-doc), postings = Σ_docs
+    |distinct grams of doc|. The dup RATE is dup_grams/distinct_grams
+    downstream; shipping integers keeps the row engine-exact.
+
+    Scale shape (100 TB): the only shuffle carries (source, gram-hash)
+    pairs — grams are md5-folded to BIGINT map-side (token_hash32), so
+    no text crosses an exchange; the per-gram count aggregates with a
+    map-side partial, and the final reduce is gram-grain → source
+    grain. Docs shorter than ``n`` tokens contribute no postings but
+    still count in n_docs (the left join keeps gramless sources)."""
+    gram_hashes = P.transform_(
+        P.shingles(text_col, n, P.SPARK), "g",
+        P.token_hash32("g", P.SPARK), P.SPARK,
+    )
+    posts = docs.select(
+        F.col(source_col), F.explode(F.expr(gram_hashes)).alias("__gh")
+    )
+    per_gram = posts.groupBy(source_col, "__gh").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    stats = per_gram.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.sum((F.col("__c") >= 2).cast("long")).alias("dup_grams"),
+        F.sum("__c").alias("postings"),
+    )
+    ndocs = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return ndocs.join(stats, source_col, "left").select(
+        source_col,
+        "n_docs",
+        F.coalesce("distinct_grams", F.lit(0)).alias("distinct_grams"),
+        F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+        F.coalesce("postings", F.lit(0)).alias("postings"),
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact-duplicate contamination BETWEEN sources: for every source
+    pair, how many distinct text digests appear in both — the
+    cross-source leg of the data card (a mirror site or re-crawl shows
+    up as a near-total overlap row; eval-set contamination of a
+    training source as a nonzero row against the benchmark source).
+
+    (source_a, source_b, n_shared): one row per unordered pair with
+    source_a < source_b and n_shared ≥ 1, plus the diagonal
+    (s, s, distinct digests of s) so overlap fractions
+    n_shared/min(|a|, |b|) are computable from the table alone.
+
+    Scale shape (100 TB): reduces to DISTINCT (digest, source) FIRST —
+    the shuffle carries 32-hex digests, never text — then self-joins
+    on digest; per-digest fan-out is bounded by the number of sources
+    carrying it (≤ S, so ≤ S² pair rows per digest, with S = #sources
+    a handful even at petabyte scale)."""
+    ds = docs.select(
+        F.md5(F.col(text_col)).alias("__digest"), F.col(source_col)
+    ).distinct()
+    a = ds.select("__digest", F.col(source_col).alias("source_a"))
+    b = ds.select("__digest", F.col(source_col).alias("source_b"))
+    pairs = (
+        a.join(b, "__digest")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    diag = ds.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_shared")
+    ).select(
+        F.col(source_col).alias("source_a"),
+        F.col(source_col).alias("source_b"),
+        "n_shared",
+    )
+    return pairs.unionByName(diag)
+
+
 def split_leakage_report(
     sized_components: DataFrame,
     docs_with_split: DataFrame,

@@ -79,6 +79,15 @@ SHINGLE_N = 3
                   WHEN digest_a <> digest_b THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM da FULL JOIN db ON da.doc_id = db.doc_id
+    ),
+    xsd AS (SELECT DISTINCT md5(text) AS digest, source FROM documents),
+    xsp AS (
+      SELECT a.source AS sa, b.source AS sb, count(*) AS n
+      FROM xsd a JOIN xsd b
+        ON a.digest = b.digest AND a.source < b.source
+      GROUP BY a.source, b.source
+      UNION ALL
+      SELECT source, source, count(*) FROM xsd GROUP BY source
     )
     SELECT 'full' AS mode, content_hash, doc_id, n_copies FROM fulld
     UNION ALL
@@ -94,6 +103,8 @@ SHINGLE_N = 3
     SELECT 'diff_unchanged', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            COUNT(*)
     FROM dj WHERE status = 'unchanged'
+    UNION ALL
+    SELECT 'xsrc', sa || '|' || sb, CAST(NULL AS BIGINT), n FROM xsp
     """,
 )
 def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,8 +120,14 @@ def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     added/removed/changed key reported at row grain WITH its digest
     (driver-value-checked) and the untouched majority collapsed to one
     count row, never materialized. Same shuffle discipline: the
-    full-outer join carries (key, digest) only."""
+    full-outer join carries (key, digest) only. ``xsrc`` (round 10):
+    the BETWEEN-sources leg of exact dedup
+    (operators.report.source_overlap) — distinct digests shared by
+    each source pair (mirror/re-crawl/contamination audit), plus the
+    per-source diagonal; shoehorned as content_hash='a|b',
+    n_copies=n_shared."""
     from .operators.diffs import snapshot_diff
+    from .operators.report import source_overlap
 
     docs = load_table(spark, sf_dir, "documents")
     # fully fused: ONE scan + ONE digest-keyed agg, both branches
@@ -158,7 +175,14 @@ def q40_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("doc_id"),
         "n_copies",
     )
-    return out.unionByName(unchanged)
+    xsrc = source_overlap(docs).select(
+        F.lit("xsrc").alias("mode"),
+        F.concat(F.col("source_a"), F.lit("|"), F.col("source_b"))
+        .alias("content_hash"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("n_shared").alias("n_copies"),
+    )
+    return out.unionByName(unchanged).unionByName(xsrc)
 
 
 # --- q41: MinHash + LSH near-dup pairs ------------------------------------
@@ -1228,6 +1252,11 @@ _BPE_TRAIN_COUNTS = {
 }
 _BPE_NUM_MERGES = 40
 
+# q50 dupgram-branch gram order: 8-token windows, the ExactSubstr /
+# Gopher-dedup neighborhood (long enough that sharing one is real
+# cross-document redundancy, short enough that short docs still emit).
+_DUPGRAM_N = 8
+
 
 def _bpe_merges() -> list[tuple[str, str]]:
     from .operators.bpe import train_bpe_merges_from_counts
@@ -1333,6 +1362,29 @@ def _bpe_oracle_sql() -> str:
            CAST(SUM(CAST({_tokstats_exprs(D)['bpe_tokens']} AS BIGINT)) AS BIGINT) AS tokens_alt,
            CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS checksum
     FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'dupgram', d.source, d.n_docs,
+           COALESCE(g.distinct_grams, 0),
+           COALESCE(g.dup_grams, 0),
+           COALESCE(g.postings, 0)
+    FROM (SELECT source, count(*) AS n_docs
+          FROM documents GROUP BY source) d
+    LEFT JOIN (
+      SELECT source,
+             count(*) AS distinct_grams,
+             CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_grams,
+             CAST(SUM(c) AS BIGINT) AS postings
+      FROM (
+        SELECT source, gh, count(*) AS c FROM (
+          SELECT source,
+                 unnest({P.transform_(P.shingles('text', _DUPGRAM_N, D),
+                                      'g', P.token_hash32('g', D), D)})
+                   AS gh
+          FROM documents
+        ) GROUP BY source, gh
+      ) GROUP BY source
+    ) g USING (source)
     """,
 )
 def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,8 +1397,15 @@ def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc count, total subword tokens, checksum = order-independent sum
     of per-doc md5-head folds of the encoded streams) while DuckDB
     re-runs the merge loop itself as a recursive CTE — any divergence
-    in any document's token sequence breaks the hash."""
+    in any document's token sequence breaks the hash. ``dupgram``
+    (round 10): cross-document 8-gram redundancy per source
+    (operators.report.dup_ngram_stats) — distinct grams, grams shared
+    by ≥ 2 docs, and total posting mass, all exact integers; the
+    shuffle carries md5-folded BIGINT gram hashes, never gram text.
+    Column shoehorn: tokens_total=distinct_grams, tokens_alt=
+    dup_grams, checksum=postings."""
     from .operators.bpe import bpe_encode
+    from .operators.report import dup_ngram_stats
 
     docs = load_table(spark, sf_dir, "documents")
     e = _tokstats_exprs(P.SPARK)
@@ -1377,7 +1436,19 @@ def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("tokens_alt"),
         "checksum",
     )
-    return stats.unionByName(bpe)
+    # dupgram rides a rebalanced lineage: the gram hash transform is
+    # the per-row hot loop and the small parquet arrives as one split
+    dupgram = dup_ngram_stats(
+        ND._rebalance(docs, "doc_id"), n=_DUPGRAM_N
+    ).select(
+        F.lit("dupgram").alias("mode"),
+        "source",
+        "n_docs",
+        F.col("distinct_grams").cast("long").alias("tokens_total"),
+        F.col("dup_grams").cast("long").alias("tokens_alt"),
+        F.col("postings").cast("long").alias("checksum"),
+    )
+    return stats.unionByName(bpe).unionByName(dupgram)
 
 
 # --- q51: document fingerprint (rolling hash) -----------------------------

@@ -760,3 +760,66 @@ def test_split_leakage_surfaces_missing_split_coverage(spark):
     assert len(rows) == 1
     assert rows[0].splits_csv == "__unassigned__,train"
     assert rows[0].n_splits == 2
+
+
+def test_dup_ngram_stats(spark):
+    """Constructed corpus: doc pairs sharing an 8-token window raise
+    dup_grams exactly; unique docs contribute distinct grams only;
+    sources whose docs are all too short still report with zeros."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from example_kafkastreams_spark.operators.report import dup_ngram_stats
+
+    w8 = "a b c d e f g h"           # the shared 8-token window
+    rows = [
+        # srcA: two docs sharing exactly the w8 window, disjoint tails
+        (1, f"{w8} p q r", "srcA"),
+        (2, f"{w8} x y z", "srcA"),
+        # srcB: one doc, all grams unique
+        (3, "m n o p q r s t u v", "srcB"),
+        # srcC: too short for any 8-gram
+        (4, "tiny doc", "srcC"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in dup_ngram_stats(docs, n=8).collect()}
+
+    # srcA doc grams: doc1 has 4 grams (11 tokens), doc2 has 4; they
+    # share ONLY the pure w8 gram (tails differ from position 2 on)
+    a = got["srcA"]
+    assert a.n_docs == 2
+    assert a.postings == 8
+    assert a.distinct_grams == 7  # 4 + 4 - 1 shared
+    assert a.dup_grams == 1
+
+    b = got["srcB"]
+    assert b.n_docs == 1 and b.dup_grams == 0
+    assert b.distinct_grams == b.postings == 3  # 10 tokens -> 3 grams
+
+    c = got["srcC"]
+    assert c.n_docs == 1
+    assert c.distinct_grams == c.dup_grams == c.postings == 0
+
+
+def test_source_overlap(spark):
+    """Pairwise shared-digest counts: identical texts across sources
+    count once per digest, the diagonal reports per-source distinct
+    digests, and disjoint sources produce no pair row."""
+    from example_kafkastreams_spark.operators.report import source_overlap
+
+    rows = [
+        (1, "shared one", "s1"),
+        (2, "shared one", "s2"),      # same digest in s1 and s2
+        (3, "shared one", "s2"),      # duplicate within s2: still 1 digest
+        (4, "shared two", "s1"),
+        (5, "shared two", "s2"),
+        (6, "only s1", "s1"),
+        (7, "only s3", "s3"),         # disjoint source
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): r.n_shared
+           for r in source_overlap(docs).collect()}
+    assert got[("s1", "s2")] == 2
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+    assert got[("s1", "s1")] == 3
+    assert got[("s2", "s2")] == 2
+    assert got[("s3", "s3")] == 1
