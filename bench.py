@@ -151,7 +151,7 @@ _MERGED_SINCE = {
     "q11_pricing_summary": 10,    # +mv incremental maintenance (r10)
     "q19_window_topn_per_user": 10,  # +topk two-phase combiner (r10)
     "q26_interval_join_symmetric": 10,  # +dim/+enrich (r9), +asof/+chlog (r10)
-    "q40_dedup_exact_text": 9,    # +diff_* snapshot audit (r9)
+    "q40_dedup_exact_text": 10,   # +diff_* (r9), +xsrc overlap (r10)
     "q45_knn_bruteforce": 9,      # +mrl Matryoshka (r9)
     "q65_lm_score": 9,            # +clf (r9)
     "q41_dedup_minhash_lsh": 10,  # +incr (r6), +eval (r10)
@@ -163,12 +163,12 @@ _MERGED_SINCE = {
     "q57_neardup_components": 10,  # +leak/+mine_* (r9), +mine_hard (r10)
     "q58_srp_histogram": 10,      # +kmv/cms/hll* (r9), +hist (r10; the early
                                   # r9 artifact predates these branches)
-    "q50_token_stats": 9,         # +bpe (r9)
+    "q50_token_stats": 10,        # +bpe (r9), +dupgram (r10)
     "q54_chunk_documents": 8,     # +shard (r8)
     "q55_tfidf_top_term": 9,      # +bm25idx (r9)
     "q59_dedup_edit_distance": 10,  # +er record linkage (r10)
     "q61_domain_mixing": 10,      # +card (r9), +drift (r10)
-    "q62_pii_scrub": 9,           # +norm (r9)
+    "q62_pii_scrub": 10,          # +norm (r9), +ccn Luhn (r10)
     "q63_corpus_funnel": 6,       # +delta (r6)
     "q64_decontaminate": 9,       # +bloom (r9)
 }
@@ -345,7 +345,7 @@ def main() -> None:
          ("pairs", "dim", "enrich", "delta", "asof", "chlog")),
         ("q34_hash_sample", "method", ("hash", "strat", "wsample")),
         ("q40_dedup_exact_text", "mode",
-         ("full", "incr", "diff_changed", "diff_unchanged")),
+         ("full", "incr", "diff_changed", "diff_unchanged", "xsrc")),
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr", "eval")),
         ("q44_dedup_ngram_jaccard", "mode", ("jac", "contain")),
         ("q45_knn_bruteforce", "method", ("brute", "mrl")),
@@ -356,7 +356,7 @@ def main() -> None:
         ),
         ("q47_embedding_neardup", "mode",
          ("pair", "sem", "delta", "deltaidx", "prune")),
-        ("q50_token_stats", "mode", ("stats", "bpe")),
+        ("q50_token_stats", "mode", ("stats", "bpe", "dupgram")),
         ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt", "shard")),
         (
             "q55_tfidf_top_term",
@@ -375,7 +375,7 @@ def main() -> None:
         ("q59_dedup_edit_distance", "mode", ("edit", "er")),
         ("q61_domain_mixing", "mode",
          ("mix", "card", "temp", "budget", "drift")),
-        ("q62_pii_scrub", "mode", ("pii", "norm")),
+        ("q62_pii_scrub", "mode", ("pii", "norm", "ccn")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
         ("q64_decontaminate", "mode", ("exact", "fuzzy", "bloom")),
         ("q65_lm_score", "mode", ("lm", "clf")),

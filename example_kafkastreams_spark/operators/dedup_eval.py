@@ -71,10 +71,12 @@ def candidate_eval(
     # Spread the sample across the cluster BEFORE shingling: a small
     # parquet can arrive as one input split, and the shingle transform
     # is the per-row hot loop — without this every downstream
-    # recomputation of the postings runs on a single core.  Keyed by
-    # id so the prefix window's partitionBy reuses the exchange.
+    # recomputation of the postings runs on a single core.  Explicit
+    # partition count (the _rebalance discipline): AQE would coalesce
+    # a count-less repartition of a small sample back to one task.
+    slots = docs.sparkSession.sparkContext.defaultParallelism
     sample = docs.filter(F.col(id_col) % sample_mod == 0).repartition(
-        F.col(id_col)
+        slots, F.col(id_col)
     )
     # One persisted shingle pass feeds ALL downstream references (the
     # postings/freq sides, the exact-Jaccard verify's two aliases, and
@@ -113,11 +115,17 @@ def candidate_eval(
     pb = pref.hint("shuffle_hash").select(
         F.col(id_col).alias("doc_b"), "tok"
     )
+    # Explicit repartition between pair generation and verification:
+    # the exact-Jaccard filter below is the per-PAIR hot loop (two
+    # shingle-array intersects per candidate), and AQE coalesces the
+    # small distinct() output to one task — which would serialize the
+    # whole verify stage onto one core (measured 7.9 s -> ~1 s).
     tcand = (
         pa.join(pb, "tok")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .repartition(slots, "doc_a")
     )
     sa = sdocs.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("__sa"))
     sb = sdocs.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("__sb"))
