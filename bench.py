@@ -158,7 +158,7 @@ _MERGED_SINCE = {
     "q44_dedup_ngram_jaccard": 10,  # +contain (r10)
     "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
     "q47_embedding_neardup": 10,  # +delta/+deltaidx (r8), +prune (r10)
-    "q34_hash_sample": 9,         # +wsample (r9)
+    "q34_hash_sample": 10,        # +wsample (r9), +prio (r10)
     "q56_quantize_embeddings": 8, # +adc (r8)
     "q57_neardup_components": 10,  # +leak/+mine_* (r9), +mine_hard (r10)
     "q58_srp_histogram": 10,      # +kmv/cms/hll* (r9), +hist (r10; the early
@@ -343,7 +343,7 @@ def main() -> None:
         ("q19_window_topn_per_user", "mode", ("window", "topk")),
         ("q26_interval_join_symmetric", "mode",
          ("pairs", "dim", "enrich", "delta", "asof", "chlog")),
-        ("q34_hash_sample", "method", ("hash", "strat", "wsample")),
+        ("q34_hash_sample", "method", ("hash", "strat", "wsample", "prio")),
         ("q40_dedup_exact_text", "mode",
          ("full", "incr", "diff_changed", "diff_unchanged", "xsrc")),
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr", "eval")),

@@ -103,3 +103,44 @@ def weighted_sample(
     thr = F.floor(w * F.lit(4294967296.0)).cast("bigint")
     h = F.expr(P.token_hash32(f"CAST({id_col} AS STRING)", P.SPARK))
     return df.filter(h < thr)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007): EXACTLY ``k``
+    rows, selected weight-sensitively — the budget-exact complement of
+    ``weighted_sample`` (which gives each row an independent
+    acceptance probability and therefore only an EXPECTED size).
+    Heavy rows are (near-)certain to be kept, light rows keep a
+    weight-proportional chance; with the (k+1)-th priority as the
+    estimator threshold the sample supports unbiased subset-sum
+    estimates — the principled way to carve "the best N documents'
+    worth" from a weighted corpus.
+
+    Priority = weight / u with u the row's deterministic uniform
+    integer, hash32(id) + 1 ∈ [1, 2³²]; the top k priorities (ties
+    broken by id) survive. One IEEE division of a double by an exact
+    integer — correctly rounded in every engine, so the selected SET
+    is engine-/run-/partitioning-identical; no rand(), no libm
+    (the exponential-jump A-ES formulation needs pow/log — this
+    rational form is the cross-engine-exact equivalent regime).
+
+    Scale shape: orderBy(...).limit(k) compiles to
+    TakeOrderedAndProject — each map partition keeps its local top-k
+    and only k·partitions candidate rows reach the driver-side merge;
+    no global sort, no full-corpus exchange, at any scale."""
+    u = (
+        F.expr(P.token_hash32(f"CAST({id_col} AS STRING)", P.SPARK))
+        + F.lit(1)
+    )
+    prio = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn("__prio", prio)
+        .orderBy(F.col("__prio").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__prio")
+    )

@@ -297,6 +297,19 @@ from .functions import portable as P  # noqa: E402
                  o_totalprice / (SELECT max(o_totalprice) FROM orders),
                  CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
                * 4294967296.0) AS BIGINT)
+    UNION ALL
+    -- prio branch: priority sampling — EXACT k, weight-sensitive;
+    -- priority = weight / (hash32(id) + 1), one IEEE division
+    SELECT 'prio', o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders
+      ORDER BY CAST(o_totalprice AS DOUBLE)
+               / ({P.token_hash32("CAST(o_orderkey AS VARCHAR)", P.DUCK)}
+                  + 1) DESC,
+               o_orderkey
+      LIMIT 40
+    )
     """,
 )
 def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,8 +328,17 @@ def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     price / corpus max), the quality-weighted subsampling a pipeline
     runs instead of uniform downsampling; the oracle re-derives the
     weight with the identical IEEE op sequence and the same
-    floor(w·2³²) integer threshold."""
-    from .operators.sampling import stratified_sample, weighted_sample
+    floor(w·2³²) integer threshold. ``prio`` (round 10):
+    operators.sampling.priority_sample — Duffield-Lund-Thorup priority
+    sampling, the budget-EXACT counterpart: exactly 40 orders by
+    priority = price / (hash32(key)+1), heavy rows near-certain,
+    light rows weight-proportional; compiles to TakeOrderedAndProject
+    (per-partition top-k, no global sort)."""
+    from .operators.sampling import (
+        priority_sample,
+        stratified_sample,
+        weighted_sample,
+    )
 
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
     orders = load_table(spark, sf_dir, "orders").select(*cols)
@@ -333,10 +355,12 @@ def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__w",
         "o_orderkey",
     )
+    prio = priority_sample(orders, "o_totalprice", "o_orderkey", 40)
     return (
         hashed.select(F.lit("hash").alias("method"), *cols)
         .unionByName(strat.select(F.lit("strat").alias("method"), *cols))
         .unionByName(ws.select(F.lit("wsample").alias("method"), *cols))
+        .unionByName(prio.select(F.lit("prio").alias("method"), *cols))
     )
 
 

@@ -656,6 +656,37 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             ["user_id"], [("value", True), ("event_id", False)], 3,
         )
 
+    def dupgram():
+        # exchange carries (source, BIGINT gram hash); on the N-way
+        # duplicate-amplified corpus postings grow ~N× while distinct
+        # grams stay ~flat — dup_grams should absorb the growth
+        from example_kafkastreams_spark.operators.report import (
+            dup_ngram_stats,
+        )
+
+        return dup_ngram_stats(docs, n=8)
+
+    def xsrc_overlap():
+        # digest-grain self-join: fan-out bounded by sources-per-digest
+        # (amplified copies share a digest ACROSS id offsets, so the
+        # per-pair counts grow while the pair-row count stays S²-bounded)
+        from example_kafkastreams_spark.operators.report import (
+            source_overlap,
+        )
+
+        return source_overlap(docs)
+
+    def blocking_eval():
+        # q41's eval branch: prefix-filtered truth pairs + parallel
+        # verify; sample-bounded by construction — watches whether the
+        # prefix join's pair count stays ~linear on the duplicate-
+        # amplified corpus (exact duplicates share whole prefixes)
+        from example_kafkastreams_spark.operators.dedup_eval import (
+            candidate_eval,
+        )
+
+        return candidate_eval(docs, sample_mod=2, threshold=0.3)
+
     def cluster_prune_op():
         # assignment is map-side (broadcast sample centroids); the
         # quota window keys on 8 clusters — the probe watches whether
@@ -706,6 +737,9 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("er_blocking", er_blocking),
         ("topk_two_phase", topk_two_phase),
         ("cluster_prune", cluster_prune_op),
+        ("dup_ngram_stats", dupgram),
+        ("source_overlap", xsrc_overlap),
+        ("blocking_eval", blocking_eval),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)

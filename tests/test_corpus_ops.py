@@ -700,3 +700,44 @@ def test_weighted_sample_deterministic_and_proportional(spark):
         kept_bad & set(range(1001))
     )  # w>=1 ids all kept; w<=0 ids all dropped
     assert not any(k <= 1000 for k in kept_bad)
+
+
+def test_priority_sample_exact_k_and_weight_sensitivity(spark):
+    """Priority sampling returns EXACTLY k rows, is repartition-
+    invariant, and is weight-sensitive: a row whose weight dominates
+    the total is (near-)certainly kept, and doubling every weight
+    changes nothing (priorities scale monotonically)."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    rows = [(i, 1.0 if i != 7 else 10000.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = priority_sample(df, "w", "id", 10).toPandas()
+    assert len(got) == 10
+    assert 7 in set(got["id"])  # the heavy row is kept
+
+    again = priority_sample(df.repartition(13), "w", "id", 10).toPandas()
+    assert sorted(got["id"]) == sorted(again["id"])
+
+    doubled = priority_sample(
+        df.withColumn("w", F.col("w") * 2), "w", "id", 10
+    ).toPandas()
+    assert sorted(got["id"]) == sorted(doubled["id"])
+
+
+def test_priority_sample_take_ordered_plan(spark):
+    """The physical plan must be TakeOrderedAndProject (per-partition
+    local top-k, no global sort/exchange of the corpus)."""
+    from example_kafkastreams_spark.operators.sampling import (
+        priority_sample,
+    )
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS w")
+    plan = (
+        priority_sample(df, "w", "id", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
