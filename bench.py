@@ -164,7 +164,7 @@ _MERGED_SINCE = {
     "q58_srp_histogram": 10,      # +kmv/cms/hll* (r9), +hist (r10; the early
                                   # r9 artifact predates these branches)
     "q50_token_stats": 10,        # +bpe (r9), +dupgram (r10)
-    "q54_chunk_documents": 8,     # +shard (r8)
+    "q54_chunk_documents": 10,    # +shard (r8), +masks (r10)
     "q55_tfidf_top_term": 9,      # +bm25idx (r9)
     "q59_dedup_edit_distance": 10,  # +er record linkage (r10)
     "q61_domain_mixing": 10,      # +card (r9), +drift (r10)
@@ -357,7 +357,8 @@ def main() -> None:
         ("q47_embedding_neardup", "mode",
          ("pair", "sem", "delta", "deltaidx", "prune")),
         ("q50_token_stats", "mode", ("stats", "bpe", "dupgram")),
-        ("q54_chunk_documents", "mode", ("chunk", "dedup", "substr", "rebuilt", "shard")),
+        ("q54_chunk_documents", "mode",
+         ("chunk", "dedup", "substr", "rebuilt", "shard", "masks")),
         (
             "q55_tfidf_top_term",
             "mode",

@@ -184,3 +184,60 @@ def dedup_chunks(
             "n_copies",
         )
     )
+
+
+def chunk_loss_masks(
+    chunks: DataFrame,
+    spans: DataFrame,
+    stride: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_idx, mask_start, mask_end) — chunk-LOCAL 1-based
+    inclusive token ranges covered by corpus-repeated spans: the
+    mask-instead-of-drop dedup policy. ExactSubstr-style span REMOVAL
+    (``substr_dedup.remove_repeated_substrings``) rewrites documents
+    and can splice unrelated text across a cut; masking keeps the
+    tokens as context but zeroes their loss, which is what a trainer
+    actually needs from the span table. This operator translates the
+    document-grain span table into the chunk grain the packed training
+    sequences are built from.
+
+    Chunk k of a ``chunk_documents(stride=...)`` table covers global
+    token positions [(k−1)·stride + 1, (k−1)·stride + n_tokens]; a
+    span [s, e] overlaps iff s ≤ chunk_end AND e ≥ chunk_start, and
+    the masked chunk-local range is the clamped intersection shifted
+    by the chunk start. Spans per doc are disjoint (gaps-and-islands
+    merged), so per-chunk mask rows never overlap and their lengths
+    sum exactly.
+
+    Scale shape (100 TB): one equi-join on the doc id — chunk and
+    span tables are both id-keyed; per-doc fan-out is chunks × spans
+    of that doc (spans are few after merging). No text moves: the
+    chunk text column is not read.
+    """
+    cstart = (F.col("chunk_idx") - F.lit(1)) * F.lit(stride) + F.lit(1)
+    c = chunks.select(
+        F.col(id_col),
+        "chunk_idx",
+        cstart.alias("__cs"),
+        (cstart + F.col("n_tokens") - F.lit(1)).alias("__ce"),
+    )
+    return (
+        c.join(spans, id_col)
+        .filter(
+            (F.col("span_start") <= F.col("__ce"))
+            & (F.col("span_end") >= F.col("__cs"))
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            (
+                F.greatest(F.col("span_start"), F.col("__cs"))
+                - F.col("__cs") + F.lit(1)
+            ).alias("mask_start"),
+            (
+                F.least(F.col("span_end"), F.col("__ce"))
+                - F.col("__cs") + F.lit(1)
+            ).alias("mask_end"),
+        )
+    )

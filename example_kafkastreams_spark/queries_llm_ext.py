@@ -192,6 +192,23 @@ def _chunk_dedup_sql() -> str:
     SELECT 'shard', shard, CAST(n_packs AS INTEGER), fp,
            CAST(tot_tokens AS INTEGER), CAST(NULL AS BIGINT)
     FROM shards
+    UNION ALL
+    -- masks branch: chunk-local loss-mask ranges from the span table
+    SELECT 'masks', c.doc_id, c.chunk_idx,
+           CAST(greatest(s.span_start, c.cs) - c.cs + 1 AS VARCHAR)
+             || '-'
+             || CAST(least(s.span_end, c.ce) - c.cs + 1 AS VARCHAR),
+           CAST(least(s.span_end, c.ce)
+                - greatest(s.span_start, c.cs) + 1 AS INTEGER),
+           CAST(NULL AS BIGINT)
+    FROM (
+      SELECT doc_id, chunk_idx,
+             (chunk_idx - 1) * {STRIDE} + 1 AS cs,
+             (chunk_idx - 1) * {STRIDE} + n_tokens AS ce
+      FROM chunks
+    ) c JOIN spans54 s
+      ON s.doc_id = c.doc_id
+     AND s.span_start <= c.ce AND s.span_end >= c.cs
     """
 
 
@@ -222,14 +239,18 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     written by the batch job, the stream, or a replay" is checked
     against an independent engine, not just asserted. doc_id carries
     the shard id, chunk_idx the pack count, n_tokens the shard's
-    token total."""
+    token total. ``masks`` (round 10):
+    operators.text_chunks.chunk_loss_masks — the span table translated
+    to chunk-LOCAL loss-mask ranges (mask-instead-of-drop dedup: keep
+    duplicated tokens as context, zero their loss); chunk_text carries
+    'start-end', n_tokens the masked length."""
     from .operators.cache import persist_tracked
     from .operators.packing import pack_chunks, shard_assignment
     from .operators.substr_dedup import (
         remove_repeated_substrings,
         repeated_spans,
     )
-    from .operators.text_chunks import dedup_chunks
+    from .operators.text_chunks import chunk_loss_masks, dedup_chunks
 
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, chunk_size=CHUNK_SIZE, stride=STRIDE)
@@ -296,6 +317,18 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("chunk_idx"),
             F.col("text").alias("chunk_text"),
             F.lit(None).cast("int").alias("n_tokens"),
+            F.lit(None).cast("long").alias("n_copies"),
+        )
+    ).unionByName(
+        chunk_loss_masks(chunks, spans, stride=STRIDE).select(
+            F.lit("masks").alias("mode"), "doc_id", "chunk_idx",
+            F.concat(
+                F.col("mask_start").cast("string"),
+                F.lit("-"),
+                F.col("mask_end").cast("string"),
+            ).alias("chunk_text"),
+            (F.col("mask_end") - F.col("mask_start") + 1)
+            .cast("int").alias("n_tokens"),
             F.lit(None).cast("long").alias("n_copies"),
         )
     ).unionByName(shard_rows)

@@ -213,3 +213,40 @@ def test_incremental_spans_bootstrap_equals_one_shot(spark):
         map(tuple, repeated_spans(df, k=K).collect())
     )
     assert index_delta.count() == index_delta.select("whash").distinct().count()
+
+
+def test_chunk_loss_masks(spark):
+    """Span→chunk translation: a span inside one chunk masks its local
+    range; a span crossing a chunk boundary masks the clamped tail and
+    head of both chunks (overlap region included in each); chunks with
+    no overlapping span emit nothing."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from example_kafkastreams_spark.operators.text_chunks import (
+        chunk_documents,
+        chunk_loss_masks,
+    )
+
+    # 40 tokens -> chunks at starts 1, 11, 21, 31 (size 16, stride 10)
+    text = " ".join(f"t{i}" for i in range(1, 41))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_size=16, stride=10)
+    # spans (global 1-based inclusive): [5,8] inside chunk 1;
+    # [14,22] crosses chunks 1(1-16), 2(11-26), 3(21-36)
+    spans = spark.createDataFrame(
+        [(1, 5, 8), (1, 14, 22)],
+        "doc_id long, span_start int, span_end int",
+    )
+    got = {
+        (r.chunk_idx, r.mask_start, r.mask_end)
+        for r in chunk_loss_masks(chunks, spans, stride=10).collect()
+    }
+    assert got == {
+        (1, 5, 8),     # [5,8] local to chunk 1 (start 1)
+        (1, 14, 16),   # [14,22] clamped to chunk 1's end
+        (2, 4, 12),    # [14,22] shifted by chunk 2's start 11
+        (3, 1, 2),     # [21,22] head of chunk 3 (start 21)
+    }
+    # mask lengths sum exactly (spans disjoint per doc): 4 + 3 + 9 + 2
+    total = sum(e - s + 1 for _, s, e in got)
+    assert total == 18
