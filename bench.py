@@ -358,7 +358,8 @@ def main() -> None:
          ("pair", "sem", "delta", "deltaidx", "prune")),
         ("q50_token_stats", "mode", ("stats", "bpe", "dupgram")),
         ("q54_chunk_documents", "mode",
-         ("chunk", "dedup", "substr", "rebuilt", "shard", "masks")),
+         ("chunk", "dedup", "substr", "rebuilt", "shard", "masks",
+          "packmask")),
         (
             "q55_tfidf_top_term",
             "mode",

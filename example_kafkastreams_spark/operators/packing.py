@@ -174,6 +174,88 @@ def pack_chunks(
     return ordered.mapInPandas(pack, PACKED_SCHEMA)
 
 
+ASSIGNMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("pack_id", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("chunk_idx", T.IntegerType(), False),
+        T.StructField("pack_offset", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+    ]
+)
+
+
+def pack_assignments(
+    chunks: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(pack_id, doc_id, chunk_idx, pack_offset, n_tokens) — WHERE each
+    chunk lands, instead of the merged text ``pack_chunks`` emits: the
+    membership table that lets document-grain annotations (loss masks,
+    provenance, span labels) follow their tokens INTO the packed
+    training sequences. ``pack_offset`` is the number of content
+    tokens before this chunk within its pack, so the chunk's tokens
+    occupy pack positions [pack_offset + 1, pack_offset + n_tokens]
+    in the pack's CONTENT token stream (offsets count chunk tokens
+    only; ``pack_chunks``' display separator is not a token).
+
+    Always the CANONICAL per-document fold (the only oracle-checkable
+    mode — pack ids ``{doc_id}-{seq}`` and assignments are a pure
+    function of each doc's (order_col-sorted) chunk sizes, identical
+    under any input partitioning); same greedy semantics as
+    ``pack_chunks(canonical=True)``: a pack closes when the next chunk
+    would exceed ``budget``, an oversized chunk ships alone.
+
+    Scale shape: one hash exchange on the doc id, then a single
+    embarrassingly-parallel Arrow pass — identical to the packer it
+    mirrors."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n = chunks.sparkSession.sparkContext.defaultParallelism
+    ordered = chunks.repartition(n, F.col(id_col)).sortWithinPartitions(
+        id_col, order_col
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seq = 0
+        cur_tokens = 0
+        cur_doc = None
+
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc, idx, n_tok in zip(
+                pdf[id_col], pdf[order_col], pdf[tokens_col]
+            ):
+                n_tok = int(n_tok)
+                if doc != cur_doc:
+                    cur_doc = doc
+                    seq = 0
+                    cur_tokens = 0
+                elif cur_tokens and cur_tokens + n_tok > budget:
+                    seq += 1
+                    cur_tokens = 0
+                rows.append(
+                    {
+                        "pack_id": f"{doc}-{seq}",
+                        "doc_id": int(doc),
+                        "chunk_idx": int(idx),
+                        "pack_offset": cur_tokens,
+                        "n_tokens": n_tok,
+                    }
+                )
+                cur_tokens += n_tok
+                if cur_tokens >= budget:  # full (or oversized singleton)
+                    seq += 1
+                    cur_tokens = 0
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return ordered.mapInPandas(assign, ASSIGNMENT_SCHEMA)
+
+
 def shard_assignment(
     df: DataFrame,
     num_shards: int,

@@ -148,6 +148,30 @@ def _chunk_dedup_sql() -> str:
         ON c.doc_id = p.doc_id AND c.rn = p.rn
       GROUP BY p.doc_id, p.pack_seq
     ),
+    cmask AS MATERIALIZED (
+      SELECT c.doc_id, c.chunk_idx, c.cs, c.ce,
+             greatest(s.span_start, c.cs) - c.cs + 1 AS m_start,
+             least(s.span_end, c.ce) - c.cs + 1 AS m_end
+      FROM (
+        SELECT doc_id, chunk_idx,
+               (chunk_idx - 1) * {STRIDE} + 1 AS cs,
+               (chunk_idx - 1) * {STRIDE} + n_tokens AS ce
+        FROM chunks
+      ) c JOIN spans54 s
+        ON s.doc_id = c.doc_id
+       AND s.span_start <= c.ce AND s.span_end >= c.cs
+    ),
+    passign AS (
+      SELECT p.doc_id, p.rn AS chunk_idx,
+             CAST(p.doc_id AS VARCHAR) || '-'
+               || CAST(p.pack_seq AS VARCHAR) AS pack_id,
+             COALESCE(SUM(c.n_tokens) OVER (
+               PARTITION BY p.doc_id, p.pack_seq ORDER BY p.rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS pack_offset
+      FROM packfold p JOIN cstats c
+        ON c.doc_id = p.doc_id AND c.rn = p.rn
+    ),
     placed AS (
       SELECT pack_id, pack_tokens, md5(pack_id) AS shard_ord,
              list_reduce(
@@ -194,21 +218,23 @@ def _chunk_dedup_sql() -> str:
     FROM shards
     UNION ALL
     -- masks branch: chunk-local loss-mask ranges from the span table
-    SELECT 'masks', c.doc_id, c.chunk_idx,
-           CAST(greatest(s.span_start, c.cs) - c.cs + 1 AS VARCHAR)
-             || '-'
-             || CAST(least(s.span_end, c.ce) - c.cs + 1 AS VARCHAR),
-           CAST(least(s.span_end, c.ce)
-                - greatest(s.span_start, c.cs) + 1 AS INTEGER),
+    SELECT 'masks', doc_id, chunk_idx,
+           CAST(m_start AS VARCHAR) || '-' || CAST(m_end AS VARCHAR),
+           CAST(m_end - m_start + 1 AS INTEGER),
            CAST(NULL AS BIGINT)
-    FROM (
-      SELECT doc_id, chunk_idx,
-             (chunk_idx - 1) * {STRIDE} + 1 AS cs,
-             (chunk_idx - 1) * {STRIDE} + n_tokens AS ce
-      FROM chunks
-    ) c JOIN spans54 s
-      ON s.doc_id = c.doc_id
-     AND s.span_start <= c.ce AND s.span_end >= c.cs
+    FROM cmask
+    UNION ALL
+    -- packmask branch: the same masks carried into the packed
+    -- sequences via the canonical pack-assignment fold's offsets
+    SELECT 'packmask', m.doc_id, m.chunk_idx,
+           a.pack_id || ':'
+             || CAST(a.pack_offset + m.m_start AS VARCHAR)
+             || '-'
+             || CAST(a.pack_offset + m.m_end AS VARCHAR),
+           CAST(m.m_end - m.m_start + 1 AS INTEGER),
+           CAST(NULL AS BIGINT)
+    FROM cmask m JOIN passign a
+      ON a.doc_id = m.doc_id AND a.chunk_idx = m.chunk_idx
     """
 
 
@@ -243,9 +269,18 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.text_chunks.chunk_loss_masks — the span table translated
     to chunk-LOCAL loss-mask ranges (mask-instead-of-drop dedup: keep
     duplicated tokens as context, zero their loss); chunk_text carries
-    'start-end', n_tokens the masked length."""
+    'start-end', n_tokens the masked length. ``packmask`` (round 10):
+    the same masks carried INTO the packed training sequences —
+    operators.packing.pack_assignments (the membership/offset table of
+    the canonical fold) shifts each chunk-local range by the chunk's
+    pack_offset; chunk_text carries 'pack_id:start-end' in pack
+    content-token coordinates, the mask a trainer actually applies."""
     from .operators.cache import persist_tracked
-    from .operators.packing import pack_chunks, shard_assignment
+    from .operators.packing import (
+        pack_assignments,
+        pack_chunks,
+        shard_assignment,
+    )
     from .operators.substr_dedup import (
         remove_repeated_substrings,
         repeated_spans,
@@ -259,6 +294,8 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass, persisted
     spans = persist_tracked(repeated_spans(docs, k=SUBSTR_K))
     rebuilt = remove_repeated_substrings(docs, k=SUBSTR_K, spans=spans)
+    # masks feed two branches (chunk-local + pack-local): one frame
+    masks_df = chunk_loss_masks(chunks, spans, stride=STRIDE)
     # shard branch: canonical packing (partition-independent pack ids)
     # through the writers' shared placement expression, folded to one
     # order-sensitive fingerprint per shard (md5 of the __shard_ord-
@@ -320,12 +357,32 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("n_copies"),
         )
     ).unionByName(
-        chunk_loss_masks(chunks, spans, stride=STRIDE).select(
+        masks_df.select(
             F.lit("masks").alias("mode"), "doc_id", "chunk_idx",
             F.concat(
                 F.col("mask_start").cast("string"),
                 F.lit("-"),
                 F.col("mask_end").cast("string"),
+            ).alias("chunk_text"),
+            (F.col("mask_end") - F.col("mask_start") + 1)
+            .cast("int").alias("n_tokens"),
+            F.lit(None).cast("long").alias("n_copies"),
+        )
+    ).unionByName(
+        masks_df.join(
+            pack_assignments(chunks, budget=SHARD_PACK_BUDGET).select(
+                "doc_id", "chunk_idx", "pack_id", "pack_offset"
+            ),
+            ["doc_id", "chunk_idx"],
+        ).select(
+            F.lit("packmask").alias("mode"), "doc_id", "chunk_idx",
+            F.concat(
+                F.col("pack_id"),
+                F.lit(":"),
+                (F.col("pack_offset") + F.col("mask_start"))
+                .cast("string"),
+                F.lit("-"),
+                (F.col("pack_offset") + F.col("mask_end")).cast("string"),
             ).alias("chunk_text"),
             (F.col("mask_end") - F.col("mask_start") + 1)
             .cast("int").alias("n_tokens"),

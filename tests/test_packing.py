@@ -369,3 +369,42 @@ def test_compact_training_shards(spark, tmp_path):
     compact_training_shards(spark, out)
     assert rows() == before
     packs.unpersist()
+
+
+def test_pack_assignments_match_canonical_packer(spark):
+    """The assignment table is the membership view of
+    pack_chunks(canonical=True): grouped per pack_id it reproduces the
+    packer's (n_chunks, n_tokens) exactly; offsets are contiguous
+    (each chunk starts where the previous ended) and never exceed the
+    budget; the table is repartition-invariant."""
+    from example_kafkastreams_spark.operators.packing import (
+        pack_assignments,
+    )
+
+    chunks = _chunks(spark)
+    packs = {
+        r.pack_id: (r.n_chunks, r.n_tokens)
+        for r in pack_chunks(chunks, BUDGET, canonical=True).collect()
+    }
+    asg = pack_assignments(chunks, BUDGET).toPandas()
+    grouped = asg.groupby("pack_id").agg(
+        n_chunks=("chunk_idx", "count"), n_tokens=("n_tokens", "sum")
+    )
+    got = {
+        pid: (int(r.n_chunks), int(r.n_tokens))
+        for pid, r in grouped.iterrows()
+    }
+    assert got == packs
+
+    for _, g in asg.sort_values(["pack_id", "chunk_idx"]).groupby("pack_id"):
+        expect = 0
+        for _, row in g.iterrows():
+            assert row.pack_offset == expect  # contiguous content tokens
+            expect += row.n_tokens
+        assert expect <= max(BUDGET, g.n_tokens.max())
+
+    again = pack_assignments(chunks.repartition(17), BUDGET).toPandas()
+    key = ["pack_id", "doc_id", "chunk_idx", "pack_offset", "n_tokens"]
+    assert sorted(map(tuple, asg[key].values.tolist())) == sorted(
+        map(tuple, again[key].values.tolist())
+    )
