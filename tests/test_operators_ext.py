@@ -374,9 +374,13 @@ def test_chunking_is_shuffle_free(spark):
     branch's canonical-pack repartition (the ONE doc-keyed exchange
     pack_chunks documents) + per-shard fingerprint aggregation
     (column-pruned to ids/ords — pack text never reaches it)
-    (round 8) — eight exchanges total, none carrying document text
-    except the rebuild join's per-doc span lists and the pack
-    repartition's chunk rows, both structural to their operators."""
+    (round 8) — plus, round 10, the masks branch's span join (the
+    spans window already counted; the join adds its exchange pair) and
+    the packmask branch's pack_assignments doc-keyed repartition + the
+    masks-assignments join — thirteen exchanges total, none carrying
+    document text except the rebuild join's per-doc span lists and the
+    pack repartitions' chunk rows, all structural to their
+    operators."""
     from example_kafkastreams_spark.catalog import load_table
     from example_kafkastreams_spark.operators.text_chunks import (
         chunk_documents,
@@ -387,7 +391,7 @@ def test_chunking_is_shuffle_free(spark):
 
     docs = load_table(spark, SMOKE, "documents")
     assert count_exchanges(chunk_documents(docs)) == 0
-    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 8
+    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 13
 
 
 def test_unnest_stats_single_exchange(spark):
