@@ -91,3 +91,58 @@ def test_sample_restriction(spark):
     assert got["recall"][0] == 1
     assert got["precision"] == (1, 1.0)
     assert got["f1"] == (1, 1.0)
+
+
+def test_prefix_filter_matches_naive_truth(spark):
+    """The prefix-filtering lemma, fuzzed: for random small corpora
+    (shared vocabulary, heavy shingle overlap — the adversarial regime
+    for prefix pruning) the operator's truth-pair metrics must equal a
+    from-scratch naive O(n²) Python computation of
+    |{pairs : round(J, 6) >= t}| at several thresholds, including ones
+    where t·|d| lands on integer boundaries."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from example_kafkastreams_spark.operators.dedup_eval import (
+        candidate_eval,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(24):
+        n = rng.randint(3, 18)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # exact duplicates and a near-duplicate to populate the truth set
+    docs.append((24, docs[0][1]))
+    docs.append((26, docs[2][1] + " extra tail words here"))
+
+    def sh(text, k=3):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+        }
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.7, 0.25):
+        rows = {
+            r.metric: r
+            for r in candidate_eval(
+                sdf, sample_mod=1, threshold=t
+            ).collect()
+        }
+        n_truth = rows["recall"].n
+        shs = {i: sh(x) for i, x in docs}
+        want = sum(
+            1
+            for a, b in itertools.combinations(sorted(shs), 2)
+            if shs[a]
+            and shs[b]
+            and (shs[a] & shs[b])
+            and round(
+                len(shs[a] & shs[b]) / len(shs[a] | shs[b]), 6
+            ) >= t
+        )
+        assert n_truth == want, (t, n_truth, want)
