@@ -408,3 +408,30 @@ def test_pack_assignments_match_canonical_packer(spark):
     assert sorted(map(tuple, asg[key].values.tolist())) == sorted(
         map(tuple, again[key].values.tolist())
     )
+
+
+def test_pack_assignments_oversized_and_exact_fit(spark):
+    """An oversized chunk ships alone in its own pack (offset 0) and
+    the fold continues cleanly after it; an exact-budget fit closes
+    the pack so the next chunk starts a new one at offset 0."""
+    from example_kafkastreams_spark.operators.packing import (
+        pack_assignments,
+    )
+
+    rows = [
+        # doc 1: 40 + 200(oversized) + 30 + 66 (exact close) + 5
+        (1, 1, "a", 40), (1, 2, "b", 200), (1, 3, "c", 30),
+        (1, 4, "d", 66), (1, 5, "e", 5),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx int, chunk_text string, n_tokens int"
+    )
+    got = {
+        r.chunk_idx: (r.pack_id, r.pack_offset)
+        for r in pack_assignments(chunks, budget=96).collect()
+    }
+    assert got[1] == ("1-0", 0)
+    assert got[2] == ("1-1", 0)      # oversized: alone, closes at once
+    assert got[3] == ("1-2", 0)      # fold continues in a fresh pack
+    assert got[4] == ("1-2", 30)     # 30 + 66 = 96 exactly -> closes
+    assert got[5] == ("1-3", 0)      # next starts a new pack

@@ -392,3 +392,21 @@ def test_luhn_known_vectors(spark):
     assert sdf2.selectExpr(
         f"{P.cc_count('text', P.SPARK)} AS n"
     ).collect()[0].n == 1
+
+
+@SETTINGS
+@given(docs=st.lists(DIGIT_DOC, min_size=1, max_size=6))
+def test_cc_scrub_is_idempotent(spark, docs):
+    """After a scrub no Luhn-valid run survives: cc_count over the
+    scrubbed text is 0, so a second scrub is the identity (replacement
+    text contains no digits; checksum-failing runs pass through both
+    times)."""
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    sdf = spark.createDataFrame(pdf)
+    scrubbed = P.cc_scrub("text", P.SPARK)
+    rows = sdf.selectExpr(
+        f"{scrubbed} AS once",
+        f"{P.cc_count(scrubbed, P.SPARK)} AS n_after",
+    ).collect()
+    for r in rows:
+        assert r.n_after == 0
