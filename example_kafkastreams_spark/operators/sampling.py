@@ -144,3 +144,42 @@ def priority_sample(
         .limit(k)
         .drop("__prio")
     )
+
+
+def priority_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """``priority_sample`` PER STRATUM: exactly ``k`` rows from every
+    group (fewer when the group is smaller), weight-sensitively —
+    "the best N documents' worth per source", the quota-AND-quality
+    carve that combines ``stratified_sample``'s exact quotas with
+    priority sampling's weight sensitivity. Same deterministic
+    priority = weight / (hash32(id) + 1), rank within the group by
+    (priority DESC, id), keep rank ≤ k.
+
+    Scale shape: the rank ≤ k predicate over the partitioned window
+    triggers Spark's WindowGroupLimit rewrite (the
+    ``stratified_sample`` plan discipline) — each map partition
+    pre-prunes to k rows per group below the exchange, so the group
+    shuffle carries at most k·partitions rows per group, never the
+    stratum."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (
+        F.expr(P.token_hash32(f"CAST({id_col} AS STRING)", P.SPARK))
+        + F.lit(1)
+    )
+    prio = F.col(weight_col).cast("double") / u
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__prio").desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("__prio", prio)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__prio", "__rk")
+    )

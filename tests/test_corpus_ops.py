@@ -741,3 +741,44 @@ def test_priority_sample_take_ordered_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_priority_sample_per_group(spark):
+    """Exactly k per group (fewer when smaller), weight-sensitive
+    within each group, repartition-invariant, and the global
+    priority_sample restricted to one group's rows agrees with the
+    per-group quota for that group; the rank<=k predicate triggers
+    WindowGroupLimit."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_per_group,
+    )
+
+    rows = [
+        (i, "g" + str(i % 3), 1.0 if i != 7 else 10000.0)
+        for i in range(60)
+    ] + [(100, "tiny", 1.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    got = priority_sample_per_group(df, "grp", "w", "id", 5).toPandas()
+    sizes = got.groupby("grp").size().to_dict()
+    assert sizes == {"g0": 5, "g1": 5, "g2": 5, "tiny": 1}
+    assert 7 in set(got["id"])  # heavy row survives in its group
+
+    again = priority_sample_per_group(
+        df.repartition(13), "grp", "w", "id", 5
+    ).toPandas()
+    assert sorted(got["id"]) == sorted(again["id"])
+
+    # agreement with the global operator on a single-group restriction
+    g1 = df.filter(F.col("grp") == "g1")
+    glob = sorted(r.id for r in priority_sample(g1, "w", "id", 5).collect())
+    per = sorted(got[got["grp"] == "g1"]["id"])
+    assert glob == list(per)
+
+    plan = (
+        priority_sample_per_group(df, "grp", "w", "id", 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan

@@ -81,3 +81,24 @@ def test_strict_parse_crashes_on_malformed(spark):
     assert parse_kafka_records(bad, schema).collect()[0].pv_id is None
     with pytest.raises(Exception, match="(?i)malformed|failfast"):
         parse_kafka_records(bad, schema, strict=True).collect()
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC round-trips bit-exactly with types preserved (it is
+    Spark-native like parquet — no schema handed in, the file carries
+    it), and the columnar format serves predicate pushdown: the plan
+    shows a PushedFilters entry for a value filter."""
+    src = _events_subset(spark)
+    path = str(tmp_path / "events_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    _assert_same(src, back)
+
+    plan = (
+        back.filter(F.col("value") > 100.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "value" in plan.split(
+        "PushedFilters:"
+    )[1][:120]
