@@ -823,3 +823,71 @@ def test_source_overlap(spark):
     assert got[("s1", "s1")] == 3
     assert got[("s2", "s2")] == 2
     assert got[("s3", "s3")] == 1
+
+
+def test_dup_ngram_stats_matches_naive(spark):
+    """Fuzz vs a from-scratch Python recount: random shared-vocabulary
+    docs (heavy gram collisions), n=3 so short docs still emit."""
+    import random
+
+    from example_kafkastreams_spark.operators.report import dup_ngram_stats
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(9)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 14)
+        rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(n)),
+             f"s{i % 4}")
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in dup_ngram_stats(docs, n=3).collect()}
+
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    from collections import Counter, defaultdict
+
+    per_src = defaultdict(list)
+    for _, text, src in rows:
+        per_src[src].append(grams(text))
+    for src, gsets in per_src.items():
+        c = Counter(g for gs in gsets for g in gs)
+        r = got[src]
+        assert r.n_docs == len(gsets)
+        assert r.distinct_grams == len(c)
+        assert r.dup_grams == sum(1 for v in c.values() if v >= 2)
+        assert r.postings == sum(c.values())
+
+
+def test_source_overlap_matches_naive(spark):
+    """Fuzz vs a from-scratch Python set computation over random
+    duplicate-heavy corpora (texts drawn from a tiny pool so overlaps
+    and within-source duplicates are dense)."""
+    import itertools
+    import random
+
+    from example_kafkastreams_spark.operators.report import source_overlap
+
+    rng = random.Random(13)
+    pool = [f"text number {i}" for i in range(12)]
+    rows = [
+        (i, rng.choice(pool), f"s{rng.randint(0, 3)}") for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): r.n_shared
+           for r in source_overlap(docs).collect()}
+
+    by_src = {}
+    for _, text, src in rows:
+        by_src.setdefault(src, set()).add(text)
+    want = {}
+    for s, texts in by_src.items():
+        want[(s, s)] = len(texts)
+    for a, b in itertools.combinations(sorted(by_src), 2):
+        n = len(by_src[a] & by_src[b])
+        if n:
+            want[(a, b)] = n
+    assert got == want
