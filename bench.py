@@ -343,7 +343,8 @@ def main() -> None:
         ("q19_window_topn_per_user", "mode", ("window", "topk")),
         ("q26_interval_join_symmetric", "mode",
          ("pairs", "dim", "enrich", "delta", "asof", "chlog")),
-        ("q34_hash_sample", "method", ("hash", "strat", "wsample", "prio")),
+        ("q34_hash_sample", "method",
+         ("hash", "strat", "wsample", "prio", "gprio")),
         ("q40_dedup_exact_text", "mode",
          ("full", "incr", "diff_changed", "diff_unchanged", "xsrc")),
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr", "eval")),

@@ -310,6 +310,21 @@ from .functions import portable as P  # noqa: E402
                o_orderkey
       LIMIT 40
     )
+    UNION ALL
+    -- gprio branch: the per-stratum quota variant — exactly 5 per
+    -- o_orderpriority by the same priority, rank within the stratum
+    SELECT 'gprio', o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(o_totalprice AS DOUBLE)
+                 / ({P.token_hash32("CAST(o_orderkey AS VARCHAR)", P.DUCK)}
+                    + 1) DESC,
+                 o_orderkey
+             ) AS prk
+      FROM orders
+    ) WHERE prk <= 5
     """,
 )
 def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,9 +348,14 @@ def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling, the budget-EXACT counterpart: exactly 40 orders by
     priority = price / (hash32(key)+1), heavy rows near-certain,
     light rows weight-proportional; compiles to TakeOrderedAndProject
-    (per-partition top-k, no global sort)."""
+    (per-partition top-k, no global sort). ``gprio`` (round 10):
+    operators.sampling.priority_sample_per_group — the per-stratum
+    quota variant, exactly 5 per o_orderpriority by the same priority;
+    the rank ≤ k predicate rides WindowGroupLimit so the stratum
+    shuffle stays quota-bounded."""
     from .operators.sampling import (
         priority_sample,
+        priority_sample_per_group,
         stratified_sample,
         weighted_sample,
     )
@@ -356,11 +376,15 @@ def q34_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     prio = priority_sample(orders, "o_totalprice", "o_orderkey", 40)
+    gprio = priority_sample_per_group(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", 5
+    )
     return (
         hashed.select(F.lit("hash").alias("method"), *cols)
         .unionByName(strat.select(F.lit("strat").alias("method"), *cols))
         .unionByName(ws.select(F.lit("wsample").alias("method"), *cols))
         .unionByName(prio.select(F.lit("prio").alias("method"), *cols))
+        .unionByName(gprio.select(F.lit("gprio").alias("method"), *cols))
     )
 
 
