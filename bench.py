@@ -165,7 +165,7 @@ _MERGED_SINCE = {
                                   # r9 artifact predates these branches)
     "q50_token_stats": 10,        # +bpe (r9), +dupgram (r10)
     "q54_chunk_documents": 10,    # +shard (r8), +masks (r10)
-    "q55_tfidf_top_term": 9,      # +bm25idx (r9)
+    "q55_tfidf_top_term": 10,     # +bm25idx (r9), +maxsim (r10)
     "q59_dedup_edit_distance": 10,  # +er record linkage (r10)
     "q61_domain_mixing": 10,      # +card (r9), +drift (r10)
     "q62_pii_scrub": 10,          # +norm (r9), +ccn Luhn (r10)
@@ -364,7 +364,7 @@ def main() -> None:
         (
             "q55_tfidf_top_term",
             "mode",
-            ("tfidf", "bm25", "bm25idx", "rrf", "eval"),
+            ("tfidf", "bm25", "bm25idx", "rrf", "eval", "maxsim"),
         ),
         ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
         ("q57_neardup_components", "mode",
@@ -373,7 +373,7 @@ def main() -> None:
             "q58_srp_histogram",
             "mode",
             ("srp", "kmv", "kmvops", "cms", "hll", "hll_est",
-             "hll_grp", "hll_grp_est", "hist"),
+             "hll_grp", "hll_grp_est", "hist", "hist_grp"),
         ),
         ("q59_dedup_edit_distance", "mode", ("edit", "er")),
         ("q61_domain_mixing", "mode",

@@ -810,3 +810,62 @@ def repetition_exprs(
         f"(CASE WHEN {n_tok} > 1 THEN {adj_frac} ELSE NULL END)"
     )
     return out
+
+
+# --- signed feature hashing (late-interaction token vectors) ---------------
+# Weinberger et al. 2009 "Feature Hashing for Large Scale Multitask
+# Learning": each token contributes ±1 at n_hashes hashed positions of
+# a dim-wide vector. Every step is integer arithmetic over the shared
+# 32-bit base hash (one md5 per token), so both dialects — and the
+# Python twin that builds QUERY-side vectors as spliced literals —
+# produce bitwise-identical vectors by construction.
+
+FEATURE_SEED = 23
+
+
+def signed_feature_codes(hashes: str, n_hashes: int, dim: int, d: str) -> str:
+    """Flat array of sign+position codes, n_hashes per input hash.
+
+    Code e ∈ [0, 2·dim): position = e % dim, sign = +1 if e < dim
+    else −1. Derived from the base hash by the affine family
+    h_j(x) = (a_j·x + b_j) mod 1e9+7 (overflow-safe: a_j < 1e9+7,
+    x < 2^32 ⇒ product < 2^62), then mod 2·dim. Materialize this in
+    its own projection so the per-component folds of
+    ``signed_feature_vec`` reuse it instead of re-running md5."""
+    params = _affine_params(n_hashes, seed=FEATURE_SEED)
+    codes = ", ".join(
+        f"((h * {a} + {b}) % {HASH_MOD}) % {2 * dim}" for a, b in params
+    )
+    arr = f"array({codes})" if d == SPARK else f"[{codes}]"
+    return f"flatten({transform_(hashes, 'h', arr, d)})"
+
+
+def signed_feature_vec(codes: str, dim: int, d: str) -> str:
+    """array<bigint>[dim] of signed counts from a code array: component
+    j folds +1 for every code j and −1 for every code j+dim. One left
+    fold per component — dim × |codes| integer CASEs, all map-side."""
+    comps = []
+    for j in range(dim):
+        body = (
+            f"acc + (CASE WHEN x = {j} THEN 1"
+            f" WHEN x = {j + dim} THEN -1 ELSE 0 END)"
+        )
+        comps.append(fold(codes, "CAST(0 AS BIGINT)", "acc", "x", body, d))
+    return (
+        f"array({', '.join(comps)})" if d == SPARK
+        else f"[{', '.join(comps)}]"
+    )
+
+
+def signed_feature_vec_py(token: str, n_hashes: int, dim: int) -> list[int]:
+    """Python twin of codes→vector for driver-side (query) tokens —
+    the exact integer arithmetic of the SQL builders, so spliced
+    query-vector literals match engine-computed corpus vectors."""
+    import hashlib as _hashlib
+
+    h = int(_hashlib.md5(token.encode()).hexdigest()[:8], 16)
+    v = [0] * dim
+    for a, b in _affine_params(n_hashes, seed=FEATURE_SEED):
+        e = ((h * a + b) % HASH_MOD) % (2 * dim)
+        v[e % dim] += 1 if e < dim else -1
+    return v

@@ -899,3 +899,114 @@ def retrieval_eval(
             .alias("ndcg_at_k"),
         )
     )
+
+
+# --- late-interaction (MaxSim) retrieval -----------------------------------
+
+MAXSIM_DIM = 32
+MAXSIM_HASHES = 4
+MAXSIM_CHUNK = 32
+MAXSIM_STRIDE = 24
+
+
+def maxsim_top_docs(
+    docs: DataFrame,
+    queries: list[str],
+    top_k: int = 5,
+    dim: int = MAXSIM_DIM,
+    n_hashes: int = MAXSIM_HASHES,
+    chunk_size: int = MAXSIM_CHUNK,
+    stride: int = MAXSIM_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Late-interaction retrieval (the MaxSim operator of Khattab &
+    Zaharia 2020 ColBERT): score(q, d) = Σ_{t ∈ q} max_{c ∈ chunks(d)}
+    cos(v_t, v_c) — each query token finds its best-matching PASSAGE
+    independently, unlike BM25/TF-IDF which pool the whole document.
+    Here the "token embeddings" are signed feature-hash vectors
+    (Weinberger et al. hashing trick, ``portable.signed_feature_*``):
+    deterministic, engine-computable, and honest stand-ins with the
+    exact plan shape a learned encoder would serve through.
+
+    Contributions are CLAMPED AT ZERO (a token with no positively
+    matching chunk adds nothing) — so candidate rows with dot ≤ 0 can
+    be dropped BEFORE the aggregation, which is what makes the scale
+    shape work:
+
+    * chunking + per-chunk vectors are pure column expressions — zero
+      shuffle, the 100 TB corpus pass stays embarrassingly parallel;
+    * query-token vectors are Python-computed literals in a broadcast
+      frame (the spliced-trained-params convention) — the corpus
+      never shuffles to meet the queries;
+    * only (chunk, token) pairs whose vectors COLLIDE positively
+      survive to the exchange, so the max/sum aggregations shuffle
+      candidate-sized data keyed (query, tidx, doc) — never
+      corpus × query;
+    * the per-(query, doc) sum folds token contributions in tidx
+      order (bit-stable under any partitioning); max is exact.
+
+    Output: (query, doc_id, rank, score), rank 1..top_k by
+    (score DESC, doc_id).
+
+    Reference parity: no retrieval surface in the reference — §2.9
+    extension from the public ColBERT / feature-hashing papers.
+    """
+    from .text_chunks import chunk_documents
+
+    S = P.SPARK
+    spark = docs.sparkSession
+    chunks = chunk_documents(
+        docs, id_col=id_col, text_col=text_col,
+        chunk_size=chunk_size, stride=stride,
+    )
+    hashes = P.base_hash_array(P.split_ws("chunk_text", S), S)
+    ch = chunks.select(
+        F.col(id_col).alias("doc_id"),
+        "chunk_idx",
+        F.expr(hashes).alias("hs"),
+    )
+    codes = P.signed_feature_codes("hs", n_hashes, dim, S)
+    ch = ch.select("doc_id", "chunk_idx", F.expr(codes).alias("es"))
+    ch = ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(P.signed_feature_vec("es", dim, S)).alias("cv"),
+    )
+    ch = ch.withColumn("n2c", F.expr(P.dot("cv", "cv", S)))
+
+    qrows = []
+    for q in dict.fromkeys(queries):
+        for tidx, tok in enumerate(q.split()):
+            tv = P.signed_feature_vec_py(tok, n_hashes, dim)
+            n2t = float(sum(x * x for x in tv))
+            qrows.append((q, tidx, [float(x) for x in tv], n2t))
+    qdf = spark.createDataFrame(
+        qrows, "query string, tidx int, tv array<double>, n2t double"
+    )
+
+    scored = (
+        ch.join(F.broadcast(qdf))
+        .withColumn("d0", F.expr(P.dot("tv", "cv", S)))
+        .filter((F.col("d0") > 0) & (F.col("n2c") > 0))
+        .withColumn("cos", F.col("d0") / F.sqrt(F.col("n2t") * F.col("n2c")))
+    )
+    per_tok = scored.groupBy("query", "tidx", "doc_id").agg(
+        F.max("cos").alias("ms")
+    )
+    agg = per_tok.groupBy("query", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tidx", "ms"))),
+                lambda s: s["ms"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query", "doc_id", "rank", "score")
+    )

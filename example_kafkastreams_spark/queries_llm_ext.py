@@ -403,6 +403,66 @@ BM25_TOP_K = 5
 # session (the deployment contract — build once, serve many)
 _Q55_IDX_CACHE: dict = {}
 
+# maxsim branch: late-interaction retrieval over the same query set
+# (signed feature-hash token vectors; operators.retrieval.maxsim_*)
+MAXSIM_DIM = 32
+MAXSIM_HASHES = 4
+
+
+def _maxsim_ctes() -> str:
+    """The maxsim branch's oracle derivation: chunking (the q54
+    expressions), per-chunk signed feature-hash vectors, per-(query,
+    token) max-over-chunks cosine with dot ≤ 0 rows dropped (the
+    clamp-at-zero semantics), tidx-ordered contribution fold, rank by
+    (score DESC, doc_id). Query-token vectors are the SAME
+    Python-computed integer literals the operator broadcasts."""
+    toks = P.split_ws("text", D)
+    n = P.size_("toks", D)
+    starts = P.seq_step("1", n, STRIDE, D)
+    chunk_text = P.join_str(P.slice_("toks", "start", CHUNK_SIZE, D), " ", D)
+    hashes = P.base_hash_array(P.split_ws("chunk_text", D), D)
+    codes = P.signed_feature_codes("hs", MAXSIM_HASHES, MAXSIM_DIM, D)
+    vec = P.signed_feature_vec("es", MAXSIM_DIM, D)
+    vals = []
+    for q in dict.fromkeys(BM25_QUERIES):
+        for tidx, tok in enumerate(q.split()):
+            tv = P.signed_feature_vec_py(tok, MAXSIM_HASHES, MAXSIM_DIM)
+            n2t = float(sum(x * x for x in tv))
+            lit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in tv) + "]"
+            vals.append(f"('{q}', {tidx}, {lit}, CAST('{n2t!r}' AS DOUBLE))")
+    return f"""
+    mstok AS (SELECT doc_id, {toks} AS toks FROM documents),
+    msex AS (SELECT doc_id, toks, unnest({starts}) AS start FROM mstok),
+    mscht AS (SELECT doc_id, {chunk_text} AS chunk_text FROM msex),
+    mshs AS (SELECT doc_id, {hashes} AS hs FROM mscht),
+    mses AS (SELECT doc_id, {codes} AS es FROM mshs),
+    mscv AS (SELECT doc_id, {vec} AS cv FROM mses),
+    msc2 AS (SELECT doc_id, cv, {P.dot('cv', 'cv', D)} AS n2c FROM mscv),
+    msq AS (SELECT * FROM (VALUES {', '.join(vals)}) q(query, tidx, tv, n2t)),
+    mssc AS (
+      SELECT query, tidx, doc_id,
+             {P.dot('tv', 'cv', D)} AS d0, n2t, n2c
+      FROM msc2 CROSS JOIN msq
+    ),
+    msm AS (
+      SELECT query, tidx, doc_id,
+             max(d0 / sqrt(n2t * n2c)) AS ms
+      FROM mssc WHERE d0 > 0 AND n2c > 0
+      GROUP BY query, tidx, doc_id
+    ),
+    msagg AS (
+      SELECT query, doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(ms ORDER BY tidx)),
+                         (acc, x) -> acc + x) AS score
+      FROM msm GROUP BY query, doc_id
+    ),
+    msr AS (
+      SELECT *, row_number() OVER (PARTITION BY query
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM msagg
+    )"""
+
 
 def _q55_sql() -> str:
     from .operators.retrieval import BM25_B, BM25_K1, RRF_K
@@ -587,7 +647,8 @@ def _q55_sql() -> str:
       UNION ALL SELECT query, hits, 'mrr', mrr FROM evm
       UNION ALL SELECT query, hits, 'ap', ap FROM evm
       UNION ALL SELECT query, hits, 'ndcg', ndcg FROM evm
-    )
+    ),
+    {_maxsim_ctes()}
     SELECT 'tfidf' AS mode, doc_id, term AS top_term, tf_count,
            round(CAST(tfidf_raw AS DOUBLE), 6) AS tfidf
     FROM r WHERE rn = 1
@@ -608,6 +669,10 @@ def _q55_sql() -> str:
     SELECT 'eval', CAST(NULL AS BIGINT), query || '|' || metric,
            CAST(hits AS BIGINT), round(val, 6)
     FROM evsel
+    UNION ALL
+    -- maxsim branch: late-interaction retrieval, rank per query
+    SELECT 'maxsim', doc_id, query, CAST(rn AS BIGINT), round(score, 6)
+    FROM msr WHERE rn <= {BM25_TOP_K}
     """
 
 
@@ -639,7 +704,14 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer-count divisions, and nDCG's log2 discounts are
     compile-time Python constants spliced into BOTH dialects
     (``ndcg_tables``), so no libm runs inside either engine; top_term
-    carries 'query|metric', tf_count the hit count."""
+    carries 'query|metric', tf_count the hit count. ``maxsim`` (round
+    10): late-interaction retrieval — ``maxsim_top_docs`` scoring the
+    same query set by ColBERT's MaxSim over chunk-grain signed
+    feature-hash vectors (each query token takes its best-matching
+    passage, contributions clamped at zero so non-colliding pairs
+    never reach the exchange); the oracle re-derives chunking,
+    hashing-trick vectors, the max and the tidx-ordered fold
+    end-to-end, with query vectors as shared integer literals."""
     import atexit
     import os
     import shutil
@@ -650,6 +722,7 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_index_query,
         bm25_index_write,
         bm25_top_docs,
+        maxsim_top_docs,
         retrieval_eval,
         rrf_fuse,
         term_overlap_top_docs,
@@ -726,11 +799,27 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf_count",
         "tfidf",
     )
+    ms = maxsim_top_docs(
+        docs,
+        list(BM25_QUERIES),
+        top_k=BM25_TOP_K,
+        dim=MAXSIM_DIM,
+        n_hashes=MAXSIM_HASHES,
+        chunk_size=CHUNK_SIZE,
+        stride=STRIDE,
+    ).select(
+        F.lit("maxsim").alias("mode"),
+        "doc_id",
+        F.col("query").alias("top_term"),
+        F.col("rank").cast("long").alias("tf_count"),
+        F.round("score", 6).alias("tfidf"),
+    )
     return (
         tfidf.unionByName(bm)
         .unionByName(idx)
         .unionByName(fused)
         .unionByName(ev)
+        .unionByName(ms)
     )
 
 
@@ -1587,6 +1676,18 @@ def _q58_sql() -> str:
              {HIST_N - 1}) AS bucket,
              count(*) AS cnt
       FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    -- hist_grp branch: one histogram PER event_type in one pass
+    -- (histogram_sketch_grouped) — identical bucket expression with
+    -- the group key prepended
+    histgrp AS (
+      SELECT event_type AS grp,
+             LEAST(GREATEST(CAST(FLOOR(
+               (CAST(value AS DOUBLE) - CAST('{HIST_LO!r}' AS DOUBLE))
+               / CAST('{HIST_W!r}' AS DOUBLE)) AS INTEGER), 0),
+             {HIST_N - 1}) AS bucket,
+             count(*) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     )
     SELECT 'srp' AS mode, srp_bucket,
            count(*) AS n_vectors, min(vec_id) AS min_vec_id,
@@ -1683,6 +1784,17 @@ def _q58_sql() -> str:
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS BIGINT)
     FROM hist
+    UNION ALL
+    SELECT 'hist_grp', bucket, cnt,
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), grp,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT)
+    FROM histgrp
     """
 
 
@@ -1715,7 +1827,13 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection cardinalities of two sources' shingle vocabularies
     from two candidate-sized sketches (operators.sketches
     .kmv_set_ops, the theta-sketch shape), never a corpus-sized join;
-    exact union/intersection counts ship beside the estimates."""
+    exact union/intersection counts ship beside the estimates.
+    ``hist`` (round 10): the mergeable equi-width histogram — built
+    over two disjoint halves and counter-sum MERGED, so the row
+    value-checks build and merge against the oracle's one-shot count.
+    ``hist_grp`` (round 10): the per-group single-pass form
+    (histogram_sketch_grouped) — one histogram per event_type, the
+    feed for curation.prune_thresholds' per-cluster cutoffs."""
     from .operators.sketches import (
         hll_estimate,
         hll_estimate_grouped,
@@ -1841,7 +1959,11 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeability contract; the halves union covers every row since
     # events.user_id is never NULL on this testdata — and if a
     # regeneration ever added NULLs the count mismatch would SHOW)
-    from .operators.sketches import histogram_merge, histogram_sketch
+    from .operators.sketches import (
+        histogram_merge,
+        histogram_sketch,
+        histogram_sketch_grouped,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     hist = histogram_merge(
@@ -1854,6 +1976,15 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             HIST_LO, HIST_HI, HIST_N,
         ),
     ).select(
+        F.col("bucket").alias("srp_bucket"),
+        F.col("cnt").alias("n_vectors"),
+    )
+    # hist_grp branch (round 10): the per-group single-pass form —
+    # one histogram per event_type, exchange ≤ |groups|·n_buckets rows
+    ghist = histogram_sketch_grouped(
+        ev, ["event_type"], "value", HIST_LO, HIST_HI, HIST_N
+    ).select(
+        F.col("event_type").alias("probe"),
         F.col("bucket").alias("srp_bucket"),
         F.col("cnt").alias("n_vectors"),
     )
@@ -1894,4 +2025,7 @@ def q58_srp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ["probe", "est_distinct", "exact_distinct",
                           "n_zero_regs"]))
         .unionByName(pad(hist, "hist", ["srp_bucket", "n_vectors"]))
+        .unionByName(
+            pad(ghist, "hist_grp", ["probe", "srp_bucket", "n_vectors"])
+        )
     )

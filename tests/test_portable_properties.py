@@ -410,3 +410,25 @@ def test_cc_scrub_is_idempotent(spark, docs):
     ).collect()
     for r in rows:
         assert r.n_after == 0
+
+
+@SETTINGS
+@given(docs=DOCS)
+def test_signed_feature_vec_agrees(spark, docs):
+    """Signed feature-hash vectors: Spark == DuckDB == the Python twin
+    that builds query-side literals (the maxsim branch's invariant)."""
+    DIM, NH = 16, 4
+
+    def expr(d):
+        hashes = P.base_hash_array(P.split_ws("text", d), d)
+        codes = P.signed_feature_codes(hashes, NH, DIM, d)
+        return P.signed_feature_vec(codes, DIM, d)
+
+    got, want = both_engines(spark, docs, expr(P.SPARK), expr(P.DUCK))
+    assert [list(g) for g in got] == [list(w) for w in want]
+    for doc, g in zip(docs, got):
+        exp = [0] * DIM
+        for t in doc.split():
+            tv = P.signed_feature_vec_py(t, NH, DIM)
+            exp = [a + b for a, b in zip(exp, tv)]
+        assert list(g) == exp

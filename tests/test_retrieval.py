@@ -439,3 +439,115 @@ def test_retrieval_eval_universe_and_dup_labels(spark):
     # returned only past rank k -> present (query in results) but zero
     r3 = rows["q3"]
     assert (r3.n_rel, r3.hits_at_k, r3.recall_at_k) == (1, 0, 0.0)
+
+
+# --- late-interaction MaxSim ------------------------------------------------
+
+def _maxsim_reference(docs, queries, dim, n_hashes, chunk_size, stride, k):
+    """Naive MaxSim: chunk, hash-featurize, per-token best chunk,
+    clamp at zero, sum — plain Python."""
+    from example_kafkastreams_spark.functions import portable as P
+
+    def featurize(tokens):
+        v = [0] * dim
+        for t in tokens:
+            tv = P.signed_feature_vec_py(t, n_hashes, dim)
+            v = [a + b for a, b in zip(v, tv)]
+        return v
+
+    chunk_vecs = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        vecs = []
+        for start in range(0, len(toks), stride):
+            vecs.append(featurize(toks[start:start + chunk_size]))
+        chunk_vecs[doc_id] = vecs
+    out = {}
+    for q in queries:
+        scores = []
+        for doc_id, _ in docs:
+            s = 0.0
+            for tok in q.split():
+                tv = P.signed_feature_vec_py(tok, n_hashes, dim)
+                n2t = sum(x * x for x in tv)
+                best = 0.0
+                for cv in chunk_vecs[doc_id]:
+                    n2c = sum(x * x for x in cv)
+                    d0 = sum(a * b for a, b in zip(tv, cv))
+                    if d0 > 0 and n2c > 0:
+                        best = max(best, d0 / math.sqrt(float(n2t) * n2c))
+                s += best
+            if s > 0:
+                scores.append((doc_id, s))
+        scores.sort(key=lambda t: (-t[1], t[0]))
+        out[q] = scores[:k]
+    return out
+
+
+def test_maxsim_matches_python_reference(spark):
+    from example_kafkastreams_spark.operators.retrieval import maxsim_top_docs
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha alpha alpha beta beta unrelated words here"),
+        (3, "completely different vocabulary nothing shared at all"),
+        (4, "gamma delta " + " ".join(f"w{i}" for i in range(40))),
+    ]
+    queries = ["alpha beta", "gamma", "missingtoken"]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.query, r.doc_id): (r.rank, r.score)
+        for r in maxsim_top_docs(
+            sdf, queries, top_k=3, dim=16, n_hashes=4,
+            chunk_size=4, stride=3,
+        ).collect()
+    }
+    want = _maxsim_reference(docs, queries, 16, 4, 4, 3, 3)
+    for q, ranked in want.items():
+        for rank, (doc_id, score) in enumerate(ranked, 1):
+            assert (q, doc_id) in got, (q, doc_id)
+            grank, gscore = got[(q, doc_id)]
+            assert grank == rank
+            assert abs(gscore - score) < 1e-12
+    # exact row-set parity: nothing beyond the reference's rows
+    want_keys = {(q, d) for q, rk in want.items() for d, _ in rk}
+    assert set(got) == want_keys
+
+
+def test_maxsim_passage_beats_pooled(spark):
+    """The late-interaction property: one PURE matching passage (cos
+    1.0 against the query token) outranks a doc with MORE total
+    matches diluted across every chunk — per-token max picks the best
+    passage where whole-document pooling would favor the raw count."""
+    from example_kafkastreams_spark.operators.retrieval import maxsim_top_docs
+
+    noise = " ".join(f"filler{i}" for i in range(28))
+    diluted = " ".join(
+        t for i in range(8) for t in ("alpha", f"x{i}", f"y{i}", f"z{i}")
+    )
+    docs = [
+        (1, "alpha alpha alpha alpha " + noise),  # one pure chunk, 4 hits
+        (2, diluted),                             # 8 hits, 1-in-4 per chunk
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r.score
+        for r in maxsim_top_docs(
+            sdf, ["alpha"], top_k=2, dim=32, n_hashes=4,
+            chunk_size=4, stride=4,
+        ).collect()
+    }
+    assert out[1] == 1.0  # cv = 4·tv exactly → cosine exactly 1
+    assert out[1] > out[2]
+
+
+def test_maxsim_partition_independent(spark):
+    from example_kafkastreams_spark.operators.retrieval import maxsim_top_docs
+
+    docs = [(i, f"tok{i % 7} alpha beta tok{i % 5} gamma") for i in range(40)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    a = maxsim_top_docs(sdf.repartition(1), ["alpha beta"], top_k=5,
+                        dim=16, n_hashes=4, chunk_size=3, stride=2)
+    b = maxsim_top_docs(sdf.repartition(16), ["alpha beta"], top_k=5,
+                        dim=16, n_hashes=4, chunk_size=3, stride=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
