@@ -156,7 +156,7 @@ _MERGED_SINCE = {
     "q65_lm_score": 9,            # +clf (r9)
     "q41_dedup_minhash_lsh": 10,  # +incr (r6), +eval (r10)
     "q44_dedup_ngram_jaccard": 10,  # +contain (r10)
-    "q46_ann_lsh_ivf": 9,         # +ivfflat_idx (r9)
+    "q46_ann_lsh_ivf": 10,        # +ivfflat_idx (r9), +ivf_tr (r10)
     "q47_embedding_neardup": 10,  # +delta/+deltaidx (r8), +prune (r10)
     "q34_hash_sample": 10,        # +wsample (r9), +prio (r10)
     "q56_quantize_embeddings": 8, # +adc (r8)
@@ -353,7 +353,7 @@ def main() -> None:
         (
             "q46_ann_lsh_ivf",
             "method",
-            ("lsh", "ivf", "lsh_mp", "ivfflat_mp", "ivfflat_idx"),
+            ("lsh", "ivf", "lsh_mp", "ivfflat_mp", "ivfflat_idx", "ivf_tr"),
         ),
         ("q47_embedding_neardup", "mode",
          ("pair", "sem", "delta", "deltaidx", "prune")),

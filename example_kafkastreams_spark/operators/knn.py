@@ -2553,3 +2553,143 @@ def ivf_flat_ann_trained_build(
     cents = kmeans_train_local(X, num_centroids, iterations, "cosine")
     enc = persist_tracked(ivf_flat_encode(emb, cents, id_col, vec_col))
     return cents, enc
+
+
+# --- exact-reproducible k-means (cross-engine-checkable trainer) ------------
+# kmeans_train's docstring quarantines trained centroids from oracle
+# rows because its distributed per-cell sums are partition-order
+# dependent at the ULP level. This trainer removes that caveat for
+# BOUNDED samples (the FAISS train-on-a-sample convention): every op
+# is one pinned IEEE sequence — first-k init over the id-ordered
+# sample, cosine assignment via the _py_cosine fold with first-max
+# tie-break (⇔ row_number ORDER BY cos DESC, cid), centroid mean =
+# id-ordered left-fold sum / n, empty cells keep their previous
+# centroid — so a DuckDB twin (kmeans_exact_cent_ctes) re-derives the
+# centroids BITWISE and a trained quantizer can sit inside a
+# driver-value-checked row end to end.
+
+
+def kmeans_train_exact(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    sample_n: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means on the id-ordered first-``sample_n`` sample,
+    every step a pinned IEEE sequence (module comment above). Returns
+    centroids as plain double lists — splice via ``P.vec_literal``
+    into the same serving plans the sampled/trained quantizers feed.
+
+    Requires nonzero-norm vectors in the sample (cosine is undefined
+    on zero vectors and NaN ordering would diverge between engines);
+    raises rather than silently diverging."""
+    rows = (
+        emb.filter(F.col(id_col) < sample_n)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    X = [[float(x) for x in r[0]] for r in rows]
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} rows cannot seed k={k}")
+    for x in X:
+        n2 = 0.0
+        for v in x:
+            n2 += v * v
+        if n2 == 0.0:
+            raise ValueError("zero-norm vector in k-means sample")
+    cents = [list(X[i]) for i in range(k)]
+    for _ in range(iterations):
+        assign: list[int] = []
+        for x in X:
+            best = None
+            bi = 0
+            for ci, c in enumerate(cents):
+                s = _py_cosine(x, c)
+                if best is None or s > best:
+                    best, bi = s, ci
+            assign.append(bi)
+        new = []
+        for ci in range(k):
+            members = [X[i] for i in range(len(X)) if assign[i] == ci]
+            if not members:
+                new.append(cents[ci])
+                continue
+            dim = len(members[0])
+            c = []
+            for j in range(dim):
+                s = 0.0
+                for m in members:
+                    s += m[j]
+                c.append(s / len(members))
+            new.append(c)
+        cents = new
+    return cents
+
+
+def kmeans_exact_cent_ctes(
+    k: int,
+    iterations: int,
+    dim: int,
+    sample_n: int,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB CTE chain re-deriving ``kmeans_train_exact`` bitwise —
+    iterations UNROLLED as successive CTEs (no recursive correlation
+    needed; the count is a compile-time constant, the BPE-oracle
+    discipline). Ends with ``kmcent(cid, cv)``: one row per trained
+    centroid, ready to replace a sample-quantizer ``cent`` CTE in any
+    serve derivation.
+
+    Op-sequence pins, one per trainer step:
+    * assignment: ``row_number() OVER (ORDER BY P.cosine DESC, cid)``
+      — P.cosine is the same left-fold IEEE tree as ``_py_cosine``,
+      ties to the lowest cid = the trainer's first-max scan;
+    * update: ``list(vec ORDER BY id)`` then a per-dimension
+      left-fold ``+`` chain = the trainer's id-ordered ``s += m[j]``,
+      divided by the member count (one IEEE division);
+    * empty cells: COALESCE back to the previous centroid.
+    """
+    D = P.DUCK
+    out = [
+        f"""kmsamp AS (
+      SELECT {id_col} AS vid,
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table} WHERE {id_col} < {sample_n}
+    ),
+    kmc0 AS (
+      SELECT vid AS cid, v AS cv FROM kmsamp WHERE vid < {k}
+    )"""
+    ]
+    mean_expr = (
+        f"list_transform(range(1, {dim + 1}), j -> "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(vecs, m -> m[j])), (acc, x) -> acc + x) / n)"
+    )
+    for i in range(1, iterations + 1):
+        p = f"kmc{i - 1}"
+        out.append(f"""kmasg{i} AS (
+      SELECT vid, v, cid,
+             row_number() OVER (
+               PARTITION BY vid
+               ORDER BY {P.cosine('v', 'cv', D)} DESC, cid
+             ) AS rnk
+      FROM kmsamp CROSS JOIN {p}
+    ),
+    kmmem{i} AS (
+      SELECT cid, count(*) AS n, list(v ORDER BY vid) AS vecs
+      FROM kmasg{i} WHERE rnk = 1 GROUP BY cid
+    ),
+    kmc{i} AS (
+      SELECT prev.cid,
+             COALESCE(u.c, prev.cv) AS cv
+      FROM {p} prev
+      LEFT JOIN (SELECT cid, {mean_expr} AS c FROM kmmem{i}) u
+        ON u.cid = prev.cid
+    )""")
+    out.append(f"kmcent AS (SELECT cid, cv FROM kmc{iterations})")
+    return ",\n    ".join(out)

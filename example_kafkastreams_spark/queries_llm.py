@@ -795,6 +795,45 @@ _IVFFLAT_MP_SQL = f"""
 # derivation under the branch's own label.
 _IVFFLAT_IDX_SQL = _IVFFLAT_MP_SQL.replace("'ivfflat_mp'", "'ivfflat_idx'")
 
+# ivf_tr branch (round 10): the TRAINED coarse quantizer inside a
+# driver-value-checked row — kmeans_train_exact's pinned-IEEE Lloyd's
+# is re-derived bitwise by the unrolled kmeans_exact_cent_ctes chain
+# (see knn.py), and the serve arm is the ivfflat_mp derivation with
+# the sample `cent` CTE swapped for the trained `kmcent`. This closes
+# the "trained quantizers are bench-only" caveat for the IVF family.
+KM_TR_K = 8
+KM_TR_ITERS = 3
+KM_TR_SAMPLE = 128
+
+_IVF_TR_SQL = f"""
+    WITH {KNN.kmeans_exact_cent_ctes(KM_TR_K, KM_TR_ITERS, 64, KM_TR_SAMPLE)},
+    ass AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY {P.cosine('embedding', 'cv', D)} DESC, cid
+             ) AS cent_rank
+      FROM embeddings, kmcent
+    ), cells AS (
+      SELECT vec_id, embedding, cid AS cell FROM ass WHERE cent_rank = 1
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv, cid AS qcell
+      FROM ass WHERE vec_id < 8 AND cent_rank <= 2
+    ), j AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             {P.cosine('qv', 'c.embedding', D)} AS cos_raw
+      FROM cells c JOIN q ON c.cell = q.qcell AND c.vec_id <> q.query_id
+    ), r AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS knn_rank
+      FROM j
+    )
+    SELECT 'ivf_tr' AS method, query_id, neighbor_id,
+           {P.round_dbl('cos_raw', 6, D)} AS cosine, knn_rank
+    FROM r WHERE knn_rank <= 3
+"""
+
 # one artifact build per corpus dir per session (build once, serve
 # many — the q55 bm25idx discipline)
 _Q46_IDX_CACHE: dict = {}
@@ -804,7 +843,7 @@ _Q46_IDX_CACHE: dict = {}
     "q46_ann_lsh_ivf",
     oracle=f"({_LSH_ANN_SQL}) UNION ALL ({_IVF_ANN_SQL})"
     f" UNION ALL ({_LSH_MP_SQL}) UNION ALL ({_IVFFLAT_MP_SQL})"
-    f" UNION ALL ({_IVFFLAT_IDX_SQL})",
+    f" UNION ALL ({_IVFFLAT_IDX_SQL}) UNION ALL ({_IVF_TR_SQL})",
 )
 def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN index strategies in one driver row (round-5 slot merge,
@@ -832,7 +871,16 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ann_index_query``: meta.json parameters, In(cell) pushed to the
     codes parquet); the oracle rows are the ivfflat_mp derivation
     verbatim because loaded-serve bit-identity is the artifact
-    contract (raw vectors round-trip parquet exactly)."""
+    contract (raw vectors round-trip parquet exactly).
+
+    ``ivf_tr`` (round 10): a TRAINED coarse quantizer inside a
+    driver-value-checked row — ``kmeans_train_exact`` (pinned-IEEE
+    Lloyd's on the id-ordered first-128 sample) feeds the same
+    ivfflat serving plan, and the oracle RE-DERIVES THE TRAINING
+    ITSELF (three unrolled assignment/update CTE rounds, bitwise
+    centroids) before re-deriving the serve — the first trained ANN
+    family where both halves of build/serve are hash-checked, closing
+    the "trained quantizers are bench-only" caveat for IVF."""
     import atexit
     import os
     import shutil
@@ -868,6 +916,17 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat_idx = ann_index_query(
         spark, idx_dir, emb.filter(F.col("vec_id") < 8), k=3, nprobe=2
     )
+    # ivf_tr (round 10): the exact-reproducible TRAINED quantizer —
+    # same serving plan as ivfflat_mp, centroids from
+    # kmeans_train_exact instead of the first-16 sample; the oracle
+    # re-derives the training itself (unrolled Lloyd's CTEs), so this
+    # row value-checks train AND serve end to end
+    tr_cents = KNN.kmeans_train_exact(
+        emb, k=KM_TR_K, iterations=KM_TR_ITERS, sample_n=KM_TR_SAMPLE
+    )
+    tr = KNN.ivfflat_score(
+        KNN.ivf_flat_encode(emb, tr_cents), tr_cents, qrows, k=3, nprobe=2
+    )
     return (
         lsh.select(F.lit("lsh").alias("method"), "*")
         .unionByName(ivf.select(F.lit("ivf").alias("method"), "*"))
@@ -876,6 +935,7 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             flat_idx.select(F.lit("ivfflat_idx").alias("method"), "*")
         )
+        .unionByName(tr.select(F.lit("ivf_tr").alias("method"), "*"))
     )
 
 

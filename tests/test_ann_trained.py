@@ -417,3 +417,110 @@ def test_py_cosine_matrix_bitwise_equals_scalar():
         for qv in qvs
     ]
     assert _ranked_cells(qvs, cents, 3) == want
+
+
+# --- exact-reproducible trainer (kmeans_train_exact) ------------------------
+
+def test_kmeans_exact_matches_duckdb_bitwise(spark):
+    """The whole point of the exact trainer: the unrolled DuckDB CTE
+    chain re-derives the centroids BITWISE from the same parquet."""
+    import duckdb
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.knn import (
+        kmeans_exact_cent_ctes,
+        kmeans_train_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = kmeans_train_exact(emb, k=4, iterations=3, sample_n=64)
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS"
+            f" SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        rows = con.execute(
+            "WITH " + kmeans_exact_cent_ctes(4, 3, 64, 64)
+            + " SELECT cv FROM kmcent ORDER BY cid"
+        ).fetchall()
+    finally:
+        con.close()
+    assert [list(r[0]) for r in rows] == cents
+
+
+def test_kmeans_exact_empty_cell_keeps_previous(spark):
+    """A seed centroid that captures no members must survive the
+    update unchanged (both engines COALESCE back to it)."""
+    import duckdb
+    import pandas as pd
+
+    from example_kafkastreams_spark.operators.knn import (
+        kmeans_exact_cent_ctes,
+        kmeans_train_exact,
+    )
+
+    # seeds 0 and 1 nearly opposite; every later vector hugs seed 0's
+    # direction, so seed 1's cell empties after the first update
+    vecs = [[1.0, 0.05], [-1.0, 0.02]] + [
+        [1.0 + 0.01 * i, 0.03] for i in range(10)
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": vecs}
+    )
+    emb = spark.createDataFrame(pdf)
+    cents = kmeans_train_exact(emb, k=2, iterations=3, sample_n=99)
+    con = duckdb.connect()
+    try:
+        con.register("embeddings", pdf)
+        rows = con.execute(
+            "WITH " + kmeans_exact_cent_ctes(2, 3, 2, 99)
+            + " SELECT cv FROM kmcent ORDER BY cid"
+        ).fetchall()
+    finally:
+        con.close()
+    assert [list(r[0]) for r in rows] == cents
+    # the emptied cell retains the raw seed vector
+    assert cents[1] == [-1.0, 0.02]
+
+
+def test_kmeans_exact_improves_inertia_over_seed(spark):
+    """Training moves centroids somewhere useful: mean best-cosine
+    over the sample must not decrease vs the raw first-k seeds."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.knn import (
+        _py_cosine,
+        kmeans_train_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    rows = (
+        emb.filter("vec_id < 64").orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    X = [[float(x) for x in r[0]] for r in rows]
+    seeds = [list(x) for x in X[:4]]
+    trained = kmeans_train_exact(emb, k=4, iterations=3, sample_n=64)
+
+    def mean_best(cents):
+        return sum(
+            max(_py_cosine(x, c) for c in cents) for x in X
+        ) / len(X)
+
+    assert mean_best(trained) >= mean_best(seeds) - 1e-12
+
+
+def test_kmeans_exact_rejects_zero_norm(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from example_kafkastreams_spark.operators.knn import kmeans_train_exact
+
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [[1.0, 0.0], [0.0, 0.0], [0.5, 1.0]]}
+    )
+    emb = spark.createDataFrame(pdf)
+    with _pytest.raises(ValueError, match="zero-norm"):
+        kmeans_train_exact(emb, k=2, iterations=1, sample_n=99)
