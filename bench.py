@@ -159,7 +159,7 @@ _MERGED_SINCE = {
     "q46_ann_lsh_ivf": 10,        # +ivfflat_idx (r9), +ivf_tr (r10)
     "q47_embedding_neardup": 10,  # +delta/+deltaidx (r8), +prune (r10)
     "q34_hash_sample": 10,        # +wsample (r9), +prio (r10)
-    "q56_quantize_embeddings": 8, # +adc (r8)
+    "q56_quantize_embeddings": 10,  # +adc (r8), +pq_tr (r10)
     "q57_neardup_components": 10,  # +leak/+mine_* (r9), +mine_hard (r10)
     "q58_srp_histogram": 10,      # +kmv/cms/hll* (r9), +hist (r10; the early
                                   # r9 artifact predates these branches)
@@ -366,7 +366,8 @@ def main() -> None:
             "mode",
             ("tfidf", "bm25", "bm25idx", "rrf", "eval", "maxsim"),
         ),
-        ("q56_quantize_embeddings", "mode", ("int8", "pq", "ivfpq", "adc")),
+        ("q56_quantize_embeddings", "mode",
+         ("int8", "pq", "ivfpq", "adc", "pq_tr")),
         ("q57_neardup_components", "mode",
          ("comp", "leak", "mine_pos", "mine_neg", "mine_hard", "inc")),
         (

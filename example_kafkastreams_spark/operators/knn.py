@@ -2569,6 +2569,59 @@ def ivf_flat_ann_trained_build(
 # driver-value-checked row end to end.
 
 
+def _py_l2sq(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of P.l2sq's left-fold IEEE sequence."""
+    s = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        s += d * d
+    return s
+
+
+def _kmeans_exact_core(
+    X: list[list[float]], k: int, iterations: int, metric: str
+) -> list[list[float]]:
+    """The pinned-IEEE Lloyd's loop over pre-collected rows — the
+    shared core of ``kmeans_train_exact`` (whole vectors, cosine) and
+    ``pq_codebook_exact`` (subvector slices, l2). First-best scan with
+    strict improvement keeps the LOWEST index on ties — exactly the
+    SQL twin's ``row_number ORDER BY score, cid``."""
+    if len(X) < k:
+        raise ValueError(f"sample of {len(X)} rows cannot seed k={k}")
+    cents = [list(X[i]) for i in range(k)]
+    for _ in range(iterations):
+        assign: list[int] = []
+        for x in X:
+            best = None
+            bi = 0
+            for ci, c in enumerate(cents):
+                if metric == "cosine":
+                    s = _py_cosine(x, c)
+                    better = best is None or s > best
+                else:
+                    s = _py_l2sq(x, c)
+                    better = best is None or s < best
+                if better:
+                    best, bi = s, ci
+            assign.append(bi)
+        new = []
+        for ci in range(k):
+            members = [X[i] for i in range(len(X)) if assign[i] == ci]
+            if not members:
+                new.append(cents[ci])
+                continue
+            dim = len(members[0])
+            c = []
+            for j in range(dim):
+                s = 0.0
+                for m in members:
+                    s += m[j]
+                c.append(s / len(members))
+            new.append(c)
+        cents = new
+    return cents
+
+
 def kmeans_train_exact(
     emb: DataFrame,
     k: int = 8,
@@ -2592,41 +2645,53 @@ def kmeans_train_exact(
         .collect()
     )
     X = [[float(x) for x in r[0]] for r in rows]
-    if len(X) < k:
-        raise ValueError(f"sample of {len(X)} rows cannot seed k={k}")
     for x in X:
         n2 = 0.0
         for v in x:
             n2 += v * v
         if n2 == 0.0:
             raise ValueError("zero-norm vector in k-means sample")
-    cents = [list(X[i]) for i in range(k)]
-    for _ in range(iterations):
-        assign: list[int] = []
-        for x in X:
-            best = None
-            bi = 0
-            for ci, c in enumerate(cents):
-                s = _py_cosine(x, c)
-                if best is None or s > best:
-                    best, bi = s, ci
-            assign.append(bi)
-        new = []
-        for ci in range(k):
-            members = [X[i] for i in range(len(X)) if assign[i] == ci]
-            if not members:
-                new.append(cents[ci])
-                continue
-            dim = len(members[0])
-            c = []
-            for j in range(dim):
-                s = 0.0
-                for m in members:
-                    s += m[j]
-                c.append(s / len(members))
-            new.append(c)
-        cents = new
-    return cents
+    return _kmeans_exact_core(X, k, iterations, "cosine")
+
+
+def pq_codebook_exact(
+    emb: DataFrame,
+    m: int = 8,
+    num_codes: int = 4,
+    iterations: int = 3,
+    sample_n: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means with the exact-reproducible core — the
+    TRAINED product-quantization codebook a DuckDB twin
+    (``kmeans_exact_cent_ctes(metric='l2', slice_at=…)`` per subspace)
+    re-derives bitwise. Same return layout as ``pq_codebook`` /
+    ``pq_codebook_trained``, so every encoder/scorer takes it
+    unchanged. ONE collect of the id-ordered sample; each subspace
+    trains on its slice."""
+    rows = (
+        emb.filter(F.col(id_col) < sample_n)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    X = [[float(x) for x in r[0]] for r in rows]
+    if not X:
+        raise ValueError("empty k-means sample")
+    dim = len(X[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        _kmeans_exact_core(
+            [x[j * dsub:(j + 1) * dsub] for x in X],
+            num_codes,
+            iterations,
+            "l2",
+        )
+        for j in range(m)
+    ]
 
 
 def kmeans_exact_cent_ctes(
@@ -2637,32 +2702,54 @@ def kmeans_exact_cent_ctes(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
+    slice_at: tuple[int, int] | None = None,
+    prefix: str = "km",
 ) -> str:
-    """DuckDB CTE chain re-deriving ``kmeans_train_exact`` bitwise —
-    iterations UNROLLED as successive CTEs (no recursive correlation
-    needed; the count is a compile-time constant, the BPE-oracle
-    discipline). Ends with ``kmcent(cid, cv)``: one row per trained
-    centroid, ready to replace a sample-quantizer ``cent`` CTE in any
-    serve derivation.
+    """DuckDB CTE chain re-deriving ``kmeans_train_exact`` /
+    ``pq_codebook_exact`` bitwise — iterations UNROLLED as successive
+    CTEs (no recursive correlation needed; the count is a compile-time
+    constant, the BPE-oracle discipline). Ends with
+    ``{prefix}cent(cid, cv)``: one row per trained centroid, ready to
+    replace a sample-quantizer ``cent``/``cb`` CTE in any serve
+    derivation.
 
     Op-sequence pins, one per trainer step:
-    * assignment: ``row_number() OVER (ORDER BY P.cosine DESC, cid)``
-      — P.cosine is the same left-fold IEEE tree as ``_py_cosine``,
-      ties to the lowest cid = the trainer's first-max scan;
+    * assignment: ``row_number() OVER (ORDER BY score [DESC], cid)``
+      — ``P.cosine`` (argmax) / ``P.l2sq`` (argmin) are the same
+      left-fold IEEE trees as ``_py_cosine`` / ``_py_l2sq``, ties to
+      the lowest cid = the trainer's strict-improvement first scan;
     * update: ``list(vec ORDER BY id)`` then a per-dimension
       left-fold ``+`` chain = the trainer's id-ordered ``s += m[j]``,
       divided by the member count (one IEEE division);
     * empty cells: COALESCE back to the previous centroid.
-    """
+
+    ``metric``: "cosine" (coarse quantizers) or "l2" (PQ codebooks).
+    ``slice_at``: (start_1based, n) trains on a subvector slice — the
+    per-subspace PQ form; ``dim`` is then the SLICE width.
+    ``prefix``: CTE name prefix so several chains (one per subspace)
+    coexist in one WITH clause."""
     D = P.DUCK
+    vexpr = (
+        f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+        if slice_at is None
+        else "list_transform("
+        + P.slice_(vec_col, str(slice_at[0]), slice_at[1], D)
+        + ", x -> CAST(x AS DOUBLE))"
+    )
+    order = (
+        f"{P.cosine('v', 'cv', D)} DESC"
+        if metric == "cosine"
+        else f"{P.l2sq('v', 'cv', D)} ASC"
+    )
+    px = prefix
     out = [
-        f"""kmsamp AS (
-      SELECT {id_col} AS vid,
-             list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v
+        f"""{px}samp AS (
+      SELECT {id_col} AS vid, {vexpr} AS v
       FROM {table} WHERE {id_col} < {sample_n}
     ),
-    kmc0 AS (
-      SELECT vid AS cid, v AS cv FROM kmsamp WHERE vid < {k}
+    {px}c0 AS (
+      SELECT vid AS cid, v AS cv FROM {px}samp WHERE vid < {k}
     )"""
     ]
     mean_expr = (
@@ -2671,25 +2758,27 @@ def kmeans_exact_cent_ctes(
         f"list_transform(vecs, m -> m[j])), (acc, x) -> acc + x) / n)"
     )
     for i in range(1, iterations + 1):
-        p = f"kmc{i - 1}"
-        out.append(f"""kmasg{i} AS (
+        p = f"{px}c{i - 1}"
+        out.append(f"""{px}asg{i} AS (
       SELECT vid, v, cid,
              row_number() OVER (
                PARTITION BY vid
-               ORDER BY {P.cosine('v', 'cv', D)} DESC, cid
+               ORDER BY {order}, cid
              ) AS rnk
-      FROM kmsamp CROSS JOIN {p}
+      FROM {px}samp CROSS JOIN {p}
     ),
-    kmmem{i} AS (
+    {px}mem{i} AS (
       SELECT cid, count(*) AS n, list(v ORDER BY vid) AS vecs
-      FROM kmasg{i} WHERE rnk = 1 GROUP BY cid
+      FROM {px}asg{i} WHERE rnk = 1 GROUP BY cid
     ),
-    kmc{i} AS (
+    {px}c{i} AS (
       SELECT prev.cid,
              COALESCE(u.c, prev.cv) AS cv
       FROM {p} prev
-      LEFT JOIN (SELECT cid, {mean_expr} AS c FROM kmmem{i}) u
+      LEFT JOIN (SELECT cid, {mean_expr} AS c FROM {px}mem{i}) u
         ON u.cid = prev.cid
     )""")
-    out.append(f"kmcent AS (SELECT cid, cv FROM kmc{iterations})")
+    out.append(
+        f"{px}cent AS (SELECT cid, cv FROM {px}c{iterations})"
+    )
     return ",\n    ".join(out)

@@ -825,6 +825,28 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q56: embedding L2-normalize + int8 quantization ----------------------
 
+# pq_tr branch (round 10): TRAINED product-quantization codebook
+# inside a driver-value-checked row — per-subspace L2 Lloyd's with the
+# exact-reproducible core (KNN.pq_codebook_exact), re-derived bitwise
+# by one unrolled kmeans_exact_cent_ctes chain PER SUBSPACE. The q46
+# ivf_tr discipline applied to the second quantizer family.
+PQ_TR_CODES = 4
+PQ_TR_ITERS = 2
+PQ_TR_SAMPLE = 128
+_PQ_TR_CHAINS = ",\n    ".join(
+    KNN.kmeans_exact_cent_ctes(
+        PQ_TR_CODES, PQ_TR_ITERS, PQ_DSUB, PQ_TR_SAMPLE,
+        metric="l2", slice_at=(j * PQ_DSUB + 1, PQ_DSUB),
+        prefix=f"kb{j}",
+    )
+    for j in range(PQ_M)
+)
+_PQ_TR_CB_UNION = " UNION ALL ".join(
+    f"SELECT {j} AS j, cid AS code, cv FROM kb{j}cent"
+    for j in range(PQ_M)
+)
+
+
 @query(
     "q56_quantize_embeddings",
     oracle=f"""
@@ -935,6 +957,30 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY d2s, neighbor_id) AS rn
       FROM afold
+    ),
+    -- pq_tr: trained codebooks (one exact-Lloyd's chain per
+    -- subspace), then the same argmin-encode derivation as `pq` with
+    -- the trained per-subspace codewords
+    {_PQ_TR_CHAINS},
+    kbcb AS ({_PQ_TR_CB_UNION}),
+    tsub AS (
+      SELECT e.vec_id, k.j, k.code,
+             {P.l2sq(
+                 P.slice_('e.embedding', f'k.j * {PQ_DSUB} + 1',
+                          PQ_DSUB, D),
+                 'k.cv', D)} AS d2
+      FROM embeddings e CROSS JOIN kbcb k
+    ),
+    tbest AS (
+      SELECT vec_id, j, code,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY d2, code) AS rn
+      FROM tsub
+    ),
+    tpq AS (
+      SELECT vec_id,
+             string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS qvec
+      FROM tbest WHERE rn = 1 GROUP BY vec_id
     )
     SELECT 'int8' AS mode, vec_id,
            round(CAST(l2_raw AS DOUBLE), 6) AS l2_norm,
@@ -955,6 +1001,8 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'adc', query_id, round(CAST(d2s AS DOUBLE), 6),
            CAST(neighbor_id AS VARCHAR), CAST(rn AS INTEGER)
     FROM arank WHERE rn <= 3
+    UNION ALL
+    SELECT 'pq_tr', vec_id, CAST(NULL AS DOUBLE), qvec, {PQ_M} FROM tpq
     """,
 )
 def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,7 +1029,15 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right '+' chain), and ranks by (d2, neighbor) — the ADC
     scorer is now driver-value-checked, not just expression-twin
     pinned. Columns shoehorn into the slot contract: vec_id=query,
-    l2_norm=approx_d2, qvec=neighbor id, n_dims=rank."""
+    l2_norm=approx_d2, qvec=neighbor id, n_dims=rank.
+
+    ``pq_tr`` (round 10): a TRAINED codebook inside a
+    driver-value-checked row — ``KNN.pq_codebook_exact`` (per-subspace
+    L2 Lloyd's with the pinned-IEEE core of q46's ``ivf_tr``) feeds
+    the same zero-shuffle ``pq_encode`` scan, and the oracle
+    re-derives the TRAINING itself (one unrolled assignment/update
+    CTE chain per subspace, bitwise codewords) before re-deriving the
+    argmin encode."""
     emb = load_table(spark, sf_dir, "embeddings")
     int8 = KNN.quantize_embeddings(emb)
     cb = KNN.pq_codebook(emb, m=PQ_M, num_codes=PQ_CODES)
@@ -999,6 +1055,21 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("knn_rank").cast("int").alias("n_dims"),
     )
     pq = enc_pq.select(
+        F.col("vec_id"),
+        F.lit(None).cast("double").alias("l2_norm"),
+        F.expr(
+            "concat_ws(',', transform(codes, c -> CAST(c AS STRING)))"
+        ).alias("qvec"),
+        F.lit(PQ_M).cast("int").alias("n_dims"),
+    )
+    # pq_tr (round 10): exact-reproducible TRAINED codebook — encode
+    # stays the same zero-shuffle spliced-literal scan; the oracle
+    # re-derives the per-subspace training itself
+    cb_tr = KNN.pq_codebook_exact(
+        emb, m=PQ_M, num_codes=PQ_TR_CODES,
+        iterations=PQ_TR_ITERS, sample_n=PQ_TR_SAMPLE,
+    )
+    pq_tr = KNN.pq_encode(emb, cb_tr).select(
         F.col("vec_id"),
         F.lit(None).cast("double").alias("l2_norm"),
         F.expr(
@@ -1025,6 +1096,7 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pq.select(F.lit("pq").alias("mode"), *cols))
         .unionByName(ivfpq.select(F.lit("ivfpq").alias("mode"), *cols))
         .unionByName(adc.select(F.lit("adc").alias("mode"), *cols))
+        .unionByName(pq_tr.select(F.lit("pq_tr").alias("mode"), *cols))
     )
 
 

@@ -524,3 +524,73 @@ def test_kmeans_exact_rejects_zero_norm(spark):
     emb = spark.createDataFrame(pdf)
     with _pytest.raises(ValueError, match="zero-norm"):
         kmeans_train_exact(emb, k=2, iterations=1, sample_n=99)
+
+
+def test_pq_codebook_exact_matches_duckdb_bitwise(spark):
+    """Per-subspace L2 trainer == the per-subspace unrolled CTE chains
+    bitwise (the q56 pq_tr invariant)."""
+    import duckdb
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.knn import (
+        kmeans_exact_cent_ctes,
+        pq_codebook_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cb = pq_codebook_exact(emb, m=4, num_codes=3, iterations=2, sample_n=48)
+    chains = ",\n".join(
+        kmeans_exact_cent_ctes(
+            3, 2, 16, 48, metric="l2",
+            slice_at=(j * 16 + 1, 16), prefix=f"tkb{j}",
+        )
+        for j in range(4)
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW embeddings AS"
+            f" SELECT * FROM '{sf}/embeddings.parquet'"
+        )
+        for j in range(4):
+            rows = con.execute(
+                "WITH " + chains
+                + f" SELECT cv FROM tkb{j}cent ORDER BY cid"
+            ).fetchall()
+            assert [list(r[0]) for r in rows] == cb[j], f"subspace {j}"
+    finally:
+        con.close()
+
+
+def test_pq_codebook_exact_drops_quantization_error(spark):
+    """Trained codewords must not quantize worse than the raw first-k
+    sample codebook on the training sample."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.knn import (
+        _py_l2sq,
+        pq_codebook,
+        pq_codebook_exact,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    sample = [
+        [float(x) for x in r[0]]
+        for r in emb.filter("vec_id < 64").orderBy("vec_id")
+        .select("embedding").collect()
+    ]
+    trained = pq_codebook_exact(emb, m=8, num_codes=4, iterations=3,
+                                sample_n=64)
+    raw = pq_codebook(emb, m=8, num_codes=4)
+
+    def total_err(cb):
+        err = 0.0
+        dsub = len(cb[0][0])
+        for x in sample:
+            for j in range(len(cb)):
+                s = x[j * dsub:(j + 1) * dsub]
+                err += min(_py_l2sq(s, cw) for cw in cb[j])
+        return err
+
+    assert total_err(trained) <= total_err(raw) + 1e-9
