@@ -163,6 +163,7 @@ _MERGED_SINCE = {
     "q57_neardup_components": 10,  # +leak/+mine_* (r9), +mine_hard (r10)
     "q58_srp_histogram": 10,      # +kmv/cms/hll* (r9), +hist (r10; the early
                                   # r9 artifact predates these branches)
+    "q48_doc_profile": 10,        # +cols table profiler (r10)
     "q50_token_stats": 10,        # +bpe (r9), +dupgram (r10)
     "q54_chunk_documents": 10,    # +shard (r8), +masks (r10)
     "q55_tfidf_top_term": 10,     # +bm25idx (r9), +maxsim (r10)
@@ -357,6 +358,7 @@ def main() -> None:
         ),
         ("q47_embedding_neardup", "mode",
          ("pair", "sem", "delta", "deltaidx", "prune")),
+        ("q48_doc_profile", "mode", ("doc", "cols")),
         ("q50_token_stats", "mode", ("stats", "bpe", "dupgram")),
         ("q54_chunk_documents", "mode",
          ("chunk", "dedup", "substr", "rebuilt", "shard", "masks",

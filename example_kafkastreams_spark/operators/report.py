@@ -22,8 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import portable as P
-from ..functions.udafs import gini_udaf
-from ..queries_llm import _quality_exprs
 from ..registry import davg
 
 
@@ -36,6 +34,13 @@ def corpus_report(
 ) -> DataFrame:
     """(source, n_docs, n_tokens, distinct_texts, dup_rate,
     mean_quality, pct_lang_pure, gini_chars) — one row per source."""
+    # lazy: udafs defines a pandas_udf at import (needs an active
+    # session), and queries_llm imports THIS module at decorator time
+    # for profile_columns_sql — module-level imports here would make
+    # that circular/sessionless (the operators/__init__ gotcha)
+    from ..functions.udafs import gini_udaf
+    from ..queries_llm import _quality_exprs
+
     exprs = _quality_exprs(P.SPARK)
     scores = P.lang_scores(text_col, P.SPARK)
     # scores materialize in their own projection first: lang_predict's
@@ -250,3 +255,115 @@ def split_leakage_report(
     return spanning.select(
         "component_id", "component_size", "n_splits", "splits_csv"
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    dtypes: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-COLUMN table profile — the ``ANALYZE TABLE``/data-quality
+    audit a pipeline runs before trusting a new input drop: one row
+    per column with nulls, exact distinct count, min/max, and (for
+    strings) mean length.
+
+    Output: (column_name, dtype, n_rows, n_null, n_distinct, min_num,
+    max_num, min_str, max_str, avg_len) — numeric/timestamp extremes
+    land in ``min_num``/``max_num`` as doubles (bigints < 2^53 and
+    epoch-millis convert exactly; timestamps profile as epoch ms so no
+    engine-specific rendering enters a checked row), string extremes
+    in ``min_str``/``max_str`` (bytewise comparisons agree across
+    engines on this corpus's ASCII), the other pair NULL.
+
+    Scale shape: ONE aggregation job over one scan — all per-column
+    statistics are conditional aggregates of the same pass. The exact
+    ``count_distinct`` per column is the oracle-checkable form; Spark
+    plans multi-distinct via Expand (cost ≈ |cols| × rows in the
+    exchange), and at 100 TB the drop-in replacement is the grouped
+    HLL sketch (``sketches.hll_registers_grouped``) at ~KB of state
+    per column — same output contract, estimate instead of exact.
+    ``avg_len`` = sum(length)/count: one IEEE division of exact
+    integer counts. Rows emerge via one ``stack`` over the single
+    aggregate row — no second scan.
+    """
+    dtypes = dtypes or {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    aggs = []
+    for c, t in dtypes.items():
+        aggs.append(F.count(F.col(c)).alias(f"__cnt_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if t in ("string",):
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+            aggs.append(
+                F.sum(F.length(c).cast("long")).alias(f"__len_{c}")
+            )
+        elif t == "timestamp":
+            em = F.unix_millis(F.col(c))
+            aggs.append(F.min(em).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(em).cast("double").alias(f"__max_{c}"))
+        else:
+            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+    row = df.agg(F.count(F.lit(1)).alias("__rows"), *aggs)
+    arms = []
+    for c, t in dtypes.items():
+        is_str = t == "string"
+        min_num = "CAST(NULL AS DOUBLE)" if is_str else f"__min_{c}"
+        max_num = "CAST(NULL AS DOUBLE)" if is_str else f"__max_{c}"
+        min_str = f"__min_{c}" if is_str else "CAST(NULL AS STRING)"
+        max_str = f"__max_{c}" if is_str else "CAST(NULL AS STRING)"
+        avg_len = (
+            f"CAST(__len_{c} AS DOUBLE) / __cnt_{c}"
+            if is_str
+            else "CAST(NULL AS DOUBLE)"
+        )
+        arms.append(
+            f"named_struct('column_name', '{c}', 'dtype', '{t}',"
+            f" 'n_rows', __rows, 'n_null', __rows - __cnt_{c},"
+            f" 'n_distinct', __nd_{c},"
+            f" 'min_num', CAST({min_num} AS DOUBLE),"
+            f" 'max_num', CAST({max_num} AS DOUBLE),"
+            f" 'min_str', CAST({min_str} AS STRING),"
+            f" 'max_str', CAST({max_str} AS STRING),"
+            f" 'avg_len', CAST({avg_len} AS DOUBLE))"
+        )
+    return row.selectExpr(
+        f"explode(array({', '.join(arms)})) AS s"
+    ).select("s.*")
+
+
+def profile_columns_sql(
+    table: str, dtypes: dict[str, str], d: str = P.DUCK
+) -> str:
+    """Dual-dialect twin of ``profile_columns`` — one UNION ALL arm
+    per column (the oracle runs at sf0.01; the Spark side keeps the
+    single-pass stack shape)."""
+    arms = []
+    for c, t in dtypes.items():
+        is_str = t == "string"
+        if t == "timestamp":
+            mn = f"CAST(min(epoch_ms({c})) AS DOUBLE)"
+            mx = f"CAST(max(epoch_ms({c})) AS DOUBLE)"
+        elif is_str:
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+        else:
+            mn = f"CAST(min({c}) AS DOUBLE)"
+            mx = f"CAST(max({c}) AS DOUBLE)"
+        min_str = f"min({c})" if is_str else "CAST(NULL AS VARCHAR)"
+        max_str = f"max({c})" if is_str else "CAST(NULL AS VARCHAR)"
+        avg_len = (
+            f"CAST(sum(length({c})) AS DOUBLE) / count({c})"
+            if is_str
+            else "CAST(NULL AS DOUBLE)"
+        )
+        arms.append(
+            f"SELECT '{c}' AS column_name, '{t}' AS dtype,"
+            f" count(*) AS n_rows,"
+            f" count(*) - count({c}) AS n_null,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {min_str} AS min_str, {max_str} AS max_str,"
+            f" {avg_len} AS avg_len"
+            f" FROM {table}"
+        )
+    return " UNION ALL ".join(arms)

@@ -1226,7 +1226,23 @@ def _quality_exprs(d: str, toks: str | None = None) -> dict[str, str]:
     }
 
 
+# cols branch (round 10): the per-COLUMN table profiler over orders —
+# the dtype inventory is a compile-time constant shared with the
+# Spark side (catalog.load_table normalizes the parquet schema, so
+# these are the post-normalization Spark simpleStrings)
+_PROFILE_COLS_DTYPES = {
+    "o_orderkey": "bigint",
+    "o_custkey": "bigint",
+    "o_orderstatus": "string",
+    "o_totalprice": "double",
+    "o_orderdate": "timestamp",
+    "o_orderpriority": "string",
+}
+
+
 def _profile_sql() -> str:
+    from .operators.report import profile_columns_sql
+
     quality = ", ".join(
         f"{e} AS {name}" for name, e in _quality_exprs(D).items()
     )
@@ -1234,14 +1250,39 @@ def _profile_sql() -> str:
         f"{e} AS {name}" for name, e in P.repetition_exprs("text", D).items()
     )
     pred = P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})
+    prof_null_doc = """
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS VARCHAR) AS pred_lang,
+           CAST(NULL AS INTEGER) AS n_tokens,
+           CAST(NULL AS DOUBLE) AS distinct_ratio,
+           CAST(NULL AS DOUBLE) AS stopword_ratio,
+           CAST(NULL AS DOUBLE) AS avg_token_len,
+           CAST(NULL AS DOUBLE) AS quality_score,
+           CAST(NULL AS DOUBLE) AS dup_bigram_frac,
+           CAST(NULL AS DOUBLE) AS dup_trigram_frac,
+           CAST(NULL AS DOUBLE) AS adjacent_dup_frac"""
+    doc_null_prof = """
+           CAST(NULL AS VARCHAR) AS column_name,
+           CAST(NULL AS VARCHAR) AS dtype,
+           CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS n_null,
+           CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           CAST(NULL AS DOUBLE) AS avg_len"""
     return f"""
     WITH s AS ({_langid_select(D)}),
     m AS (SELECT doc_id, {quality}, {repetition} FROM documents)
-    SELECT s.doc_id, s.lang, {pred} AS pred_lang,
+    SELECT 'doc' AS mode, s.doc_id, s.lang, {pred} AS pred_lang,
            m.n_tokens, m.distinct_ratio, m.stopword_ratio,
            m.avg_token_len, m.quality_score,
-           m.dup_bigram_frac, m.dup_trigram_frac, m.adjacent_dup_frac
+           m.dup_bigram_frac, m.dup_trigram_frac, m.adjacent_dup_frac,
+           {doc_null_prof}
     FROM s JOIN m ON s.doc_id = m.doc_id
+    UNION ALL
+    SELECT 'cols' AS mode, {prof_null_doc},
+           p.column_name, p.dtype, p.n_rows, p.n_null, p.n_distinct,
+           p.min_num, p.max_num, p.min_str, p.max_str, p.avg_len
+    FROM ({profile_columns_sql('orders', _PROFILE_COLS_DTYPES)}) p
     """
 
 
@@ -1261,7 +1302,17 @@ def q48_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The synthetic corpus shares one vocabulary across its `lang`
     labels, so predictions collapse to the tie-break — deterministic
     and honest; on real text the marker profiles separate languages.
+
+    ``cols`` (round 10): the per-COLUMN table profiler
+    (``report.profile_columns`` over orders) — nulls, exact distinct,
+    min/max (timestamps as epoch ms, so no engine-specific rendering
+    enters the hash), string mean length; ONE aggregation job, rows
+    via explode of the single aggregate row. The data-quality audit a
+    pipeline runs before trusting a new input drop, next to the
+    per-doc profile the same slot carries.
     """
+    from .operators.report import profile_columns
+
     # same single-row-group rationale as q42: spread the per-doc
     # marker/regexp work across cores
     docs = ND._rebalance(load_table(spark, sf_dir, "documents"), "doc_id")
@@ -1272,11 +1323,48 @@ def q48_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("__toks", F.expr(P.split_ws("text", P.SPARK)))
     quality = _quality_exprs(P.SPARK, toks="__toks")
     repetition = P.repetition_exprs("text", P.SPARK, toks="__toks")
-    return with_scores.select(
+    doc = with_scores.select(
+        F.lit("doc").alias("mode"),
         "doc_id", "lang", F.expr(pred).alias("pred_lang"),
         *[F.expr(e).alias(name) for name, e in quality.items()],
         *[F.expr(e).alias(name) for name, e in repetition.items()],
     )
+    prof = profile_columns(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS_DTYPES
+    ).select(
+        F.lit("cols").alias("mode"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("pred_lang"),
+        F.lit(None).cast("int").alias("n_tokens"),
+        *[
+            F.lit(None).cast("double").alias(c)
+            for c in (
+                "distinct_ratio", "stopword_ratio", "avg_token_len",
+                "quality_score", "dup_bigram_frac", "dup_trigram_frac",
+                "adjacent_dup_frac",
+            )
+        ],
+        "column_name", "dtype", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str", "avg_len",
+    )
+    doc = doc.select(
+        "mode", "doc_id", "lang", "pred_lang", "n_tokens",
+        "distinct_ratio", "stopword_ratio", "avg_token_len",
+        "quality_score", "dup_bigram_frac", "dup_trigram_frac",
+        "adjacent_dup_frac",
+        F.lit(None).cast("string").alias("column_name"),
+        F.lit(None).cast("string").alias("dtype"),
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("n_null"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("double").alias("min_num"),
+        F.lit(None).cast("double").alias("max_num"),
+        F.lit(None).cast("string").alias("min_str"),
+        F.lit(None).cast("string").alias("max_str"),
+        F.lit(None).cast("double").alias("avg_len"),
+    )
+    return doc.unionByName(prof)
 
 
 

@@ -782,3 +782,71 @@ def test_priority_sample_per_group(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+# --- per-column table profiler ----------------------------------------------
+
+def test_profile_columns_matches_duckdb(spark):
+    import duckdb
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.report import (
+        profile_columns,
+        profile_columns_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    dtypes = {f.name: f.dataType.simpleString() for f in orders.schema.fields}
+    got = {
+        r["column_name"]: r.asDict()
+        for r in profile_columns(orders).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'"
+        )
+        want = con.execute(
+            profile_columns_sql("orders", dtypes)
+        ).fetch_df().set_index("column_name").to_dict("index")
+    finally:
+        con.close()
+    assert set(got) == set(want)
+    for c in got:
+        for k, v in want[c].items():
+            gv = got[c][k]
+            if v != v:  # NaN == SQL NULL pad
+                assert gv is None, (c, k, gv)
+            else:
+                assert gv == v, (c, k, gv, v)
+
+
+def test_profile_columns_nulls_and_single_pass(spark):
+    import pandas as pd
+
+    from example_kafkastreams_spark.operators.report import profile_columns
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1, None, 3, 3],
+            "s": ["x", None, None, "yy"],
+        }
+    )
+    df = spark.createDataFrame(pdf).selectExpr(
+        "CAST(a AS BIGINT) AS a", "CAST(s AS STRING) AS s"
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert rows["a"]["n_rows"] == 4
+    assert rows["a"]["n_null"] == 1
+    assert rows["a"]["n_distinct"] == 2
+    assert rows["a"]["min_num"] == 1.0 and rows["a"]["max_num"] == 3.0
+    assert rows["a"]["min_str"] is None and rows["a"]["avg_len"] is None
+    assert rows["s"]["n_null"] == 2
+    assert rows["s"]["min_str"] == "x" and rows["s"]["max_str"] == "yy"
+    assert rows["s"]["avg_len"] == 1.5
+    # single aggregation job: exactly one Aggregate above the scan,
+    # no join/union of per-column passes
+    plan = profile_columns(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2  # partial+final at most
+    assert "Join" not in plan and "Union" not in plan
