@@ -371,7 +371,8 @@ def main() -> None:
         ("q56_quantize_embeddings", "mode",
          ("int8", "pq", "ivfpq", "adc", "pq_tr")),
         ("q57_neardup_components", "mode",
-         ("comp", "leak", "mine_pos", "mine_neg", "mine_hard", "inc")),
+         ("comp", "leak", "mine_pos", "mine_neg", "mine_hard", "inc",
+          "bfs")),
         (
             "q58_srp_histogram",
             "mode",

@@ -283,3 +283,73 @@ def incremental_components(
         F.col("__id").alias(node_col), "component_id"
     )
     return out_old.union(out_new)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    node_col: str = "node",
+    reliable: bool = False,
+) -> DataFrame:
+    """Frontier-iterative BFS: (node, root, hop) — the shortest hop
+    distance (≤ ``max_hops``) from each seed, carrying the seed's
+    ``root`` label along the frontier. The iterative-TRAVERSAL
+    primitive next to ``connected_components``' fixpoint closure: one
+    shuffle join + anti-join + min-agg per round, frontier-sized (not
+    graph-sized) after round 1 — the textbook distributed BFS shape
+    that scales to billion-edge graphs.
+
+    Dedup use (q57's ``bfs`` branch): seeds = each cluster's canonical
+    doc, edges = the near-dup pairs — the hop count AUDITS
+    transitive-closure chain depth (A~B~C…): deep chains are how LSH
+    dedup drifts into linking unrelated documents, so "how far is
+    each duplicate from its representative" is the number a dedup
+    release reviews. Seeds sit in distinct components, so each node's
+    (root, hop) is unique at fixpoint; within the hop budget ties
+    cannot arise.
+
+    Determinism: hops are exact integers; a node is claimed by its
+    FIRST reaching round (shorter hop always wins, and rounds are
+    sequential), so the result is partition-independent. Lineage
+    truncates per round (``reliable`` as in connected_components).
+    """
+    und = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("__s"), F.col(src_col).alias("__d")
+        )
+    )
+    dist = seeds.select(
+        F.col(node_col).alias("node"),
+        F.col(node_col).alias("root"),
+        F.lit(0).cast("int").alias("hop"),
+    )
+    dist = _truncate_lineage(dist, reliable)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        cand = (
+            frontier.join(und, frontier["node"] == und["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                "root",
+                F.lit(h).cast("int").alias("hop"),
+            )
+        )
+        # keep one (root, hop) per newly reached node — min root is
+        # the deterministic pick if two seeds' frontiers arrive the
+        # same round (cannot happen for component-canonical seeds,
+        # but the operator shouldn't rely on it)
+        frontier = (
+            cand.join(dist.select("node"), "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("root").alias("root"), F.min("hop").alias("hop"))
+        )
+        frontier = _truncate_lineage(frontier, reliable)
+        if frontier.isEmpty():
+            break
+        dist = _truncate_lineage(dist.unionByName(frontier), reliable)
+    return dist

@@ -1110,6 +1110,8 @@ _LEAK_RATIOS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 # mine_hard branch (round 10): hard-negative mining parameters — the
 # curriculum's hard end next to mine_neg's cheap random picks
 _HARD_NEG_ANCHORS = 8
+# bfs branch (round 10): chain-depth audit hop budget
+_BFS_MAX_HOPS = 4
 _HARD_NEG_K = 2
 
 
@@ -1238,6 +1240,28 @@ _HARD_NEG_K = 2
       SELECT l.doc_id, COALESCE(p.lo, l.component_id) AS component_id
       FROM labeled l LEFT JOIN ipair p ON p.hi = l.component_id
     )
+    ,
+    -- bfs branch: hop distance from each cluster's canonical doc
+    -- over the FULL pair graph (dedup chain-depth audit) — the walk
+    -- explores every path prefix to max_hops, then each node keeps
+    -- its (shortest hop, smallest root) row = the frontier loop's
+    -- first-reach claim
+    walk(node, root, hop) AS (
+      SELECT component_id, component_id, 0
+      FROM (SELECT DISTINCT component_id FROM labeled)
+      UNION
+      SELECT u.dst, w.root, w.hop + 1
+      FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.hop < {_BFS_MAX_HOPS}
+    ),
+    bfsd AS (
+      SELECT node, root, hop FROM (
+        SELECT node, root, hop,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY hop, root) AS rn
+        FROM walk
+      ) WHERE rn = 1
+    )
     SELECT 'comp' AS mode, doc_id, component_id, component_size,
            CAST(NULL AS BIGINT) AS n_splits,
            CAST(NULL AS VARCHAR) AS splits_csv,
@@ -1276,6 +1300,11 @@ _HARD_NEG_K = 2
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
     FROM ifinal WHERE doc_id % 11 = 0
+    UNION ALL
+    SELECT 'bfs', node, root, CAST(hop AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE)
+    FROM bfsd
     """,
 )
 def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1320,7 +1349,17 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes content), so each spanning cluster is a NEAR-duplicate
     carrying eval text into train — the audit a data release runs
     after splitting. Columns shoehorn into the merged contract:
-    doc_id is NULL, splits_csv the sorted distinct splits."""
+    doc_id is NULL, splits_csv the sorted distinct splits.
+
+    ``bfs`` branch (round 10): the dedup CHAIN-DEPTH audit —
+    frontier-iterative BFS (operators.components.bfs_hops: one
+    shuffle join + anti-join + min-agg per round, frontier-sized
+    after round 1) from each cluster's canonical doc over the full
+    pair graph; the oracle re-walks every path prefix recursively and
+    keeps each node's (shortest hop, smallest root) row. Deep chains
+    are how LSH transitive closure drifts into merging unrelated
+    documents — hop-to-representative is the release-review number.
+    Columns shoehorn as component_size=hop."""
     from .operators.neardup import simhash_components_edges
     from .operators.report import split_leakage_report
     from .operators.sampling import assign_split
@@ -1437,6 +1476,26 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine"),
     )
 
+    # bfs (round 10): dedup chain-depth audit — frontier-iterative
+    # BFS (operators.components.bfs_hops) from each cluster's
+    # canonical doc over the FULL pair graph (the oracle's own edge
+    # set; the star-contracted edges would give execution-tree hops,
+    # not similarity-graph hops). Deep chains are how LSH transitive
+    # closure drifts into linking unrelated docs — the number a dedup
+    # release reviews before shipping cluster-level survivors.
+    from .operators.components import bfs_hops
+    from .operators.neardup import simhash_neardup_pairs
+
+    bfs = bfs_hops(
+        simhash_neardup_pairs(docs, max_hamming=3).select(
+            "doc_a", "doc_b"
+        ),
+        comp.filter(F.col("doc_id") == F.col("component_id")).select(
+            F.col("doc_id").alias("node")
+        ),
+        max_hops=_BFS_MAX_HOPS,
+    )
+
     return sized.select(
         F.lit("comp").alias("mode"),
         "doc_id", "component_id", "component_size", *null_l, null_cos,
@@ -1453,6 +1512,14 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc.select(
             F.lit("inc").alias("mode"),
             "doc_id", "component_id", null_sz, *null_l, null_cos,
+        )
+    ).unionByName(
+        bfs.select(
+            F.lit("bfs").alias("mode"),
+            F.col("node").alias("doc_id"),
+            F.col("root").alias("component_id"),
+            F.col("hop").cast("bigint").alias("component_size"),
+            *null_l, null_cos,
         )
     )
 

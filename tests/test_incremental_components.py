@@ -127,3 +127,57 @@ def test_empty_delta_is_identity(spark):
     old = _full(spark, old_edges, old_nodes)
     got = _labels(_inc(spark, old_edges, old_nodes, [], []))
     assert got == _labels(old)
+
+
+# --- frontier-iterative BFS (bfs_hops) ---------------------------------------
+
+def _bfs_frames(spark, edges, seeds):
+    e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return e, s
+
+
+def test_bfs_hops_chain_distances(spark):
+    from example_kafkastreams_spark.operators.components import bfs_hops
+
+    # 0-1-2-3-4-5 chain, seed 0, budget 4: node 5 is out of reach
+    e, s = _bfs_frames(
+        spark, [(i, i + 1) for i in range(5)], [0]
+    )
+    got = {r.node: (r.root, r.hop) for r in bfs_hops(e, s, 4).collect()}
+    assert got == {i: (0, i) for i in range(5)}
+
+
+def test_bfs_hops_shortest_path_wins(spark):
+    from example_kafkastreams_spark.operators.components import bfs_hops
+
+    # 0-1-2-3 chain plus shortcut 0-3: node 3 is hop 1, not 3
+    e, s = _bfs_frames(spark, [(0, 1), (1, 2), (2, 3), (0, 3)], [0])
+    got = {r.node: r.hop for r in bfs_hops(e, s, 4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_bfs_hops_undirected_and_multi_seed(spark):
+    from example_kafkastreams_spark.operators.components import bfs_hops
+
+    # two disjoint components, seeds at their canonical min nodes;
+    # edges stored one direction only — traversal must symmetrize
+    e, s = _bfs_frames(
+        spark, [(11, 10), (12, 11), (20, 21)], [10, 20]
+    )
+    got = {r.node: (r.root, r.hop) for r in bfs_hops(e, s, 4).collect()}
+    assert got == {
+        10: (10, 0), 11: (10, 1), 12: (10, 2),
+        20: (20, 0), 21: (20, 1),
+    }
+
+
+def test_bfs_hops_partition_independent(spark):
+    from example_kafkastreams_spark.operators.components import bfs_hops
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    s = spark.createDataFrame([(0,), (1,)], "node long")
+    a = bfs_hops(e.repartition(1), s, 3)
+    b = bfs_hops(e.repartition(16), s, 3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
