@@ -343,7 +343,7 @@ def main() -> None:
         ("q11_pricing_summary", "mode", ("full", "mv")),
         ("q19_window_topn_per_user", "mode", ("window", "topk")),
         ("q26_interval_join_symmetric", "mode",
-         ("pairs", "dim", "enrich", "delta", "asof", "chlog")),
+         ("pairs", "dim", "enrich", "delta", "asof", "chlog", "near")),
         ("q34_hash_sample", "method",
          ("hash", "strat", "wsample", "prio", "gprio")),
         ("q40_dedup_exact_text", "mode",

@@ -146,3 +146,59 @@ def asof_lookback_left_join(
         .select(*[c for c in left.columns], *[F.col(f"m.{c}").alias(c) for c in right_payload])
     )
     return out
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    right_payload: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: float = 15.0,
+    right_order: list[str] | None = None,
+) -> DataFrame:
+    """Symmetric NEAREST-event join — the third pick of the as-of
+    family: J2's look-back takes the latest match ≤ t and its
+    ``pick="earliest"`` twin the first ≥ t − w; this takes the match
+    with the SMALLEST |Δt| inside ±w either direction (the "closest
+    sensor reading / closest page view" semantics time-series engines
+    ship as ``ASOF NEAREST``). Ties break to the earlier right
+    timestamp, then ``right_order`` (default: the right id columns the
+    caller names) — a total, engine-independent order.
+
+    Same scale shape as the rest of the family: the bucketized
+    interval join confines comparisons to adjacent epoch buckets (one
+    equi-exchange per side, no theta blowup), and the single-match
+    pick is a ``min_by`` hash aggregation over (|Δt| µs, right ts,
+    right_order) — partial-aggregated map-side, never a sort. "Row"
+    means distinct left row (the ``asof_lookback_left_join``
+    contract). Unmatched left rows keep NULL payload.
+    """
+    joined, l, r = interval_left_join(
+        left, right, on, left_ts, right_ts,
+        window_seconds, window_seconds,
+    )
+    right_order = right_order or [right_ts]
+    absd = F.abs(
+        F.unix_micros(F.col(f"r.{right_ts}"))
+        - F.unix_micros(F.col(f"l.{left_ts}"))
+    )
+    ordering = F.when(
+        F.col(f"r.{right_ts}").isNotNull(),
+        F.struct(
+            absd.alias("__absus"),
+            F.col(f"r.{right_ts}"),
+            *[F.col(f"r.{c}") for c in right_order],
+        ),
+    )
+    payload = F.struct(*[F.col(f"r.{c}").alias(c) for c in right_payload])
+    left_cols = [F.col(f"l.{c}") for c in left.columns]
+    return (
+        joined.groupBy(*left_cols)
+        .agg(F.min_by(payload, ordering).alias("m"))
+        .select(
+            *[c for c in left.columns],
+            *[F.col(f"m.{c}").alias(c) for c in right_payload],
+        )
+    )

@@ -778,6 +778,37 @@ def _q26_sql() -> str:
                  END) AS dur_us_closed
       FROM dimc GROUP BY tier
     ),
+    -- near branch: symmetric NEAREST-event pick — per DISTINCT
+    -- non-view event, the view with the smallest |Δt| within ±w
+    -- (ties → earlier view ts, then view event_id); stats fold the
+    -- picked |Δt| micros exactly
+    nleft AS (
+      SELECT DISTINCT * FROM events WHERE event_type <> 'view'
+    ),
+    ncand AS (
+      SELECT l.event_type, l.event_id, l.user_id, l.ts, l.value,
+             l.props, pv.ts AS rts, pv.event_id AS rid,
+             abs(epoch_us(pv.ts) - epoch_us(l.ts)) AS absus
+      FROM nleft l
+      JOIN (SELECT * FROM events WHERE event_type = 'view') pv
+        ON pv.user_id = l.user_id
+       AND pv.ts >= l.ts - INTERVAL {_J1_WINDOW_S} SECOND
+       AND pv.ts <= l.ts + INTERVAL {_J1_WINDOW_S} SECOND
+    ),
+    npick AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY event_type, event_id, user_id, ts, value, props
+          ORDER BY absus, rts, rid) AS rn
+        FROM ncand
+      ) WHERE rn = 1
+    ),
+    nearstats AS (
+      SELECT event_type, COUNT(*) AS n_pairs,
+             COUNT(DISTINCT event_id) AS n_events_matched,
+             SUM(absus) AS dur_us_closed
+      FROM npick GROUP BY event_type
+    ),
     enr AS (
       SELECT f.event_id, f.user_id, f.value, d.tier
       FROM (SELECT * FROM events WHERE event_type = 'purchase') f
@@ -827,6 +858,14 @@ def _q26_sql() -> str:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM chlogstats
+    UNION ALL
+    SELECT 'near', event_type, CAST(NULL AS VARCHAR),
+           n_pairs, n_events_matched,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           dur_us_closed,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM nearstats
     """
 
 
@@ -853,7 +892,11 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     retained rows + the delta); the oracle checks its census against
     the FULL-log build, which it must equal bitwise under the
     append-only contract — the maintenance operator itself is
-    driver-value-checked."""
+    driver-value-checked. ``near`` (round 10): the symmetric NEAREST
+    pick (asof_nearest_join) — min |Δt| within ±w, ties to the
+    earlier view then its id; per-type match counts and the exact
+    picked-|Δt| micro sum are value-checked against the oracle's
+    rank-over-distinct-left re-derivation."""
     from .operators.scd import (
         changelog_from_snapshots,
         scd2_apply_delta,
@@ -952,6 +995,36 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chlogstats = scd2_dim_stats(dimc, ["tier"])
 
+    # near branch (round 10): the symmetric NEAREST pick — the third
+    # member of the as-of family (latest-≤t / earliest-≥t−w / min
+    # |Δt| within ±w). Same bucketized equi-join shape; the pick is a
+    # min_by over (|Δt| µs, right ts, right id) — a hash agg, never a
+    # sort. Stats fold the picked |Δt| micros exactly.
+    from .operators.asof_join import asof_nearest_join
+
+    pv2 = pv.select(
+        "user_id", "ts",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    near = asof_nearest_join(
+        ev.distinct(), pv2, on=["user_id"],
+        right_payload=["r_ts", "r_event_id"],
+        window_seconds=_J1_WINDOW_S,
+        right_order=["r_event_id"],
+    )
+    nearstats = (
+        near.filter(F.col("r_ts").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_events_matched"),
+            F.sum(
+                F.abs(F.unix_micros("r_ts") - F.unix_micros("ts"))
+            ).alias("dur_us_closed"),
+        )
+    )
+
     out_cols = [
         ("mode", "string"),
         ("event_type", "string"),
@@ -988,4 +1061,5 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shape(deltastats, "delta"))
         .unionByName(shape(asofstats, "asof"))
         .unionByName(shape(chlogstats, "chlog"))
+        .unionByName(shape(nearstats, "near"))
     )

@@ -149,3 +149,113 @@ def test_q03_emission_anchored_runs(spark):
     n_in = 10000
     n_out = out.count()
     assert 0 < n_out < n_in
+
+
+# --- symmetric nearest-event pick --------------------------------------------
+
+def _near_frames(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, 100, dt(2024, 1, 1, 0, 0, 10))],
+        "ev_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (50, 100, dt(2024, 1, 1, 0, 0, 4)),   # 6s before
+            (51, 100, dt(2024, 1, 1, 0, 0, 13)),  # 3s after  <- nearest
+            (52, 100, dt(2024, 1, 1, 0, 0, 30)),  # outside ±15
+            (53, 999, dt(2024, 1, 1, 0, 0, 10)),  # other key
+        ],
+        "r_id long, user_id long, ts timestamp",
+    )
+    return left, right
+
+
+def test_nearest_join_prefers_smallest_absdt(spark):
+    from example_kafkastreams_spark.operators.asof_join import (
+        asof_nearest_join,
+    )
+
+    left, right = _near_frames(spark)
+    out = asof_nearest_join(
+        left, right, on=["user_id"], right_payload=["r_id"],
+        window_seconds=15.0, right_order=["r_id"],
+    ).collect()
+    assert len(out) == 1 and out[0].r_id == 51
+
+
+def test_nearest_join_tie_breaks_to_earlier_then_id(spark):
+    from datetime import datetime as dt
+
+    from example_kafkastreams_spark.operators.asof_join import (
+        asof_nearest_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 7, dt(2024, 1, 1, 0, 0, 10))],
+        "ev_id long, user_id long, ts timestamp",
+    )
+    # equidistant before/after -> earlier wins; duplicate-ts earlier
+    # rows -> lowest id wins
+    right = spark.createDataFrame(
+        [
+            (90, 7, dt(2024, 1, 1, 0, 0, 13)),
+            (80, 7, dt(2024, 1, 1, 0, 0, 7)),
+            (81, 7, dt(2024, 1, 1, 0, 0, 7)),
+        ],
+        "r_id long, user_id long, ts timestamp",
+    )
+    out = asof_nearest_join(
+        left, right, on=["user_id"], right_payload=["r_id"],
+        window_seconds=15.0, right_order=["r_id"],
+    ).collect()
+    assert out[0].r_id == 80
+
+
+def test_nearest_join_unmatched_keeps_null(spark):
+    from example_kafkastreams_spark.operators.asof_join import (
+        asof_nearest_join,
+    )
+
+    left, right = _near_frames(spark)
+    out = asof_nearest_join(
+        left, right.filter("user_id = 999"), on=["user_id"],
+        right_payload=["r_id"], window_seconds=15.0,
+        right_order=["r_id"],
+    ).collect()
+    assert len(out) == 1 and out[0].r_id is None
+
+
+def test_nearest_join_partition_independent(spark):
+    from datetime import datetime as dt
+
+    from example_kafkastreams_spark.operators.asof_join import (
+        asof_nearest_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (i, i % 5, dt(2024, 1, 1, 0, i % 50, i % 60))
+            for i in range(60)
+        ],
+        "ev_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1000 + i, i % 5, dt(2024, 1, 1, 0, (i * 3) % 50, (i * 7) % 60))
+            for i in range(60)
+        ],
+        "r_id long, user_id long, ts timestamp",
+    )
+    a = asof_nearest_join(
+        left.repartition(1), right, on=["user_id"],
+        right_payload=["r_id"], window_seconds=30.0,
+        right_order=["r_id"],
+    )
+    b = asof_nearest_join(
+        left.repartition(16), right.repartition(16), on=["user_id"],
+        right_payload=["r_id"], window_seconds=30.0,
+        right_order=["r_id"],
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
