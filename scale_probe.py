@@ -722,6 +722,72 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             cluster_assign(emb, cent_df=cent), keep_frac=0.5
         ).filter(F.col("kept"))
 
+    def maxsim_op():
+        # chunk featurization is map-side; only positively-colliding
+        # (chunk, query-token) pairs reach the exchange — on the N-way
+        # duplicate corpus candidates grow ~N while the final rank
+        # stays top-k-bounded per query
+        from example_kafkastreams_spark.operators.retrieval import (
+            maxsim_top_docs,
+        )
+
+        return maxsim_top_docs(
+            docs, ["hash join", "scan filter", "stream window"], top_k=5
+        )
+
+    def bfs_chain():
+        # frontier-iterative BFS from cluster canonicals: per-round
+        # join is frontier-sized; the duplicate-amplified corpus grows
+        # cluster membership ~N but chain DEPTH stays ~constant, so
+        # rounds don't grow — wall should track edges, not diameter
+        from example_kafkastreams_spark.operators.components import (
+            bfs_hops,
+            connected_components,
+        )
+
+        edges = ND.simhash_neardup_pairs(docs, max_hamming=3).select(
+            "doc_a", "doc_b"
+        )
+        comp = connected_components(
+            ND.simhash_components_edges(docs, max_hamming=3),
+            nodes=docs, node_col="doc_id",
+        )
+        seeds = comp.filter(
+            F.col("doc_id") == F.col("component_id")
+        ).select(F.col("doc_id").alias("node"))
+        return bfs_hops(edges, seeds, max_hops=4)
+
+    def profile_cols():
+        # one aggregation job; exchange bounded by the aggregate row
+        # (per-column stats), so shuffle stays ~constant while the
+        # scan grows N — the exact multi-distinct Expand is the only
+        # row-proportional term
+        from example_kafkastreams_spark.operators.report import (
+            profile_columns,
+        )
+
+        return profile_columns(load_table(spark, sf_dir, "orders"))
+
+    def nearest_join_op():
+        # min_by hash agg over the bucketized interval join — matches
+        # per left row stay window-local-density-bounded, so output
+        # and shuffle both grow ~N with the event table
+        from example_kafkastreams_spark.operators.asof_join import (
+            asof_nearest_join,
+        )
+
+        ev = events.filter(F.col("event_type") != "view")
+        pv = events.filter(F.col("event_type") == "view").select(
+            "user_id", "ts",
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+        )
+        return asof_nearest_join(
+            ev.distinct(), pv, on=["user_id"],
+            right_payload=["r_ts", "r_event_id"],
+            window_seconds=900.0, right_order=["r_event_id"],
+        ).filter(F.col("r_ts").isNotNull())
+
     out: dict[str, dict] = {}
     for name, mk in (
         ("scan_agg", scan_agg),
@@ -759,6 +825,10 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("source_overlap", xsrc_overlap),
         ("blocking_eval", blocking_eval),
         ("pack_assignments", pack_assign),
+        ("maxsim_retrieval", maxsim_op),
+        ("bfs_chain_depth", bfs_chain),
+        ("profile_columns", profile_cols),
+        ("nearest_event_join", nearest_join_op),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)
