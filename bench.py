@@ -366,7 +366,8 @@ def main() -> None:
         (
             "q55_tfidf_top_term",
             "mode",
-            ("tfidf", "bm25", "bm25idx", "rrf", "eval", "maxsim"),
+            ("tfidf", "bm25", "bm25idx", "rrf", "eval", "maxsim",
+             "maxsimidx"),
         ),
         ("q56_quantize_embeddings", "mode",
          ("int8", "pq", "ivfpq", "adc", "pq_tr")),

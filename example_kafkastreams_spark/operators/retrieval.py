@@ -952,10 +952,29 @@ def maxsim_top_docs(
     Reference parity: no retrieval surface in the reference — §2.9
     extension from the public ColBERT / feature-hashing papers.
     """
+    ch = maxsim_chunk_vectors(
+        docs, dim=dim, n_hashes=n_hashes,
+        chunk_size=chunk_size, stride=stride,
+        id_col=id_col, text_col=text_col,
+    )
+    return _maxsim_score(ch, queries, top_k, n_hashes, dim)
+
+
+def maxsim_chunk_vectors(
+    docs: DataFrame,
+    dim: int = MAXSIM_DIM,
+    n_hashes: int = MAXSIM_HASHES,
+    chunk_size: int = MAXSIM_CHUNK,
+    stride: int = MAXSIM_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, cv, n2c) — the MaxSim index grain: one
+    signed feature-hash vector per chunk, squared norm precomputed.
+    Pure column expressions, zero shuffle — the 100 TB build pass."""
     from .text_chunks import chunk_documents
 
     S = P.SPARK
-    spark = docs.sparkSession
     chunks = chunk_documents(
         docs, id_col=id_col, text_col=text_col,
         chunk_size=chunk_size, stride=stride,
@@ -973,8 +992,22 @@ def maxsim_top_docs(
         "chunk_idx",
         F.expr(P.signed_feature_vec("es", dim, S)).alias("cv"),
     )
-    ch = ch.withColumn("n2c", F.expr(P.dot("cv", "cv", S)))
+    return ch.withColumn("n2c", F.expr(P.dot("cv", "cv", S)))
 
+
+def _maxsim_score(
+    ch: DataFrame,
+    queries: list[str],
+    top_k: int,
+    n_hashes: int,
+    dim: int,
+) -> DataFrame:
+    """The serving half of ``maxsim_top_docs`` over a chunk-vector
+    frame (fresh or loaded from the stored index — bit-identical
+    either way: cv is integer-valued, n2c an exact double, both
+    round-trip parquet unchanged)."""
+    spark = ch.sparkSession
+    S = P.SPARK
     qrows = []
     for q in dict.fromkeys(queries):
         for tidx, tok in enumerate(q.split()):
@@ -984,7 +1017,6 @@ def maxsim_top_docs(
     qdf = spark.createDataFrame(
         qrows, "query string, tidx int, tv array<double>, n2t double"
     )
-
     scored = (
         ch.join(F.broadcast(qdf))
         .withColumn("d0", F.expr(P.dot("tv", "cv", S)))
@@ -1009,4 +1041,59 @@ def maxsim_top_docs(
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select("query", "doc_id", "rank", "score")
+    )
+
+
+def maxsim_index_write(
+    docs: DataFrame,
+    path: str,
+    dim: int = MAXSIM_DIM,
+    n_hashes: int = MAXSIM_HASHES,
+    chunk_size: int = MAXSIM_CHUNK,
+    stride: int = MAXSIM_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the MaxSim chunk-vector index: the one-time 100 TB
+    featurization pass written to parquet + a meta.json pinning the
+    hash-family parameters, so serves NEVER re-featurize the corpus
+    and a mismatched query-side family is refused instead of silently
+    scoring garbage. The bm25_index_write deployment contract."""
+    import json
+    import os
+
+    maxsim_chunk_vectors(
+        docs, dim=dim, n_hashes=n_hashes,
+        chunk_size=chunk_size, stride=stride,
+        id_col=id_col, text_col=text_col,
+    ).write.mode("overwrite").parquet(os.path.join(path, "chunks"))
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"dim": dim, "n_hashes": n_hashes,
+             "chunk_size": chunk_size, "stride": stride},
+            f,
+        )
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def maxsim_index_query(
+    spark,
+    path: str,
+    queries: list[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Serve MaxSim from the stored index — bit-identical to the
+    in-session ``maxsim_top_docs`` (integer-valued vectors and exact
+    doubles round-trip parquet unchanged; the scorer is shared), so
+    the artifact contract is the ivfflat_idx/bm25idx one: loaded
+    serve == fresh build, hash-checkable against the same oracle."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    ch = spark.read.parquet(os.path.join(path, "chunks"))
+    return _maxsim_score(
+        ch, queries, top_k, meta["n_hashes"], meta["dim"]
     )

@@ -551,3 +551,41 @@ def test_maxsim_partition_independent(spark):
     b = maxsim_top_docs(sdf.repartition(16), ["alpha beta"], top_k=5,
                         dim=16, n_hashes=4, chunk_size=3, stride=2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_maxsim_index_roundtrip_bit_identical(spark, tmp_path):
+    """The artifact contract: loaded serve == in-session scorer,
+    byte-for-byte on scores (integer vectors and exact doubles
+    round-trip parquet unchanged)."""
+    from example_kafkastreams_spark.operators.retrieval import (
+        maxsim_index_query,
+        maxsim_index_write,
+        maxsim_top_docs,
+    )
+
+    docs = [
+        (i, f"alpha tok{i % 7} beta tok{i % 5} gamma delta")
+        for i in range(30)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    queries = ["alpha beta", "gamma"]
+    fresh = sorted(
+        map(
+            tuple,
+            maxsim_top_docs(
+                sdf, queries, top_k=4, dim=16, n_hashes=4,
+                chunk_size=3, stride=2,
+            ).collect(),
+        )
+    )
+    path = str(tmp_path / "msidx")
+    maxsim_index_write(
+        sdf, path, dim=16, n_hashes=4, chunk_size=3, stride=2
+    )
+    loaded = sorted(
+        map(
+            tuple,
+            maxsim_index_query(spark, path, queries, top_k=4).collect(),
+        )
+    )
+    assert fresh == loaded
