@@ -1094,6 +1094,87 @@ def maxsim_index_query(
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     ch = spark.read.parquet(os.path.join(path, "chunks"))
+    if _has_ms_delta_leaves(path):
+        delta = spark.read.parquet(os.path.join(path, _MSDELTA)).select(
+            "doc_id", "chunk_idx", "cv", "n2c"
+        )
+        ch = ch.unionByName(delta)
     return _maxsim_score(
         ch, queries, top_k, meta["n_hashes"], meta["dim"]
     )
+
+_MSDELTA = "chunks_delta"
+
+
+def _has_ms_delta_leaves(path: str) -> bool:
+    import os
+
+    d = os.path.join(path, _MSDELTA)
+    if not os.path.isdir(d):
+        return False
+    return any(e.startswith("ingest_run=") for e in os.listdir(d))
+
+
+def maxsim_index_append_sink(
+    spark,
+    path: str,
+    run_id: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming MaxSim-index maintenance — the late-interaction
+    member of the ingest-sink family: each micro-batch of
+    newly-admitted documents featurizes under the STORED hash-family
+    parameters (meta.json — the frozen-parameter contract the ANN
+    append sink uses; chunk vectors from different families must
+    never mix) and appends under
+    ``chunks_delta/ingest_run=…/ingest_batch=…``.
+
+    MaxSim scoring has NO corpus-global statistics (each chunk scores
+    independently), so incremental serving is exact by construction:
+    a serve over base ∪ delta after N appends equals a full rebuild
+    bit-for-bit. At-least-once safety is the family discipline —
+    dynamic-overwrite (run, batch) leaves make a crash-replayed batch
+    rewrite itself, never double-append."""
+    import hashlib
+    import json
+    import os
+    import uuid
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    token = (
+        hashlib.md5(run_id.encode()).hexdigest()[:16]
+        if run_id
+        else uuid.uuid4().hex[:16]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if not batch_df.take(1):
+                return
+            rows = maxsim_chunk_vectors(
+                batch_df,
+                dim=meta["dim"],
+                n_hashes=meta["n_hashes"],
+                chunk_size=meta["chunk_size"],
+                stride=meta["stride"],
+                id_col=id_col,
+                text_col=text_col,
+            ).withColumns(
+                {
+                    "ingest_run": F.lit(token),
+                    "ingest_batch": F.lit(int(batch_id)),
+                }
+            )
+            (
+                rows.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_run", "ingest_batch")
+                .parquet(os.path.join(path, _MSDELTA))
+            )
+        finally:
+            batch_df.unpersist()
+
+    return sink

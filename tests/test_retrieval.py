@@ -589,3 +589,39 @@ def test_maxsim_index_roundtrip_bit_identical(spark, tmp_path):
         )
     )
     assert fresh == loaded
+
+
+def test_maxsim_append_sink_serves_exactly(spark, tmp_path):
+    """Day-1 build + two appended micro-batches must serve
+    bit-identically to the in-session scorer over the full corpus
+    (MaxSim has no corpus-global stats, so incremental serving is
+    exact by construction), and a crash-replayed batch changes
+    nothing (dynamic-overwrite leaf rewrite)."""
+    import pyspark.sql.functions as F
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.retrieval import (
+        maxsim_index_append_sink,
+        maxsim_index_query,
+        maxsim_index_write,
+        maxsim_top_docs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1 = docs.filter(F.col("doc_id") % 3 != 0)
+    path = str(tmp_path / "ms_live")
+    maxsim_index_write(day1, path)
+    sink = maxsim_index_append_sink(spark, path, run_id="r1")
+    b0 = docs.filter(F.col("doc_id") % 6 == 0)
+    b1 = docs.filter(F.col("doc_id") % 6 == 3)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    qs = ["hash join", "scan filter"]
+    want = _rowkey(maxsim_top_docs(docs, qs, top_k=5))
+    assert _rowkey(maxsim_index_query(spark, path, qs, top_k=5)) == want
+    sink(b1, 1)  # crash replay
+    assert _rowkey(maxsim_index_query(spark, path, qs, top_k=5)) == want
+    # empty batch is a no-op
+    sink(docs.filter(F.col("doc_id") < 0), 2)
+    assert _rowkey(maxsim_index_query(spark, path, qs, top_k=5)) == want
