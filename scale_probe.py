@@ -1071,6 +1071,41 @@ def probe_streaming(spark, base: str, n_batches: int = 6) -> dict:
             stream.select("doc_id", "text"), f"bm25_{label}", sink_fn=sink
         )
 
+    # MaxSim chunk-vector ingest (round 10): featurize-and-append —
+    # per-batch cost must track batch size (the featurization is
+    # map-side and stat-free), state is the driver-side no-op
+    from example_kafkastreams_spark.operators.retrieval import (
+        maxsim_index_append_sink,
+        maxsim_index_write,
+    )
+
+    for label, bsz in (("x1", 100), ("x10", 1000)):
+        batches = [
+            [
+                (
+                    b * 1_000_000 + i,
+                    f"{texts[(b * bsz + i) % len(texts)]} u{b} v{i}",
+                    "probe",
+                    epoch + dt.timedelta(seconds=60.0 * b + i * 0.001),
+                )
+                for i in range(bsz)
+            ]
+            for b in range(n_batches)
+        ]
+        src = os.path.join(work, f"ms_src_{label}")
+        stage_replayable_batches(spark, src, doc_schema, batches)
+        stream = file_stream(
+            spark, src, doc_schema, max_files_per_trigger=1
+        )
+        idx_path = os.path.join(work, f"ms_idx_{label}")
+        maxsim_index_write(
+            load_table(spark, base, "documents").limit(500), idx_path
+        )
+        sink = maxsim_index_append_sink(spark, idx_path, run_id="probe")
+        out[f"maxsim_ingest_{label}"] = drive(
+            stream.select("doc_id", "text"), f"ms_{label}", sink_fn=sink
+        )
+
     # Streaming maintenance sinks (VERDICT r9 item 5): Bloom, count-min
     # and the SCD2 store driven through the same N real micro-batches
     # at 1x/10x. The claims: per-batch wall flat in stream position,
