@@ -739,7 +739,12 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         # frontier-iterative BFS from cluster canonicals: per-round
         # join is frontier-sized; the duplicate-amplified corpus grows
         # cluster membership ~N but chain DEPTH stays ~constant, so
-        # rounds don't grow — wall should track edges, not diameter
+        # rounds don't grow and wall tracks EDGES. The edge table is
+        # the FULL pair graph, whose ~N²/2 in-group growth is the
+        # documented data property of pair-emitting ops on this
+        # amplification (module docstring) — the BFS inherits that
+        # shuffle; production chain audits would bound it by sampling
+        # clusters, not by changing the traversal
         from example_kafkastreams_spark.operators.components import (
             bfs_hops,
             connected_components,
@@ -769,9 +774,14 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         return profile_columns(load_table(spark, sf_dir, "orders"))
 
     def nearest_join_op():
-        # min_by hash agg over the bucketized interval join — matches
-        # per left row stay window-local-density-bounded, so output
-        # and shuffle both grow ~N with the event table
+        # min_by hash agg over the bucketized interval join. Shuffle
+        # tracks join input (~N); wall sub-linear. OUTPUT (matched
+        # left rows) grows FASTER than N on this amplification by
+        # construction: the 30-day base span vs 2-day copy shifts
+        # makes copies overlap in time, so window-eligible view
+        # density rises with overlapping copies — a data property of
+        # the amplified feed, not join fan-out (each left row still
+        # emits exactly one picked row)
         from example_kafkastreams_spark.operators.asof_join import (
             asof_nearest_join,
         )
