@@ -403,6 +403,7 @@ BM25_TOP_K = 5
 # session (the deployment contract — build once, serve many)
 _Q55_IDX_CACHE: dict = {}
 _Q55_MS_IDX_CACHE: dict = {}
+_Q55_MS_CH_CACHE: dict = {}
 
 # maxsim branch: late-interaction retrieval over the same query set
 # (signed feature-hash token vectors; operators.retrieval.maxsim_*)
@@ -824,15 +825,29 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("tfidf"),
         )
 
+    # the chunk-vector featurization fans out into both late-
+    # interaction children (maxsim scores it in-session, maxsimidx's
+    # artifact build writes the same frame) and is re-paid per
+    # branch-timing filter — persist it once per (session, corpus)
+    # like q57's labels (the _Q57_CACHE convention; measured 18.7 s →
+    # ~2 s per maxsim invocation at sf0.1)
+    from .operators.cache import persist_tracked
+    from .operators.retrieval import _maxsim_score, maxsim_chunk_vectors
+
+    ch_key = (id(spark), sf_dir)
+    ch = _Q55_MS_CH_CACHE.get(ch_key)
+    if ch is None:
+        ch = persist_tracked(
+            maxsim_chunk_vectors(
+                docs, dim=MAXSIM_DIM, n_hashes=MAXSIM_HASHES,
+                chunk_size=CHUNK_SIZE, stride=STRIDE,
+            )
+        )
+        _Q55_MS_CH_CACHE[ch_key] = ch
     ms = _ms_shape(
-        maxsim_top_docs(
-            docs,
-            list(BM25_QUERIES),
-            top_k=BM25_TOP_K,
-            dim=MAXSIM_DIM,
-            n_hashes=MAXSIM_HASHES,
-            chunk_size=CHUNK_SIZE,
-            stride=STRIDE,
+        _maxsim_score(
+            ch, list(BM25_QUERIES), BM25_TOP_K,
+            MAXSIM_HASHES, MAXSIM_DIM,
         ),
         "maxsim",
     )
