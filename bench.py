@@ -367,7 +367,7 @@ def main() -> None:
             "q55_tfidf_top_term",
             "mode",
             ("tfidf", "bm25", "bm25idx", "rrf", "eval", "maxsim",
-             "maxsimidx"),
+             "maxsimidx", "rerank"),
         ),
         ("q56_quantize_embeddings", "mode",
          ("int8", "pq", "ivfpq", "adc", "pq_tr")),

@@ -1043,6 +1043,9 @@ def _maxsim_score(
             lambda acc, x: acc + x,
         ).alias("score")
     )
+    if top_k is None:
+        # all scored (query, doc) pairs — the reranker grain
+        return agg.select("query", "doc_id", "score")
     w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         agg.withColumn("rank", F.row_number().over(w))
@@ -1185,3 +1188,65 @@ def maxsim_index_append_sink(
             batch_df.unpersist()
 
     return sink
+
+
+def maxsim_rerank(
+    docs: DataFrame,
+    queries: list[str],
+    k1: int = 20,
+    top_k: int = 5,
+    dim: int = MAXSIM_DIM,
+    n_hashes: int = MAXSIM_HASHES,
+    chunk_size: int = MAXSIM_CHUNK,
+    stride: int = MAXSIM_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank — THE production retrieval
+    shape: a cheap high-recall stage-1 (BM25 top-``k1``) shortlists
+    candidates, an expressive stage-2 (MaxSim late interaction)
+    rescores ONLY those, final rank by (maxsim DESC, doc_id).
+    Candidates BM25 found but MaxSim scores at zero (no positively
+    colliding chunk) stay in the pool at score 0 — the reranker
+    reorders stage-1's shortlist, it never un-retrieves.
+
+    Scale shape — the reason two-stage exists: stage-1 is the
+    corpus-touching pass (candidate-pruned postings, corpus never
+    shuffles); stage-2 featurizes CANDIDATE documents only (≤
+    |queries|·k1 docs via one semi join), so the expensive scorer's
+    cost is bounded by the shortlist, never the corpus. Per-(query,
+    doc) MaxSim is independent of the rest of the pool, so rescoring
+    the shortlist equals restricting a corpus-wide rescore — the
+    property the oracle exploits.
+
+    ``candidates``: pass a precomputed stage-1 ranking (query, doc_id,
+    …) to rerank an existing shortlist instead of running BM25 here.
+    """
+    if candidates is None:
+        candidates = bm25_top_docs(docs, queries, top_k=k1)
+    cand = candidates.select("query", "doc_id")
+    cand_docs = docs.join(
+        cand.select("doc_id").distinct().withColumnRenamed(
+            "doc_id", id_col
+        ),
+        id_col,
+        "left_semi",
+    )
+    ch = maxsim_chunk_vectors(
+        cand_docs, dim=dim, n_hashes=n_hashes,
+        chunk_size=chunk_size, stride=stride,
+        id_col=id_col, text_col=text_col,
+    )
+    scores = _maxsim_score(ch, queries, None, n_hashes, dim)
+    pool = cand.join(scores, ["query", "doc_id"], "left").select(
+        "query",
+        "doc_id",
+        F.coalesce("score", F.lit(0.0)).alias("score"),
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        pool.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query", "doc_id", "rank", "score")
+    )

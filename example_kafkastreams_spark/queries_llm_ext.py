@@ -409,6 +409,8 @@ _Q55_MS_CH_CACHE: dict = {}
 # (signed feature-hash token vectors; operators.retrieval.maxsim_*)
 MAXSIM_DIM = 32
 MAXSIM_HASHES = 4
+# rerank branch: stage-1 shortlist size for retrieve-then-rerank
+RERANK_K1 = 20
 
 
 def _maxsim_ctes() -> str:
@@ -463,6 +465,22 @@ def _maxsim_ctes() -> str:
       SELECT *, row_number() OVER (PARTITION BY query
                                    ORDER BY score DESC, doc_id) AS rn
       FROM msagg
+    ),
+    -- rerank branch: retrieve-then-rerank — BM25's top-k1 shortlist
+    -- rescored by MaxSim (per-(query, doc) MaxSim is independent of
+    -- the pool, so restricting the corpus-wide msagg to the shortlist
+    -- equals the operator's candidates-only rescore); BM25 hits with
+    -- no positively-colliding chunk stay at score 0
+    rercand AS (SELECT query, doc_id FROM br WHERE rn <= {RERANK_K1}),
+    rer AS (
+      SELECT c.query, c.doc_id,
+             COALESCE(m.score, CAST(0.0 AS DOUBLE)) AS score,
+             row_number() OVER (
+               PARTITION BY c.query
+               ORDER BY COALESCE(m.score, CAST(0.0 AS DOUBLE)) DESC,
+                        c.doc_id) AS rn
+      FROM rercand c LEFT JOIN msagg m
+        ON m.query = c.query AND m.doc_id = c.doc_id
     )"""
 
 
@@ -683,6 +701,9 @@ def _q55_sql() -> str:
     -- ivfflat_idx/bm25idx artifact contract
     SELECT 'maxsimidx', doc_id, query, CAST(rn AS BIGINT), round(score, 6)
     FROM msr WHERE rn <= {BM25_TOP_K}
+    UNION ALL
+    SELECT 'rerank', doc_id, query, CAST(rn AS BIGINT), round(score, 6)
+    FROM rer WHERE rn <= {BM25_TOP_K}
     """
 
 
@@ -726,7 +747,12 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     (maxsim_index_write/query) — featurize once, serve many; loaded
     serve is bit-identical to the in-session scorer (integer vectors
     + exact doubles round-trip parquet, shared _maxsim_score), so its
-    oracle is the maxsim derivation under its own label."""
+    oracle is the maxsim derivation under its own label. ``rerank``
+    (round 10): two-stage retrieve-then-rerank (maxsim_rerank) — BM25
+    top-20 shortlist rescored by MaxSim over CANDIDATE docs only;
+    per-(query, doc) MaxSim is pool-independent, so the oracle
+    restricts its corpus-wide msagg to the shortlist (zero-score BM25
+    hits kept at 0, ranks re-derived)."""
     import atexit
     import os
     import shutil
@@ -868,6 +894,19 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "maxsimidx",
     )
+    # rerank: the two-stage production shape — BM25 top-k1 shortlist,
+    # MaxSim rescoring of the CANDIDATE docs only (featurization
+    # bounded by the shortlist, never the corpus)
+    from .operators.retrieval import maxsim_rerank
+
+    rr = _ms_shape(
+        maxsim_rerank(
+            docs, list(BM25_QUERIES), k1=RERANK_K1, top_k=BM25_TOP_K,
+            dim=MAXSIM_DIM, n_hashes=MAXSIM_HASHES,
+            chunk_size=CHUNK_SIZE, stride=STRIDE,
+        ),
+        "rerank",
+    )
     return (
         tfidf.unionByName(bm)
         .unionByName(idx)
@@ -875,6 +914,7 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ev)
         .unionByName(ms)
         .unionByName(ms_idx)
+        .unionByName(rr)
     )
 
 

@@ -625,3 +625,69 @@ def test_maxsim_append_sink_serves_exactly(spark, tmp_path):
     # empty batch is a no-op
     sink(docs.filter(F.col("doc_id") < 0), 2)
     assert _rowkey(maxsim_index_query(spark, path, qs, top_k=5)) == want
+
+
+def test_maxsim_rerank_reorders_not_unretrieves(spark):
+    """Rerank semantics: output ⊆ stage-1 candidates; ranking by
+    MaxSim (ties → doc id); BM25 hits with no colliding chunk stay in
+    the pool at score 0."""
+    from example_kafkastreams_spark.operators.retrieval import (
+        bm25_top_docs,
+        maxsim_rerank,
+        maxsim_top_docs,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = maxsim_rerank(
+        docs, QUERIES, k1=4, top_k=4, dim=16, n_hashes=4,
+        chunk_size=3, stride=2,
+    ).collect()
+    cands = {
+        (r.query, r.doc_id)
+        for r in bm25_top_docs(docs, QUERIES, top_k=4).collect()
+    }
+    assert {(r.query, r.doc_id) for r in out} <= cands
+    # per-pool ranking matches a corpus-wide maxsim restricted to the
+    # pool (per-pair independence)
+    full = {
+        (r.query, r.doc_id): r.score
+        for r in maxsim_top_docs(
+            docs, QUERIES, top_k=100, dim=16, n_hashes=4,
+            chunk_size=3, stride=2,
+        ).collect()
+    }
+    for q in QUERIES:
+        pool = [
+            (full.get((q, d), 0.0), d)
+            for (qq, d) in cands
+            if qq == q
+        ]
+        want = sorted(pool, key=lambda t: (-t[0], t[1]))[:4]
+        got = sorted(
+            [(r.score, r.doc_id, r.rank) for r in out if r.query == q],
+            key=lambda t: t[2],
+        )
+        assert [(s, d) for s, d, _ in got] == want
+    # ranks contiguous from 1
+    for q in QUERIES:
+        ranks = sorted(r.rank for r in out if r.query == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_maxsim_rerank_accepts_precomputed_candidates(spark):
+    from example_kafkastreams_spark.operators.retrieval import (
+        bm25_top_docs,
+        maxsim_rerank,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    cands = bm25_top_docs(docs, QUERIES, top_k=4)
+    a = maxsim_rerank(
+        docs, QUERIES, k1=4, top_k=4, dim=16, n_hashes=4,
+        chunk_size=3, stride=2,
+    )
+    b = maxsim_rerank(
+        docs, QUERIES, top_k=4, dim=16, n_hashes=4,
+        chunk_size=3, stride=2, candidates=cands,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
