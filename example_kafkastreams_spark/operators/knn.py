@@ -2618,8 +2618,39 @@ def _kmeans_exact_core(
                     s += m[j]
                 c.append(s / len(members))
             new.append(c)
+        if metric == "cosine":
+            # a centroid that degenerates to the zero vector makes
+            # cosine NaN, and NaN ordering diverges between Python's
+            # strict-improvement scan and DuckDB's NaN-sorts-highest
+            # DESC — raise rather than silently losing bitwise parity
+            # (mirrors the zero-norm sample guard in the callers)
+            for ci, c in enumerate(new):
+                n2 = 0.0
+                for v in c:
+                    n2 += v * v
+                if n2 == 0.0:
+                    raise ValueError(
+                        f"centroid {ci} degenerated to zero norm "
+                        "during k-means update; cosine parity with "
+                        "the SQL twin is undefined"
+                    )
         cents = new
     return cents
+
+
+def _assert_contiguous_ids(ids: list[int], what: str) -> None:
+    """The exact trainers' bitwise parity with kmeans_exact_cent_ctes
+    depends on the id-ordered sample's FIRST k rows being exactly the
+    rows ``WHERE id < k`` (the CTE's seed) — i.e. ids 0-based and
+    contiguous within the sample. Enforce it instead of silently
+    training different centroids on sparse/offset ids."""
+    for pos, i in enumerate(ids):
+        if i != pos:
+            raise ValueError(
+                f"{what} requires 0-based contiguous {len(ids)} ids "
+                f"(SQL twin seeds WHERE id < k); got id {i} at "
+                f"position {pos}"
+            )
 
 
 def kmeans_train_exact(
@@ -2636,15 +2667,19 @@ def kmeans_train_exact(
     into the same serving plans the sampled/trained quantizers feed.
 
     Requires nonzero-norm vectors in the sample (cosine is undefined
-    on zero vectors and NaN ordering would diverge between engines);
-    raises rather than silently diverging."""
+    on zero vectors and NaN ordering would diverge between engines)
+    AND 0-based contiguous ids in [0, len(sample)) — the SQL twin
+    seeds its centroids ``WHERE id < k``, so the first k rows of the
+    id-ordered sample must be exactly those rows; raises rather than
+    silently diverging."""
     rows = (
         emb.filter(F.col(id_col) < sample_n)
         .orderBy(id_col)
-        .select(vec_col)
+        .select(id_col, vec_col)
         .collect()
     )
-    X = [[float(x) for x in r[0]] for r in rows]
+    _assert_contiguous_ids([int(r[0]) for r in rows], "kmeans_train_exact")
+    X = [[float(x) for x in r[1]] for r in rows]
     for x in X:
         n2 = 0.0
         for v in x:
@@ -2669,14 +2704,16 @@ def pq_codebook_exact(
     re-derives bitwise. Same return layout as ``pq_codebook`` /
     ``pq_codebook_trained``, so every encoder/scorer takes it
     unchanged. ONE collect of the id-ordered sample; each subspace
-    trains on its slice."""
+    trains on its slice. Same contiguous-id contract as
+    ``kmeans_train_exact`` (SQL twin seeds ``WHERE id < num_codes``)."""
     rows = (
         emb.filter(F.col(id_col) < sample_n)
         .orderBy(id_col)
-        .select(vec_col)
+        .select(id_col, vec_col)
         .collect()
     )
-    X = [[float(x) for x in r[0]] for r in rows]
+    _assert_contiguous_ids([int(r[0]) for r in rows], "pq_codebook_exact")
+    X = [[float(x) for x in r[1]] for r in rows]
     if not X:
         raise ValueError("empty k-means sample")
     dim = len(X[0])
@@ -2712,7 +2749,9 @@ def kmeans_exact_cent_ctes(
     constant, the BPE-oracle discipline). Ends with
     ``{prefix}cent(cid, cv)``: one row per trained centroid, ready to
     replace a sample-quantizer ``cent``/``cb`` CTE in any serve
-    derivation.
+    derivation. Seeds ``WHERE {id_col} < k`` — the Python trainers
+    enforce the matching 0-based contiguous-id sample contract
+    (``_assert_contiguous_ids``).
 
     Op-sequence pins, one per trainer step:
     * assignment: ``row_number() OVER (ORDER BY score [DESC], cid)``

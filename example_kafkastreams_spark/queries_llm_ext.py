@@ -860,7 +860,10 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cache import persist_tracked
     from .operators.retrieval import _maxsim_score, maxsim_chunk_vectors
 
-    ch_key = (id(spark), sf_dir)
+    # applicationId is unique per live session — id(spark) could be
+    # reused by a new session after the old one is GC'd, handing back
+    # a persisted frame bound to a dead SparkContext
+    ch_key = (spark.sparkContext.applicationId, sf_dir)
     ch = _Q55_MS_CH_CACHE.get(ch_key)
     if ch is None:
         ch = persist_tracked(
@@ -1407,7 +1410,7 @@ def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     run eagerly at DataFrame-build time; re-building per branch-timing
     filter would re-pay them. The _Q46_IDX_CACHE convention, keyed by
     session so a restarted session never serves stale plans.)"""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _Q57_CACHE.get(key)
     if cached is None:
         cached = _q57_build(spark, sf_dir)

@@ -594,3 +594,35 @@ def test_pq_codebook_exact_drops_quantization_error(spark):
         return err
 
     assert total_err(trained) <= total_err(raw) + 1e-9
+
+
+def test_kmeans_exact_rejects_noncontiguous_ids(spark):
+    """The SQL twin seeds WHERE id < k; a sparse/offset id space would
+    silently train different centroids, so the trainer must refuse it
+    (ADVICE r10)."""
+    from example_kafkastreams_spark.operators.knn import (
+        kmeans_train_exact,
+        pq_codebook_exact,
+    )
+
+    rows = [(i * 2, [float(i), 1.0]) for i in range(8)]  # ids 0,2,4,…
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="contiguous"):
+        kmeans_train_exact(emb, k=2, iterations=1, sample_n=8)
+    with pytest.raises(ValueError, match="contiguous"):
+        pq_codebook_exact(emb, m=2, num_codes=2, iterations=1, sample_n=8)
+
+
+def test_kmeans_exact_core_rejects_zero_norm_centroid():
+    """A centroid that degenerates to the zero vector makes cosine NaN
+    and the two engines' NaN orderings diverge — the core must raise
+    instead (ADVICE r10). Two opposite vectors in one cell mean to
+    zero."""
+    from example_kafkastreams_spark.operators.knn import _kmeans_exact_core
+
+    X = [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0]]
+    # k=2 seeds at X[0], X[1]; cosine assigns x2 to cell 0 or 1 and the
+    # opposite pair collapses: force the degenerate cell by seeding so
+    # both antipodal rows land together
+    with pytest.raises(ValueError, match="zero norm"):
+        _kmeans_exact_core([[1.0, 0.0], [-1.0, 0.0]], 1, 1, "cosine")
