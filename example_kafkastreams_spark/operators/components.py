@@ -293,6 +293,8 @@ def bfs_hops(
     dst_col: str = "doc_b",
     node_col: str = "node",
     reliable: bool = False,
+    broadcast: bool | None = None,
+    broadcast_threshold_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Frontier-iterative BFS: (node, root, hop) — the shortest hop
     distance (≤ ``max_hops``) from each seed, carrying the seed's
@@ -315,13 +317,37 @@ def bfs_hops(
     FIRST reaching round (shorter hop always wins, and rounds are
     sequential), so the result is partition-independent. Lineage
     truncates per round (``reliable`` as in connected_components).
+
+    ``broadcast``: whether each round's expand join broadcasts the
+    FRONTIER (and the anti-join the visited-node set) instead of
+    shuffling the edge table. Without the hint every round re-shuffles
+    ALL 2E symmetrized edges against a frontier that is tiny after
+    round 1 — measured on the sf0.1 near-dup pair graph: 125.8M
+    shuffle records over 4 rounds, 94× the 10×-smaller run (the one
+    superlinear PLAN in the r10 scale probe). With it the edge table
+    is materialized ONCE (checkpoint) and never crosses the wire
+    again; per-round shuffle drops to candidate-size (the groupBy).
+    ``None`` (auto) estimates the reachable-node set's serialized
+    bytes — seeds ∪ edge-connected nodes bounds every frontier and the
+    visited set — with one 1-row agg job, and broadcasts iff it fits
+    under ``broadcast_threshold_bytes`` (the connected_components
+    convention: checkpointed plans report no stats, so AQE can never
+    discover this itself). The estimate counts distinct nodes via
+    ``approx_count_distinct`` — a map-side HLL, NOT a distinct()
+    (which would itself shuffle all 2E edge endpoints and dwarf the
+    loop it is sizing); ±5% rsd is irrelevant against a 256 MB
+    threshold. Beyond broadcast scale the loop degrades gracefully to
+    the shuffle-join regime.
     """
-    und = edges.select(
-        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).unionByName(
+    und = _truncate_lineage(
         edges.select(
-            F.col(dst_col).alias("__s"), F.col(src_col).alias("__d")
-        )
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        ).unionByName(
+            edges.select(
+                F.col(dst_col).alias("__s"), F.col(src_col).alias("__d")
+            )
+        ),
+        reliable,
     )
     dist = seeds.select(
         F.col(node_col).alias("node"),
@@ -329,10 +355,26 @@ def bfs_hops(
         F.lit(0).cast("int").alias("hop"),
     )
     dist = _truncate_lineage(dist, reliable)
+    if broadcast is None:
+        est_row = und.select(F.col("__s").alias("n")).union(
+            dist.select(F.col("node").alias("n"))
+        ).agg(
+            F.approx_count_distinct("n").alias("n_nodes"),
+            F.coalesce(
+                F.max(F.length(F.col("n").cast("string"))), F.lit(0)
+            ).alias("max_chars"),
+        ).first()
+        est = int(est_row["n_nodes"]) * (
+            24 + 2 * int(est_row["max_chars"])
+        )
+        small = est <= broadcast_threshold_bytes
+    else:
+        small = broadcast
+    hint = F.broadcast if small else (lambda df: df)
     frontier = dist
     for h in range(1, max_hops + 1):
         cand = (
-            frontier.join(und, frontier["node"] == und["__s"])
+            und.join(hint(frontier), frontier["node"] == und["__s"])
             .select(
                 F.col("__d").alias("node"),
                 "root",
@@ -344,7 +386,7 @@ def bfs_hops(
         # same round (cannot happen for component-canonical seeds,
         # but the operator shouldn't rely on it)
         frontier = (
-            cand.join(dist.select("node"), "node", "left_anti")
+            cand.join(hint(dist.select("node")), "node", "left_anti")
             .groupBy("node")
             .agg(F.min("root").alias("root"), F.min("hop").alias("hop"))
         )

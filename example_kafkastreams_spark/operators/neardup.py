@@ -627,6 +627,21 @@ def simhash32_pandas(text: pd.Series) -> pd.Series:
 simhash32_udf = F.pandas_udf(simhash32_pandas, T.LongType())
 
 
+def simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Persisted (id, simhash) sketch table — build it ONCE and pass
+    as ``sh_df`` to every sketch consumer in a pipeline
+    (``simhash_components_edges``, ``simhash_chain_hops``, …) so the
+    corpus token-hash scan is paid once. The 12-byte-per-row sketch is
+    the natural checkpoint artifact at 100 TB."""
+    return persist_tracked(with_simhash(
+        _rebalance(docs, id_col), id_col, text_col
+    ))
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -724,6 +739,77 @@ def simhash_components_edges(
         max_hamming,
     ).select("doc_a", "doc_b")
     return star.unionAll(rep_pairs)
+
+
+def simhash_chain_hops(
+    docs: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_hops: int = 4,
+    sh_df: DataFrame | None = None,
+    **bfs_kwargs,
+) -> DataFrame:
+    """(node, root, hop) — EXACTLY ``bfs_hops(simhash_neardup_pairs
+    (docs), seeds)`` (the chain-depth audit over the full similarity
+    graph), computed on the identical-sketch-CONTRACTED graph so the
+    audit never materializes the C(k,2) in-group pair mass.
+
+    Why exact, not an approximation: the hamming-≤h graph's adjacency
+    is a pure function of the sketch, so (a) same-sketch docs are
+    pairwise adjacent (hamming 0), and (b) any two same-sketch docs
+    have IDENTICAL external neighborhoods — every path to one is a
+    path to the other, so d(seed, x) = d(seed, rep(x)) for every
+    non-seed x, and members of the seed's own group sit at hop 1.
+    BFS therefore runs on one representative per distinct sketch
+    (rep-pair edges from the banded join — `simhash_components_edges`'
+    contraction, hop-preserving instead of closure-preserving), and
+    hops expand back to members as ``hop = 0 if node == root else
+    greatest(rep_hop, 1)``.
+
+    Contract: ``seeds`` must be identical-sketch group representatives
+    (the min id of their group) — component canonicals are (the
+    component min IS its own group's min). A non-rep seed would be
+    invisible to the contracted graph.
+
+    Scale shape (the r10 probe's one superlinear PLAN, now closed):
+    a k-way duplicate group costs k−1 expansion rows instead of C(k,2)
+    pair edges × BFS rounds; the contracted edge set is
+    duplicate-amplification-INVARIANT, so total shuffle grows with
+    distinct sketches + one linear (id → rep) map join, not with the
+    pair mass. Use ``bfs_hops`` directly only when the edge set is
+    genuinely not sketch-derived.
+    """
+    from .components import bfs_hops
+
+    sh = sh_df if sh_df is not None else persist_tracked(with_simhash(
+        _rebalance(docs, id_col), id_col, text_col
+    ))
+    groups = sh.groupBy("simhash").agg(F.min(id_col).alias("rep"))
+    mem = sh.join(groups, "simhash").select(F.col(id_col), "rep")
+    rep_pairs = _simhash_band_pairs(
+        groups.select(F.col("rep").alias(id_col), "simhash"),
+        id_col,
+        max_hamming,
+    ).select("doc_a", "doc_b")
+    rep_bfs = bfs_hops(
+        rep_pairs,
+        seeds,
+        max_hops=max_hops,
+        **bfs_kwargs,
+    )
+    return (
+        mem.join(rep_bfs, mem["rep"] == rep_bfs["node"])
+        .select(
+            F.col(id_col).alias("node"),
+            "root",
+            F.when(F.col(id_col) == F.col("root"), F.lit(0))
+            .otherwise(F.greatest(F.col("hop"), F.lit(1)))
+            .cast("int")
+            .alias("hop"),
+        )
+    )
 
 
 def minhash_components_edges(

@@ -1458,16 +1458,21 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     are how LSH transitive closure drifts into merging unrelated
     documents — hop-to-representative is the release-review number.
     Columns shoehorn as component_size=hop."""
-    from .operators.neardup import simhash_components_edges
+    from .operators.neardup import simhash_components_edges, simhash_table
     from .operators.report import split_leakage_report
     from .operators.sampling import assign_split
 
     from .operators.cache import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE sketch pass feeds the component edges AND the bfs branch's
+    # contracted chain audit
+    sh = simhash_table(docs)
     # edges now fan out three ways (the full labeling + the inc
     # branch's old/delta splits) — persist so banding runs once
-    edges = persist_tracked(simhash_components_edges(docs, max_hamming=3))
+    edges = persist_tracked(
+        simhash_components_edges(docs, max_hamming=3, sh_df=sh)
+    )
     # the labeling fans out into four union children (comp/leak/
     # mine_pos/mine_neg) plus the miner's bucket-count job — persist
     # it once or every child re-runs the banding + the component loop
@@ -1574,24 +1579,26 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine"),
     )
 
-    # bfs (round 10): dedup chain-depth audit — frontier-iterative
-    # BFS (operators.components.bfs_hops) from each cluster's
-    # canonical doc over the FULL pair graph (the oracle's own edge
-    # set; the star-contracted edges would give execution-tree hops,
-    # not similarity-graph hops). Deep chains are how LSH transitive
-    # closure drifts into linking unrelated docs — the number a dedup
-    # release reviews before shipping cluster-level survivors.
-    from .operators.components import bfs_hops
-    from .operators.neardup import simhash_neardup_pairs
+    # bfs (round 10; contracted round 11): dedup chain-depth audit —
+    # frontier-iterative BFS from each cluster's canonical doc, with
+    # FULL-similarity-graph hop semantics (the oracle's edge set) but
+    # computed on the identical-sketch-contracted graph
+    # (neardup.simhash_chain_hops — exact, hop-preserving: same-sketch
+    # docs share their entire neighborhood, so d(x)=d(rep(x)); the r10
+    # probe's 94x-shuffle full-pair walk is gone). Deep chains are how
+    # LSH transitive closure drifts into linking unrelated docs — the
+    # number a dedup release reviews before shipping cluster-level
+    # survivors.
+    from .operators.neardup import simhash_chain_hops
 
-    bfs = bfs_hops(
-        simhash_neardup_pairs(docs, max_hamming=3).select(
-            "doc_a", "doc_b"
-        ),
+    bfs = simhash_chain_hops(
+        docs,
         comp.filter(F.col("doc_id") == F.col("component_id")).select(
             F.col("doc_id").alias("node")
         ),
+        max_hamming=3,
         max_hops=_BFS_MAX_HOPS,
+        sh_df=sh,
     )
 
     return sized.select(

@@ -736,31 +736,30 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         )
 
     def bfs_chain():
-        # frontier-iterative BFS from cluster canonicals: per-round
-        # join is frontier-sized; the duplicate-amplified corpus grows
-        # cluster membership ~N but chain DEPTH stays ~constant, so
-        # rounds don't grow and wall tracks EDGES. The edge table is
-        # the FULL pair graph, whose ~N²/2 in-group growth is the
-        # documented data property of pair-emitting ops on this
-        # amplification (module docstring) — the BFS inherits that
-        # shuffle; production chain audits would bound it by sampling
-        # clusters, not by changing the traversal
+        # frontier-iterative BFS from cluster canonicals, with
+        # full-pair-graph hop semantics but computed on the
+        # identical-sketch-contracted graph (simhash_chain_hops, r11):
+        # the contracted edge set is duplicate-amplification-INVARIANT
+        # (a k-way group costs k−1 expansion rows, not C(k,2) edges ×
+        # rounds), the frontier side of each round's join broadcasts,
+        # and the edge table materializes once — so shuffle should now
+        # track the linear sketch/remap passes, not the pair mass
+        # (the r10 probe measured the un-contracted walk at 94×)
         from example_kafkastreams_spark.operators.components import (
-            bfs_hops,
             connected_components,
         )
 
-        edges = ND.simhash_neardup_pairs(docs, max_hamming=3).select(
-            "doc_a", "doc_b"
-        )
+        sh = ND.simhash_table(docs)
         comp = connected_components(
-            ND.simhash_components_edges(docs, max_hamming=3),
+            ND.simhash_components_edges(docs, max_hamming=3, sh_df=sh),
             nodes=docs, node_col="doc_id",
         )
         seeds = comp.filter(
             F.col("doc_id") == F.col("component_id")
         ).select(F.col("doc_id").alias("node"))
-        return bfs_hops(edges, seeds, max_hops=4)
+        return ND.simhash_chain_hops(
+            docs, seeds, max_hops=4, sh_df=sh
+        )
 
     def profile_cols():
         # one aggregation job; exchange bounded by the aggregate row

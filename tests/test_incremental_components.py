@@ -181,3 +181,88 @@ def test_bfs_hops_partition_independent(spark):
     a = bfs_hops(e.repartition(1), s, 3)
     b = bfs_hops(e.repartition(16), s, 3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bfs_hops_broadcast_matches_shuffle_regime(spark):
+    from example_kafkastreams_spark.operators.components import bfs_hops
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    s = spark.createDataFrame([(0,), (1,)], "node long")
+    a = bfs_hops(e, s, 3, broadcast=True)
+    b = bfs_hops(e, s, 3, broadcast=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- identical-sketch-contracted chain audit (simhash_chain_hops) ------------
+
+def test_simhash_chain_hops_equals_full_graph_bfs(spark):
+    """The contraction must be EXACT: same (node, root, hop) set as
+    the full-pair-graph BFS, on a corpus with heavy identical-sketch
+    duplicate groups (exact copies) AND near-dup chains."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.components import (
+        bfs_hops,
+        connected_components,
+    )
+    from example_kafkastreams_spark.operators.neardup import (
+        simhash_chain_hops,
+        simhash_components_edges,
+        simhash_neardup_pairs,
+    )
+
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",
+        "alpha beta gamma delta theta eta",
+        "completely different words entirely here now",
+        "unique singleton document with own words",
+    ]
+    rows = []
+    did = 0
+    for text in base:
+        for _ in range(6):  # 6-way exact-duplicate groups
+            rows.append((did, text))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    comp = connected_components(
+        simhash_components_edges(docs, max_hamming=3),
+        nodes=docs, node_col="doc_id",
+    )
+    seeds = comp.filter(F.col("doc_id") == F.col("component_id")).select(
+        F.col("doc_id").alias("node")
+    )
+    full = bfs_hops(
+        simhash_neardup_pairs(docs, max_hamming=3).select("doc_a", "doc_b"),
+        seeds, max_hops=4,
+    )
+    contracted = simhash_chain_hops(docs, seeds, max_hamming=3, max_hops=4)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, contracted.collect())
+    )
+
+
+def test_simhash_chain_hops_hop_budget_and_seed_group(spark):
+    """Members of the seed's own group land at hop 1 (never 0), and
+    the hop budget still cuts at max_hops."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.components import bfs_hops
+    from example_kafkastreams_spark.operators.neardup import (
+        simhash_chain_hops,
+        simhash_neardup_pairs,
+    )
+
+    rows = [(0, "alpha beta gamma"), (1, "alpha beta gamma"),
+            (2, "alpha beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: (r.root, r.hop)
+           for r in simhash_chain_hops(docs, seeds).collect()}
+    assert got == {0: (0, 0), 1: (0, 1), 2: (0, 1)}
+    full = {r.node: (r.root, r.hop) for r in bfs_hops(
+        simhash_neardup_pairs(docs).select("doc_a", "doc_b"),
+        seeds).collect()}
+    assert got == full
