@@ -1013,21 +1013,48 @@ def _maxsim_score(
     frame (fresh or loaded from the stored index — bit-identical
     either way: cv is integer-valued, n2c an exact double, both
     round-trip parquet unchanged)."""
-    spark = ch.sparkSession
-    S = P.SPARK
-    qrows = []
+    # Query-token vectors are ≤ n_hashes-sparse over dim positions, so
+    # the corpus-side work per (chunk, token) pair is a SPARSE literal
+    # dot — the token's nonzero (position, weight) terms spliced as a
+    # flat `w·cv[p] + …` chain — instead of the dense dim-element
+    # zip_with/aggregate fold (interpreted lambdas, 32 ops/pair) the
+    # broadcast-join shape paid. Value-identical for every surviving
+    # pair: the dense left fold's zero-weight terms are ±0.0 adds,
+    # which only matter when the whole dot is ±0.0 — and those pairs
+    # the d0 > 0 filter drops either way. One explode of per-token
+    # structs per chunk keeps everything in whole-stage codegen; no
+    # join, no per-pair array allocation. (The r10 probe flagged this
+    # corpus×tokens scan as the suite's most expensive branch.)
+    tok_structs = []
     for q in dict.fromkeys(queries):
         for tidx, tok in enumerate(q.split()):
             tv = P.signed_feature_vec_py(tok, n_hashes, dim)
             n2t = float(sum(x * x for x in tv))
-            qrows.append((q, tidx, [float(x) for x in tv], n2t))
-    qdf = spark.createDataFrame(
-        qrows, "query string, tidx int, tv array<double>, n2t double"
-    )
+            terms = [(i, v) for i, v in enumerate(tv) if v != 0]
+            d0 = (
+                " + ".join(
+                    f"CAST({v} AS DOUBLE) * CAST(cv[{i}] AS DOUBLE)"
+                    for i, v in terms
+                )
+                if terms
+                else "CAST(0 AS DOUBLE)"
+            )
+            qesc = q.replace("'", "''")
+            tok_structs.append(
+                f"named_struct('query', '{qesc}', 'tidx', {tidx}, "
+                f"'n2t', CAST({n2t!r} AS DOUBLE), 'd0', ({d0}))"
+            )
     scored = (
-        ch.join(F.broadcast(qdf))
-        .withColumn("d0", F.expr(P.dot("tv", "cv", S)))
-        .filter((F.col("d0") > 0) & (F.col("n2c") > 0))
+        ch.filter(F.col("n2c") > 0)
+        .select(
+            "doc_id",
+            "n2c",
+            F.explode(
+                F.expr(f"array({', '.join(tok_structs)})")
+            ).alias("t"),
+        )
+        .select("doc_id", "n2c", "t.*")
+        .filter(F.col("d0") > 0)
         .withColumn("cos", F.col("d0") / F.sqrt(F.col("n2t") * F.col("n2c")))
     )
     per_tok = scored.groupBy("query", "tidx", "doc_id").agg(
