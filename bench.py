@@ -350,7 +350,7 @@ def main() -> None:
          ("full", "incr", "diff_changed", "diff_unchanged", "xsrc")),
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr", "eval")),
         ("q44_dedup_ngram_jaccard", "mode", ("jac", "contain")),
-        ("q45_knn_bruteforce", "method", ("brute", "mrl")),
+        ("q45_knn_bruteforce", "method", ("brute", "mrl", "pca")),
         (
             "q46_ann_lsh_ivf",
             "method",

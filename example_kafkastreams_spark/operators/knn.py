@@ -238,6 +238,31 @@ def pca_train(
     ]
 
 
+def pca_project_exprs(
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str,
+    d: str,
+) -> list[str]:
+    """The projection as a DUAL-DIALECT expression list — one fold per
+    output dim: out[j] = dot(vec, comp_j) − dot(mean, comp_j), each
+    component a spliced double-literal vector and the mean dot
+    precomputed in Python with P.dot's exact ascending fold order.
+    Shared by ``pca_project`` (Spark) and q45's ``pca`` oracle arm
+    (DuckDB), so both engines run the identical IEEE sequence."""
+    outs = []
+    for comp in components:
+        lit = P.vec_literal(comp, d)
+        mdot = sum(
+            m * c for m, c in zip(mean, comp)
+        )  # driver-side scalar, exact same fold order as P.dot
+        outs.append(
+            f"({P.dot(vec_col, lit, d)})"
+            f" - CAST('{mdot!r}' AS DOUBLE)"
+        )
+    return outs
+
+
 def pca_project(
     emb: DataFrame,
     mean: list[float],
@@ -250,16 +275,7 @@ def pca_project(
     a spliced double-literal vector and the mean dot precomputed in
     Python — one fold per output dim, zero shuffle, the whole model in
     the plan (the classifier/bloom literal-inlining discipline)."""
-    outs = []
-    for comp in components:
-        lit = P.vec_literal(comp, P.SPARK)
-        mdot = sum(
-            m * c for m, c in zip(mean, comp)
-        )  # driver-side scalar, exact same fold order as P.dot
-        outs.append(
-            f"({P.dot(vec_col, lit, P.SPARK)})"
-            f" - CAST('{mdot!r}' AS DOUBLE)"
-        )
+    outs = pca_project_exprs(mean, components, vec_col, P.SPARK)
     return emb.withColumn(
         out_col, F.expr("array(" + ", ".join(outs) + ")")
     )
@@ -274,13 +290,18 @@ def pca_knn(
     sample_n: int = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    basis: tuple[list[float], list[list[float]]] | None = None,
 ) -> DataFrame:
     """PCA-shortlisted exact search: train the sampled basis, project
     map-side, shortlist by reduced-space cosine, exact full-dim refine
     — ``matryoshka_knn``'s shape with a TRAINED front instead of a
     prefix (for embeddings that don't front-load information, the PCA
-    basis concentrates variance the prefix can't)."""
-    mean, comps = pca_train(
+    basis concentrates variance the prefix can't). Pass ``basis`` =
+    (mean, components) to serve under a SHIPPED basis (the
+    tokenizer/codebook convention — q45's ``pca`` branch splices
+    ``pca_basis.PCA_MEAN/PCA_COMPS`` into both engines) and skip the
+    in-session training; ``out_dim``/``sample_n`` are ignored then."""
+    mean, comps = basis if basis is not None else pca_train(
         emb, out_dim=out_dim, sample_n=sample_n,
         id_col=id_col, vec_col=vec_col,
     )

@@ -606,6 +606,17 @@ def q44_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANES = KNN.hyperplanes()
 
 
+def _pca_red_sql(vec_col: str, d: str) -> str:
+    """The shipped-basis PCA projection (pca_basis.PCA_MEAN/PCA_COMPS)
+    as one array expression — built by the same dual-dialect generator
+    the Spark operator uses, so both engines fold bit-identically."""
+    from .pca_basis import PCA_COMPS, PCA_MEAN
+
+    outs = KNN.pca_project_exprs(PCA_MEAN, PCA_COMPS, vec_col, d)
+    body = ", ".join(outs)
+    return f"array({body})" if d == P.SPARK else f"[{body}]"
+
+
 @query(
     "q45_knn_bruteforce",
     oracle=f"""
@@ -640,6 +651,36 @@ _PLANES = KNN.hyperplanes()
                                 ORDER BY {P.cosine('qv', 'cv', D)} DESC,
                                          neighbor_id) AS knn_rank
       FROM ms
+    ),
+    pj AS (
+      SELECT vec_id, embedding, {_pca_red_sql('embedding', D)} AS red
+      FROM embeddings
+    ),
+    pq2 AS (
+      SELECT vec_id AS query_id, embedding AS qv, red AS qr
+      FROM pj WHERE vec_id < 8
+    ),
+    pc2 AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, red AS cr FROM pj
+    ),
+    pmj AS (
+      SELECT query_id, neighbor_id, qv, cv,
+             {P.cosine('qr', 'cr', D)} AS pcos
+      FROM pc2, pq2 WHERE neighbor_id <> query_id
+    ),
+    pms AS (
+      SELECT query_id, neighbor_id, qv, cv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY pcos DESC, neighbor_id) AS srank
+        FROM pmj
+      ) WHERE srank <= 32
+    ),
+    pmr AS (
+      SELECT query_id, neighbor_id, {P.cosine('qv', 'cv', D)} AS cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY {P.cosine('qv', 'cv', D)} DESC,
+                                         neighbor_id) AS knn_rank
+      FROM pms
     )
     SELECT 'brute' AS method, query_id, neighbor_id,
            {P.round_dbl('cos_raw', 6, D)} AS cosine, knn_rank
@@ -648,6 +689,10 @@ _PLANES = KNN.hyperplanes()
     SELECT 'mrl', query_id, neighbor_id,
            {P.round_dbl('cos_raw', 6, D)} AS cosine, knn_rank
     FROM mr WHERE knn_rank <= 5
+    UNION ALL
+    SELECT 'pca', query_id, neighbor_id,
+           {P.round_dbl('cos_raw', 6, D)} AS cosine, knn_rank
+    FROM pmr WHERE knn_rank <= 5
     """,
 )
 def q45_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,7 +704,18 @@ def q45_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-first storage layout would read quarter the vector bytes),
     exact full-dim refine on the 32-candidate shortlist; refine ranks
     are driver-VALUE-checked against DuckDB's independent two-phase
-    rederivation."""
+    rederivation. ``pca`` (round 11): the same two-phase shape with a
+    TRAINED front — project onto the SHIPPED 8-component basis
+    (pca_basis.PCA_MEAN/PCA_COMPS, the tokenizer/codebook artifact
+    convention; one spliced-literal fold per output dim, zero extra
+    shuffle), shortlist by reduced-space cosine, exact full-dim
+    refine. The oracle re-derives the projection with the identical
+    dual-dialect expressions (knn.pca_project_exprs) plus the
+    two-phase rank — the basis cannot be SQL-trained (SVD), so
+    training stays unit-tested and the SHIPPED basis is the checked
+    contract, exactly the sample-quantizer designation convention."""
+    from .pca_basis import PCA_COMPS, PCA_MEAN
+
     emb = load_table(spark, sf_dir, "embeddings")
     brute = KNN.brute_force_knn(emb, num_queries=8, k=5).select(
         F.lit("brute").alias("method"), "*"
@@ -667,7 +723,11 @@ def q45_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     mrl = KNN.matryoshka_knn(
         emb, num_queries=8, k=5, prefix_dim=16, shortlist=32
     ).select(F.lit("mrl").alias("method"), "*")
-    return brute.unionByName(mrl)
+    pca = KNN.pca_knn(
+        emb, num_queries=8, k=5, shortlist=32,
+        basis=(PCA_MEAN, PCA_COMPS),
+    ).select(F.lit("pca").alias("method"), "*")
+    return brute.unionByName(mrl).unionByName(pca)
 
 
 def _bucket_cte(d: str) -> str:

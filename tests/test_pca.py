@@ -118,3 +118,65 @@ def test_pca_projection_is_map_side(spark):
     emb = load_table(spark, SMOKE, "embeddings")
     mean, comps = pca_train(emb, out_dim=8)
     assert count_exchanges(pca_project(emb, mean, comps)) == 0
+
+
+def test_pinned_basis_matches_provenance_recipe(spark):
+    """pca_basis.PCA_MEAN/PCA_COMPS must be reproducible from the
+    documented recipe (first 256 id-ordered sf0.01 embeddings,
+    out_dim=8) — reprs round-trip the exact doubles, so equality is
+    bitwise."""
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.pca_basis import PCA_COMPS, PCA_MEAN
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    mean, comps = pca_train(emb, out_dim=8, sample_n=256)
+    assert mean == PCA_MEAN
+    assert comps == PCA_COMPS
+
+
+def test_pca_knn_shipped_basis_skips_training(spark):
+    """basis= serves without a training collect and matches the
+    explicitly two-stage project+rank derivation."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.pca_basis import PCA_COMPS, PCA_MEAN
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = sorted(
+        map(
+            tuple,
+            pca_knn(
+                emb, num_queries=4, k=3, shortlist=16,
+                basis=(PCA_MEAN, PCA_COMPS),
+            ).collect(),
+        )
+    )
+    # independent derivation: project, then brute-rank the reduced
+    # shortlist and refine full-dim with the same tiebreak
+    proj = pca_project(emb, PCA_MEAN, PCA_COMPS)
+    rows = proj.select("vec_id", "embedding", "reduced").collect()
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    want = []
+    qs = [r for r in rows if r.vec_id < 4]
+    for q in qs:
+        cand = [r for r in rows if r.vec_id != q.vec_id]
+        short = sorted(
+            cand, key=lambda r: (-cos(q.reduced, r.reduced), r.vec_id)
+        )[:16]
+        ref = sorted(
+            short, key=lambda r: (-cos(q.embedding, r.embedding), r.vec_id)
+        )[:3]
+        for rank, r in enumerate(ref, 1):
+            want.append(
+                (q.vec_id, r.vec_id,
+                 round(cos(q.embedding, r.embedding), 6), rank)
+            )
+    assert got == sorted(want)
