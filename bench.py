@@ -380,7 +380,7 @@ def main() -> None:
             ("srp", "kmv", "kmvops", "cms", "hll", "hll_est",
              "hll_grp", "hll_grp_est", "hist", "hist_grp"),
         ),
-        ("q59_dedup_edit_distance", "mode", ("edit", "er")),
+        ("q59_dedup_edit_distance", "mode", ("edit", "er", "er2")),
         ("q61_domain_mixing", "mode",
          ("mix", "card", "temp", "budget", "drift")),
         ("q62_pii_scrub", "mode", ("pii", "norm", "ccn")),

@@ -1714,14 +1714,15 @@ _ER_MAX_BLOCK = 256
     pdf AS (
       SELECT tok, count(*) AS df FROM pex GROUP BY tok
     ),
+    pranked AS (
+      SELECT e.p_partkey, e.tok,
+             row_number() OVER (
+               PARTITION BY e.p_partkey ORDER BY d.df, e.tok
+             ) AS rn
+      FROM pex e JOIN pdf d ON d.tok = e.tok
+    ),
     pblock AS (
-      SELECT p_partkey, tok AS block FROM (
-        SELECT e.p_partkey, e.tok,
-               row_number() OVER (
-                 PARTITION BY e.p_partkey ORDER BY d.df, e.tok
-               ) AS rn
-        FROM pex e JOIN pdf d ON d.tok = e.tok
-      ) WHERE rn = 1
+      SELECT p_partkey, tok AS block FROM pranked WHERE rn = 1
     ),
     pbsz AS (
       SELECT block, count(*) AS bn FROM pblock GROUP BY block
@@ -1729,6 +1730,25 @@ _ER_MAX_BLOCK = 256
     pb AS (
       SELECT p.p_partkey, p.block FROM pblock p
       JOIN pbsz s ON s.block = p.block WHERE s.bn <= {_ER_MAX_BLOCK}
+    ),
+    -- er2: multi-key blocking (top-2 rarest tokens per record), the
+    -- recall extension — the same per-record (df, tok) rank kept to
+    -- rn <= 2, per-key df cap, and a DISTINCT over candidate id pairs
+    -- because two records can now meet through several blocks
+    pblock2 AS (
+      SELECT p_partkey, tok AS block FROM pranked WHERE rn <= 2
+    ),
+    pbsz2 AS (
+      SELECT block, count(*) AS bn FROM pblock2 GROUP BY block
+    ),
+    pb2 AS (
+      SELECT p.p_partkey, p.block FROM pblock2 p
+      JOIN pbsz2 s ON s.block = p.block WHERE s.bn <= {_ER_MAX_BLOCK}
+    ),
+    ercand2 AS (
+      SELECT DISTINCT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM pb2 a JOIN pb2 b
+        ON a.block = b.block AND a.p_partkey < b.p_partkey
     ),
     erpairs AS (
       SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
@@ -1748,6 +1768,24 @@ _ER_MAX_BLOCK = 256
         ON a.block = b.block AND a.p_partkey < b.p_partkey
       JOIN ptoks ta ON ta.p_partkey = a.p_partkey
       JOIN ptoks tb ON tb.p_partkey = b.p_partkey
+    ),
+    erpairs2 AS (
+      SELECT c.id_a, c.id_b,
+             CAST('0.5' AS DOUBLE)
+               * (CAST({P.size_(P.intersect_('ta.toks', 'tb.toks', D), D)}
+                    AS DOUBLE)
+                  / CAST({P.union_size('ta.toks', 'tb.toks', D)} AS DOUBLE))
+             + CAST('0.3' AS DOUBLE)
+               * (CASE WHEN ta.p_brand = tb.p_brand
+                       THEN CAST('1.0' AS DOUBLE)
+                       ELSE CAST('0.0' AS DOUBLE) END)
+             + CAST('0.2' AS DOUBLE)
+               * (CASE WHEN ta.p_type = tb.p_type
+                       THEN CAST('1.0' AS DOUBLE)
+                       ELSE CAST('0.0' AS DOUBLE) END) AS score
+      FROM ercand2 c
+      JOIN ptoks ta ON ta.p_partkey = c.id_a
+      JOIN ptoks tb ON tb.p_partkey = c.id_b
     )
     SELECT 'edit' AS mode, id_a, id_b, score FROM (
       SELECT c.doc_a AS id_a, c.doc_b AS id_b,
@@ -1760,6 +1798,9 @@ _ER_MAX_BLOCK = 256
     UNION ALL
     SELECT 'er' AS mode, id_a, id_b, round(CAST(score AS DOUBLE), 6)
     FROM erpairs WHERE round(CAST(score AS DOUBLE), 6) >= 0.7
+    UNION ALL
+    SELECT 'er2' AS mode, id_a, id_b, round(CAST(score AS DOUBLE), 6)
+    FROM erpairs2 WHERE round(CAST(score AS DOUBLE), 6) >= 0.7
     """,
 )
 def q59_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1773,7 +1814,12 @@ def q59_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted multi-attribute score 0.5·jaccard(name tokens) +
     0.3·[brand equal] + 0.2·[type equal] ≥ 0.7 within blocks; the
     dedup machinery generalizing beyond documents to relational
-    entities."""
+    entities. ``er2`` (round 11): the MULTI-KEY blocking recall
+    extension driver-checked — each record emits its top-2 rarest
+    tokens (the same (df, tok) rank kept to 2), candidate id pairs
+    DISTINCT before scoring (a pair can now meet through several
+    blocks); cross-name matches that disagree on the single rarest
+    token still meet (the recall case tests/test_entity.py pins)."""
     from .operators.entity import blocked_er_matches
     from .operators.neardup import edit_distance_pairs
 
@@ -1787,16 +1833,21 @@ def q59_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("id_b"),
         F.col("edit_ratio").alias("score"),
     )
-    er = blocked_er_matches(
-        load_table(spark, sf_dir, "part"),
-        id_col="p_partkey",
-        name_col="p_name",
-        exact_cols={"p_brand": 0.3, "p_type": 0.2},
-        name_weight=0.5,
-        threshold=0.7,
-        max_block=_ER_MAX_BLOCK,
-    ).select(F.lit("er").alias("mode"), "id_a", "id_b", "score")
-    return edit.unionByName(er)
+    part = load_table(spark, sf_dir, "part")
+
+    def _er(num_keys: int, tag: str) -> DataFrame:
+        return blocked_er_matches(
+            part,
+            id_col="p_partkey",
+            name_col="p_name",
+            exact_cols={"p_brand": 0.3, "p_type": 0.2},
+            name_weight=0.5,
+            threshold=0.7,
+            max_block=_ER_MAX_BLOCK,
+            num_keys=num_keys,
+        ).select(F.lit(tag).alias("mode"), "id_a", "id_b", "score")
+
+    return edit.unionByName(_er(1, "er")).unionByName(_er(2, "er2"))
 
 
 # --- q58: sign-random-projection bucket histogram -------------------------

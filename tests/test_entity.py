@@ -194,3 +194,105 @@ def test_empty_name_records_drop_out_of_blocking(spark):
         erm(recs, "id", "name",
             exact_cols={"brand": 0.3, "typ": 0.2}).count() == 0
     )
+
+
+def test_multikey_recall_case_under_the_oracle(spark):
+    """The cross-name recall case re-derived by DuckDB running the
+    q59 oracle's multi-key derivation (pranked rank <= j, per-key df
+    cap, DISTINCT candidates, weighted score): (1, 2) invisible at
+    num_keys=1, found at num_keys=2 — on BOTH engines, with equal
+    (id_a, id_b, score) rows."""
+    import duckdb
+
+    from example_kafkastreams_spark.functions import portable as P
+
+    D = P.DUCK
+    rows = [
+        (1, "xxuniq shared", "b1", "t1"),
+        (2, "yyuniq shared", "b1", "t1"),
+        (3, "other thing", "b9", "t9"),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE recs(id BIGINT, name VARCHAR, brand VARCHAR,"
+        " typ VARCHAR)"
+    )
+    con.executemany("INSERT INTO recs VALUES (?, ?, ?, ?)", rows)
+
+    def duck_pairs(num_keys: int):
+        toks = P.filter_(
+            P.distinct_(P.split_ws("name", D), D), "t", "t <> ''", D
+        )
+        sql = f"""
+        WITH ptoks AS (
+          SELECT id, {toks} AS toks, brand, typ FROM recs
+        ),
+        pex AS (SELECT id, unnest(toks) AS tok FROM ptoks),
+        pdf AS (SELECT tok, count(*) AS df FROM pex GROUP BY tok),
+        pranked AS (
+          SELECT e.id, e.tok,
+                 row_number() OVER (
+                   PARTITION BY e.id ORDER BY d.df, e.tok) AS rn
+          FROM pex e JOIN pdf d ON d.tok = e.tok
+        ),
+        pblock AS (
+          SELECT id, tok AS block FROM pranked WHERE rn <= {num_keys}
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM pblock a JOIN pblock b
+            ON a.block = b.block AND a.id < b.id
+        )
+        SELECT c.id_a, c.id_b,
+               round(CAST(
+                 CAST('0.5' AS DOUBLE)
+                 * (CAST({P.size_(P.intersect_('ta.toks', 'tb.toks', D), D)}
+                      AS DOUBLE)
+                    / CAST({P.union_size('ta.toks', 'tb.toks', D)}
+                      AS DOUBLE))
+                 + CAST('0.3' AS DOUBLE) * (CASE WHEN ta.brand = tb.brand
+                     THEN CAST('1.0' AS DOUBLE)
+                     ELSE CAST('0.0' AS DOUBLE) END)
+                 + CAST('0.2' AS DOUBLE) * (CASE WHEN ta.typ = tb.typ
+                     THEN CAST('1.0' AS DOUBLE)
+                     ELSE CAST('0.0' AS DOUBLE) END) AS DOUBLE), 6)
+               AS score
+        FROM cand c
+        JOIN ptoks ta ON ta.id = c.id_a
+        JOIN ptoks tb ON tb.id = c.id_b
+        WHERE round(CAST(
+                 CAST('0.5' AS DOUBLE)
+                 * (CAST({P.size_(P.intersect_('ta.toks', 'tb.toks', D), D)}
+                      AS DOUBLE)
+                    / CAST({P.union_size('ta.toks', 'tb.toks', D)}
+                      AS DOUBLE))
+                 + CAST('0.3' AS DOUBLE) * (CASE WHEN ta.brand = tb.brand
+                     THEN CAST('1.0' AS DOUBLE)
+                     ELSE CAST('0.0' AS DOUBLE) END)
+                 + CAST('0.2' AS DOUBLE) * (CASE WHEN ta.typ = tb.typ
+                     THEN CAST('1.0' AS DOUBLE)
+                     ELSE CAST('0.0' AS DOUBLE) END) AS DOUBLE), 6)
+              >= CAST('0.6' AS DOUBLE)
+        """
+        return sorted(map(tuple, con.execute(sql).fetchall()))
+
+    recs = _recs(spark, rows)
+    kw = dict(
+        id_col="id", name_col="name",
+        exact_cols={"brand": 0.3, "typ": 0.2}, threshold=0.6,
+    )
+
+    def spark_pairs(num_keys: int):
+        return sorted(
+            (r["id_a"], r["id_b"], r["score"])
+            for r in blocked_er_matches(
+                recs, num_keys=num_keys, **kw
+            ).collect()
+        )
+
+    d1, d2 = duck_pairs(1), duck_pairs(2)
+    s1, s2 = spark_pairs(1), spark_pairs(2)
+    assert s1 == d1
+    assert s2 == d2
+    assert all(p[:2] != (1, 2) for p in d1)
+    assert any(p[:2] == (1, 2) for p in d2)
