@@ -691,3 +691,85 @@ def test_maxsim_rerank_accepts_precomputed_candidates(spark):
         chunk_size=3, stride=2, candidates=cands,
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_maxsim_append_sink_streaming_golden(spark, tmp_path):
+    """REAL readStream golden (the bloom/cms/rollup sink shape): day-1
+    build, then document micro-batches through an actual file-backed
+    streaming query into maxsim_index_append_sink — the served top-k
+    must equal the in-session scorer over the full corpus, a
+    driver-restart replay of an applied batch must be a no-op
+    (dynamic-overwrite leaf rewrite), and the run must survive a
+    checkpointed stream restart."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.retrieval import (
+        maxsim_index_append_sink,
+        maxsim_index_query,
+        maxsim_index_write,
+        maxsim_top_docs,
+    )
+    from example_kafkastreams_spark.streaming.sources import (
+        file_stream,
+        stage_replayable_batches,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    day1 = docs.filter(F.col("doc_id") % 3 != 0)
+    path = str(tmp_path / "ms_live")
+    maxsim_index_write(day1, path)
+
+    delta = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    batches = [
+        [(r.doc_id, r.text) for r in delta.filter(
+            F.col("doc_id") % 6 == 0).collect()],
+        [(r.doc_id, r.text) for r in delta.filter(
+            F.col("doc_id") % 6 == 3).collect()],
+    ]
+    schema = T.StructType().add("doc_id", "long").add("text", "string")
+    src = str(tmp_path / "in")
+    stage_replayable_batches(spark, src, schema, batches)
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            maxsim_index_append_sink(spark, path, run_id="r1")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    qs = ["hash join", "scan filter"]
+    want = sorted(
+        map(tuple, maxsim_top_docs(docs, qs, top_k=5).collect())
+    )
+    assert sorted(
+        map(tuple, maxsim_index_query(spark, path, qs, top_k=5).collect())
+    ) == want
+
+    # driver restart: a FRESH sink instance replays an applied batch —
+    # the (run, batch) leaf rewrites itself, the serve is unchanged
+    sink_b = maxsim_index_append_sink(spark, path, run_id="r1")
+    replay = spark.createDataFrame(batches[1], schema)
+    sink_b(replay, 1)
+    assert sorted(
+        map(tuple, maxsim_index_query(spark, path, qs, top_k=5).collect())
+    ) == want
+
+    # checkpointed restart with no new files: no-op, serve unchanged
+    q2 = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            maxsim_index_append_sink(spark, path, run_id="r1")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert sorted(
+        map(tuple, maxsim_index_query(spark, path, qs, top_k=5).collect())
+    ) == want
