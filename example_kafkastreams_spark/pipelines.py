@@ -1396,6 +1396,12 @@ def corpus_stages_delta(
         exact, band_index, sketch=sketch, max_hamming=max_hamming,
         threshold=minhash_threshold,
     )
+    # the admission decision fans out (its own count + the chunk
+    # stage) and its poison probe re-derives the index bands per
+    # evaluation — persist so day-2's most expensive stage pair
+    # (admission + chunking) pays the banding once (r10's
+    # delta_funnel_stages attribution: neardup_admitted dominates)
+    admitted = persist_tracked(admitted)
     if scrub_pii:
         admitted = admitted.withColumn(
             "text", F.expr(P.pii_scrub("text", P.SPARK))

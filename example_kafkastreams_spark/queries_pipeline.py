@@ -781,6 +781,23 @@ def _funnel_sql() -> str:
 
 @query("q63_corpus_funnel", oracle=_funnel_sql())
 def q63_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(see _q63_build — memoized per (session, corpus) like
+    q55/q57/q58: both funnels run their component loops EAGERLY at
+    DataFrame-build time, so an un-memoized branch-timing filter pays
+    BOTH branches' builds on every call — the r10 attribution muddle.)
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _Q63_CACHE.get(key)
+    if cached is None:
+        cached = _q63_build(spark, sf_dir)
+        _Q63_CACHE[key] = cached
+    return cached
+
+
+_Q63_CACHE: dict = {}
+
+
+def _q63_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole pretrain corpus funnel (pipelines.corpus_stages) as one
     driver-checked row: per-stage survivor counts for quality filter →
     language filter → exact dedup → near-dup component survivor → PII
