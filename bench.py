@@ -378,7 +378,8 @@ def main() -> None:
             "q58_srp_histogram",
             "mode",
             ("srp", "kmv", "kmvops", "cms", "hll", "hll_est",
-             "hll_grp", "hll_grp_est", "hist", "hist_grp"),
+             "hll_grp", "hll_grp_est", "hist", "hist_grp", "qdig",
+             "qdig_q"),
         ),
         ("q59_dedup_edit_distance", "mode", ("edit", "er", "er2")),
         ("q61_domain_mixing", "mode",

@@ -1094,3 +1094,239 @@ def cms_store_sink(
             shutil.rmtree(os.path.join(path, prev), ignore_errors=True)
 
     return sink
+
+
+# --- q-digest: mergeable deterministic quantile sketch ----------------------
+# Shrivastava et al. 2004 ("Medians and Beyond"), rebuilt CANONICALLY:
+# the digest is a pure function of the value multiset — mass starts at
+# the integer leaves and percolates up the implicit binary tree level
+# by level; a parent absorbs its subtree's pending mass while the
+# running total stays <= floor(n/k), otherwise the pending children
+# become digest nodes. That determinism (no insertion order, no
+# randomness) is what lets a DuckDB twin re-derive every node AND the
+# quantile answers bitwise — the HLL/KMV cross-engine-exact
+# discipline applied to quantiles, where the engines' native
+# approx_percentile implementations never agree.
+#
+# Size: O(k log U) nodes (a kept sibling group's subtree total
+# exceeds n/k, so kept groups number <= k per level). Rank error of a
+# quantile answer: < log2(U)/k * n (each ancestor on the search path
+# contributes < n/k uncounted mass) — the classic bound, asserted in
+# tests. Exchange: the leaf aggregation is distinct-value-bounded and
+# every level above is smaller; the 100 TB shape is ONE value-keyed
+# agg then log2(U) shrinking aggregates.
+
+QDIG_LEVELS = 10  # domain [0, 1024) — events.value clamps into it
+QDIG_K = 32
+
+
+def qdigest_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = QDIG_K,
+    levels: int = QDIG_LEVELS,
+) -> tuple[DataFrame, int]:
+    """((level, lo, hi, cnt) digest nodes, n) — the canonical q-digest
+    of ``floor(value_col)`` clamped into [0, 2^levels). One count job
+    derives the compression threshold (the sampled-trainer convention:
+    a 1-row collect, never data rows); the level loop runs
+    ``levels`` tiny aggregates over shrinking frames, each
+    lineage-truncated (the plan would otherwise double per level —
+    keep/frontier both reference the previous frontier)."""
+    u = 1 << levels
+    leaf = df.select(
+        F.expr(
+            f"CAST(least(greatest(floor({value_col}), 0), {u - 1})"
+            " AS BIGINT)"
+        ).alias("idx")
+    )
+    fr = leaf.groupBy("idx").agg(F.count(F.lit(1)).alias("cnt"))
+    n = int(df.count())
+    thr = max(n // k, 1)
+    fr = fr.localCheckpoint()
+    kept = None
+    for lvl in range(levels):
+        par = fr.groupBy(F.expr("idx >> 1").alias("pidx")).agg(
+            F.sum("cnt").alias("tot")
+        )
+        joined = fr.join(
+            par, F.expr("idx >> 1") == F.col("pidx")
+        ).localCheckpoint()
+        keep_l = joined.filter(F.col("tot") > thr).select(
+            F.lit(lvl).alias("level"),
+            F.expr(f"idx * {1 << lvl}").alias("lo"),
+            F.expr(f"(idx + 1) * {1 << lvl} - 1").alias("hi"),
+            "cnt",
+        )
+        kept = keep_l if kept is None else kept.unionByName(keep_l)
+        fr = (
+            par.filter(F.col("tot") <= thr)
+            .select(F.col("pidx").alias("idx"), F.col("tot").alias("cnt"))
+            .localCheckpoint()
+        )
+    root = fr.select(
+        F.lit(levels).alias("level"),
+        F.expr(f"idx * {u}").alias("lo"),
+        F.expr(f"(idx + 1) * {u} - 1").alias("hi"),
+        "cnt",
+    )
+    out = root if kept is None else kept.unionByName(root)
+    return out.filter(F.col("cnt") > 0), n
+
+
+def qdigest_quantiles(
+    digest: DataFrame, n: int, qs: list[float]
+) -> DataFrame:
+    """(q, est) rows — for each quantile, the classic postorder scan:
+    digest nodes ordered by (hi, lo), cumulative count, the first node
+    whose running total reaches ceil(q·n) answers with its ``hi``.
+    Integer arithmetic after one pinned double multiply (q·n is the
+    same IEEE product in both engines), so answers are cross-engine
+    exact."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("hi", "lo").rowsBetween(W.unboundedPreceding, 0)
+    cum = digest.withColumn("cum", F.sum("cnt").over(w))
+    out = None
+    for q in qs:
+        rank = f"CAST(ceil(CAST('{q!r}' AS DOUBLE) * {n}) AS BIGINT)"
+        row = (
+            cum.filter(F.expr(f"cum >= greatest({rank}, 1)"))
+            .orderBy("hi", "lo")
+            .limit(1)
+            .select(
+                F.expr(f"CAST('{q!r}' AS DOUBLE)").alias("q"),
+                F.col("hi").alias("est"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def qdigest_merge(
+    a: DataFrame, b: DataFrame, n: int, k: int = QDIG_K,
+    levels: int = QDIG_LEVELS,
+) -> DataFrame:
+    """Merged digest: node counts union-summed, then the SAME
+    bottom-up percolation re-run with the combined n — mass already
+    settled at internal nodes re-enters the loop at its level (the
+    classic mergeability argument; the rank-error bound adds). The
+    result is a pure function of the two digests' node multisets, so
+    merge order and partitioning cannot change it."""
+    both = a.unionByName(b).groupBy("level", "lo", "hi").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    thr = max(n // k, 1)
+    kept = None
+    fr = None
+    for lvl in range(levels + 1):
+        at = both.filter(F.col("level") == lvl).select(
+            F.expr(f"lo >> {lvl}").alias("idx"), "cnt"
+        )
+        fr = at if fr is None else fr.unionByName(at).groupBy("idx").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        if lvl == levels:
+            break
+        par = fr.groupBy(F.expr("idx >> 1").alias("pidx")).agg(
+            F.sum("cnt").alias("tot")
+        )
+        joined = fr.join(
+            par, F.expr("idx >> 1") == F.col("pidx")
+        ).localCheckpoint()
+        keep_l = joined.filter(F.col("tot") > thr).select(
+            F.lit(lvl).alias("level"),
+            F.expr(f"idx * {1 << lvl}").alias("lo"),
+            F.expr(f"(idx + 1) * {1 << lvl} - 1").alias("hi"),
+            "cnt",
+        )
+        kept = keep_l if kept is None else kept.unionByName(keep_l)
+        fr = (
+            par.filter(F.col("tot") <= thr)
+            .select(F.col("pidx").alias("idx"), F.col("tot").alias("cnt"))
+            .localCheckpoint()
+        )
+    u = 1 << levels
+    root = fr.select(
+        F.lit(levels).alias("level"),
+        F.expr(f"idx * {u}").alias("lo"),
+        F.expr(f"(idx + 1) * {u} - 1").alias("hi"),
+        "cnt",
+    )
+    out = root if kept is None else kept.unionByName(root)
+    return out.filter(F.col("cnt") > 0)
+
+
+def qdigest_ctes(
+    leaf_sql: str,
+    k: int = QDIG_K,
+    levels: int = QDIG_LEVELS,
+    prefix: str = "qd",
+) -> str:
+    """DuckDB CTE chain re-deriving ``qdigest_build`` bitwise —
+    levels UNROLLED (the kmeans_exact_cent_ctes discipline). Ends with
+    ``{prefix}dig(level, lo, hi, cnt)`` and ``{prefix}n(n)``.
+    ``leaf_sql`` must yield one ``v`` column of raw values (the clamp
+    to [0, 2^levels) happens here, identically to the Spark side)."""
+    u = 1 << levels
+    parts = [
+        f"{prefix}leaf AS MATERIALIZED (\n"
+        f"  SELECT CAST(least(greatest(floor(v), 0), {u - 1}) AS BIGINT)"
+        f" AS idx FROM ({leaf_sql})\n)",
+        f"{prefix}n AS MATERIALIZED (SELECT count(*) AS n FROM {prefix}leaf)",
+        f"{prefix}thr AS MATERIALIZED"
+        f" (SELECT greatest(n // {k}, 1) AS t FROM {prefix}n)",
+        f"{prefix}fr0 AS MATERIALIZED (\n"
+        f"  SELECT idx, count(*) AS cnt FROM {prefix}leaf GROUP BY idx\n)",
+    ]
+    for lvl in range(levels):
+        parts.append(
+            f"{prefix}par{lvl} AS MATERIALIZED (\n"
+            f"  SELECT idx >> 1 AS pidx, SUM(cnt) AS tot"
+            f" FROM {prefix}fr{lvl} GROUP BY idx >> 1\n)"
+        )
+        parts.append(
+            f"{prefix}keep{lvl} AS (\n"
+            f"  SELECT {lvl} AS level, f.idx * {1 << lvl} AS lo,"
+            f" (f.idx + 1) * {1 << lvl} - 1 AS hi, f.cnt\n"
+            f"  FROM {prefix}fr{lvl} f JOIN {prefix}par{lvl} p"
+            f" ON p.pidx = (f.idx >> 1)\n"
+            f"  WHERE p.tot > (SELECT t FROM {prefix}thr)\n)"
+        )
+        parts.append(
+            f"{prefix}fr{lvl + 1} AS MATERIALIZED (\n"
+            f"  SELECT pidx AS idx, tot AS cnt FROM {prefix}par{lvl}\n"
+            f"  WHERE tot <= (SELECT t FROM {prefix}thr)\n)"
+        )
+    keeps = "\n  UNION ALL\n  ".join(
+        f"SELECT level, lo, hi, cnt FROM {prefix}keep{lvl}"
+        for lvl in range(levels)
+    )
+    parts.append(
+        f"{prefix}dig AS MATERIALIZED (\n"
+        f"  SELECT * FROM (\n  {keeps}\n  UNION ALL\n"
+        f"  SELECT {levels} AS level, idx * {u} AS lo,"
+        f" (idx + 1) * {u} - 1 AS hi, cnt FROM {prefix}fr{levels}\n"
+        f"  ) WHERE cnt > 0\n)"
+    )
+    return ",\n".join(parts)
+
+
+def qdigest_quantiles_sql(
+    qs: list[float], prefix: str = "qd"
+) -> str:
+    """The quantile scan over ``{prefix}dig`` as one SQL select —
+    (q, est) rows, the exact postorder cumulative rule of
+    ``qdigest_quantiles``."""
+    arms = []
+    for q in qs:
+        arms.append(
+            f"(SELECT CAST('{q!r}' AS DOUBLE) AS q, hi AS est FROM (\n"
+            f"  SELECT hi, lo, SUM(cnt) OVER"
+            f" (ORDER BY hi, lo ROWS UNBOUNDED PRECEDING) AS cum"
+            f" FROM {prefix}dig\n"
+            f") WHERE cum >= greatest(CAST(ceil(CAST('{q!r}' AS DOUBLE)"
+            f" * (SELECT n FROM {prefix}n)) AS BIGINT), 1)\n"
+            f"ORDER BY hi, lo LIMIT 1)"
+        )
+    return "\nUNION ALL\n".join(arms)

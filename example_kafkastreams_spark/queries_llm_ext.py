@@ -1867,6 +1867,22 @@ KMV_OPS_K = 256  # set-op sketch size — vocab overlap of two sources
 # is exact IEEE in both engines; values ≥ hi clamp to the last bucket
 HIST_LO, HIST_HI, HIST_N = 0.0, 512.0, 64
 HIST_W = (HIST_HI - HIST_LO) / HIST_N
+QDIG_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def _qdig_exact_arms() -> str:
+    """Exact-quantile twin arms over the leaf cumulative counts —
+    smallest integer leaf value whose cumulative count reaches
+    ceil(q·n), one parenthesized LIMIT-1 arm per q."""
+    arms = []
+    for q in QDIG_QS:
+        arms.append(
+            f"(SELECT CAST('{q!r}' AS DOUBLE) AS q, idx AS exact_v"
+            f" FROM qdcum WHERE cum >= greatest(CAST(ceil("
+            f"CAST('{q!r}' AS DOUBLE) * (SELECT n FROM qdn)) AS BIGINT),"
+            f" 1) ORDER BY idx LIMIT 1)"
+        )
+    return "\nUNION ALL\n".join(arms)
 
 
 def _q58_sql() -> str:
@@ -1876,6 +1892,8 @@ def _q58_sql() -> str:
         hll_registers_sql,
         kmv_distinct_sql,
         kmv_set_ops_sql,
+        qdigest_ctes,
+        qdigest_quantiles_sql,
     )
 
     toks = f"SELECT unnest({P.split_ws('text', D)}) AS v FROM documents"
@@ -1983,7 +2001,22 @@ def _q58_sql() -> str:
              {HIST_N - 1}) AS bucket,
              count(*) AS cnt
       FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-    )
+    ),
+    -- qdig/qdig_q branches: the q-digest re-derived level by level
+    -- (sketches.qdigest_ctes — unrolled percolation, the
+    -- kmeans_exact_cent_ctes discipline) plus the exact quantile twin
+    -- from the leaf cumulative counts
+    {qdigest_ctes("SELECT value AS v FROM events WHERE value IS NOT NULL")},
+    qdq AS ({qdigest_quantiles_sql(list(QDIG_QS))}),
+    qdleafc AS (
+      SELECT idx, count(*) AS cnt FROM qdleaf GROUP BY idx
+    ),
+    qdcum AS (
+      SELECT idx,
+             SUM(cnt) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum
+      FROM qdleafc
+    ),
+    qdexact AS ({_qdig_exact_arms()})
     SELECT 'srp' AS mode, srp_bucket,
            count(*) AS n_vectors, min(vec_id) AS min_vec_id,
            CAST(NULL AS INTEGER) AS k_used,
@@ -2090,6 +2123,26 @@ def _q58_sql() -> str:
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS BIGINT)
     FROM histgrp
+    UNION ALL
+    SELECT 'qdig', CAST(level AS INTEGER), cnt, lo,
+           CAST(NULL AS INTEGER), hi,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM qddig
+    UNION ALL
+    SELECT 'qdig_q', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(q2.est AS DOUBLE), x.exact_v,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), q2.q,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM qdq q2 JOIN qdexact x ON x.q = q2.q
     """
 
 
@@ -2309,6 +2362,70 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("srp_bucket"),
         F.col("cnt").alias("n_vectors"),
     )
+    # qdig/qdig_q branches (round 11): the q-digest mergeable quantile
+    # sketch over events.value — every digest node AND every quantile
+    # answer cross-engine exact (operators.sketches module comment);
+    # the exact quantile ships beside each estimate (the HLL/KMV
+    # honesty convention). Unlike the equi-width histogram it needs no
+    # (lo, hi) priors — the domain is the integer tree.
+    from pyspark.sql import Window as _W
+
+    from .operators.sketches import (
+        QDIG_K,
+        QDIG_LEVELS,
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    qd_src = ev.filter(F.col("value").isNotNull()).select("value")
+    qdig_nodes, qd_n = qdigest_build(qd_src, "value", QDIG_K)
+    qd = qdig_nodes.select(
+        F.col("level").cast("int").alias("srp_bucket"),
+        F.col("cnt").alias("n_vectors"),
+        F.col("lo").alias("min_vec_id"),
+        F.col("hi").alias("kth_hash"),
+    )
+    qd_u = 1 << QDIG_LEVELS
+    leafc = (
+        qd_src.select(
+            F.expr(
+                f"CAST(least(greatest(floor(value), 0), {qd_u - 1})"
+                " AS BIGINT)"
+            ).alias("idx")
+        )
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "cum",
+            F.sum("cnt").over(
+                _W.orderBy("idx").rowsBetween(_W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    qd_exact = None
+    for _q in QDIG_QS:
+        _rank = (
+            f"CAST(ceil(CAST('{_q!r}' AS DOUBLE) * {qd_n}) AS BIGINT)"
+        )
+        _row = (
+            leafc.filter(F.expr(f"cum >= greatest({_rank}, 1)"))
+            .orderBy("idx")
+            .limit(1)
+            .select(
+                F.expr(f"CAST('{_q!r}' AS DOUBLE)").alias("q"),
+                F.col("idx").alias("exact_v"),
+            )
+        )
+        qd_exact = _row if qd_exact is None else qd_exact.unionByName(_row)
+    qdq = (
+        qdigest_quantiles(qdig_nodes, qd_n, list(QDIG_QS))
+        .join(qd_exact, "q")
+        .select(
+            F.col("q").alias("jaccard_est"),
+            F.col("est").cast("double").alias("est_distinct"),
+            F.col("exact_v").alias("exact_distinct"),
+        )
+    )
 
     null = {
         "k_used": "int", "kth_hash": "long", "est_distinct": "double",
@@ -2348,5 +2465,13 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pad(hist, "hist", ["srp_bucket", "n_vectors"]))
         .unionByName(
             pad(ghist, "hist_grp", ["probe", "srp_bucket", "n_vectors"])
+        )
+        .unionByName(
+            pad(qd, "qdig",
+                ["srp_bucket", "n_vectors", "min_vec_id", "kth_hash"])
+        )
+        .unionByName(
+            pad(qdq, "qdig_q",
+                ["jaccard_est", "est_distinct", "exact_distinct"])
         )
     )
