@@ -362,7 +362,7 @@ def main() -> None:
         ("q50_token_stats", "mode", ("stats", "bpe", "dupgram")),
         ("q54_chunk_documents", "mode",
          ("chunk", "dedup", "substr", "rebuilt", "shard", "masks",
-          "packmask")),
+          "packmask", "lbatch")),
         (
             "q55_tfidf_top_term",
             "mode",

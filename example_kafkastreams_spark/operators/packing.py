@@ -324,3 +324,81 @@ def write_training_shards(
         .partitionBy("__shard")
         .parquet(path)
     )
+
+
+# --- length-bucketed batching ------------------------------------------------
+
+def length_bucketed_batches(
+    chunks: DataFrame,
+    batch_size: int,
+    bounds: tuple[int, ...],
+    len_col: str = "n_tokens",
+    key_cols: tuple[str, str] = ("doc_id", "chunk_idx"),
+) -> DataFrame:
+    """Assign training sequences to LENGTH-BUCKETED batches — the
+    dynamic-batching move every trainer data loader makes: a batch
+    pads to its longest member, so batching a 3-token sequence with a
+    32-token one wastes 29 slots per row; grouping near-equal lengths
+    first makes padding waste collapse.
+
+    ``bounds`` are ascending bucket lower-edges (a sequence's bucket =
+    #bounds ≤ its length — a static CASE ladder, map-side). Within a
+    bucket, sequences order CANONICALLY by (length, *key_cols) — a
+    pure function of the data, so batch membership and order are
+    partition/run-independent (the canonical-packing discipline, which
+    also makes the assignment cross-engine checkable) — and batch
+    ``(rn−1) div batch_size`` follows. Returns the input plus
+    (bucket, batch_idx, batch_ord).
+
+    Scale shape: one exchange on the bucket key (the row_number
+    window); everything else is map-side. At 100 TB you'd range-bucket
+    the window by (bucket, length prefix) — same result by
+    canonicality.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    if list(bounds) != sorted(set(bounds)):
+        raise ValueError("bounds must be strictly ascending")
+    from pyspark.sql import Window as W
+
+    ladder = " + ".join(
+        [f"(CASE WHEN {len_col} >= {b} THEN 1 ELSE 0 END)" for b in bounds]
+    ) or "0"
+    w = W.partitionBy("bucket").orderBy(
+        F.col(len_col), *[F.col(c) for c in key_cols]
+    )
+    return (
+        chunks.withColumn("bucket", F.expr(f"CAST(({ladder}) AS INT)"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "batch_idx",
+            F.expr(f"CAST((__rn - 1) DIV {batch_size} AS INT)"),
+        )
+        .withColumn(
+            "batch_ord",
+            F.expr(f"CAST((__rn - 1) % {batch_size} AS INT)"),
+        )
+        .drop("__rn")
+    )
+
+
+def padding_stats(
+    batched: DataFrame, len_col: str = "n_tokens"
+) -> DataFrame:
+    """Per-batch padding accounting over ``length_bucketed_batches``
+    output: (bucket, batch_idx, n_seqs, max_len, sum_len, padded) with
+    ``padded = n_seqs·max_len − sum_len`` — the tokens a trainer
+    computes attention over but never learns from. Exact integer
+    counts; group-bounded exchange."""
+    return (
+        batched.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.max(len_col).alias("max_len"),
+            F.sum(len_col).alias("sum_len"),
+        )
+        .withColumn(
+            "padded",
+            F.col("n_seqs") * F.col("max_len") - F.col("sum_len"),
+        )
+    )

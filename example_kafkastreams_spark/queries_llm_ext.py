@@ -60,6 +60,12 @@ SUBSTR_K = 16  # window length for the exact-substring dedup branch
 SHARD_PACK_BUDGET = 96
 NUM_SHARDS = 8
 
+# lbatch branch: length-bucketed batching (operators.packing) — batch
+# size and ascending bucket lower-edges over the 1..CHUNK_SIZE
+# token-length range
+LB_BATCH = 8
+LB_BOUNDS = (9, 17, 25)
+
 
 def _chunk_dedup_sql() -> str:
     """Tag merge of the chunk table, its passage-level dedup
@@ -185,6 +191,30 @@ def _chunk_dedup_sql() -> str:
       SELECT shard, count(*) AS n_packs, sum(pack_tokens) AS tot_tokens,
              md5(string_agg(pack_id, ',' ORDER BY shard_ord)) AS fp
       FROM placed GROUP BY shard
+    ),
+    -- lbatch branch: length-bucketed batching — static bucket ladder,
+    -- canonical (length, doc, idx) order within bucket, fixed batch
+    -- size; one order-sensitive membership fingerprint per batch (the
+    -- shard-fp discipline) plus the padding accounting
+    lb0 AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             CAST(((CASE WHEN n_tokens >= 9 THEN 1 ELSE 0 END) + (CASE WHEN n_tokens >= 17 THEN 1 ELSE 0 END) + (CASE WHEN n_tokens >= 25 THEN 1 ELSE 0 END)) AS INTEGER) AS bucket
+      FROM chunks
+    ),
+    lbr AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY bucket ORDER BY n_tokens, doc_id, chunk_idx
+      ) AS rn
+      FROM lb0
+    ),
+    lbatch AS (
+      SELECT bucket, CAST((rn - 1) // 8 AS INTEGER) AS batch_idx,
+             count(*) AS n_seqs, max(n_tokens) AS max_len,
+             sum(n_tokens) AS sum_len,
+             md5(string_agg(
+               CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR),
+               ',' ORDER BY rn)) AS fp
+      FROM lbr GROUP BY bucket, (rn - 1) // 8
     )
     SELECT 'chunk' AS mode, doc_id, chunk_idx, chunk_text, n_tokens,
            CAST(NULL AS BIGINT) AS n_copies
@@ -235,6 +265,13 @@ def _chunk_dedup_sql() -> str:
            CAST(NULL AS BIGINT)
     FROM cmask m JOIN passign a
       ON a.doc_id = m.doc_id AND a.chunk_idx = m.chunk_idx
+    UNION ALL
+    -- lbatch branch: one row per (bucket, batch) — fingerprint proves
+    -- membership AND order; n_tokens carries the padding waste
+    SELECT 'lbatch', CAST(bucket AS BIGINT), batch_idx, fp,
+           CAST(n_seqs * max_len - sum_len AS INTEGER),
+           CAST(n_seqs AS BIGINT)
+    FROM lbatch
     """
 
 
@@ -274,9 +311,17 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.packing.pack_assignments (the membership/offset table of
     the canonical fold) shifts each chunk-local range by the chunk's
     pack_offset; chunk_text carries 'pack_id:start-end' in pack
-    content-token coordinates, the mask a trainer actually applies."""
+    content-token coordinates, the mask a trainer actually applies.
+    ``lbatch`` (round 11): length-bucketed batching
+    (operators.packing.length_bucketed_batches/padding_stats) — the
+    dynamic-batching move a trainer data loader makes; one row per
+    (bucket, batch) with an order-sensitive membership fingerprint
+    (doc_id carries the bucket, chunk_idx the batch, chunk_text the
+    fingerprint, n_tokens the padding waste, n_copies the batch
+    occupancy)."""
     from .operators.cache import persist_tracked
     from .operators.packing import (
+        length_bucketed_batches,
         pack_assignments,
         pack_chunks,
         shard_assignment,
@@ -388,7 +433,44 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("n_tokens"),
             F.lit(None).cast("long").alias("n_copies"),
         )
-    ).unionByName(shard_rows)
+    ).unionByName(shard_rows).unionByName(
+        length_bucketed_batches(chunks, LB_BATCH, LB_BOUNDS)
+        .groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "batch_ord",
+                                    F.concat(
+                                        F.col("doc_id").cast("string"),
+                                        F.lit(":"),
+                                        F.col("chunk_idx").cast("string"),
+                                    ).alias("k"),
+                                )
+                            )
+                        ),
+                        lambda st: st["k"],
+                    ),
+                    ",",
+                )
+            ).alias("fp"),
+        )
+        .select(
+            F.lit("lbatch").alias("mode"),
+            F.col("bucket").cast("long").alias("doc_id"),
+            F.col("batch_idx").alias("chunk_idx"),
+            F.col("fp").alias("chunk_text"),
+            (F.col("n_seqs") * F.col("max_len") - F.col("sum_len"))
+            .cast("int").alias("n_tokens"),
+            F.col("n_seqs").alias("n_copies"),
+        )
+    )
 
 
 # --- q55: TF-IDF top term per document + BM25 retrieval -------------------
