@@ -1217,6 +1217,37 @@ def maxsim_index_append_sink(
     return sink
 
 
+def maxsim_index_compact(spark, path: str, num_buckets: int = 8):
+    """Fold the MaxSim index's accumulated per-batch delta leaves —
+    the index_maint discipline applied to the late-interaction grain,
+    completing the compaction family (digest/band/SRP/whash, now
+    chunk vectors). Delegates to ``compact_index`` on the
+    ``chunks_delta`` dir: rows dedup by ``distinct()`` (a replayed
+    batch's rows are EXACT duplicates, and MaxSim scoring is
+    max-based so duplicates never change a serve either way), the
+    additive-then-prune rewrite keeps every intermediate crash state
+    a serve-identical superset, and each run's frontier batch is held
+    back so a foreachBatch replay can still rewrite its own leaf.
+    ``maxsim_index_query`` reads the path unchanged; serves are
+    bit-identical before and after. Returns the bucketed catalog
+    frame (doc_id-bucketed) or None when no deltas exist."""
+    import os
+
+    from .index_maint import compact_index
+
+    d = os.path.join(path, _MSDELTA)
+    if not os.path.isdir(d):
+        return None
+    return compact_index(
+        spark,
+        d,
+        bucket_cols=["doc_id"],
+        key_cols=None,
+        id_col=None,
+        num_buckets=num_buckets,
+    )
+
+
 def maxsim_rerank(
     docs: DataFrame,
     queries: list[str],

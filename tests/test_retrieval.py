@@ -773,3 +773,66 @@ def test_maxsim_append_sink_streaming_golden(spark, tmp_path):
     assert sorted(
         map(tuple, maxsim_index_query(spark, path, qs, top_k=5).collect())
     ) == want
+
+
+def test_maxsim_index_compaction_serve_identical(spark, tmp_path):
+    """Compaction folds the delta leaves (frontier held back), the
+    serve is bit-identical before/after, a post-compaction replay of
+    the frontier batch changes nothing (max-based scoring is
+    duplicate-insensitive), and re-compaction is idempotent."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from example_kafkastreams_spark.catalog import load_table
+    from example_kafkastreams_spark.operators.retrieval import (
+        maxsim_index_append_sink,
+        maxsim_index_compact,
+        maxsim_index_query,
+        maxsim_index_write,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "ms_c")
+    maxsim_index_write(docs.filter(F.col("doc_id") % 3 != 0), path)
+    sink = maxsim_index_append_sink(spark, path, run_id="r1")
+    batches = [
+        docs.filter(F.col("doc_id") % 9 == 0),
+        docs.filter(F.col("doc_id") % 9 == 3),
+        docs.filter(F.col("doc_id") % 9 == 6),
+    ]
+    for i, b in enumerate(batches):
+        sink(b.select("doc_id", "text"), i)
+
+    qs = ["hash join", "scan filter"]
+    before = sorted(
+        map(tuple, maxsim_index_query(spark, path, qs, top_k=5).collect())
+    )
+    maxsim_index_compact(spark, path)
+    delta_dir = os.path.join(path, "chunks_delta")
+    runs = sorted(
+        e for e in os.listdir(delta_dir) if e.startswith("ingest_run=")
+    )
+    # batches 0 and 1 folded; batch 2 is the run frontier, held back
+    assert "ingest_run=__compacted__" in runs
+    assert any("ingest_run=__compacted__" != r for r in runs)
+    assert sorted(
+        map(tuple, maxsim_index_query(spark, path, qs, top_k=5).collect())
+    ) == before
+
+    # frontier replay after compaction: leaf rewrite, serve unchanged
+    sink(batches[2].select("doc_id", "text"), 2)
+    assert sorted(
+        map(tuple, maxsim_index_query(spark, path, qs, top_k=5).collect())
+    ) == before
+
+    # idempotent: nothing new to fold
+    maxsim_index_compact(spark, path)
+    assert sorted(
+        map(tuple, maxsim_index_query(spark, path, qs, top_k=5).collect())
+    ) == before
+
+    # no deltas at all: a fresh static index is a no-op
+    path2 = str(tmp_path / "ms_static")
+    maxsim_index_write(docs.filter(F.col("doc_id") % 3 != 0), path2)
+    assert maxsim_index_compact(spark, path2) is None
