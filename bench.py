@@ -373,7 +373,7 @@ def main() -> None:
          ("int8", "pq", "ivfpq", "adc", "pq_tr")),
         ("q57_neardup_components", "mode",
          ("comp", "leak", "mine_pos", "mine_neg", "mine_hard", "inc",
-          "bfs")),
+          "bfs", "gsplit")),
         (
             "q58_srp_histogram",
             "mode",

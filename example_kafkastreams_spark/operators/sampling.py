@@ -183,3 +183,48 @@ def priority_sample_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__prio", "__rk")
     )
+
+
+def assign_split_grouped(
+    docs: DataFrame,
+    components: DataFrame,
+    ratios: list[tuple[str, float]] | dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    comp_col: str = "component_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe GROUPED split — the FIX for what
+    ``report.split_leakage_report`` audits: ``assign_split`` keeps
+    byte-identical documents together, but a NEAR-duplicate pair can
+    still straddle train/eval because two slightly-different texts
+    hash apart. Here the near-dup CLUSTER is the unit of assignment:
+    every member takes the split of its cluster CANONICAL's content
+    hash, so no cluster can span a boundary BY CONSTRUCTION (zero
+    spanning clusters — q57's ``gsplit`` branch ships the proof row).
+
+    The canonical's CONTENT (not its id) keys the hash, so the
+    assignment survives re-ingestion under new ids as long as the
+    canonical text does — the same release-stability argument as
+    ``assign_split``. Exchanges: two id-keyed joins (docs ⨝ labels,
+    labels ⨝ canonical splits); the canonical-split frame is
+    component-sized. Returns ``docs`` + (comp_col, split_col)."""
+    if ratios is None:
+        ratios = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    if isinstance(ratios, dict):
+        ratios = list(ratios.items())
+    canon = components.filter(
+        F.col(id_col) == F.col(comp_col)
+    ).select(comp_col)
+    canon_txt = docs.join(
+        canon, docs[id_col] == canon[comp_col]
+    ).select(comp_col, content_col)
+    csplit = canon_txt.select(
+        comp_col,
+        F.expr(P.split_assign(content_col, ratios, P.SPARK)).alias(
+            split_col
+        ),
+    )
+    return docs.join(components.select(id_col, comp_col), id_col).join(
+        csplit, comp_col
+    )

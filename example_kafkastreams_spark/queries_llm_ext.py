@@ -1441,6 +1441,31 @@ _HARD_NEG_K = 2
                                   ORDER BY hop, root) AS rn
         FROM walk
       ) WHERE rn = 1
+    ),
+    -- gsplit branch: grouped leakage-safe split — every cluster takes
+    -- its CANONICAL's content-hash split (sampling
+    -- .assign_split_grouped), so spanning clusters are impossible;
+    -- census per split + the zero-leak proof count
+    gsc AS (
+      SELECT l.component_id,
+             ({P.split_assign('d.text', list(_LEAK_RATIOS), D)}) AS split
+      FROM labeled l JOIN documents d ON d.doc_id = l.doc_id
+      WHERE l.doc_id = l.component_id
+    ),
+    gdoc AS MATERIALIZED (
+      SELECT l.doc_id, l.component_id, g.split
+      FROM labeled l JOIN gsc g ON g.component_id = l.component_id
+    ),
+    gcensus AS (
+      SELECT split, count(*) AS n_docs,
+             count(DISTINCT component_id) AS n_comp
+      FROM gdoc GROUP BY split
+    ),
+    gleaks AS (
+      SELECT count(*) AS n_leaks FROM (
+        SELECT component_id FROM gdoc
+        GROUP BY component_id HAVING count(DISTINCT split) > 1
+      )
     )
     SELECT 'comp' AS mode, doc_id, component_id, component_size,
            CAST(NULL AS BIGINT) AS n_splits,
@@ -1485,6 +1510,15 @@ _HARD_NEG_K = 2
            CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
            CAST(NULL AS DOUBLE)
     FROM bfsd
+    UNION ALL
+    SELECT 'gsplit', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           n_docs, n_comp, split, CAST(NULL AS DOUBLE)
+    FROM gcensus
+    UNION ALL
+    SELECT 'gsplit', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           n_leaks, CAST(NULL AS BIGINT), '__leaks__',
+           CAST(NULL AS DOUBLE)
+    FROM gleaks
     """,
 )
 def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1608,6 +1642,25 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     leak = split_leakage_report(
         sized, assign_split(docs, list(_LEAK_RATIOS)), "doc_id", "split"
     )
+    # gsplit (round 11): the FIX for what leak audits —
+    # sampling.assign_split_grouped assigns whole near-dup clusters by
+    # the canonical's content hash, so spanning clusters are
+    # impossible by construction. Rows: one census row per split
+    # (component_size=n_docs, n_splits=n_components, splits_csv=the
+    # split) plus the PROOF row (splits_csv='__leaks__',
+    # component_size = spanning-cluster count, which must be 0 — the
+    # oracle re-derives both from the same labels).
+    from .operators.sampling import assign_split_grouped
+
+    gassigned = assign_split_grouped(docs, comp, list(_LEAK_RATIOS))
+    gcensus = gassigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component_id").alias("n_comp"),
+    )
+    gleaks = (
+        split_leakage_report(sized, gassigned, "doc_id", "split")
+        .agg(F.count(F.lit(1)).alias("n_leaks"))
+    )
     null_l = (
         F.lit(None).cast("bigint").alias("n_splits"),
         F.lit(None).cast("string").alias("splits_csv"),
@@ -1707,6 +1760,26 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("root").alias("component_id"),
             F.col("hop").cast("bigint").alias("component_size"),
             *null_l, null_cos,
+        )
+    ).unionByName(
+        gcensus.select(
+            F.lit("gsplit").alias("mode"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("bigint").alias("component_id"),
+            F.col("n_docs").alias("component_size"),
+            F.col("n_comp").cast("bigint").alias("n_splits"),
+            F.col("split").alias("splits_csv"),
+            null_cos,
+        )
+    ).unionByName(
+        gleaks.select(
+            F.lit("gsplit").alias("mode"),
+            F.lit(None).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("bigint").alias("component_id"),
+            F.col("n_leaks").alias("component_size"),
+            F.lit(None).cast("bigint").alias("n_splits"),
+            F.lit("__leaks__").alias("splits_csv"),
+            null_cos,
         )
     )
 

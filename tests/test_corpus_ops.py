@@ -850,3 +850,42 @@ def test_profile_columns_nulls_and_single_pass(spark):
     plan = profile_columns(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") <= 2  # partial+final at most
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_assign_split_grouped_never_spans_clusters(spark):
+    """The grouped split's defining property: zero spanning clusters
+    on a graph where the plain content-hash split DOES leak, and
+    members take exactly their canonical's split."""
+    from pyspark.sql import functions as F
+
+    from example_kafkastreams_spark.operators.sampling import (
+        assign_split,
+        assign_split_grouped,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with words") for i in range(60)],
+        "doc_id long, text string",
+    )
+    # clusters of 3: {0,1,2}, {3,4,5}, ... — different texts per
+    # member, so the plain split scatters some cluster
+    comp = spark.createDataFrame(
+        [(i, (i // 3) * 3) for i in range(60)],
+        "doc_id long, component_id long",
+    )
+    g = assign_split_grouped(docs, comp)
+    rows = g.select("doc_id", "component_id", "split").collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, set()).add(r.split)
+    assert all(len(v) == 1 for v in by_comp.values())
+    # the plain split leaks on this data (sanity that the test bites)
+    plain = assign_split(docs).join(comp, "doc_id").collect()
+    by_comp_p = {}
+    for r in plain:
+        by_comp_p.setdefault(r.component_id, set()).add(r.split)
+    assert any(len(v) > 1 for v in by_comp_p.values())
+    # members take the canonical's split
+    canon_split = {r.component_id: r.split for r in rows
+                   if r.doc_id == r.component_id}
+    assert all(r.split == canon_split[r.component_id] for r in rows)
