@@ -797,6 +797,59 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             window_seconds=900.0, right_order=["r_event_id"],
         ).filter(F.col("r_ts").isNotNull())
 
+    def qdigest_op():
+        # leaf agg is distinct-value-bounded (the domain tree, not the
+        # rows); every level above shrinks — shuffle ~flat while the
+        # scan grows N
+        from example_kafkastreams_spark.operators.sketches import (
+            qdigest_build,
+            qdigest_quantiles,
+        )
+
+        dig, n = qdigest_build(
+            events.filter(F.col("value").isNotNull()).select("value"),
+            "value",
+        )
+        return qdigest_quantiles(dig, n, [0.25, 0.5, 0.9, 0.99])
+
+    def lbatch_op():
+        # one bucket-keyed window exchange over the chunk table; the
+        # batch fold and padding agg are group-bounded
+        from example_kafkastreams_spark.operators.packing import (
+            length_bucketed_batches,
+            padding_stats,
+        )
+        from example_kafkastreams_spark.operators.text_chunks import (
+            chunk_documents,
+        )
+
+        return padding_stats(
+            length_bucketed_batches(
+                chunk_documents(docs, chunk_size=32, stride=24),
+                8, (9, 17, 25),
+            )
+        )
+
+    def gsplit_op():
+        # two id-keyed joins + a component-sized canonical-split frame
+        # on top of the star-contracted labeling — scan-shaped; the
+        # census exchange is split-count-bounded
+        from example_kafkastreams_spark.operators.components import (
+            connected_components,
+        )
+        from example_kafkastreams_spark.operators.sampling import (
+            assign_split_grouped,
+        )
+
+        comp = connected_components(
+            ND.simhash_components_edges(docs, max_hamming=3),
+            nodes=docs, node_col="doc_id",
+        )
+        return assign_split_grouped(docs, comp).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component_id").alias("n_comp"),
+        )
+
     out: dict[str, dict] = {}
     for name, mk in (
         ("scan_agg", scan_agg),
@@ -836,6 +889,9 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("pack_assignments", pack_assign),
         ("maxsim_retrieval", maxsim_op),
         ("bfs_chain_depth", bfs_chain),
+        ("qdigest_quantiles", qdigest_op),
+        ("length_bucketed_batches", lbatch_op),
+        ("grouped_split", gsplit_op),
         ("profile_columns", profile_cols),
         ("nearest_event_join", nearest_join_op),
     ):
