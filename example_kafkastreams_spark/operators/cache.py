@@ -33,6 +33,22 @@ def persist_tracked(
     return df
 
 
+def persist_pinned(
+    df: DataFrame,
+    level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Persist WITHOUT registering for ``release_sketch_caches`` —
+    for frames whose lifetime is a per-(session, corpus) MEMO (the
+    q55/q58 build caches): the memo hands the same DataFrame to every
+    later invocation, so a tracked release between bench branch
+    timings would silently de-materialize a frame that is about to be
+    re-consumed and every subsequent branch re-pays the build it was
+    supposed to share. Use ONLY under a session memo — an untracked
+    persist outside one is exactly the leak persist_tracked exists to
+    prevent."""
+    return df.persist(level)
+
+
 def release_sketch_caches() -> int:
     """Unpersist every operator-created cached stage; returns count."""
     n = len(_SKETCH_CACHES)

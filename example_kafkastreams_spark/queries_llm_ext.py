@@ -939,16 +939,19 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch-timing filter — persist it once per (session, corpus)
     # like q57's labels (the _Q57_CACHE convention; measured 18.7 s →
     # ~2 s per maxsim invocation at sf0.1)
-    from .operators.cache import persist_tracked
+    from .operators.cache import persist_pinned
     from .operators.retrieval import _maxsim_score, maxsim_chunk_vectors
 
     # applicationId is unique per live session — id(spark) could be
     # reused by a new session after the old one is GC'd, handing back
-    # a persisted frame bound to a dead SparkContext
+    # a persisted frame bound to a dead SparkContext. persist_PINNED:
+    # the memo hands this frame to every later invocation, so a
+    # tracked release between bench branch timings would silently
+    # de-materialize it mid-lifetime
     ch_key = (spark.sparkContext.applicationId, sf_dir)
     ch = _Q55_MS_CH_CACHE.get(ch_key)
     if ch is None:
-        ch = persist_tracked(
+        ch = persist_pinned(
             maxsim_chunk_vectors(
                 docs, dim=MAXSIM_DIM, n_hashes=MAXSIM_HASHES,
                 chunk_size=CHUNK_SIZE, stride=STRIDE,
@@ -2372,7 +2375,7 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("min_vec_id"),
         )
     )
-    from .operators.cache import persist_tracked
+    from .operators.cache import persist_pinned
     from .operators.sketches import count_min_estimates
 
     from .operators.neardup import _rebalance
@@ -2387,12 +2390,12 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization would otherwise run in ONE task (the q48/q55
     # single-row-group lesson).
     docs_spread = _rebalance(docs_src, "doc_id")
-    toks = persist_tracked(
+    toks = persist_pinned(
         docs_spread.select(
             F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("v")
         )
     )
-    sh2 = persist_tracked(
+    sh2 = persist_pinned(
         docs_spread.select(
             "source",
             F.explode(F.expr(P.shingles("text", 3, P.SPARK))).alias("v"),
