@@ -1330,3 +1330,81 @@ def qdigest_quantiles_sql(
             f"ORDER BY hi, lo LIMIT 1)"
         )
     return "\nUNION ALL\n".join(arms)
+
+
+def qdigest_store_read(spark, path: str) -> DataFrame | None:
+    """Current stored q-digest nodes (the meta-pointed snapshot), or
+    None for an empty store. ``n`` needs no bookkeeping: the build and
+    merge conserve total mass, so Σcnt over the snapshot IS n."""
+    import os
+
+    from .scd import _scd2_read_meta
+
+    meta = _scd2_read_meta(path)
+    if meta is None or meta.get("current") is None:
+        return None
+    return spark.read.parquet(os.path.join(path, meta["current"]))
+
+
+def qdigest_store_sink(
+    spark,
+    path: str,
+    value_col: str = "v",
+    k: int = QDIG_K,
+    levels: int = QDIG_LEVELS,
+    run_id: str | None = None,
+):
+    """Streaming q-digest maintenance — the QUANTILE member of the
+    ingest-sink family (Bloom = membership, count-min = frequency,
+    rollup = metrics, top-k = heavy keys, this = distribution shape).
+    Digest merges are not idempotent (counts sum), so it reuses the
+    SCD2/CMS versioned-snapshot + atomic-pointer discipline verbatim:
+    per-(run, batch) snapshot dirs, meta.json tmp+os.replace,
+    high-water-mark replay skip, path-derived default replay token
+    (survives driver restarts). Snapshot I/O is O(k log U) node rows —
+    independent of stream length; the per-batch build is delta-sized.
+    The merged digest re-runs the canonical percolation with the
+    combined n (Σcnt of both sides — mass is conserved, so no separate
+    count bookkeeping can drift)."""
+    import hashlib
+    import os
+    import shutil
+
+    from .scd import _scd2_read_meta, _scd2_write_meta
+
+    token = hashlib.md5(
+        (run_id if run_id else path).encode()
+    ).hexdigest()[:16]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        meta = _scd2_read_meta(path) or {"current": None, "applied": {}}
+        if int(batch_id) <= meta["applied"].get(token, -1):
+            return
+        new, _n = qdigest_build(
+            batch_df.select(F.col(value_col).alias("v")), "v",
+            k=k, levels=levels,
+        )
+        cur = (
+            None
+            if meta["current"] is None
+            else spark.read.parquet(os.path.join(path, meta["current"]))
+        )
+        if cur is None:
+            merged = new
+        else:
+            n_total = int(
+                cur.agg(F.sum("cnt")).first()[0] or 0
+            ) + int(new.agg(F.sum("cnt")).first()[0] or 0)
+            merged = qdigest_merge(cur, new, n_total, k=k, levels=levels)
+        vdir = f"v_{token}_{int(batch_id)}"
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, vdir)
+        )
+        prev = meta["current"]
+        meta["current"] = vdir
+        meta["applied"][token] = int(batch_id)
+        _scd2_write_meta(path, meta)
+        if prev is not None and prev != vdir:
+            shutil.rmtree(os.path.join(path, prev), ignore_errors=True)
+
+    return sink

@@ -105,3 +105,65 @@ def test_qdigest_clamps_domain_and_counts_conserved(spark):
     assert n == 5
     assert sum(r.cnt for r in rows) == 5
     assert all(0 <= r.lo <= r.hi <= 1023 for r in rows)
+
+
+def _stream_vals(lo, hi):
+    return [(float(i % 37 + (i % 5) * 100),) for i in range(lo, hi)]
+
+
+def test_qdigest_store_stream_and_replay(spark, tmp_path):
+    """Golden: micro-batches through the sink via a REAL streaming
+    query; the stored digest's quantile answers stay within the merged
+    error bound of the exact one-shot quantiles, a replayed batch is
+    skipped (sums are not idempotent), and a fresh sink instance after
+    a 'driver restart' recognizes the replay too."""
+    import pyspark.sql.types as T
+
+    from example_kafkastreams_spark.operators.sketches import (
+        qdigest_quantiles,
+        qdigest_store_read,
+        qdigest_store_sink,
+    )
+    from example_kafkastreams_spark.streaming.sources import (
+        file_stream,
+        stage_replayable_batches,
+    )
+
+    batches = [
+        _stream_vals(0, 400),
+        _stream_vals(400, 900),
+        _stream_vals(900, 1000),
+    ]
+    schema = T.StructType().add("v", "double")
+    src = str(tmp_path / "in")
+    stage_replayable_batches(spark, src, schema, batches)
+    store = str(tmp_path / "qd")
+    q = (
+        file_stream(spark, src, schema, max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            qdigest_store_sink(spark, store, run_id="run-a")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    dig = qdigest_store_read(spark, store)
+    rows = dig.collect()
+    n = sum(r.cnt for r in rows)
+    assert n == 1000
+    xs = [x for b in batches for (x,) in b]
+    # merged error bound: each of B merges adds < log2(U)/k·n ranks
+    eps = 3 * 10 / 32
+    for r in qdigest_quantiles(dig, n, [0.5, 0.9]).collect():
+        target = max(math.ceil(r.q * n), 1)
+        assert _exact_rank(xs, r.est) >= target - eps * n
+        assert _exact_rank(xs, r.est - 1) <= target + eps * n
+
+    before = sorted(map(tuple, rows))
+    sink_b = qdigest_store_sink(spark, store, run_id="run-a")
+    sink_b(spark.createDataFrame(batches[2], schema), 2)  # restart replay
+    assert sorted(
+        map(tuple, qdigest_store_read(spark, store).collect())
+    ) == before
