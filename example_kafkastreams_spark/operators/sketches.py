@@ -1134,14 +1134,18 @@ def qdigest_build(
     lineage-truncated (the plan would otherwise double per level —
     keep/frontier both reference the previous frontier)."""
     u = 1 << levels
-    leaf = df.select(
+    # NULLs are not values: they would form a NULL leaf that can never
+    # percolate and would break the Σcnt == n mass conservation every
+    # consumer (merge, the store sink's n recovery) relies on
+    src = df.filter(F.col(value_col).isNotNull())
+    leaf = src.select(
         F.expr(
             f"CAST(least(greatest(floor({value_col}), 0), {u - 1})"
             " AS BIGINT)"
         ).alias("idx")
     )
     fr = leaf.groupBy("idx").agg(F.count(F.lit(1)).alias("cnt"))
-    n = int(df.count())
+    n = int(src.count())
     thr = max(n // k, 1)
     fr = fr.localCheckpoint()
     kept = None

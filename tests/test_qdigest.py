@@ -167,3 +167,14 @@ def test_qdigest_store_stream_and_replay(spark, tmp_path):
     assert sorted(
         map(tuple, qdigest_store_read(spark, store).collect())
     ) == before
+
+
+def test_qdigest_build_ignores_nulls(spark):
+    """NULLs are not values: mass conservation (sum cnt == n) must
+    hold with NULLs present, matching count-distinct semantics."""
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.0,), (None,), (3.0,)], "value double"
+    )
+    dig, n = qdigest_build(df, "value", k=4)
+    assert n == 3
+    assert sum(r.cnt for r in dig.collect()) == 3
