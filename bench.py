@@ -152,7 +152,7 @@ _MERGED_SINCE = {
     "q19_window_topn_per_user": 10,  # +topk two-phase combiner (r10)
     "q26_interval_join_symmetric": 10,  # +dim/+enrich (r9), +asof/+chlog (r10)
     "q40_dedup_exact_text": 10,   # +diff_* (r9), +xsrc overlap (r10)
-    "q45_knn_bruteforce": 9,      # +mrl Matryoshka (r9)
+    "q45_knn_bruteforce": 11,     # +mrl (r9), +pca shipped basis (r11)
     "q65_lm_score": 9,            # +clf (r9)
     "q41_dedup_minhash_lsh": 10,  # +incr (r6), +eval (r10)
     "q44_dedup_ngram_jaccard": 10,  # +contain (r10)
@@ -160,14 +160,14 @@ _MERGED_SINCE = {
     "q47_embedding_neardup": 10,  # +delta/+deltaidx (r8), +prune (r10)
     "q34_hash_sample": 10,        # +wsample (r9), +prio (r10)
     "q56_quantize_embeddings": 10,  # +adc (r8), +pq_tr (r10)
-    "q57_neardup_components": 10,  # +leak/+mine_* (r9), +mine_hard (r10)
-    "q58_srp_histogram": 10,      # +kmv/cms/hll* (r9), +hist (r10; the early
-                                  # r9 artifact predates these branches)
+    "q57_neardup_components": 11,  # +mine_hard/+inc/+bfs (r10), +gsplit (r11)
+    "q58_srp_histogram": 11,      # +hist* (r10), +qdig/+qdig_q and the
+                                  # shared-scan persists (r11)
     "q48_doc_profile": 10,        # +cols table profiler (r10)
     "q50_token_stats": 10,        # +bpe (r9), +dupgram (r10)
-    "q54_chunk_documents": 10,    # +shard (r8), +masks (r10)
+    "q54_chunk_documents": 11,    # +masks (r10), +lbatch (r11)
     "q55_tfidf_top_term": 10,     # +bm25idx (r9), +maxsim (r10)
-    "q59_dedup_edit_distance": 10,  # +er record linkage (r10)
+    "q59_dedup_edit_distance": 11,  # +er (r10), +er2 multi-key (r11)
     "q61_domain_mixing": 10,      # +card (r9), +drift (r10)
     "q62_pii_scrub": 10,          # +norm (r9), +ccn Luhn (r10)
     "q63_corpus_funnel": 6,       # +delta (r6)

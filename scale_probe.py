@@ -1325,6 +1325,29 @@ def probe_streaming(spark, base: str, n_batches: int = 6) -> dict:
         summary["store_rows_bound"] = 20  # |groups|, not rows
         out[f"rollup_sink_{label}"] = summary
 
+        # q-digest store: snapshot bounded by O(k log U) digest nodes,
+        # never stream length (round 11 — the quantile sink)
+        from example_kafkastreams_spark.operators.sketches import (
+            QDIG_K,
+            QDIG_LEVELS,
+            qdigest_store_read,
+            qdigest_store_sink,
+        )
+
+        qsrc = os.path.join(work, f"qdig_src_{label}")
+        stage_replayable_batches(spark, qsrc, kv_schema, kvbatches)
+        qstream = file_stream(
+            spark, qsrc, kv_schema, max_files_per_trigger=1
+        )
+        qstore = os.path.join(work, f"qdig_store_{label}")
+        summary = drive(
+            qstream.select("v"), f"qdig_{label}",
+            sink_fn=qdigest_store_sink(spark, qstore, "v"),
+        )
+        summary["store_rows"] = qdigest_store_read(spark, qstore).count()
+        summary["store_rows_bound"] = 2 * QDIG_K * (QDIG_LEVELS + 1)
+        out[f"qdigest_sink_{label}"] = summary
+
         # top-k store: 20 groups x k=5 — state bounded by k.groups
         gk_schema = T.StructType(
             [
