@@ -377,10 +377,12 @@ def test_chunking_is_shuffle_free(spark):
     (round 8) — plus, round 10, the masks branch's span join (the
     spans window already counted; the join adds its exchange pair) and
     the packmask branch's pack_assignments doc-keyed repartition + the
-    masks-assignments join — thirteen exchanges total, none carrying
-    document text except the rebuild join's per-doc span lists and the
-    pack repartitions' chunk rows, all structural to their
-    operators."""
+    masks-assignments join, and (round 11) the lbatch branch's ONE
+    bucket-keyed window exchange (the per-batch groupBy reuses the
+    window's partitioning, so it adds no exchange of its own) —
+    fourteen exchanges total, none carrying document text except the
+    rebuild join's per-doc span lists and the pack repartitions' chunk
+    rows, all structural to their operators."""
     from example_kafkastreams_spark.catalog import load_table
     from example_kafkastreams_spark.operators.text_chunks import (
         chunk_documents,
@@ -391,7 +393,7 @@ def test_chunking_is_shuffle_free(spark):
 
     docs = load_table(spark, SMOKE, "documents")
     assert count_exchanges(chunk_documents(docs)) == 0
-    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 13
+    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 14
 
 
 def test_unnest_stats_single_exchange(spark):
