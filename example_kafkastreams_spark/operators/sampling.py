@@ -208,7 +208,12 @@ def assign_split_grouped(
     canonical text does — the same release-stability argument as
     ``assign_split``. Exchanges: two id-keyed joins (docs ⨝ labels,
     labels ⨝ canonical splits); the canonical-split frame is
-    component-sized. Returns ``docs`` + (comp_col, split_col)."""
+    component-sized. Returns ``docs`` + (comp_col, split_col).
+
+    Contract: ``components`` must cover every doc (the
+    ``connected_components(nodes=docs)`` output does — isolated docs
+    label themselves); a doc absent from the label table silently
+    drops from the assignment, which is never what a release wants."""
     if ratios is None:
         ratios = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
     if isinstance(ratios, dict):

@@ -1189,6 +1189,9 @@ def qdigest_quantiles(
     exact."""
     from pyspark.sql import Window as W
 
+    for q in qs:
+        if not 0 <= q <= 1:
+            raise ValueError(f"quantile {q} outside [0, 1]")
     w = W.orderBy("hi", "lo").rowsBetween(W.unboundedPreceding, 0)
     cum = digest.withColumn("cum", F.sum("cnt").over(w))
     out = None
