@@ -395,3 +395,103 @@ def bfs_hops(
             break
         dist = _truncate_lineage(dist.unionByName(frontier), reliable)
     return dist
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    iterations: int = 3,
+    damping: str = "0.85",
+    rest: str = "0.15",
+) -> DataFrame:
+    """PageRank over an undirected simple graph — duplicate-mass
+    centrality of the dedup graph skeleton: which canonical documents
+    sit at the center of the similarity mass a crawl accumulated.
+    Returns one row per node in ``nodes``: (node, r).
+
+    Semantics (the classic power iteration, no dangling-mass
+    redistribution — an isolated node keeps the teleport floor):
+
+        r_0(v)     = 1/N
+        r_{t+1}(v) = (1-d)/N + d * sum_{u~v} r_t(u) / deg(u)
+
+    Cross-engine exactness: ``damping``/``rest`` enter BOTH engines as
+    string-cast double literals (strtod), every contribution is one
+    IEEE division of bit-identical operands, and the per-node incoming
+    sum folds in SORTED NEIGHBOR ORDER (collect → array_sort → fold,
+    the house convention), so a DuckDB twin folding
+    ``list(r/deg ORDER BY src)`` reproduces each rank bitwise at any
+    partitioning. N rides the plan as a 1-row broadcast aggregate —
+    no driver-side count.
+
+    Scale shape: the symmetrized (src, dst, deg) table is persisted
+    once and re-joined per round (hash-partitioned by ``src`` from its
+    degree join, so the per-round shuffle moves only the rank table);
+    each round is ONE shuffle join + ONE hash agg — the Pregel shape.
+    The collect_list per node is bounded by in-degree: on a
+    star-contracted dedup graph that is the duplicate-cluster size
+    plus band-collision fan-in, not the corpus. Iterations are
+    unrolled into the plan (default 3), so keep the count small or
+    checkpoint between rounds.
+
+    Reference scope: the reference engine has no graph operators —
+    this extends the same near-dup graph q57 already closes
+    (reference parity anchors in operators/neardup.py).
+    """
+    und = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).unionAll(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    from .cache import persist_tracked
+
+    und_deg = persist_tracked(und.join(deg, "src"))
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    nodes_n = nodes.select(F.col(node_col).alias("node")).crossJoin(
+        F.broadcast(n_df)
+    )
+    d_lit = F.expr(f"CAST('{damping}' AS DOUBLE)")
+    rest_lit = F.expr(f"CAST('{rest}' AS DOUBLE)")
+    ranks = nodes_n.select(
+        "node",
+        (F.expr("CAST(1 AS DOUBLE)") / F.col("n").cast("double")).alias(
+            "r"
+        ),
+    )
+    for _ in range(iterations):
+        contrib = (
+            und_deg.join(ranks, und_deg["src"] == ranks["node"])
+            .select(
+                "dst",
+                "src",
+                (F.col("r") / F.col("deg").cast("double")).alias("__v"),
+            )
+            .groupBy("dst")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("src", "__v"))
+                        ),
+                        lambda s: s["__v"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("__c")
+            )
+        )
+        ranks = (
+            nodes_n.join(contrib, nodes_n["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    rest_lit / F.col("n").cast("double")
+                    + d_lit * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks

@@ -1296,6 +1296,70 @@ _HARD_NEG_ANCHORS = 8
 # bfs branch (round 10): chain-depth audit hop budget
 _BFS_MAX_HOPS = 4
 _HARD_NEG_K = 2
+# pr branch (round 11): power-iteration rounds for the duplicate-mass
+# centrality walk (operators.components.pagerank) — unrolled into both
+# plans, so keep small
+_PR_ITERS = 3
+
+
+def _q57_pr_ctes(iterations: int = _PR_ITERS) -> str:
+    """Unrolled PageRank CTE chain for the q57 oracle: re-derives the
+    STAR-CONTRACTED edge set (neardup.simhash_components_edges — star
+    to the min-id rep per distinct sketch + banded rep pairs), then
+    folds each power-iteration round with the house sorted-list fold
+    so every rank matches operators.components.pagerank bitwise."""
+    ctes = f"""
+    prreps AS (SELECT simhash, min(doc_id) AS rep FROM sh GROUP BY simhash),
+    prrt AS (SELECT rep AS doc_id, simhash FROM prreps),
+    prstar AS (
+      SELECT r.rep AS doc_a, s.doc_id AS doc_b
+      FROM sh s JOIN prreps r ON r.simhash = s.simhash
+      WHERE s.doc_id <> r.rep
+    ),
+    prb AS ({QL._simhash_bands_sql('prrt')}),
+    prrp AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM prb a JOIN prb b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+      ) WHERE bit_count(xor(sa, sb)) <= 3
+    ),
+    prund AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM prstar
+      UNION ALL SELECT doc_b, doc_a FROM prstar
+      UNION ALL SELECT doc_a, doc_b FROM prrp
+      UNION ALL SELECT doc_b, doc_a FROM prrp
+    ),
+    prdeg AS MATERIALIZED (
+      SELECT src, count(*) AS deg FROM prund GROUP BY src
+    ),
+    prn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+    pr0 AS (
+      SELECT doc_id AS node, CAST(1 AS DOUBLE) / CAST(n AS DOUBLE) AS r
+      FROM documents, prn
+    )"""
+    for t in range(1, iterations + 1):
+        ctes += f""",
+    pc{t} AS (
+      SELECT u.dst AS node,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(p.r / CAST(g.deg AS DOUBLE) ORDER BY u.src)),
+               (acc, x) -> acc + x) AS c
+      FROM prund u JOIN pr{t - 1} p ON p.node = u.src
+                   JOIN prdeg g ON g.src = u.src
+      GROUP BY u.dst
+    ),
+    pr{t} AS (
+      SELECT d.doc_id AS node,
+             CAST('0.15' AS DOUBLE) / CAST(n AS DOUBLE)
+             + CAST('0.85' AS DOUBLE)
+               * COALESCE(c.c, CAST(0.0 AS DOUBLE)) AS r
+      FROM documents d CROSS JOIN prn
+      LEFT JOIN pc{t} c ON c.node = d.doc_id
+    )"""
+    return ctes
 
 
 @query(
@@ -1469,7 +1533,7 @@ _HARD_NEG_K = 2
         SELECT component_id FROM gdoc
         GROUP BY component_id HAVING count(DISTINCT split) > 1
       )
-    )
+    ),{_q57_pr_ctes()}
     SELECT 'comp' AS mode, doc_id, component_id, component_size,
            CAST(NULL AS BIGINT) AS n_splits,
            CAST(NULL AS VARCHAR) AS splits_csv,
@@ -1522,6 +1586,10 @@ _HARD_NEG_K = 2
            n_leaks, CAST(NULL AS BIGINT), '__leaks__',
            CAST(NULL AS DOUBLE)
     FROM gleaks
+    UNION ALL
+    SELECT 'pr', node, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), r
+    FROM pr{_PR_ITERS}
     """,
 )
 def q57_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1739,6 +1807,15 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh_df=sh,
     )
 
+    # pr (round 11): duplicate-mass centrality — PageRank power
+    # iteration over the SAME persisted star-contracted edge set the
+    # components loop consumes (operators.components.pagerank). The
+    # oracle re-derives the contraction and folds each round with the
+    # sorted-list convention, so every rank is bitwise-checked.
+    from .operators.components import pagerank
+
+    pr = pagerank(edges, docs, node_col="doc_id", iterations=_PR_ITERS)
+
     return sized.select(
         F.lit("comp").alias("mode"),
         "doc_id", "component_id", "component_size", *null_l, null_cos,
@@ -1783,6 +1860,14 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("n_splits"),
             F.lit("__leaks__").alias("splits_csv"),
             null_cos,
+        )
+    ).unionByName(
+        pr.select(
+            F.lit("pr").alias("mode"),
+            F.col("node").alias("doc_id"),
+            F.lit(None).cast("bigint").alias("component_id"),
+            null_sz, *null_l,
+            F.col("r").alias("cosine"),
         )
     )
 
