@@ -1415,3 +1415,104 @@ def qdigest_store_sink(
             shutil.rmtree(os.path.join(path, prev), ignore_errors=True)
 
     return sink
+
+
+# --- AMS / tug-of-war F2 sketch (round 11) ---------------------------------
+
+AMS_DEPTH = 7
+
+
+def ams_f2_counters(
+    values: DataFrame, value_col: str = "v", depth: int = AMS_DEPTH
+) -> DataFrame:
+    """AMS (Alon–Matias–Szegedy) tug-of-war counters for the second
+    frequency moment F2 = Σ_x f(x)² — the self-join-size / skew
+    estimator a planner consults before committing to a join strategy
+    (CMS answers point queries, KMV/HLL answer F0; this is the F2
+    member of the sketch family). ``depth`` independent counters:
+
+        counter_d = Σ_x s_d(x) · f(x),   s_d(x) ∈ {−1, +1}
+
+    computed as ONE hash aggregation over the exploded value stream —
+    each occurrence emits ``depth`` signed coordinates map-side and
+    partial agg collapses per-partition mass, so the exchange carries
+    ≤ partitions·depth rows (CONSTANT in corpus size). Each counter is
+    an EXACT integer (the sign is a parity bit of the portable hash),
+    so the sketch is deterministic, partition-invariant, mergeable by
+    plain addition across shards/engines, and cross-engine
+    reproducible — counter_d² is an unbiased F2 estimate and the
+    median over ``depth`` counters is the estimator. Use an ODD depth
+    so the median is an order statistic, not an interpolation."""
+    coords = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        F.lit(1)
+                        - F.lit(2)
+                        * (
+                            F.expr(
+                                P.token_hash32(
+                                    f"CONCAT('{d}:ams:', {value_col})",
+                                    P.SPARK,
+                                )
+                            )
+                            % F.lit(2)
+                        )
+                    ).alias("s"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("__c")
+    return (
+        values.filter(F.col(value_col).isNotNull())
+        .select(coords)
+        .select(F.col("__c.d").alias("d"), F.col("__c.s").alias("s"))
+        .groupBy("d")
+        .agg(F.sum("s").cast("bigint").alias("counter"))
+    )
+
+
+def ams_f2_estimate(counters: DataFrame) -> DataFrame:
+    """Median-of-estimates over the tug-of-war counters — one DOUBLE.
+    With an odd depth the median is the exact middle counter² (an
+    integer-valued double well under 2^53), so it reproduces bitwise
+    across engines."""
+    return counters.agg(
+        F.expr(
+            "CAST(percentile(counter * counter, 0.5) AS DOUBLE)"
+        ).alias("est_f2")
+    )
+
+
+def ams_f2_exact(values: DataFrame, value_col: str = "v") -> DataFrame:
+    """Exact F2 = Σ_x f(x)² (one BIGINT) — ships beside the estimate,
+    the module's honesty convention. Two hash aggs: per-value counts,
+    then the squared sum."""
+    return (
+        values.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .agg(
+            F.sum(F.col("__f") * F.col("__f")).cast("bigint").alias(
+                "exact_f2"
+            )
+        )
+    )
+
+
+def ams_f2_sql(values_sql: str, depth: int = AMS_DEPTH) -> str:
+    """DuckDB twin of ``ams_f2_counters`` — same hash string
+    ``'{d}:ams:' || v``, same parity sign, one grouped sum."""
+    bkt = P.token_hash32(
+        "CONCAT(CAST(j.j AS VARCHAR), ':ams:', t.v)", P.DUCK
+    )
+    return (
+        f"SELECT j.j AS d,"
+        f" CAST(SUM(1 - 2 * (({bkt}) % 2)) AS BIGINT) AS counter"
+        f" FROM ({values_sql}) t"
+        f" CROSS JOIN (SELECT unnest(range({depth})) AS j) j"
+        f" GROUP BY 1"
+    )

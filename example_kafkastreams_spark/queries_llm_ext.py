@@ -2130,6 +2130,8 @@ def _qdig_exact_arms() -> str:
 
 def _q58_sql() -> str:
     from .operators.sketches import (
+        AMS_DEPTH,
+        ams_f2_sql,
         hll_estimate_sql,
         hll_grouped_sql,
         hll_registers_sql,
@@ -2259,7 +2261,19 @@ def _q58_sql() -> str:
              SUM(cnt) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum
       FROM qdleafc
     ),
-    qdexact AS ({_qdig_exact_arms()})
+    qdexact AS ({_qdig_exact_arms()}),
+    -- ams branch: AMS tug-of-war F2 counters over the token stream
+    -- (sketches.ams_f2_sql — same '{{d}}:ams:'||v hash parity sign),
+    -- the exact F2 beside the per-depth estimates and the median
+    amsc AS ({ams_f2_sql(toks, AMS_DEPTH)}),
+    amsx AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2
+      FROM (SELECT count(*) AS c FROM ({toks}) GROUP BY v)
+    ),
+    amsm AS (
+      SELECT CAST(median(counter * counter) AS DOUBLE) AS est_med
+      FROM amsc
+    )
     SELECT 'srp' AS mode, srp_bucket,
            count(*) AS n_vectors, min(vec_id) AS min_vec_id,
            CAST(NULL AS INTEGER) AS k_used,
@@ -2386,6 +2400,26 @@ def _q58_sql() -> str:
            CAST(NULL AS BIGINT), q2.q,
            CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
     FROM qdq q2 JOIN qdexact x ON x.q = q2.q
+    UNION ALL
+    SELECT 'ams', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(a.d AS INTEGER), a.counter,
+           CAST(NULL AS DOUBLE), x.exact_f2, CAST(NULL AS VARCHAR),
+           a.counter * a.counter, CAST(NULL AS BIGINT),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT)
+    FROM amsc a CROSS JOIN amsx x
+    UNION ALL
+    SELECT 'ams', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), m.est_med, x.exact_f2,
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM amsm m CROSS JOIN amsx x
     """
 
 
@@ -2670,6 +2704,32 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # ams branch (round 11): AMS tug-of-war F2 counters over the SAME
+    # persisted token frame — per-depth exact-integer counters +
+    # squared estimates, the median-of-estimates, and the exact
+    # F2 = Σf² beside them (sketches module honesty convention). The
+    # 7-row counter frame is persisted because the rows arm and the
+    # median arm both consume it.
+    from .operators.sketches import (
+        AMS_DEPTH,
+        ams_f2_counters,
+        ams_f2_estimate,
+        ams_f2_exact,
+    )
+
+    amsc = persist_pinned(ams_f2_counters(toks, "v", AMS_DEPTH))
+    amsx = persist_pinned(ams_f2_exact(toks, "v"))
+    ams_rows = amsc.crossJoin(amsx).select(
+        F.col("d").cast("int").alias("k_used"),
+        F.col("counter").alias("kth_hash"),
+        (F.col("counter") * F.col("counter")).alias("cms_est"),
+        F.col("exact_f2").alias("exact_distinct"),
+    )
+    ams_med = ams_f2_estimate(amsc).crossJoin(amsx).select(
+        F.col("est_f2").alias("est_distinct"),
+        F.col("exact_f2").alias("exact_distinct"),
+    )
+
     null = {
         "k_used": "int", "kth_hash": "long", "est_distinct": "double",
         "exact_distinct": "long", "probe": "string", "cms_est": "long",
@@ -2716,5 +2776,12 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             pad(qdq, "qdig_q",
                 ["jaccard_est", "est_distinct", "exact_distinct"])
+        )
+        .unionByName(
+            pad(ams_rows, "ams",
+                ["k_used", "kth_hash", "cms_est", "exact_distinct"])
+        )
+        .unionByName(
+            pad(ams_med, "ams", ["est_distinct", "exact_distinct"])
         )
     )
