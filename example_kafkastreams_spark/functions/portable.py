@@ -169,6 +169,27 @@ def dyadic_pow_py(x: float, alpha: float) -> float:
     return out
 
 
+def ilog2(x: str, d: str = SPARK, max_bits: int = 48) -> str:
+    """floor(log2(x)) for an integer expression x ≥ 1, as a descending
+    power-of-two CASE ladder — pure comparisons, so it is EXACT and
+    dialect-identical (the only log the oracle discipline allows;
+    real ``ln``/``log2`` are libm-bound and quarantined driver-side).
+    Values ≥ 2^max_bits clamp to max_bits; values < 1 fall to 0."""
+    _check(d)
+    arms = " ".join(
+        f"WHEN ({x}) >= {2 ** b} THEN {b}"
+        for b in range(max_bits, 0, -1)
+    )
+    return f"(CASE {arms} ELSE 0 END)"
+
+
+def ilog2_py(x: int, max_bits: int = 48) -> int:
+    """Python twin of ``ilog2`` — same clamp semantics."""
+    if x < 2:
+        return 0
+    return min(x.bit_length() - 1, max_bits)
+
+
 def slice_(arr: str, start: str, n: int, d: str) -> str:
     """n elements from 1-based ``start``."""
     if d == SPARK:

@@ -279,3 +279,112 @@ def mix_sources_budget(
         for s in counts
     }
     return _filter_by_rates(docs, rates, source_col, id_col)
+
+
+# --- DSIR-style domain-relevance selection (round 11) ----------------------
+
+DSIR_BUCKETS = 64
+DSIR_SALT = ":dsir"
+
+
+def domain_relevance_scores(
+    docs: DataFrame,
+    target_source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    buckets: int = DSIR_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Hashed-n-gram importance scoring in the DSIR shape (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score each pool document by how target-domain-like
+    its token distribution is, using per-feature likelihood ratios
+    between the TARGET source's hashed-unigram distribution and the
+    POOL's. Returns ``(weights, scores)``:
+
+        weights: (bucket, w)            — the trained model, one row
+                                          per pool-occupied bucket
+        scores:  (doc_id, source, score) — one row per pool document
+
+    Faithfulness vs exactness: DSIR's per-feature weight is
+    log p_target(b) − log p_pool(b); real logs are libm-bound, so the
+    weight here is the FLOORED BASE-2 log of Laplace-smoothed counts —
+    w[b] = ilog2(cnt_tgt[b]+1) − ilog2(cnt_pool[b]+1) — an integer
+    log-likelihood ratio quantized to whole bits (the same
+    integer-weight discipline as quality_clf's floored-Laplace
+    classifier). A document's score is the SUM of its tokens' integer
+    weights: order-free exact integer arithmetic, so the score is
+    partition-invariant and a DuckDB twin reproduces it without any
+    fold-order pinning. (The constant log-ratio of the two corpus
+    totals shifts every score equally and is dropped — ranking, and
+    therefore selection, is unaffected.)
+
+    Scale shape: ONE tokenize pass feeds both count jobs and the
+    scoring join (the bucketed token frame is persisted); the weight
+    table is ≤ ``buckets`` rows and BROADCASTS into the scoring join,
+    so the corpus-sized stream crosses one exchange (the per-doc sum).
+    NULL-source documents are outside both the target and the pool.
+    """
+    from .cache import persist_tracked
+
+    bkt = (
+        F.expr(
+            P.token_hash32(f"CONCAT({text_col}0, '{DSIR_SALT}')", P.SPARK)
+        )
+        % buckets
+    )
+    toks = persist_tracked(
+        docs.filter(F.col(source_col).isNotNull())
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.expr(P.split_ws(text_col, P.SPARK))
+            ).alias(f"{text_col}0"),
+        )
+        .select(id_col, source_col, bkt.alias("bucket"))
+    )
+    tgt = toks.filter(F.col(source_col) == target_source)
+    pool = toks.filter(F.col(source_col) != target_source)
+    tc = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    pc = pool.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
+    weights = (
+        pc.join(tc, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.expr(
+                    P.ilog2("(COALESCE(ct, 0) + 1)", P.SPARK)
+                )
+                - F.expr(P.ilog2("(cp + 1)", P.SPARK))
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    scores = (
+        pool.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.min(source_col).alias(source_col),
+            F.sum("w").cast("bigint").alias("score"),
+        )
+    )
+    return weights, scores
+
+
+def domain_relevance_select(
+    scores: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k pool documents by (score DESC, id ASC) with a dense
+    1-based rank — the deterministic stand-in for DSIR's Gumbel
+    resampling draw. Two-phase at scale: ``orderBy().limit(k)``
+    compiles to a distributed TakeOrderedAndProject; the row_number
+    window then runs over only k rows."""
+    from pyspark.sql import Window as W
+
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    top = scores.orderBy(*order).limit(k)
+    return top.withColumn("rk", F.row_number().over(W.orderBy(*order)))

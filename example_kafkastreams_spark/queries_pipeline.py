@@ -68,6 +68,11 @@ _SPLIT_RATIOS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
 # SAME fixpoint as a recursive CTE over a single-row list state.
 _BUDGET_FRAC = "0.97"
 _BUDGET_ALPHA = 0.5
+# dsir branch (round 11): hashed-unigram feature buckets + selection
+# size for the DSIR-style importance selection (operators.mixing
+# .domain_relevance_scores — keep in sync with mixing.DSIR_BUCKETS)
+_DSIR_B = 64
+_DSIR_K = 100
 
 
 # q61 drift branch: equi-width buckets over token counts (lo 0, hi
@@ -319,6 +324,42 @@ def _mixing_sql() -> str:
                AS l1_num
       FROM dr_j j JOIN dr_tot t ON t.source = j.source
       GROUP BY j.source, t.n_old, t.n_new
+    ),
+    -- dsir branch: DSIR-style hashed-unigram importance selection —
+    -- per-bucket weights are FLOORED-base-2 log likelihood ratios of
+    -- Laplace-smoothed target vs pool counts (integer-exact; real
+    -- logs are libm-bound), per-doc scores are order-free integer
+    -- sums, selection is top-k by (score DESC, doc_id)
+    dsb AS (SELECT min(source) AS tgt FROM documents
+            WHERE source IS NOT NULL),
+    dtok AS (
+      SELECT d.doc_id, d.source,
+             ({P.token_hash32("CONCAT(v, ':dsir')", D)}) % {_DSIR_B}
+               AS bucket
+      FROM (SELECT doc_id, source, unnest({P.split_ws('text', D)}) AS v
+            FROM documents WHERE source IS NOT NULL) d
+    ),
+    dtc AS (SELECT bucket, count(*) AS ct FROM dtok
+            WHERE source = (SELECT tgt FROM dsb) GROUP BY 1),
+    dpc AS (SELECT bucket, count(*) AS cp FROM dtok
+            WHERE source <> (SELECT tgt FROM dsb) GROUP BY 1),
+    dwt AS (
+      SELECT p.bucket,
+             CAST(({P.ilog2('(COALESCE(t.ct, 0) + 1)', D)})
+                  - ({P.ilog2('(p.cp + 1)', D)}) AS BIGINT) AS w
+      FROM dpc p LEFT JOIN dtc t ON t.bucket = p.bucket
+    ),
+    dsc AS (
+      SELECT b.doc_id, min(b.source) AS source,
+             CAST(SUM(w.w) AS BIGINT) AS score
+      FROM dtok b JOIN dwt w ON w.bucket = b.bucket
+      WHERE b.source <> (SELECT tgt FROM dsb)
+      GROUP BY b.doc_id
+    ),
+    dsl AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM dsc
     )
     SELECT 'mix' AS mode, d.doc_id, d.source,{null_card}
     FROM documents d JOIN rates r ON d.source = r.source
@@ -351,6 +392,17 @@ def _mixing_sql() -> str:
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE)
     FROM dr
+    UNION ALL
+    SELECT 'dsir', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           bucket, w, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
+    FROM dwt
+    UNION ALL
+    SELECT 'dsir', doc_id, source, rk, score, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM dsl WHERE rk <= {_DSIR_K}
     """
 
 
@@ -489,9 +541,41 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("pct_lang_pure"),
         F.lit(None).cast("double").alias("gini_chars"),
     )
+    # dsir branch (round 11): DSIR-style hashed-unigram importance
+    # selection (operators.mixing.domain_relevance_scores/_select) —
+    # the model (per-bucket integer floored-log2 likelihood ratios,
+    # ≤ 64 broadcastable rows) AND the top-k selection both
+    # value-checked; the oracle re-derives counts, weights, scores,
+    # and the (score DESC, doc_id) rank
+    from .operators.mixing import (
+        domain_relevance_scores,
+        domain_relevance_select,
+    )
+
+    dw_df, dscores = domain_relevance_scores(
+        docs, srcs[0], buckets=_DSIR_B
+    )
+    dsel = domain_relevance_select(dscores, _DSIR_K)
+    dsir_w = dw_df.select(
+        F.lit("dsir").alias("mode"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("source"),
+        F.col("bucket").cast("long").alias("n_docs"),
+        F.col("w").alias("n_tokens"),
+        *[F.lit(None).cast(t).alias(c) for c, t in card_cols[2:]],
+    )
+    dsir_s = dsel.select(
+        F.lit("dsir").alias("mode"),
+        "doc_id",
+        "source",
+        F.col("rk").cast("long").alias("n_docs"),
+        F.col("score").alias("n_tokens"),
+        *[F.lit(None).cast(t).alias(c) for c, t in card_cols[2:]],
+    )
     return (
         mix.unionByName(temp).unionByName(budget)
         .unionByName(card).unionByName(split).unionByName(drift)
+        .unionByName(dsir_w).unionByName(dsir_s)
     )
 
 
