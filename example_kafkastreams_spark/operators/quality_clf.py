@@ -171,3 +171,50 @@ def train_score_sql(
            clf_score > 0 AS clf_keep
     FROM scored
     """
+
+
+CALIB_WIDTH = 64
+CALIB_CLAMP = 8
+
+
+def calibration_bins(
+    scored: DataFrame,
+    pos_col: str = "__pos",
+    score_col: str = "clf_score",
+    width: int = CALIB_WIDTH,
+    clamp: int = CALIB_CLAMP,
+) -> DataFrame:
+    """Reliability table for a model-based filter: fixed-width bins
+    over the INTEGER classifier score (floor of one exact IEEE
+    division, clamped tails — the histogram_sketch bucket discipline,
+    so the bin is a pure map-side expression and the aggregation
+    exchange carries ≤ partitions·(2·clamp+1) rows at any corpus
+    size), with per-bin volume, positive-label count, exact score
+    mass, and the empirical positive rate (ONE division of exact
+    integers). A well-calibrated filter shows pos_rate rising
+    monotonically with the score bin; a flat table means the score
+    carries no signal and the keep threshold is arbitrary — the audit
+    a release runs before trusting a learned quality gate.
+
+    Returns (bin, n, n_pos, sum_score, pos_rate)."""
+    bin_expr = F.expr(
+        f"LEAST(GREATEST(CAST(FLOOR(CAST({score_col} AS DOUBLE)"
+        f" / {width}) AS BIGINT), {-clamp}), {clamp})"
+    )
+    return (
+        scored.select(
+            bin_expr.alias("bin"),
+            F.when(F.col(pos_col), 1).otherwise(0).alias("__p"),
+            F.col(score_col),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__p").cast("bigint").alias("n_pos"),
+            F.sum(score_col).cast("bigint").alias("sum_score"),
+        )
+        .withColumn(
+            "pos_rate",
+            F.col("n_pos").cast("double") / F.col("n").cast("double"),
+        )
+    )

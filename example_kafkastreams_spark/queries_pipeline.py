@@ -1098,7 +1098,11 @@ _CLF_LABEL_THR = "CAST('0.645' AS DOUBLE)"
 
 
 def _lm_sql() -> str:
-    from .operators.quality_clf import train_score_sql
+    from .operators.quality_clf import (
+        CALIB_CLAMP as _CALIB_CLAMP,
+        CALIB_WIDTH as _CALIB_W,
+        train_score_sql,
+    )
 
     grams = P.token_ngrams("text", 2, D)
     qx = QL._quality_exprs(D)
@@ -1133,7 +1137,25 @@ def _lm_sql() -> str:
                                   ORDER BY c DESC, gram) AS rn
         FROM per_gram
       ) WHERE rn = 1
-    ), clfs AS ({clf})
+    ), clfs AS ({clf}),
+    -- calib branch: reliability table of the clf score vs its seed
+    -- label (operators.quality_clf.calibration_bins) — fixed-width
+    -- clamped bins over the integer score, per-bin volume / positive
+    -- count / exact score mass / empirical positive rate
+    calb AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(CAST(c.clf_score AS DOUBLE)
+               / {_CALIB_W}) AS BIGINT), {-_CALIB_CLAMP}),
+             {_CALIB_CLAMP}) AS bin,
+             CASE WHEN ({qx['quality_score']}) >= {_CLF_LABEL_THR}
+                  THEN 1 ELSE 0 END AS pos,
+             c.clf_score
+      FROM clfs c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    calagg AS (
+      SELECT bin, count(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(clf_score) AS BIGINT) AS sum_score
+      FROM calb GROUP BY bin
+    )
     SELECT 'lm' AS mode, s.doc_id,
            {P.round_dbl('CAST(p_scaled_sum AS DOUBLE) / CAST(1000000000 AS DOUBLE) / n_bigrams', 6, D)} AS lm_score,
            s.n_bigrams,
@@ -1149,6 +1171,12 @@ def _lm_sql() -> str:
            CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), clf_score, clf_n_tokens, clf_keep
     FROM clfs
+    UNION ALL
+    SELECT 'calib', bin,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), n,
+           CAST(NULL AS VARCHAR), n_pos, CAST(NULL AS DOUBLE),
+           sum_score, CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+    FROM calagg
     """
 
 
@@ -1202,10 +1230,34 @@ def q65_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({qx['quality_score']}) >= {_CLF_LABEL_THR}"),
     )
     w = weights_vector(train_hashed_classifier(labeled, "__pos"))
-    clf = score_inline(docs.select("doc_id", "text"), w).select(
+    scored_all = score_inline(
+        labeled.select("doc_id", "text", "__pos"), w
+    )
+    clf = scored_all.select(
         F.lit("clf").alias("mode"),
         "doc_id",
         *[F.lit(None).cast(t).alias(c) for c, t in lm_cols],
         *[F.col(c) for c, _ in clf_cols],
     )
-    return lm.unionByName(clf)
+    # calib branch (round 11): the reliability table of the clf score
+    # against its seed label (operators.quality_clf.calibration_bins)
+    # — per clamped fixed-width score bin: volume, positives, exact
+    # score mass, and the empirical positive rate; the oracle
+    # re-derives the binning and every aggregate. Columns shoehorn as
+    # doc_id=bin, lm_score=pos_rate, n_bigrams=n,
+    # top_bigram_count=n_pos, clf_score=sum_score.
+    from .operators.quality_clf import calibration_bins
+
+    calib = calibration_bins(scored_all).select(
+        F.lit("calib").alias("mode"),
+        F.col("bin").alias("doc_id"),
+        F.col("pos_rate").alias("lm_score"),
+        F.col("n").alias("n_bigrams"),
+        F.lit(None).cast("string").alias("top_bigram"),
+        F.col("n_pos").alias("top_bigram_count"),
+        F.lit(None).cast("double").alias("top_bigram_frac"),
+        F.col("sum_score").alias("clf_score"),
+        F.lit(None).cast("long").alias("clf_n_tokens"),
+        F.lit(None).cast("boolean").alias("clf_keep"),
+    )
+    return lm.unionByName(clf).unionByName(calib)

@@ -128,3 +128,41 @@ def test_sql_twin_agrees_with_spark_path(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_calibration_bins_counts_and_clamp(spark):
+    from example_kafkastreams_spark.operators.quality_clf import (
+        CALIB_CLAMP,
+        CALIB_WIDTH,
+        calibration_bins,
+    )
+
+    rows = [
+        # (score, pos): bin 0 holds scores 0..63, bin 1 holds 64..127,
+        # extreme scores clamp to ±CALIB_CLAMP
+        (10, True),
+        (20, False),
+        (70, True),
+        (90, True),
+        (-5000, False),
+        (5000, True),
+    ]
+    df = spark.createDataFrame(
+        [(i, p, s) for i, (s, p) in enumerate(rows)],
+        "doc_id bigint, __pos boolean, clf_score bigint",
+    )
+    got = {
+        r["bin"]: (r["n"], r["n_pos"], r["sum_score"], r["pos_rate"])
+        for r in calibration_bins(df).collect()
+    }
+    assert got[0] == (2, 1, 30, 0.5)
+    assert got[1] == (2, 2, 160, 1.0)
+    assert got[-CALIB_CLAMP] == (1, 0, -5000, 0.0)
+    assert got[CALIB_CLAMP] == (1, 1, 5000, 1.0)
+    assert CALIB_WIDTH == 64
+    # partition invariance
+    again = {
+        r["bin"]: (r["n"], r["n_pos"], r["sum_score"], r["pos_rate"])
+        for r in calibration_bins(df.repartition(5)).collect()
+    }
+    assert again == got
