@@ -213,3 +213,85 @@ def blocked_er_matches(
             F.expr(P.round_dbl("score", 6, P.SPARK)).alias("score"),
         )
     )
+
+
+def er_survivorship(
+    matches: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """Golden-record construction — the step AFTER matching that makes
+    entity resolution useful: close the match pairs transitively into
+    entity clusters, elect a canonical (golden) id per cluster, and
+    fuse one attribute by majority vote. One row per MATCHED record:
+
+        (member, golden, attr, attr_share)
+
+    ``golden`` is the cluster's min id (the same canonical-survivor
+    rule the dedup components use), ``attr`` the cluster's
+    most-frequent value of ``attr_col`` with deterministic ties
+    (count DESC, value ASC), ``attr_share`` the exact fraction of
+    members carrying it (one IEEE division of exact integers — a
+    confidence the consumer can threshold on).
+
+    Scale shape: everything downstream of the match set is
+    match-sized, not corpus-sized — components run on the pair graph
+    (operators.components' Pregel loop), attribute votes are one hash
+    agg over members, and the per-cluster election is a window over
+    (cluster, attr) rows. Unmatched records are their own golden
+    record by definition and are not re-emitted.
+
+    Reference scope: extends the reference's enrichment join family
+    (KTable lookup) to the fused-dimension build a warehouse runs
+    after record linkage; no reference twin exists.
+    """
+    from .components import connected_components
+
+    edges = matches.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    nodes = (
+        edges.select(F.col("doc_a").alias(id_col))
+        .unionAll(edges.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    # the pair graph is match-sized (≪ the record table) — broadcast
+    # the per-round label table explicitly and skip the auto-sizing job
+    comp = connected_components(
+        edges, nodes=nodes, node_col=id_col, broadcast=True
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    votes = (
+        comp.join(records.select(id_col, attr_col), id_col)
+        .groupBy("component_id", attr_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    from pyspark.sql import Window as W
+
+    elected = (
+        votes.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("component_id").orderBy(
+                    F.col("__c").desc(), F.col(attr_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("component_id", attr_col, "__c")
+    )
+    return (
+        comp.join(elected, "component_id")
+        .join(sizes, "component_id")
+        .select(
+            F.col(id_col).alias("member"),
+            F.col("component_id").alias("golden"),
+            F.col(attr_col).alias("attr"),
+            (
+                F.col("__c").cast("double") / F.col("__n").cast("double")
+            ).alias("attr_share"),
+        )
+    )

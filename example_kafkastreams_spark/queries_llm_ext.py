@@ -1922,7 +1922,7 @@ _ER_MAX_BLOCK = 256
 @query(
     "q59_dedup_edit_distance",
     oracle=f"""
-    WITH {QL._sig_ctes(D)},
+    WITH RECURSIVE {QL._sig_ctes(D)},
     bands AS ({QL._bands_cte(D)}),
     cand0 AS ({QL._CAND_SQL}),
     pairsig AS (
@@ -2029,6 +2029,42 @@ _ER_MAX_BLOCK = 256
       FROM ercand2 c
       JOIN ptoks ta ON ta.p_partkey = c.id_a
       JOIN ptoks tb ON tb.p_partkey = c.id_b
+    ),
+    -- gold branch: survivorship over the er2 matches — transitive
+    -- closure into entity clusters (min-id golden), majority-vote
+    -- brand fusion with (count DESC, value ASC) ties, and the exact
+    -- majority share per member row
+    gm AS MATERIALIZED (
+      SELECT id_a, id_b FROM erpairs2
+      WHERE round(CAST(score AS DOUBLE), 6) >= 0.7
+    ),
+    gund AS (
+      SELECT id_a AS src, id_b AS dst FROM gm
+      UNION ALL
+      SELECT id_b, id_a FROM gm
+    ),
+    gnodes AS (SELECT DISTINCT src AS id FROM gund),
+    gwalk(node, lab) AS (
+      SELECT id, id FROM gnodes
+      UNION
+      SELECT u.dst, c.lab FROM gwalk c JOIN gund u ON u.src = c.node
+    ),
+    glab AS MATERIALIZED (
+      SELECT node AS id, min(lab) AS cid FROM gwalk GROUP BY node
+    ),
+    gsz AS (SELECT cid, count(*) AS n FROM glab GROUP BY cid),
+    gvote AS (
+      SELECT g.cid, p.p_brand AS attr, count(*) AS c
+      FROM glab g JOIN part p ON p.p_partkey = g.id
+      GROUP BY g.cid, p.p_brand
+    ),
+    gtop AS (
+      SELECT cid, attr, c FROM (
+        SELECT cid, attr, c,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY c DESC, attr) AS rn
+        FROM gvote
+      ) WHERE rn = 1
     )
     SELECT 'edit' AS mode, id_a, id_b, score FROM (
       SELECT c.doc_a AS id_a, c.doc_b AS id_b,
@@ -2044,9 +2080,30 @@ _ER_MAX_BLOCK = 256
     UNION ALL
     SELECT 'er2' AS mode, id_a, id_b, round(CAST(score AS DOUBLE), 6)
     FROM erpairs2 WHERE round(CAST(score AS DOUBLE), 6) >= 0.7
+    UNION ALL
+    SELECT 'gold', g.id, g.cid,
+           CAST(t.c AS DOUBLE) / CAST(s.n AS DOUBLE)
+    FROM glab g
+    JOIN gsz s ON s.cid = g.cid
+    JOIN gtop t ON t.cid = g.cid
     """,
 )
 def q59_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(see _q59_build — memoized per (session, corpus) like q55/q57/
+    q58: the gold branch's component loop runs EAGERLY at build time,
+    so re-building per branch-timing filter would re-pay it.)"""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _Q59_CACHE.get(key)
+    if cached is None:
+        cached = _q59_build(spark, sf_dir)
+        _Q59_CACHE[key] = cached
+    return cached
+
+
+_Q59_CACHE: dict = {}
+
+
+def _q59_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy identity, both grains in one driver row. ``edit``:
     normalized Levenshtein ≤ 0.2 on MinHash-LSH candidates — the
     character-level fuzzy-dedup modality (catches small in-place edits
@@ -2078,7 +2135,7 @@ def q59_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part")
 
-    def _er(num_keys: int, tag: str) -> DataFrame:
+    def _er_matches(num_keys: int) -> DataFrame:
         return blocked_er_matches(
             part,
             id_col="p_partkey",
@@ -2088,9 +2145,35 @@ def q59_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.7,
             max_block=_ER_MAX_BLOCK,
             num_keys=num_keys,
-        ).select(F.lit(tag).alias("mode"), "id_a", "id_b", "score")
+        )
 
-    return edit.unionByName(_er(1, "er")).unionByName(_er(2, "er2"))
+    def _tag(m: DataFrame, tag: str) -> DataFrame:
+        return m.select(F.lit(tag).alias("mode"), "id_a", "id_b", "score")
+
+    m2 = _er_matches(2)
+    # gold branch (round 11): survivorship — the er2 match pairs
+    # closed into entity clusters, a golden id elected per cluster
+    # (min member), and p_brand fused by majority vote
+    # (operators.entity.er_survivorship). Rows shoehorn as
+    # id_a=member, id_b=golden, score=the exact majority share; the
+    # elected VALUE itself is unit-pinned (the 4-column slot contract
+    # cannot carry a string).
+    from .operators.entity import er_survivorship
+
+    gold = er_survivorship(
+        m2, part, id_col="p_partkey", attr_col="p_brand"
+    ).select(
+        F.lit("gold").alias("mode"),
+        F.col("member").alias("id_a"),
+        F.col("golden").alias("id_b"),
+        F.col("attr_share").alias("score"),
+    )
+
+    return (
+        edit.unionByName(_tag(_er_matches(1), "er"))
+        .unionByName(_tag(m2, "er2"))
+        .unionByName(gold)
+    )
 
 
 # --- q58: sign-random-projection bucket histogram -------------------------

@@ -296,3 +296,41 @@ def test_multikey_recall_case_under_the_oracle(spark):
     assert s2 == d2
     assert all(p[:2] != (1, 2) for p in d1)
     assert any(p[:2] == (1, 2) for p in d2)
+
+
+def test_survivorship_golden_records(spark):
+    from example_kafkastreams_spark.operators.entity import (
+        er_survivorship,
+    )
+
+    # two clusters: {1,2,3} via chained matches, {10,11} direct
+    matches = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (10, 11, 0.95)],
+        "id_a bigint, id_b bigint, score double",
+    )
+    records = spark.createDataFrame(
+        [
+            (1, "acme"),
+            (2, "acme"),
+            (3, "acme inc"),
+            (10, "zeta"),
+            (11, "yota"),
+            (99, "unmatched"),
+        ],
+        "rid bigint, brand string",
+    )
+    got = {
+        r["member"]: (r["golden"], r["attr"], r["attr_share"])
+        for r in er_survivorship(
+            matches, records, id_col="rid", attr_col="brand"
+        ).collect()
+    }
+    # golden = min id of the transitive cluster
+    assert got[1][0] == got[2][0] == got[3][0] == 1
+    assert got[10][0] == got[11][0] == 10
+    # majority fusion: 2/3 'acme'; tie in {10,11} resolves to the
+    # lexicographically smaller value
+    assert got[1][1] == "acme" and got[1][2] == 2.0 / 3.0
+    assert got[10][1] == "yota" and got[10][2] == 0.5
+    # unmatched records are not re-emitted
+    assert 99 not in got
