@@ -442,7 +442,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
     "q20_sessionize",
     oracle=f"""
     WITH seq AS (
-      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       FROM events
     ), flagged AS (
@@ -450,27 +450,95 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
                      THEN 1 ELSE 0 END AS new_session
       FROM seq
     ), sessions AS (
-      SELECT user_id, event_id, ts_us,
+      SELECT user_id, event_id, event_type, ts_us,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
+    ),
+    -- trans branch: the within-session Markov transition model — for
+    -- each ordered event pair inside a session, count(type -> next)
+    -- and the conditional probability (ONE division of exact counts)
+    str0 AS (
+      SELECT event_type AS et,
+             lead(event_type) OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts_us, event_id) AS nt
+      FROM sessions
+    ),
+    tcnt AS (
+      SELECT et, nt, count(*) AS c FROM str0
+      WHERE nt IS NOT NULL GROUP BY et, nt
+    ),
+    ttot AS (SELECT et, SUM(c) AS tot FROM tcnt GROUP BY et),
+    -- funnel branch: strict-sequence conversion view -> click ->
+    -- purchase per user (each step's first instant strictly after the
+    -- previous step's)
+    f1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    f2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN f1 ON f1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > f1.t
+           GROUP BY e.user_id),
+    f3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+           FROM events e JOIN f2 ON f2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t
+           GROUP BY e.user_id),
+    fcnt AS (
+      SELECT 1 AS step, 'view' AS stype, count(*) AS n FROM f1
+      UNION ALL
+      SELECT 2, 'click', count(*) FROM f2
+      UNION ALL
+      SELECT 3, 'purchase', count(*) FROM f3
     )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+    SELECT 'sess' AS mode, user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events,
-           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us
+           CAST(max(ts_us) - min(ts_us) AS BIGINT) AS duration_us,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS VARCHAR) AS next_type,
+           CAST(NULL AS DOUBLE) AS prob
     FROM sessions GROUP BY user_id, session_id
+    UNION ALL
+    SELECT 'trans', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           c.c, CAST(NULL AS BIGINT), c.et, c.nt,
+           CAST(c.c AS DOUBLE) / CAST(t.tot AS DOUBLE)
+    FROM tcnt c JOIN ttot t ON t.et = c.et
+    UNION ALL
+    SELECT 'funnel', CAST(NULL AS BIGINT), CAST(step AS BIGINT),
+           n, CAST(NULL AS BIGINT), stype, CAST(NULL AS VARCHAR),
+           CAST(n AS DOUBLE)
+             / (SELECT CAST(n AS DOUBLE) FROM fcnt WHERE step = 1)
+    FROM fcnt
     """,
 )
 def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag + gap>30min cumsum sessionization (SNIPPETS/guide pattern;
-    the batch analog of streaming session_window)."""
+    """``sess``: lag + gap>30min cumsum sessionization (SNIPPETS/guide
+    pattern; the batch analog of streaming session_window). ``trans``
+    (round 11): the within-session Markov transition model — the
+    next-event analytics a clickstream deployment derives from its
+    sessionized stream: per (event_type -> next_event_type), the count
+    and the conditional probability (one IEEE division of exact
+    counts; the lead window rides the SAME (user, ts) sort the
+    sessionization already paid). ``funnel`` (round 11): the
+    strict-sequence conversion funnel view -> click -> purchase —
+    each step is the user's first qualifying instant strictly after
+    the previous step's; per-step reached-user counts plus the
+    conversion rate vs step 1. Each step is one aggregation joined
+    against the previous step's (user, t) frame — user-sized, never
+    event-row-sized, so the chain scales as three hash joins."""
     events = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     wcum = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    return (
-        events.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "ts")
+    null_t = (
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("string").alias("next_type"),
+        F.lit(None).cast("double").alias("prob"),
+    )
+    sessions = (
+        events.select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"), "ts",
+        )
         .withColumn("prev_us", F.lag("ts_us").over(w))
         .withColumn(
             "new_session",
@@ -481,12 +549,81 @@ def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0),
         )
         .withColumn("session_id", F.sum("new_session").over(wcum))
-        .groupBy("user_id", "session_id")
+    )
+    sess = (
+        sessions.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         )
+        .select(
+            F.lit("sess").alias("mode"),
+            "user_id", "session_id", "n_events", "duration_us", *null_t,
+        )
     )
+    wlead = W.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    tcnt = (
+        sessions.select(
+            F.col("event_type").alias("et"),
+            F.lead("event_type").over(wlead).alias("nt"),
+        )
+        .filter(F.col("nt").isNotNull())
+        .groupBy("et", "nt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ttot = tcnt.groupBy("et").agg(F.sum("c").alias("tot"))
+    trans = tcnt.join(ttot, "et").select(
+        F.lit("trans").alias("mode"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("session_id"),
+        F.col("c").alias("n_events"),
+        F.lit(None).cast("long").alias("duration_us"),
+        F.col("et").alias("event_type"),
+        F.col("nt").alias("next_type"),
+        (F.col("c").cast("double") / F.col("tot").cast("double")).alias(
+            "prob"
+        ),
+    )
+    ts_us = F.unix_micros("ts")
+    step = events.filter(F.col("event_type") == "view").groupBy(
+        "user_id"
+    ).agg(F.min(ts_us).alias("t"))
+    steps = [("view", step)]
+    for stype in ("click", "purchase"):
+        prev = steps[-1][1]
+        step = (
+            events.filter(F.col("event_type") == stype)
+            .select("user_id", ts_us.alias("__ts"))
+            .join(prev, "user_id")
+            .filter(F.col("__ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("__ts").alias("t"))
+        )
+        steps.append((stype, step))
+    fcnt = None
+    for i, (stype, sdf) in enumerate(steps, start=1):
+        row = sdf.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(stype).alias("stype"),
+            F.col("n"),
+        )
+        fcnt = row if fcnt is None else fcnt.unionByName(row)
+    base = steps[0][1].agg(F.count(F.lit(1)).alias("n1"))
+    funnel = fcnt.crossJoin(F.broadcast(base)).select(
+        F.lit("funnel").alias("mode"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.col("step").alias("session_id"),
+        F.col("n").alias("n_events"),
+        F.lit(None).cast("long").alias("duration_us"),
+        F.col("stype").alias("event_type"),
+        F.lit(None).cast("string").alias("next_type"),
+        (F.col("n").cast("double") / F.col("n1").cast("double")).alias(
+            "prob"
+        ),
+    )
+    return sess.unionByName(trans).unionByName(funnel)
 
 
 # --- q21: scalar string/date/math functions -------------------------------

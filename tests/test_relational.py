@@ -191,3 +191,60 @@ def test_flagship_beats_naive_rekeyed_plan(spark):
     opt = count_exchanges(enrich_clickstream(events))
     naive = count_exchanges(enrich_clickstream_naive(events))
     assert opt < naive, (opt, naive)
+
+
+def test_q20_funnel_strict_ordering_and_trans_probs(spark, tmp_path):
+    """The funnel counts a step only when it happens STRICTLY after
+    the previous step; transition probabilities per source type sum
+    to 1 over that type's observed transitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    from example_kafkastreams_spark.queries import QUERIES
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc)
+
+    rows = [
+        # user 1: full ordered funnel inside one session
+        (1, ts(0), 1, "view", 1.0, "{}"),
+        (2, ts(1), 1, "click", 1.0, "{}"),
+        (3, ts(2), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase BEFORE click — must stop at click
+        (4, ts(0), 2, "view", 1.0, "{}"),
+        (5, ts(1), 2, "purchase", 1.0, "{}"),
+        (6, ts(2), 2, "click", 1.0, "{}"),
+        # user 3: never views — not even step 1
+        (7, ts(0), 3, "click", 1.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us", tz="UTC")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+    out = QUERIES["q20_sessionize"](spark, str(sf))
+    funnel = {
+        r["session_id"]: (r["n_events"], r["event_type"], r["prob"])
+        for r in out.filter("mode = 'funnel'").collect()
+    }
+    assert funnel[1] == (2, "view", 1.0)          # users 1, 2
+    assert funnel[2] == (2, "click", 1.0)         # user 2's click is
+    assert funnel[3] == (1, "purchase", 0.5)      # after view; only
+    # user 1 purchases after clicking
+    trans = out.filter("mode = 'trans'").collect()
+    by_src = {}
+    for r in trans:
+        by_src.setdefault(r["event_type"], []).append(r["prob"])
+    for probs in by_src.values():
+        assert abs(sum(probs) - 1.0) < 1e-12
