@@ -124,19 +124,52 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 @query(
     "q30_pivot_event_types",
     oracle=f"""
-    SELECT user_id,
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    coh AS (
+      SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+    ),
+    cs AS (
+      SELECT cohort_day, count(*) AS size FROM coh GROUP BY cohort_day
+    ),
+    mat AS (
+      SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+             count(*) AS n_active
+      FROM ud u JOIN coh c ON c.user_id = u.user_id
+      GROUP BY c.cohort_day, u.day - c.cohort_day
+    )
+    SELECT 'pivot' AS mode, user_id,
            {', '.join(
                f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
                for t in _EVENT_TYPES
-           )}
+           )},
+           CAST(NULL AS DOUBLE) AS retention
     FROM events
     GROUP BY user_id
+    UNION ALL
+    SELECT 'cohort', m.cohort_day, m.day_offset, m.n_active, s.size,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(m.n_active AS DOUBLE) / CAST(s.size AS DOUBLE)
+    FROM mat m JOIN cs s ON s.cohort_day = m.cohort_day
     """,
 )
 def q30_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long→wide pivot with an EXPLICIT value list (never inferred: at
-    100 TB value inference is an extra full pass; with the list given,
-    the pivot is a single hash aggregation of |users| x 5 counters)."""
+    """``pivot``: long→wide pivot with an EXPLICIT value list (never
+    inferred: at 100 TB value inference is an extra full pass; with
+    the list given, the pivot is a single hash aggregation of |users|
+    x 5 counters). ``cohort`` (round 11): day-grain retention cohorts
+    — each user's cohort is their first active day (integer epoch-day
+    division, exact in both engines); the matrix counts distinct
+    users active at each (cohort_day, day_offset) with the retention
+    rate vs cohort size (one IEEE division of exact counts). The
+    (user, day) dedup is the only corpus-sized aggregation; the
+    matrix itself is bounded by days², not rows. Columns shoehorn
+    positionally into the pivot schema (user_id=cohort_day, then
+    day_offset / n_active / cohort_size into the first three
+    n_{{type}} columns of the _EVENT_TYPES order)."""
     ev = load_table(spark, sf_dir, "events")
     piv = (
         ev.groupBy("user_id")
@@ -145,13 +178,42 @@ def q30_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pivot leaves NULL where a (user, type) pair never occurred;
     # COUNT(*) FILTER yields 0 — align on 0 and match oracle names
-    return piv.select(
+    pivot = piv.select(
+        F.lit("pivot").alias("mode"),
         "user_id",
         *[
             F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
             for t in _EVENT_TYPES
         ],
+        F.lit(None).cast("double").alias("retention"),
     )
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+    ).distinct()
+    coh = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cs = coh.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("size"))
+    mat = (
+        ud.join(coh, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    cohort = mat.join(F.broadcast(cs), "cohort_day").select(
+        F.lit("cohort").alias("mode"),
+        F.col("cohort_day").alias("user_id"),
+        F.col("day_offset").alias(f"n_{_EVENT_TYPES[0]}"),
+        F.col("n_active").alias(f"n_{_EVENT_TYPES[1]}"),
+        F.col("size").alias(f"n_{_EVENT_TYPES[2]}"),
+        F.lit(None).cast("long").alias(f"n_{_EVENT_TYPES[3]}"),
+        F.lit(None).cast("long").alias(f"n_{_EVENT_TYPES[4]}"),
+        (
+            F.col("n_active").cast("double") / F.col("size").cast("double")
+        ).alias("retention"),
+    )
+    return pivot.unionByName(cohort)
 
 
 # --- q31: exact percentiles / median --------------------------------------

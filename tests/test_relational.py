@@ -248,3 +248,54 @@ def test_q20_funnel_strict_ordering_and_trans_probs(spark, tmp_path):
         by_src.setdefault(r["event_type"], []).append(r["prob"])
     for probs in by_src.values():
         assert abs(sum(probs) - 1.0) < 1e-12
+
+
+def test_q30_cohort_retention_matrix(spark, tmp_path):
+    """Two day-cohorts with known retention: users 1-2 start day 0
+    (user 2 returns day 1), user 3 starts day 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timezone
+
+    from example_kafkastreams_spark.queries import QUERIES
+
+    def ts(d, h=1):
+        return datetime(2024, 1, 1 + d, h, tzinfo=timezone.utc)
+
+    rows = [
+        (1, ts(0), 1, "view"),
+        (2, ts(0), 2, "view"),
+        (3, ts(1), 2, "click"),
+        (4, ts(1), 3, "view"),
+        (5, ts(1, 5), 2, "view"),  # same user+day dedups
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us", tz="UTC")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+    out = QUERIES["q30_pivot_event_types"](spark, str(sf))
+    # cohort rows shoehorn positionally: the first three n_{type}
+    # columns in _EVENT_TYPES order carry day_offset / n_active / size
+    got = {
+        (r["user_id"], r["n_click"]): (r["n_error"], r["n_purchase"],
+                                       r["retention"])
+        for r in out.filter("mode = 'cohort'").collect()
+    }
+    d0 = int(rows[0][1].timestamp() * 1_000_000) // 86_400_000_000
+    # cohort day-0: size 2, both active at offset 0, one at offset 1
+    assert got[(d0, 0)] == (2, 2, 1.0)
+    assert got[(d0, 1)] == (1, 2, 0.5)
+    # cohort day-1: size 1, active at offset 0 only
+    assert got[(d0 + 1, 0)] == (1, 1, 1.0)
+    assert len(got) == 3
