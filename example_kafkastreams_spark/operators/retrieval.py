@@ -1308,3 +1308,123 @@ def maxsim_rerank(
         .filter(F.col("rank") <= top_k)
         .select("query", "doc_id", "rank", "score")
     )
+
+
+# --- MMR diversification (round 11) ----------------------------------------
+
+MMR_LAMBDA = "0.5"
+
+
+def mmr_diversify(
+    shortlist: DataFrame,
+    docs: DataFrame,
+    k: int = 3,
+    lam: str = MMR_LAMBDA,
+    lam_div: str = MMR_LAMBDA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) over a
+    per-query shortlist — the diversification stage a retrieval stack
+    runs AFTER scoring, so the k results shown are not five copies of
+    the same document:
+
+        pick_1 = argmax λ·rel(d)
+        pick_t = argmax λ·rel(d) − λ_div·max_{s∈picked} sim(d, s)
+
+    ``sim`` is token-set Jaccard (exact rational), ``rel`` the
+    shortlist score. Both enter the argmax ROUNDED to 6 decimals (the
+    house dual-dialect rounder), so every comparison runs on doubles
+    both engines computed bit-identically and the greedy picks are
+    cross-engine deterministic — ties break on doc id. Returns
+    (query, doc_id, mmr, pick) with pick 1..k (a query with a
+    shortlist smaller than k yields fewer picks; pick 1's mmr is
+    λ·rel — no diversity term exists yet).
+
+    Scale shape: everything is shortlist-sized (|queries|·top_k rows)
+    — the pairwise sim table is |queries|·top_k² and the k−1 greedy
+    rounds are joins over it; the corpus appears only in the one
+    token-set lookup join. The greedy loop is inherently sequential
+    in k, so keep k small (it is the SERVED page, not the corpus).
+    """
+    lam_e = F.expr(f"CAST('{lam}' AS DOUBLE)")
+    div_e = F.expr(f"CAST('{lam_div}' AS DOUBLE)")
+    sl = shortlist.select(
+        "query",
+        id_col,
+        F.expr(P.round_dbl("score", 6, P.SPARK)).alias("__rel"),
+    )
+    tsets = sl.select("query", id_col).join(
+        docs.select(
+            id_col,
+            F.expr(
+                P.distinct_(P.split_ws(text_col, P.SPARK), P.SPARK)
+            ).alias("__ts"),
+        ),
+        id_col,
+    )
+    a, b = tsets.alias("a"), tsets.alias("b")
+    jac = P.round_dbl(
+        f"(CAST({P.size_(P.intersect_('a.__ts', 'b.__ts', P.SPARK), P.SPARK)}"
+        f" AS DOUBLE) / CAST({P.union_size('a.__ts', 'b.__ts', P.SPARK)}"
+        f" AS DOUBLE))",
+        6,
+        P.SPARK,
+    )
+    psim = a.join(
+        b,
+        (F.col("a.query") == F.col("b.query"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col("a.query").alias("query"),
+        F.col(f"a.{id_col}").alias("__da"),
+        F.col(f"b.{id_col}").alias("__db"),
+        F.expr(jac).alias("__jac"),
+    )
+    wq = Window.partitionBy("query").orderBy(
+        F.col("__rel").desc(), F.col(id_col)
+    )
+    picked = (
+        sl.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query",
+            id_col,
+            (lam_e * F.col("__rel")).alias("mmr"),
+            F.lit(1).cast("bigint").alias("pick"),
+        )
+    )
+    for t in range(2, k + 1):
+        cand = sl.join(
+            picked.select("query", id_col), ["query", id_col], "left_anti"
+        )
+        ms = (
+            psim.join(
+                picked.select(
+                    "query", F.col(id_col).alias("__db")
+                ),
+                ["query", "__db"],
+            )
+            .groupBy("query", "__da")
+            .agg(F.max("__jac").alias("__ms"))
+            .select(
+                "query", F.col("__da").alias(id_col), "__ms"
+            )
+        )
+        wm = Window.partitionBy("query").orderBy(
+            F.col("mmr").desc(), F.col(id_col)
+        )
+        nxt = (
+            cand.join(ms, ["query", id_col])
+            .withColumn(
+                "mmr", lam_e * F.col("__rel") - div_e * F.col("__ms")
+            )
+            .withColumn("__rn", F.row_number().over(wm))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query", id_col, "mmr",
+                F.lit(t).cast("bigint").alias("pick"),
+            )
+        )
+        picked = picked.unionByName(nxt)
+    return picked

@@ -566,6 +566,85 @@ def _maxsim_ctes() -> str:
     )"""
 
 
+# mmr branch (round 11): greedy diversification depth over the bm25
+# shortlist (operators.retrieval.mmr_diversify)
+MMR_K = 3
+
+
+def _mmr_ctes(k: int) -> str:
+    """Unrolled MMR greedy rounds for the q55 oracle — rel and the
+    token-set Jaccard enter every argmax ROUNDED via the tie-safe
+    dual-dialect rounder, so the picks match mmr_diversify exactly."""
+    from .operators.retrieval import MMR_LAMBDA
+
+    lam = f"CAST('{MMR_LAMBDA}' AS DOUBLE)"
+    jac = P.round_dbl(
+        f"(CAST({P.size_(P.intersect_('ta.ts', 'tb.ts', D), D)} AS DOUBLE)"
+        f" / CAST({P.union_size('ta.ts', 'tb.ts', D)} AS DOUBLE))",
+        6,
+        D,
+    )
+    ctes = f"""
+    mmts AS (SELECT doc_id, {P.distinct_('toks', D)} AS ts FROM btok),
+    mmsl AS (
+      SELECT query, doc_id, {P.round_dbl('score', 6, D)} AS rel
+      FROM br WHERE rn <= {BM25_TOP_K}
+    ),
+    mmps AS (
+      SELECT a.query, a.doc_id AS da, b.doc_id AS db, {jac} AS jac
+      FROM mmsl a JOIN mmsl b
+        ON a.query = b.query AND a.doc_id <> b.doc_id
+      JOIN mmts ta ON ta.doc_id = a.doc_id
+      JOIN mmts tb ON tb.doc_id = b.doc_id
+    ),
+    mm1 AS (
+      SELECT query, doc_id, {lam} * rel AS mmr, 1 AS pick FROM (
+        SELECT query, doc_id, rel,
+               row_number() OVER (PARTITION BY query
+                                  ORDER BY rel DESC, doc_id) AS rn
+        FROM mmsl
+      ) WHERE rn = 1
+    ),
+    mmp1 AS (SELECT query, doc_id FROM mm1)"""
+    for t in range(2, k + 1):
+        ctes += f""",
+    mmc{t} AS (
+      SELECT s.query, s.doc_id, s.rel FROM mmsl s
+      LEFT JOIN mmp{t - 1} p
+        ON p.query = s.query AND p.doc_id = s.doc_id
+      WHERE p.doc_id IS NULL
+    ),
+    mms{t} AS (
+      SELECT ps.query, ps.da AS doc_id, max(ps.jac) AS msim
+      FROM mmps ps JOIN mmp{t - 1} p
+        ON p.query = ps.query AND p.doc_id = ps.db
+      GROUP BY ps.query, ps.da
+    ),
+    mm{t} AS (
+      SELECT query, doc_id, mmr, {t} AS pick FROM (
+        SELECT c.query, c.doc_id,
+               {lam} * c.rel - {lam} * m.msim AS mmr,
+               row_number() OVER (PARTITION BY c.query
+                 ORDER BY {lam} * c.rel - {lam} * m.msim DESC,
+                          c.doc_id) AS rn
+        FROM mmc{t} c JOIN mms{t} m
+          ON m.query = c.query AND m.doc_id = c.doc_id
+      ) WHERE rn = 1
+    ),
+    mmp{t} AS (
+      SELECT query, doc_id FROM mmp{t - 1}
+      UNION ALL SELECT query, doc_id FROM mm{t}
+    )"""
+    arms = "\n      UNION ALL\n      ".join(
+        f"SELECT query, doc_id, mmr, pick FROM mm{t}"
+        for t in range(1, k + 1)
+    )
+    return ctes + f""",
+    mmall AS (
+      {arms}
+    )"""
+
+
 def _q55_sql() -> str:
     from .operators.retrieval import BM25_B, BM25_K1, RRF_K
 
@@ -750,6 +829,7 @@ def _q55_sql() -> str:
       UNION ALL SELECT query, hits, 'ap', ap FROM evm
       UNION ALL SELECT query, hits, 'ndcg', ndcg FROM evm
     ),
+    {_mmr_ctes(MMR_K)},
     {_maxsim_ctes()}
     SELECT 'tfidf' AS mode, doc_id, term AS top_term, tf_count,
            round(CAST(tfidf_raw AS DOUBLE), 6) AS tfidf
@@ -786,6 +866,11 @@ def _q55_sql() -> str:
     UNION ALL
     SELECT 'rerank', doc_id, query, CAST(rn AS BIGINT), round(score, 6)
     FROM rer WHERE rn <= {BM25_TOP_K}
+    UNION ALL
+    -- mmr branch: greedy diversified picks over the bm25 shortlist
+    SELECT 'mmr', doc_id, query, CAST(pick AS BIGINT),
+           {P.round_dbl('mmr', 6, D)}
+    FROM mmall
     """
 
 
@@ -995,6 +1080,19 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "rerank",
     )
+    # mmr (round 11): greedy MMR diversification of the bm25 shortlist
+    # (operators.retrieval.mmr_diversify) — rel and the token-set
+    # Jaccard enter every argmax via the tie-safe rounder, so the
+    # oracle's unrolled greedy rounds reproduce the picks exactly
+    from .operators.retrieval import mmr_diversify
+
+    mmr = mmr_diversify(bmr, docs, k=MMR_K).select(
+        F.lit("mmr").alias("mode"),
+        "doc_id",
+        F.col("query").alias("top_term"),
+        F.col("pick").alias("tf_count"),
+        F.expr(P.round_dbl("mmr", 6, P.SPARK)).alias("tfidf"),
+    )
     return (
         tfidf.unionByName(bm)
         .unionByName(idx)
@@ -1003,6 +1101,7 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ms)
         .unionByName(ms_idx)
         .unionByName(rr)
+        .unionByName(mmr)
     )
 
 

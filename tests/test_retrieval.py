@@ -836,3 +836,52 @@ def test_maxsim_index_compaction_serve_identical(spark, tmp_path):
     path2 = str(tmp_path / "ms_static")
     maxsim_index_write(docs.filter(F.col("doc_id") % 3 != 0), path2)
     assert maxsim_index_compact(spark, path2) is None
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from example_kafkastreams_spark.operators.retrieval import (
+        mmr_diversify,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon"),  # near-dup of 1
+            (3, "zeta eta theta iota"),             # disjoint
+        ],
+        "doc_id bigint, text string",
+    )
+    shortlist = spark.createDataFrame(
+        [("q", 1, 1, 10.0), ("q", 2, 2, 5.2), ("q", 3, 3, 5.0)],
+        "query string, doc_id bigint, rank bigint, score double",
+    )
+    got = {
+        r["pick"]: (r["doc_id"], r["mmr"])
+        for r in mmr_diversify(shortlist, docs, k=3).collect()
+    }
+    # pick 1 = argmax rel; pick 2 must SKIP the near-duplicate doc 2
+    # (0.5*5.2 - 0.5*0.8 = 2.2 < 0.5*5.0 - 0.5*0.0 = 2.5) and take
+    # the disjoint doc 3; doc 2 arrives last
+    assert got[1][0] == 1
+    assert got[2][0] == 3
+    assert got[3][0] == 2
+    assert got[1][1] == 5.0
+    assert got[2][1] == 2.5
+    # pick 3's mmr pays the similarity to doc 1 (jaccard 4/5)
+    assert abs(got[3][1] - (0.5 * 5.2 - 0.5 * 0.8)) < 1e-9
+
+
+def test_mmr_short_shortlist_yields_fewer_picks(spark):
+    from example_kafkastreams_spark.operators.retrieval import (
+        mmr_diversify,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], "doc_id bigint, text string"
+    )
+    shortlist = spark.createDataFrame(
+        [("q", 1, 1, 2.0), ("q", 2, 2, 1.0)],
+        "query string, doc_id bigint, rank bigint, score double",
+    )
+    rows = mmr_diversify(shortlist, docs, k=5).collect()
+    assert sorted(r["pick"] for r in rows) == [1, 2]
