@@ -148,27 +148,28 @@ def input_totals(spark) -> tuple[int, int] | None:
 # changed, or later; per-branch drift inside them is attributed by
 # ``branch_timings``.
 _MERGED_SINCE = {
+    "q20_sessionize": 11,         # +trans/+funnel (r11)
+    "q30_pivot_event_types": 11,  # +cohort retention (r11)
     "q11_pricing_summary": 10,    # +mv incremental maintenance (r10)
     "q19_window_topn_per_user": 10,  # +topk two-phase combiner (r10)
     "q26_interval_join_symmetric": 10,  # +dim/+enrich (r9), +asof/+chlog (r10)
     "q40_dedup_exact_text": 10,   # +diff_* (r9), +xsrc overlap (r10)
     "q45_knn_bruteforce": 11,     # +mrl (r9), +pca shipped basis (r11)
-    "q65_lm_score": 9,            # +clf (r9)
+    "q65_lm_score": 11,           # +clf (r9), +calib (r11)
     "q41_dedup_minhash_lsh": 10,  # +incr (r6), +eval (r10)
     "q44_dedup_ngram_jaccard": 10,  # +contain (r10)
     "q46_ann_lsh_ivf": 10,        # +ivfflat_idx (r9), +ivf_tr (r10)
     "q47_embedding_neardup": 10,  # +delta/+deltaidx (r8), +prune (r10)
     "q34_hash_sample": 10,        # +wsample (r9), +prio (r10)
     "q56_quantize_embeddings": 10,  # +adc (r8), +pq_tr (r10)
-    "q57_neardup_components": 11,  # +mine_hard/+inc/+bfs (r10), +gsplit (r11)
-    "q58_srp_histogram": 11,      # +hist* (r10), +qdig/+qdig_q and the
-                                  # shared-scan persists (r11)
+    "q57_neardup_components": 11,  # +gsplit/+pr (r11)
+    "q58_srp_histogram": 11,      # +qdig/+qdig_q/+ams, shared-scan persists (r11)
     "q48_doc_profile": 10,        # +cols table profiler (r10)
     "q50_token_stats": 10,        # +bpe (r9), +dupgram (r10)
     "q54_chunk_documents": 11,    # +masks (r10), +lbatch (r11)
-    "q55_tfidf_top_term": 10,     # +bm25idx (r9), +maxsim (r10)
-    "q59_dedup_edit_distance": 11,  # +er (r10), +er2 multi-key (r11)
-    "q61_domain_mixing": 10,      # +card (r9), +drift (r10)
+    "q55_tfidf_top_term": 11,     # +maxsim family (r10), +mmr (r11)
+    "q59_dedup_edit_distance": 11,  # +er2/+gold survivorship (r11)
+    "q61_domain_mixing": 11,      # +drift (r10), +dsir (r11)
     "q62_pii_scrub": 10,          # +norm (r9), +ccn Luhn (r10)
     "q63_corpus_funnel": 6,       # +delta (r6)
     "q64_decontaminate": 9,       # +bloom (r9)
@@ -348,6 +349,8 @@ def main() -> None:
          ("hash", "strat", "wsample", "prio", "gprio")),
         ("q40_dedup_exact_text", "mode",
          ("full", "incr", "diff_changed", "diff_unchanged", "xsrc")),
+        ("q20_sessionize", "mode", ("sess", "trans", "funnel")),
+        ("q30_pivot_event_types", "mode", ("pivot", "cohort")),
         ("q41_dedup_minhash_lsh", "mode", ("pairs", "incr", "eval")),
         ("q44_dedup_ngram_jaccard", "mode", ("jac", "contain")),
         ("q45_knn_bruteforce", "method", ("brute", "mrl", "pca")),
@@ -367,27 +370,27 @@ def main() -> None:
             "q55_tfidf_top_term",
             "mode",
             ("tfidf", "bm25", "bm25idx", "rrf", "eval", "maxsim",
-             "maxsimidx", "rerank"),
+             "maxsimidx", "rerank", "mmr"),
         ),
         ("q56_quantize_embeddings", "mode",
          ("int8", "pq", "ivfpq", "adc", "pq_tr")),
         ("q57_neardup_components", "mode",
          ("comp", "leak", "mine_pos", "mine_neg", "mine_hard", "inc",
-          "bfs", "gsplit")),
+          "bfs", "gsplit", "pr")),
         (
             "q58_srp_histogram",
             "mode",
             ("srp", "kmv", "kmvops", "cms", "hll", "hll_est",
              "hll_grp", "hll_grp_est", "hist", "hist_grp", "qdig",
-             "qdig_q"),
+             "qdig_q", "ams"),
         ),
-        ("q59_dedup_edit_distance", "mode", ("edit", "er", "er2")),
+        ("q59_dedup_edit_distance", "mode", ("edit", "er", "er2", "gold")),
         ("q61_domain_mixing", "mode",
-         ("mix", "card", "temp", "budget", "drift")),
+         ("mix", "card", "temp", "budget", "drift", "dsir")),
         ("q62_pii_scrub", "mode", ("pii", "norm", "ccn")),
         ("q63_corpus_funnel", "mode", ("full", "delta")),
         ("q64_decontaminate", "mode", ("exact", "fuzzy", "bloom")),
-        ("q65_lm_score", "mode", ("lm", "clf")),
+        ("q65_lm_score", "mode", ("lm", "clf", "calib")),
     ):
         if qname not in QUERIES:
             continue

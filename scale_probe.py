@@ -850,6 +850,74 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
             F.countDistinct("component_id").alias("n_comp"),
         )
 
+    def pagerank_op():
+        # iterative power iteration over the star-contracted dedup
+        # graph (q57 pr): per-round shuffle is rank-table-sized over a
+        # persisted symmetrized edge list — expect ~linear wall, and
+        # shuffle bounded by iterations x (edges + nodes)
+        from example_kafkastreams_spark.operators.components import (
+            pagerank,
+        )
+
+        edges = ND.simhash_components_edges(docs, max_hamming=3)
+        return pagerank(edges, docs, node_col="doc_id", iterations=3)
+
+    def dsir_op():
+        # DSIR-style selection (q61 dsir): one tokenize pass, two
+        # bucket-count aggs (exchange <= partitions x buckets), one
+        # broadcast-weights scoring join + per-doc sum — scan-shaped
+        from example_kafkastreams_spark.operators.mixing import (
+            domain_relevance_scores,
+        )
+
+        tgt = docs.selectExpr("min(source) AS s").first()["s"]
+        _w, scores = domain_relevance_scores(docs, tgt)
+        return scores
+
+    def survivorship_op():
+        # golden records over the contracted match graph (q59 gold):
+        # everything downstream of the matches is match-sized
+        from example_kafkastreams_spark.operators.entity import (
+            er_survivorship,
+        )
+
+        m = ND.simhash_components_edges(docs, max_hamming=3).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
+        return er_survivorship(
+            m, docs, id_col="doc_id", attr_col="source"
+        )
+
+    def ams_op():
+        # AMS F2 counters (q58 ams): map-side signed coordinates, one
+        # hash agg — exchange CONSTANT in corpus size
+        from example_kafkastreams_spark.functions import portable as P
+        from example_kafkastreams_spark.operators.sketches import (
+            ams_f2_counters,
+        )
+
+        toks = docs.select(
+            F.explode(F.expr(P.split_ws("text", P.SPARK))).alias("v")
+        )
+        return ams_f2_counters(toks, "v")
+
+    def cohort_op():
+        # retention matrix (q30 cohort): (user, day) dedup is the one
+        # corpus-sized agg; matrix bounded by days^2
+        ud = events.select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        ).distinct()
+        coh = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+        return (
+            ud.join(coh, "user_id")
+            .groupBy(
+                "cohort_day",
+                (F.col("day") - F.col("cohort_day")).alias("off"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     out: dict[str, dict] = {}
     for name, mk in (
         ("scan_agg", scan_agg),
@@ -894,6 +962,11 @@ def probe_ops(spark, sf_dir: str, bench_base: str) -> dict[str, dict]:
         ("grouped_split", gsplit_op),
         ("profile_columns", profile_cols),
         ("nearest_event_join", nearest_join_op),
+        ("pagerank_contracted", pagerank_op),
+        ("dsir_select", dsir_op),
+        ("er_survivorship", survivorship_op),
+        ("ams_f2", ams_op),
+        ("cohort_retention", cohort_op),
     ):
         before = _stages_json(spark) or []
         b_rec = sum(s.get("shuffleWriteRecords", 0) for s in before)
