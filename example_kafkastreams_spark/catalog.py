@@ -46,15 +46,35 @@ _READ_CONFS = {
 }
 
 
+# Memo of built scan DataFrames, keyed by (applicationId, sf_dir,
+# name). A load_table call costs ~140 ms of driver work (4 conf
+# round-trips + a parquet footer read + the ts normalization), and the
+# bench surface makes hundreds of them per session over the SAME
+# static testdata directories; the scan plan is immutable (DataFrames
+# are), so handing the same object back is semantics-free. Keyed by
+# applicationId so a restarted session never serves plans bound to a
+# dead SparkContext (the q55/q57 memo convention). The memo also makes
+# repeated loads safe under the thread-overlap builders (guide §2.6):
+# only the FIRST load of a (dir, table) runs the set-and-restore
+# window — concurrent loaders of a memo hit never touch session confs.
+_TABLE_MEMO: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """NOT thread-safe: the set-and-restore of _READ_CONFS mutates
-    session state for the duration of the footer read, so a concurrent
-    query on the same session could observe the temporary values, and
-    two overlapping load_table calls could restore stale ones. The
-    driver contract is single-threaded; guard with a lock if a
-    multi-threaded caller ever shares one session (ADVICE r4)."""
+    """NOT thread-safe on first load of a given (sf_dir, name): the
+    set-and-restore of _READ_CONFS mutates session state for the
+    duration of the footer read, so a concurrent query on the same
+    session could observe the temporary values, and two overlapping
+    first loads could restore stale ones. Memo hits (every call after
+    the first) are read-only and thread-safe. The driver contract is
+    single-threaded; pre-warm the memo before handing the session to a
+    multi-threaded caller (ADVICE r4)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    memo_key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     # The generator has shipped two physical timestamp shapes across
     # rounds, and load_table must accept BOTH under any caller-provided
     # session (the correctness driver builds its own) — see _READ_CONFS.
@@ -98,6 +118,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     f" {field.name}) AS TIMESTAMP)"
                 ),
             )
+    _TABLE_MEMO[memo_key] = df
     return df
 
 

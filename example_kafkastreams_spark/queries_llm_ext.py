@@ -943,7 +943,14 @@ def q55_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("tfidf").alias("mode"), "doc_id", "top_term", "tf_count",
         "tfidf",
     )
-    bmr = bm25_top_docs(docs, list(BM25_QUERIES), top_k=BM25_TOP_K)
+    # the BM25 ranking fans out into FOUR consumers (bm25 rows, the
+    # rrf voter, the eval harness, and mmr's shortlist) — persist the
+    # |queries|·top_k-row result once so the full postings-scoring
+    # tree is planned and executed once per invocation instead of
+    # once per consumer (guide §2.4: shared subtree, one exchange)
+    from .operators.cache import persist_tracked as _pt
+
+    bmr = _pt(bm25_top_docs(docs, list(BM25_QUERIES), top_k=BM25_TOP_K))
     bm = bmr.select(
         F.lit("bm25").alias("mode"),
         "doc_id",

@@ -75,19 +75,86 @@ def test_connected_components_explicit_broadcast_skips_sizing_job(
 
     monkeypatch.setattr(C, "_estimate_label_bytes", counting)
     expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    # local_fixpoint=False pins the LOOP path (the beyond-one-task
+    # regime); explicit broadcast must still skip the label sizing job
     for forced in (True, False):
         got = {
             r.doc_id: r.component_id
             for r in C.connected_components(
-                edges, nodes, node_col="doc_id", broadcast=forced
+                edges, nodes, node_col="doc_id", broadcast=forced,
+                local_fixpoint=False,
             ).collect()
         }
         assert got == expected  # both regimes compute the same fixpoint
     assert calls["n"] == 0, "explicit broadcast must skip the sizing job"
     C.connected_components(
-        edges, nodes, node_col="doc_id", broadcast=None
+        edges, nodes, node_col="doc_id", broadcast=None,
+        local_fixpoint=False,
     ).collect()
     assert calls["n"] == 1, "auto mode sizes the label table exactly once"
+
+
+def test_connected_components_local_fixpoint_matches_loop(spark, monkeypatch):
+    """The single-task union-find path (local_fixpoint) must compute
+    the exact loop fixpoint — min reachable id per component — and the
+    auto gate must go local for a tiny edge list WITHOUT ever sizing
+    the label table (the loop's sizing job is replaced by one edge
+    estimate)."""
+    from example_kafkastreams_spark.operators import components as C
+
+    edges = spark.createDataFrame(
+        # a 4-chain, a pair, and an isolated edge cluster — exercises
+        # multi-hop closure, not just direct pairs
+        [(5, 2), (2, 9), (9, 7), (30, 31), (100, 50)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in (2, 5, 7, 9, 30, 31, 50, 100, 777)],
+        "doc_id long",
+    )
+    calls = {"n": 0}
+    real = C._estimate_label_bytes
+
+    def counting(in_graph):
+        calls["n"] += 1
+        return real(in_graph)
+
+    monkeypatch.setattr(C, "_estimate_label_bytes", counting)
+    loop = {
+        r.doc_id: r.component_id
+        for r in C.connected_components(
+            edges, nodes, node_col="doc_id", local_fixpoint=False
+        ).collect()
+    }
+    local = {
+        r.doc_id: r.component_id
+        for r in C.connected_components(
+            edges, nodes, node_col="doc_id", local_fixpoint=True
+        ).collect()
+    }
+    auto = {
+        r.doc_id: r.component_id
+        for r in C.connected_components(
+            edges, nodes, node_col="doc_id"
+        ).collect()
+    }
+    expected = {
+        2: 2, 5: 2, 7: 2, 9: 2, 30: 30, 31: 30, 50: 50, 100: 50, 777: 777
+    }
+    assert loop == expected
+    assert local == expected
+    assert auto == expected
+    # loop ran the label sizing once (broadcast auto); neither the
+    # explicit-local nor the auto-local run sized the label table
+    assert calls["n"] == 1
+    # a zero threshold fails the gate and falls back to the loop
+    beyond = {
+        r.doc_id: r.component_id
+        for r in C.connected_components(
+            edges, nodes, node_col="doc_id", local_threshold_bytes=0
+        ).collect()
+    }
+    assert beyond == expected
 
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
