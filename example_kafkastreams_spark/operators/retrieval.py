@@ -1090,19 +1090,31 @@ def maxsim_index_write(
     stride: int = MAXSIM_STRIDE,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vectors: DataFrame | None = None,
 ) -> None:
     """Persist the MaxSim chunk-vector index: the one-time 100 TB
     featurization pass written to parquet + a meta.json pinning the
     hash-family parameters, so serves NEVER re-featurize the corpus
     and a mismatched query-side family is refused instead of silently
-    scoring garbage. The bm25_index_write deployment contract."""
+    scoring garbage. The bm25_index_write deployment contract.
+
+    ``vectors``: an already-featurized (and typically persisted)
+    ``maxsim_chunk_vectors`` frame for the SAME (docs, dim, n_hashes,
+    chunk_size, stride) — callers that also serve in-session (q55)
+    pass their cached frame so the corpus is featurized once, not once
+    per consumer. The caller owns the parameter match; the meta.json
+    written here still pins what the caller declared."""
     import json
     import os
 
-    maxsim_chunk_vectors(
-        docs, dim=dim, n_hashes=n_hashes,
-        chunk_size=chunk_size, stride=stride,
-        id_col=id_col, text_col=text_col,
+    (
+        vectors
+        if vectors is not None
+        else maxsim_chunk_vectors(
+            docs, dim=dim, n_hashes=n_hashes,
+            chunk_size=chunk_size, stride=stride,
+            id_col=id_col, text_col=text_col,
+        )
     ).write.mode("overwrite").parquet(os.path.join(path, "chunks"))
     tmp = os.path.join(path, "meta.json.tmp")
     with open(tmp, "w") as f:
@@ -1323,6 +1335,7 @@ def mmr_diversify(
     lam_div: str = MMR_LAMBDA,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_fn=None,
 ) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998) over a
     per-query shortlist — the diversification stage a retrieval stack
@@ -1358,8 +1371,16 @@ def mmr_diversify(
     persist_tracked: the analyzer's cache substitution collapses all
     repeated references to one InMemoryRelation, keeping the plan
     linear in k and each subtree executed once.
+
+    ``persist_fn``: the persist used for those frames — default
+    ``persist_tracked`` (released by ``release_sketch_caches``); a
+    memo-backed caller (q55) passes ``persist_pinned`` so a tracked
+    release between invocations cannot silently restore the
+    exponential re-execution on the memoized plan.
     """
     from .cache import persist_tracked
+
+    persist_tracked = persist_fn or persist_tracked
 
     lam_e = F.expr(f"CAST('{lam}' AS DOUBLE)")
     div_e = F.expr(f"CAST('{lam_div}' AS DOUBLE)")

@@ -65,6 +65,7 @@ def corpus_stages(
     clf_seed: float | None = None,
     decontam_bench: DataFrame | None = None,
     decontam_mode: str = "bloom",
+    language_stage_hook=None,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -211,6 +212,15 @@ def corpus_stages(
             *[f"score_{lang}" for lang in scores]
         )
     )
+    if language_stage_hook is not None:
+        # Overlap hook (guide §2.6): a sibling build whose only input
+        # is the language stage — q63's day-2 delta funnel, whose
+        # persistent indexes derive from this stage's texts — can
+        # launch its own driver thread HERE and run concurrently with
+        # the eager component stage below, instead of waiting for the
+        # whole funnel to construct. Called with the persisted frame;
+        # must not block.
+        language_stage_hook(language)
 
     lm_filtered = None
     if lm_range is not None:

@@ -1174,21 +1174,58 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the appended index rows (rep id, bucket) — so the oracle pins
     BOTH admission decisions and the index update rule."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # shared-scan composition: one bucket build + one scored pair join
-    # feeds both branches; equivalence to the standalone operators is
-    # unit-pinned (tests/test_corpus_ops.py)
-    pairs, sem = KNN.pairs_with_semantic(
-        emb, top_n=20, threshold=float(_SEM_THRESHOLD), planes=_PLANES
+
+    # The three eager sections — the shared bucket/pair build with its
+    # component fixpoint, the incremental SRP admission with its
+    # within-delta fixpoint, and the prune branch's bounded
+    # centroid/threshold jobs — are mutually independent given the emb
+    # scan. Sequential they cost ~7 s of driver-synchronized build
+    # latency at sf0.1; overlapped threads let each section's jobs
+    # back-fill the others' idle slots (guide §2.6).
+    from .operators.overlap import build_overlapped
+
+    def _build_pairs_sem():
+        # shared-scan composition: one bucket build + one scored pair
+        # join feeds both branches; equivalence to the standalone
+        # operators is unit-pinned (tests/test_corpus_ops.py)
+        return KNN.pairs_with_semantic(
+            emb, top_n=20, threshold=float(_SEM_THRESHOLD), planes=_PLANES
+        )
+
+    def _build_admit():
+        srp_idx = KNN.srp_bucket_index(
+            emb.filter(F.col("vec_id") % 5 != 0), planes=_PLANES
+        )
+        return KNN.admit_against_srp_index(
+            emb.filter(F.col("vec_id") % 5 == 0),
+            srp_idx,
+            threshold=float(_SEM_THRESHOLD),
+            planes=_PLANES,
+        )
+
+    def _build_prune():
+        return CUR.cluster_prune(
+            CUR.cluster_assign(
+                emb,
+                cent_df=emb.filter(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv"),
+                ),
+            ),
+            keep_frac=0.5,
+            keep="hard",
+        )
+
+    built = build_overlapped(
+        {
+            "pairs_sem": _build_pairs_sem,
+            "admit": _build_admit,
+            "prune": _build_prune,
+        }
     )
-    srp_idx = KNN.srp_bucket_index(
-        emb.filter(F.col("vec_id") % 5 != 0), planes=_PLANES
-    )
-    surv, idx_delta = KNN.admit_against_srp_index(
-        emb.filter(F.col("vec_id") % 5 == 0),
-        srp_idx,
-        threshold=float(_SEM_THRESHOLD),
-        planes=_PLANES,
-    )
+    pairs, sem = built["pairs_sem"]
+    surv, idx_delta = built["admit"]
+    pruned = built["prune"]
     return (
         pairs.select(
             F.lit("pair").alias("mode"),
@@ -1221,17 +1258,7 @@ def q47_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            CUR.cluster_prune(
-                CUR.cluster_assign(
-                    emb,
-                    cent_df=emb.filter(F.col("vec_id") < 8).select(
-                        F.col("vec_id").alias("cid"),
-                        F.col("embedding").alias("cv"),
-                    ),
-                ),
-                keep_frac=0.5,
-                keep="hard",
-            )
+            pruned
             .filter(F.col("kept"))
             .select(
                 F.lit("prune").alias("mode"),
