@@ -1336,6 +1336,7 @@ def mmr_diversify(
     id_col: str = "doc_id",
     text_col: str = "text",
     persist_fn=None,
+    local: bool = True,
 ) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998) over a
     per-query shortlist — the diversification stage a retrieval stack
@@ -1376,11 +1377,27 @@ def mmr_diversify(
     ``persist_tracked`` (released by ``release_sketch_caches``); a
     memo-backed caller (q55) passes ``persist_pinned`` so a tracked
     release between invocations cannot silently restore the
-    exponential re-execution on the memoized plan.
+    exponential re-execution on the memoized plan. Only the
+    distributed unroll persists anything.
+
+    ``local`` (default): the shortlist is bounded by CONSTRUCTION —
+    |queries|·top_k rows, serve-page constants independent of corpus
+    size — so the k-round greedy runs as ONE single-task
+    ``mapInPandas`` job over the (sl ∪ psim) rows instead of k
+    driver-synchronized unrolled rounds (each a window + two joins +
+    a cache materialization job; the components ``local_fixpoint``
+    convention, guide §1.2 step 1). The Python greedy replicates
+    Spark's double ordering exactly — rel/jac are rounded to 6 dp
+    INSIDE Spark expressions before crossing, NaN sorts greatest,
+    NULL sorts last on desc, ties break on ascending id — pinned
+    equal to the unroll by
+    tests/test_retrieval.py::test_mmr_local_matches_unrolled.
     """
     from .cache import persist_tracked
 
-    persist_tracked = persist_fn or persist_tracked
+    persist_tracked = (
+        (lambda df: df) if local else (persist_fn or persist_tracked)
+    )
 
     lam_e = F.expr(f"CAST('{lam}' AS DOUBLE)")
     div_e = F.expr(f"CAST('{lam_div}' AS DOUBLE)")
@@ -1420,6 +1437,10 @@ def mmr_diversify(
             F.expr(jac).alias("__jac"),
         )
     )
+    if local:
+        return _mmr_greedy_local(
+            sl, psim, k, float(lam), float(lam_div), id_col
+        )
     wq = Window.partitionBy("query").orderBy(
         F.col("__rel").desc(), F.col(id_col)
     )
@@ -1467,3 +1488,156 @@ def mmr_diversify(
         )
         picked = persist_tracked(picked.unionByName(nxt))
     return picked
+
+
+def _mmr_greedy_local(
+    sl: DataFrame,
+    psim: DataFrame,
+    k: int,
+    lam: float,
+    lam_div: float,
+    id_col: str,
+) -> DataFrame:
+    """All k greedy MMR rounds in ONE single-task job.
+
+    ``sl``/``psim`` are shortlist-sized (|queries|·top_k and
+    |queries|·top_k² rows — constants, never corpus-scaled), so the
+    inherently sequential greedy argmax is pure driver-synchronized
+    job latency when unrolled: k rounds × (window + two joins + a
+    persist materialization). Here both frames cross the Python
+    boundary once, tagged into one union (psim rows carry a partner
+    id, sl rows a NULL partner), `repartition(1)` — NOT coalesce,
+    which would collapse the upstream corpus token-set join into the
+    same single task — and a `mapInPandas` replays the greedy.
+
+    Cross-engine exactness: rel/jac are rounded to 6 dp by Spark
+    expressions BEFORE crossing, so Python only multiplies/subtracts
+    IEEE doubles (bit-identical to the JVM); a `__vnull` flag rides
+    along because pandas folds SQL NULL into NaN, and Spark sorts
+    them to OPPOSITE ends (NaN greatest, NULL last on desc). Ties
+    break on ascending id, matching the unroll's row_number order;
+    candidates whose psim rows were all dropped replicate the
+    unroll's inner join by being skipped."""
+    import math
+
+    q_f = sl.schema["query"]
+    id_f = sl.schema[id_col]
+    merged = (
+        sl.select(
+            "query",
+            F.col(id_col).alias("__a"),
+            F.lit(None).cast(id_f.dataType).alias("__b"),
+            F.col("__rel").alias("__v"),
+            F.isnull("__rel").alias("__vnull"),
+        )
+        .unionByName(
+            psim.select(
+                "query",
+                F.col("__da").alias("__a"),
+                F.col("__db").alias("__b"),
+                F.col("__jac").alias("__v"),
+                F.isnull("__jac").alias("__vnull"),
+            )
+        )
+        .repartition(1)
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(q_f.name, q_f.dataType, True),
+            StructField(id_f.name, id_f.dataType, True),
+            StructField("mmr", DoubleType(), True),
+            StructField("pick", LongType(), True),
+        ]
+    )
+    cols = [q_f.name, id_f.name, "mmr", "pick"]
+
+    def _order_key(val, isnull):
+        # Spark desc total order as an ascending-comparable tuple:
+        # NULL (0) < finite (1, v) < NaN (2) — argmax of this key ==
+        # row_number over (col DESC NULLS LAST) rank 1. All NaN are
+        # equal in Spark's ordering, so the value slot pins to 0.0.
+        if isnull:
+            return (0, 0.0)
+        if math.isnan(val):
+            return (2, 0.0)
+        return (1, val)
+
+    def _as_key(x):
+        # pandas promotes nullable int columns to float64 — restore
+        # exact int keys; non-numeric id types pass through
+        return int(x) if isinstance(x, float) else x
+
+    def _greedy(batches):
+        import pandas as pd
+
+        rel: dict = {}
+        jac: dict = {}
+        for pdf in batches:
+            for q, a_, b_, v, nul in zip(
+                pdf["query"].tolist(),
+                pdf["__a"].tolist(),
+                pdf["__b"].tolist(),
+                pdf["__v"].tolist(),
+                pdf["__vnull"].tolist(),
+            ):
+                if pd.isna(b_):
+                    rel[(q, _as_key(a_))] = (v, bool(nul))
+                else:
+                    jac[(q, _as_key(a_), _as_key(b_))] = (v, bool(nul))
+        out = []
+        by_q: dict = {}
+        for (q, i) in rel:
+            by_q.setdefault(q, []).append(i)
+        for q, ids in by_q.items():
+            ids.sort()
+            chosen: list = []
+            best_id, best_key, best_mmr = None, None, None
+            for i in ids:
+                v, nul = rel[(q, i)]
+                key = _order_key(v, nul)
+                if best_key is None or key > best_key:
+                    best_id, best_key = i, key
+                    best_mmr = None if nul else lam * v
+            if best_id is None:
+                continue
+            out.append((q, best_id, best_mmr, 1))
+            chosen.append(best_id)
+            for t in range(2, k + 1):
+                best_id, best_key, best_mmr = None, None, None
+                for i in ids:
+                    if i in chosen:
+                        continue
+                    vals = [
+                        jac[(q, i, p)] for p in chosen if (q, i, p) in jac
+                    ]
+                    if not vals:
+                        continue  # the unroll's inner join drops it
+                    nn = [v for v, nul in vals if not nul]
+                    if not nn:
+                        ms = None  # max() over an all-NULL group
+                    elif any(math.isnan(v) for v in nn):
+                        ms = float("nan")  # Spark max: NaN is greatest
+                    else:
+                        ms = max(nn)
+                    rv, rnul = rel[(q, i)]
+                    mmr = (
+                        None
+                        if (rnul or ms is None)
+                        else lam * rv - lam_div * ms
+                    )
+                    key = _order_key(
+                        0.0 if mmr is None else mmr, mmr is None
+                    )
+                    if best_key is None or key > best_key:
+                        best_id, best_key, best_mmr = i, key, mmr
+                if best_id is None:
+                    break
+                out.append((q, best_id, best_mmr, t))
+                chosen.append(best_id)
+        # object dtypes: Arrow casts per the declared schema and keeps
+        # None → NULL distinct from float('nan') → NaN
+        yield pd.DataFrame(out, columns=cols, dtype=object)
+
+    return merged.mapInPandas(_greedy, out_schema)

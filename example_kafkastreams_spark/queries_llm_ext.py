@@ -1116,9 +1116,10 @@ def _q55_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's unrolled greedy rounds reproduce the picks exactly
     from .operators.retrieval import mmr_diversify
 
-    mmr = mmr_diversify(
-        bmr, docs, k=MMR_K, persist_fn=persist_pinned
-    ).select(
+    # local single-task greedy (the shortlist is serve-page-constant
+    # sized); the unrolled distributed twin stays available under
+    # local=False and is pinned equal by tests/test_retrieval.py
+    mmr = mmr_diversify(bmr, docs, k=MMR_K).select(
         F.lit("mmr").alias("mode"),
         "doc_id",
         F.col("query").alias("top_term"),

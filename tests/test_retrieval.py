@@ -885,3 +885,52 @@ def test_mmr_short_shortlist_yields_fewer_picks(spark):
     )
     rows = mmr_diversify(shortlist, docs, k=5).collect()
     assert sorted(r["pick"] for r in rows) == [1, 2]
+
+
+def test_mmr_local_matches_unrolled(spark):
+    # The single-task local greedy (default) must reproduce the
+    # distributed unroll bitwise: same picks, same IEEE mmr doubles —
+    # including score ties (broken on ascending doc id) and multiple
+    # queries in one call.
+    from example_kafkastreams_spark.operators.retrieval import (
+        mmr_diversify,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota"),
+            (4, "alpha zeta eta theta"),
+            (5, "kappa lambda"),
+        ],
+        "doc_id bigint, text string",
+    )
+    shortlist = spark.createDataFrame(
+        [
+            ("q1", 1, 1, 10.0),
+            ("q1", 2, 2, 5.2),
+            ("q1", 3, 3, 5.2),  # tie with doc 2 → id asc
+            ("q1", 4, 4, 4.9),
+            ("q2", 4, 1, 3.0),
+            ("q2", 5, 2, 3.0),  # tie at the top → id asc
+            ("q2", 1, 3, 1.0),
+        ],
+        "query string, doc_id bigint, rank bigint, score double",
+    )
+    key = ["query", "doc_id", "pick"]
+    loc = sorted(
+        mmr_diversify(shortlist, docs, k=3, local=True).collect(),
+        key=lambda r: [r[c] for c in key],
+    )
+    dist = sorted(
+        mmr_diversify(shortlist, docs, k=3, local=False).collect(),
+        key=lambda r: [r[c] for c in key],
+    )
+    assert len(loc) == len(dist) == 6
+    for a, b in zip(loc, dist):
+        assert a["query"] == b["query"]
+        assert a["doc_id"] == b["doc_id"]
+        assert a["pick"] == b["pick"]
+        # bitwise: both sides multiplied the same 6-dp-rounded doubles
+        assert a["mmr"] == b["mmr"], (a, b)
