@@ -1120,19 +1120,103 @@ QDIG_LEVELS = 10  # domain [0, 1024) — events.value clamps into it
 QDIG_K = 32
 
 
+def _qdigest_percolate_local(
+    fr_df: DataFrame, thr: int, levels: int, from_nodes: bool
+) -> DataFrame:
+    """The q-digest bottom-up percolation as ONE single-task job.
+
+    After the leaf aggregation the frontier is bounded by the domain
+    (≤ 2^levels rows — a constant, never corpus-scaled), yet the
+    distributed level loop pays 2·levels driver-synchronized
+    localCheckpoint jobs. The frontier crosses the Python boundary
+    once (`repartition(1)` — not coalesce, which would collapse the
+    upstream corpus aggregation into the same task) and the loop
+    replays in pure integer arithmetic, so the result is bitwise the
+    loop's by construction (the components local_fixpoint
+    convention). ``from_nodes``: input rows are (level, lo, hi, cnt)
+    digest nodes re-entering at their level (the merge shape) instead
+    of level-0 (idx, cnt) leaves (the build shape)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("level", IntegerType(), True),
+            StructField("lo", LongType(), True),
+            StructField("hi", LongType(), True),
+            StructField("cnt", LongType(), True),
+        ]
+    )
+
+    def _fold(batches):
+        import pandas as pd
+
+        by_level: dict = {}
+        for pdf in batches:
+            if from_nodes:
+                for lv, lo, c in zip(
+                    pdf["level"].tolist(),
+                    pdf["lo"].tolist(),
+                    pdf["cnt"].tolist(),
+                ):
+                    d = by_level.setdefault(int(lv), {})
+                    i = int(lo) >> int(lv)
+                    d[i] = d.get(i, 0) + int(c)
+            else:
+                d = by_level.setdefault(0, {})
+                for i, c in zip(
+                    pdf["idx"].tolist(), pdf["cnt"].tolist()
+                ):
+                    d[int(i)] = d.get(int(i), 0) + int(c)
+        out = []
+        fr: dict = {}
+        for lvl in range(levels):
+            for i, c in by_level.get(lvl, {}).items():
+                fr[i] = fr.get(i, 0) + c
+            tot: dict = {}
+            for i, c in fr.items():
+                tot[i >> 1] = tot.get(i >> 1, 0) + c
+            w = 1 << lvl
+            for i, c in fr.items():
+                if tot[i >> 1] > thr:
+                    out.append((lvl, i * w, (i + 1) * w - 1, c))
+            fr = {p: t for p, t in tot.items() if t <= thr}
+        for i, c in by_level.get(levels, {}).items():
+            fr[i] = fr.get(i, 0) + c
+        u = 1 << levels
+        for i, c in fr.items():
+            if c > 0:
+                out.append((levels, i * u, (i + 1) * u - 1, c))
+        out = [r for r in out if r[3] > 0]
+        yield pd.DataFrame(
+            out, columns=["level", "lo", "hi", "cnt"], dtype=object
+        )
+
+    return fr_df.repartition(1).mapInPandas(_fold, out_schema)
+
+
 def qdigest_build(
     df: DataFrame,
     value_col: str,
     k: int = QDIG_K,
     levels: int = QDIG_LEVELS,
+    local: bool = True,
 ) -> tuple[DataFrame, int]:
     """((level, lo, hi, cnt) digest nodes, n) — the canonical q-digest
     of ``floor(value_col)`` clamped into [0, 2^levels). One count job
     derives the compression threshold (the sampled-trainer convention:
-    a 1-row collect, never data rows); the level loop runs
-    ``levels`` tiny aggregates over shrinking frames, each
-    lineage-truncated (the plan would otherwise double per level —
-    keep/frontier both reference the previous frontier)."""
+    a 1-row collect, never data rows). ``local`` (default) runs the
+    percolation as one single-task job over the ≤ 2^levels-row leaf
+    aggregate (see _qdigest_percolate_local; pinned equal to the loop
+    by tests/test_qdigest.py::test_qdigest_local_matches_loop); the
+    distributed level loop under ``local=False`` runs ``levels`` tiny
+    aggregates over shrinking frames, each lineage-truncated (the
+    plan would otherwise double per level — keep/frontier both
+    reference the previous frontier)."""
     u = 1 << levels
     # NULLs are not values: they would form a NULL leaf that can never
     # percolate and would break the Σcnt == n mass conservation every
@@ -1147,6 +1231,8 @@ def qdigest_build(
     fr = leaf.groupBy("idx").agg(F.count(F.lit(1)).alias("cnt"))
     n = int(src.count())
     thr = max(n // k, 1)
+    if local:
+        return _qdigest_percolate_local(fr, thr, levels, False), n
     fr = fr.localCheckpoint()
     kept = None
     for lvl in range(levels):
@@ -1213,17 +1299,23 @@ def qdigest_quantiles(
 def qdigest_merge(
     a: DataFrame, b: DataFrame, n: int, k: int = QDIG_K,
     levels: int = QDIG_LEVELS,
+    local: bool = True,
 ) -> DataFrame:
     """Merged digest: node counts union-summed, then the SAME
     bottom-up percolation re-run with the combined n — mass already
     settled at internal nodes re-enters the loop at its level (the
     classic mergeability argument; the rank-error bound adds). The
     result is a pure function of the two digests' node multisets, so
-    merge order and partitioning cannot change it."""
+    merge order and partitioning cannot change it. ``local``
+    (default): the two digests are O(k·levels) nodes, so the
+    percolation runs as one single-task job (see
+    _qdigest_percolate_local) instead of the 2·levels-job loop."""
     both = a.unionByName(b).groupBy("level", "lo", "hi").agg(
         F.sum("cnt").alias("cnt")
     )
     thr = max(n // k, 1)
+    if local:
+        return _qdigest_percolate_local(both, thr, levels, True)
     kept = None
     fr = None
     for lvl in range(levels + 1):

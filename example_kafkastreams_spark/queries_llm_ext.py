@@ -2989,11 +2989,15 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pad(df: DataFrame, mode: str, keep: list[str]) -> DataFrame:
         base = {"srp_bucket": "int", "n_vectors": "long",
                 "min_vec_id": "long", **null}
-        cols = [F.lit(mode).alias("mode")] + [
-            F.col(c) if c in keep else F.lit(None).cast(t).alias(c)
+        # ONE selectExpr call per pad: the per-column F.lit/.cast/
+        # .alias chain cost ~18 py4j round trips × 14 pads (~1.8 s of
+        # this build's warm plan construction, measured); SQL strings
+        # assemble in Python for free and cross the gateway once
+        cols = [f"'{mode}' AS mode"] + [
+            f"`{c}`" if c in keep else f"CAST(NULL AS {t}) AS `{c}`"
             for c, t in base.items()
         ]
-        return df.select(*cols)
+        return df.selectExpr(*cols)
 
     return (
         pad(srp, "srp", ["srp_bucket", "n_vectors", "min_vec_id"])

@@ -178,3 +178,28 @@ def test_qdigest_build_ignores_nulls(spark):
     dig, n = qdigest_build(df, "value", k=4)
     assert n == 3
     assert sum(r.cnt for r in dig.collect()) == 3
+
+
+def _nodes(df):
+    return sorted(
+        (r["level"], r["lo"], r["hi"], r["cnt"]) for r in df.collect()
+    )
+
+
+def test_qdigest_local_matches_loop(spark):
+    # The single-task percolation (default) must equal the distributed
+    # level loop node-for-node, for build AND merge, on a skewed
+    # multiset that exercises kept nodes at several levels plus root.
+    xs = [i % 7 for i in range(500)] + [900 + (i % 3) for i in range(80)]
+    d_loc, n_loc = qdigest_build(_vals(spark, xs), "value", k=8)
+    d_dist, n_dist = qdigest_build(
+        _vals(spark, xs), "value", k=8, local=False
+    )
+    assert n_loc == n_dist
+    assert _nodes(d_loc) == _nodes(d_dist)
+
+    ys = [i % 11 for i in range(300)]
+    e_loc, m = qdigest_build(_vals(spark, ys), "value", k=8)
+    m_loc = qdigest_merge(d_loc, e_loc, n_loc + m, k=8)
+    m_dist = qdigest_merge(d_dist, e_loc, n_loc + m, k=8, local=False)
+    assert _nodes(m_loc) == _nodes(m_dist)
