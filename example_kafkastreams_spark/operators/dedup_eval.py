@@ -58,6 +58,7 @@ def candidate_eval(
     sample_mod: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Three rows — (metric, n, value):
 
@@ -143,10 +144,20 @@ def candidate_eval(
         .select("doc_a", "doc_b")
     )
 
-    sig = with_minhash(
-        sample, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_n=shingle_n, shingle_df=sdocs,
-    )
+    # Candidate side: MinHash signatures are strictly per-document
+    # (min over the doc's own shingle hashes), so a caller that
+    # already sketched the CORPUS (q41's shared persisted signature
+    # scan) can pass it as ``sig_df`` and the sample's signatures are
+    # a filter of it — the sample is never re-shingled or re-hashed
+    # for banding (guide §2.4: share one exchange; the truth side
+    # still uses the sample shingle persist it needs anyway).
+    if sig_df is not None:
+        sig = sig_df.filter(F.col(id_col) % sample_mod == 0)
+    else:
+        sig = with_minhash(
+            sample, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n, shingle_df=sdocs,
+        )
     bdf = lsh_bands(sig, id_col, bands, num_hashes // bands)
     ba = bdf.alias("ba")
     bb = bdf.hint("shuffle_hash").alias("bb")

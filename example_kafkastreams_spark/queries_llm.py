@@ -405,6 +405,7 @@ def q41_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = DE.candidate_eval(
         docs, num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
         threshold=float(_EVAL_THRESHOLD), sample_mod=_EVAL_MOD,
+        sig_df=sig_all,
     ).select(
         F.lit("eval").alias("mode"),
         F.when(F.col("metric") == "precision", 1)

@@ -961,15 +961,22 @@ def _q55_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("tfidf").alias("mode"), "doc_id", "top_term", "tf_count",
         "tfidf",
     )
-    # the BM25 ranking fans out into FOUR consumers (bm25 rows, the
-    # rrf voter, the eval harness, and mmr's shortlist) — persist the
-    # |queries|·top_k-row result once so the full postings-scoring
-    # tree is planned and executed once per invocation instead of
-    # once per consumer (guide §2.4: shared subtree, one exchange).
-    # PINNED: the frame lives inside the memoized build.
+    # the BM25 ranking fans out into FIVE consumers (bm25 rows, the
+    # rrf voter, the eval harness, mmr's shortlist, and rerank's
+    # stage-1 candidates) — score ONCE at the deepest k needed
+    # (rerank's k1) and slice: rank is a row_number over the same
+    # (score DESC, doc_id) order, so the k1-ranking filtered to
+    # rank <= top_k IS the top_k ranking bitwise. Persisted so the
+    # full postings-scoring tree is planned and executed once per
+    # invocation instead of once per consumer (guide §2.4: shared
+    # subtree, one exchange). PINNED: the frame lives inside the
+    # memoized build.
     from .operators.cache import persist_pinned as _pp
 
-    bmr = _pp(bm25_top_docs(docs, list(BM25_QUERIES), top_k=BM25_TOP_K))
+    bmr_k1 = _pp(
+        bm25_top_docs(docs, list(BM25_QUERIES), top_k=RERANK_K1)
+    )
+    bmr = bmr_k1.filter(F.col("rank") <= BM25_TOP_K)
     bm = bmr.select(
         F.lit("bm25").alias("mode"),
         "doc_id",
@@ -1102,11 +1109,15 @@ def _q55_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded by the shortlist, never the corpus)
     from .operators.retrieval import maxsim_rerank
 
+    # stage-1 candidates = the persisted k1-ranking (identical to the
+    # BM25 run rerank would make itself), so rerank's exec cost is the
+    # candidate featurize + score only — the corpus-touching postings
+    # pass is not run a second time
     rr = _ms_shape(
         maxsim_rerank(
             docs, list(BM25_QUERIES), k1=RERANK_K1, top_k=BM25_TOP_K,
             dim=MAXSIM_DIM, n_hashes=MAXSIM_HASHES,
-            chunk_size=CHUNK_SIZE, stride=STRIDE,
+            chunk_size=CHUNK_SIZE, stride=STRIDE, candidates=bmr_k1,
         ),
         "rerank",
     )
