@@ -390,7 +390,13 @@ def ann_index_query(
     (query_id, neighbor_id, cosine, knn_rank)."""
     enc, meta = ann_index_read(spark, path)
     idc = id_col or meta["id_col"]
-    qrows = queries.orderBy(idc).select(idc, vec_col).collect()
+    # ``queries`` may be a pre-collected id-ordered list of (id, vec)
+    # rows (catalog.load_head_rows) — the collect job disappears
+    qrows = (
+        list(queries)
+        if isinstance(queries, list)
+        else queries.orderBy(idc).select(idc, vec_col).collect()
+    )
     if not qrows:
         return _empty_ann_result(enc.select(F.col(idc)), idc)
     if meta["kind"] == "ivfflat":

@@ -1049,6 +1049,7 @@ def pq_codebook(
     num_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    head_rows: list | None = None,
 ) -> list[list[list[float]]]:
     """``codebook[j][c]`` = the c-th codeword of subspace j.
 
@@ -1059,21 +1060,28 @@ def pq_codebook(
     literal substitution with the identical plan. Driver-side cost is
     a ``num_codes``-row collect — an index-BUILD artifact, exactly how
     a production PQ index ships its trained codebooks to encoders.
+    ``head_rows``: pre-collected id-ordered (id, vec) prefix covering
+    at least ``id < num_codes`` — one shared collect serves every
+    build-artifact sample (catalog.load_head_rows).
     """
-    rows = (
-        emb.filter(F.col(id_col) < num_codes)
-        .orderBy(id_col)
-        .select(vec_col)
-        .collect()
-    )
-    if not rows:
+    if head_rows is not None:
+        vecs = [r[1] for r in head_rows if int(r[0]) < num_codes]
+    else:
+        vecs = [
+            r[0]
+            for r in emb.filter(F.col(id_col) < num_codes)
+            .orderBy(id_col)
+            .select(vec_col)
+            .collect()
+        ]
+    if not vecs:
         raise ValueError("empty codebook sample")
-    dim = len(rows[0][0])
+    dim = len(vecs[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     return [
-        [list(map(float, r[0][j * dsub:(j + 1) * dsub])) for r in rows]
+        [list(map(float, v[j * dsub:(j + 1) * dsub])) for v in vecs]
         for j in range(m)
     ]
 
@@ -1517,6 +1525,7 @@ def ivf_pq_index(
     persist: bool = True,
     cents: list[list[float]] | None = None,
     codebook: list[list[list[float]]] | None = None,
+    head_rows: list | None = None,
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
     """The IVF-PQ INDEX build: (encoded frame (id, cell, codes),
     centroids, residual codebook).
@@ -1540,13 +1549,19 @@ def ivf_pq_index(
        cosine fold, so Python and SQL agree on every assignment).
     """
     if cents is None:
-        cent_rows = (
-            emb.filter(F.col(id_col) < num_centroids)
-            .orderBy(id_col)
-            .select(vec_col)
-            .collect()
-        )
-        cents = [[float(x) for x in r[0]] for r in cent_rows]
+        if head_rows is not None:
+            cent_vecs = [
+                r[1] for r in head_rows if int(r[0]) < num_centroids
+            ]
+        else:
+            cent_vecs = [
+                r[0]
+                for r in emb.filter(F.col(id_col) < num_centroids)
+                .orderBy(id_col)
+                .select(vec_col)
+                .collect()
+            ]
+        cents = [[float(x) for x in v] for v in cent_vecs]
     dim = len(cents[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1578,15 +1593,21 @@ def ivf_pq_index(
         return best_c
 
     if codebook is None:
-        samp = (
-            emb.filter(F.col(id_col) < num_codes)
-            .orderBy(id_col)
-            .select(vec_col)
-            .collect()
-        )
+        if head_rows is not None:
+            samp = [
+                r[1] for r in head_rows if int(r[0]) < num_codes
+            ]
+        else:
+            samp = [
+                r[0]
+                for r in emb.filter(F.col(id_col) < num_codes)
+                .orderBy(id_col)
+                .select(vec_col)
+                .collect()
+            ]
         residuals = []
         for r in samp:
-            v = [float(x) for x in r[0]]
+            v = [float(x) for x in r]
             c = cents[py_cell(v)]
             residuals.append([x - y for x, y in zip(v, c)])
         codebook = [
@@ -2681,6 +2702,7 @@ def kmeans_train_exact(
     sample_n: int = 128,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    head_rows: list | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means on the id-ordered first-``sample_n`` sample,
     every step a pinned IEEE sequence (module comment above). Returns
@@ -2692,9 +2714,15 @@ def kmeans_train_exact(
     AND 0-based contiguous ids in [0, len(sample)) — the SQL twin
     seeds its centroids ``WHERE id < k``, so the first k rows of the
     id-ordered sample must be exactly those rows; raises rather than
-    silently diverging."""
+    silently diverging.
+
+    ``head_rows``: a pre-collected id-ordered (id, vec) prefix
+    covering at least ``id < sample_n`` (catalog.load_head_rows) —
+    value-sliced here, so one shared collect serves every trainer."""
     rows = (
-        emb.filter(F.col(id_col) < sample_n)
+        [r for r in head_rows if int(r[0]) < sample_n]
+        if head_rows is not None
+        else emb.filter(F.col(id_col) < sample_n)
         .orderBy(id_col)
         .select(id_col, vec_col)
         .collect()
@@ -2718,6 +2746,7 @@ def pq_codebook_exact(
     sample_n: int = 128,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    head_rows: list | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace L2 k-means with the exact-reproducible core — the
     TRAINED product-quantization codebook a DuckDB twin
@@ -2726,9 +2755,13 @@ def pq_codebook_exact(
     ``pq_codebook_trained``, so every encoder/scorer takes it
     unchanged. ONE collect of the id-ordered sample; each subspace
     trains on its slice. Same contiguous-id contract as
-    ``kmeans_train_exact`` (SQL twin seeds ``WHERE id < num_codes``)."""
+    ``kmeans_train_exact`` (SQL twin seeds ``WHERE id < num_codes``).
+    ``head_rows``: pre-collected id-ordered (id, vec) prefix, as in
+    ``kmeans_train_exact``."""
     rows = (
-        emb.filter(F.col(id_col) < sample_n)
+        [r for r in head_rows if int(r[0]) < sample_n]
+        if head_rows is not None
+        else emb.filter(F.col(id_col) < sample_n)
         .orderBy(id_col)
         .select(id_col, vec_col)
         .collect()

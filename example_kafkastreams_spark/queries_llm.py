@@ -948,23 +948,22 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .operators.ann_index import ann_index_query, ivfflat_index_write
+    from .catalog import load_head_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = KNN.lsh_ann(emb, num_queries=8, k=3, planes=_PLANES)
     ivf = KNN.ivf_ann(emb, num_queries=8, k=3, num_centroids=16)
     mp = KNN.lsh_ann(emb, num_queries=8, k=3, planes=_PLANES, nprobe=3)
-    cent_rows = (
-        emb.filter(F.col("vec_id") < 16)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
+    # ONE memoized head collect feeds every build-artifact sample in
+    # this slot (centroids id<16, queries id<8, k-means sample id<128)
+    # — before, each was its own scan+sort+collect job per invocation
+    # (guide §7.3 driver-side fixed work; value-slicing a longer
+    # id-ordered prefix is identical to collecting the shorter one)
+    head = load_head_rows(
+        spark, sf_dir, "embeddings", max(KM_TR_SAMPLE, 16)
     )
-    cents = [[float(x) for x in r[0]] for r in cent_rows]
-    qrows = (
-        emb.filter(F.col("vec_id") < 8)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    cents = [[float(x) for x in r[1]] for r in head if int(r[0]) < 16]
+    qrows = [r for r in head if int(r[0]) < 8]
     flat = KNN.ivfflat_score(
         KNN.ivf_flat_encode(emb, cents), cents, qrows, k=3, nprobe=2
     )
@@ -974,16 +973,15 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, idx_dir, ignore_errors=True)
         ivfflat_index_write(emb, idx_dir, cents)
         _Q46_IDX_CACHE[sf_dir] = idx_dir
-    flat_idx = ann_index_query(
-        spark, idx_dir, emb.filter(F.col("vec_id") < 8), k=3, nprobe=2
-    )
+    flat_idx = ann_index_query(spark, idx_dir, qrows, k=3, nprobe=2)
     # ivf_tr (round 10): the exact-reproducible TRAINED quantizer —
     # same serving plan as ivfflat_mp, centroids from
     # kmeans_train_exact instead of the first-16 sample; the oracle
     # re-derives the training itself (unrolled Lloyd's CTEs), so this
     # row value-checks train AND serve end to end
     tr_cents = KNN.kmeans_train_exact(
-        emb, k=KM_TR_K, iterations=KM_TR_ITERS, sample_n=KM_TR_SAMPLE
+        emb, k=KM_TR_K, iterations=KM_TR_ITERS, sample_n=KM_TR_SAMPLE,
+        head_rows=head,
     )
     tr = KNN.ivfflat_score(
         KNN.ivf_flat_encode(emb, tr_cents), tr_cents, qrows, k=3, nprobe=2

@@ -1364,16 +1364,22 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the TRAINING itself (one unrolled assignment/update
     CTE chain per subspace, bitwise codewords) before re-deriving the
     argmin encode."""
+    from .catalog import load_head_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
     int8 = KNN.quantize_embeddings(emb)
-    cb = KNN.pq_codebook(emb, m=PQ_M, num_codes=PQ_CODES)
-    enc_pq = KNN.pq_encode(emb, cb)
-    qrows = (
-        emb.filter(F.col("vec_id") < ADC_NQ)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
+    # ONE memoized head collect feeds every build-artifact sample in
+    # this slot (PQ codebook id<16, ADC queries id<ADC_NQ, trained
+    # codebook sample id<128, IVF-PQ cells id<8 + residual sample
+    # id<16) — five scan+sort+collect jobs per invocation before; the
+    # memo is shared with q46's identical head (guide §7.3)
+    head = load_head_rows(
+        spark, sf_dir, "embeddings",
+        max(PQ_TR_SAMPLE, PQ_CODES, IVFPQ_CELLS, ADC_NQ),
     )
+    cb = KNN.pq_codebook(emb, m=PQ_M, num_codes=PQ_CODES, head_rows=head)
+    enc_pq = KNN.pq_encode(emb, cb)
+    qrows = [r for r in head if int(r[0]) < ADC_NQ]
     adc = KNN.pq_adc_score(enc_pq, cb, qrows, k=3).select(
         F.col("query_id").alias("vec_id"),
         F.col("approx_d2").alias("l2_norm"),
@@ -1393,7 +1399,7 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-derives the per-subspace training itself
     cb_tr = KNN.pq_codebook_exact(
         emb, m=PQ_M, num_codes=PQ_TR_CODES,
-        iterations=PQ_TR_ITERS, sample_n=PQ_TR_SAMPLE,
+        iterations=PQ_TR_ITERS, sample_n=PQ_TR_SAMPLE, head_rows=head,
     )
     pq_tr = KNN.pq_encode(emb, cb_tr).select(
         F.col("vec_id"),
@@ -1405,7 +1411,7 @@ def q56_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc3, _, _ = KNN.ivf_pq_index(
         emb, num_centroids=IVFPQ_CELLS, m=PQ_M, num_codes=PQ_CODES,
-        persist=False,
+        persist=False, head_rows=head,
     )
     ivfpq = enc3.select(
         F.col("vec_id"),
