@@ -323,7 +323,6 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import (
         length_bucketed_batches,
         pack_assignments,
-        pack_chunks,
         shard_assignment,
     )
     from .operators.substr_dedup import (
@@ -341,13 +340,20 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt = remove_repeated_substrings(docs, k=SUBSTR_K, spans=spans)
     # masks feed two branches (chunk-local + pack-local): one frame
     masks_df = chunk_loss_masks(chunks, spans, stride=STRIDE)
-    # shard branch: canonical packing (partition-independent pack ids)
-    # through the writers' shared placement expression, folded to one
-    # order-sensitive fingerprint per shard (md5 of the __shard_ord-
-    # sorted pack-id sequence — collect_list order is free, array_sort
-    # on (ord, id) structs pins it; ord is unique per pack).
+    # ONE canonical packing pass feeds BOTH pack consumers (the shard
+    # branch's pack-level rows and packmask's membership join):
+    # pack_assignments mirrors pack_chunks(canonical=True) exactly —
+    # same greedy fold, same '{doc}-{seq}' ids — and the shard
+    # fingerprint only needs (pack_id, Σ n_tokens), so the pack-level
+    # frame is a group-bounded agg of the shared assignment table
+    # instead of a second repartition+sort+Arrow pass over the chunks
+    # (guide §2.4; the text concat the shard branch never read also
+    # disappears).
+    asg = persist_tracked(
+        pack_assignments(chunks, budget=SHARD_PACK_BUDGET)
+    )
     placed = shard_assignment(
-        pack_chunks(chunks, budget=SHARD_PACK_BUDGET, canonical=True),
+        asg.groupBy("pack_id").agg(F.sum("n_tokens").alias("n_tokens")),
         NUM_SHARDS,
     )
     shard_rows = (
@@ -415,9 +421,7 @@ def q54_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).unionByName(
         masks_df.join(
-            pack_assignments(chunks, budget=SHARD_PACK_BUDGET).select(
-                "doc_id", "chunk_idx", "pack_id", "pack_offset"
-            ),
+            asg.select("doc_id", "chunk_idx", "pack_id", "pack_offset"),
             ["doc_id", "chunk_idx"],
         ).select(
             F.lit("packmask").alias("mode"), "doc_id", "chunk_idx",
