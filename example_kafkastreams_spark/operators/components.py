@@ -515,6 +515,8 @@ def pagerank(
     iterations: int = 3,
     damping: str = "0.85",
     rest: str = "0.15",
+    local: bool | None = None,
+    local_threshold_bytes: int = 64 << 20,
 ) -> DataFrame:
     """PageRank over an undirected simple graph — duplicate-mass
     centrality of the dedup graph skeleton: which canonical documents
@@ -555,11 +557,92 @@ def pagerank(
     ).unionAll(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    # ``local``: run the whole power iteration in ONE task when the
+    # symmetrized edge list fits a single task's working set — the
+    # connected_components ``local_fixpoint`` convention: on a
+    # star-contracted dedup graph the per-round join/agg cost is pure
+    # job overhead (measured sf0.1: 7.7 s of exchanges for a graph
+    # whose Python walk takes milliseconds). Bitwise identical by
+    # construction: the walk replays the SAME IEEE sequence — r0 =
+    # 1/N, per-node incoming fold in ascending src order (the
+    # array_sort convention; src is unique per dst on a simple
+    # graph), r' = rest/N + d·c with c = 0.0 when no neighbor —
+    # float('0.85') and CAST('0.85' AS DOUBLE) are both strtod.
+    # Isolated nodes never receive mass, so their rank is the same
+    # constant expression every round — computed map-side over the
+    # anti-joined remainder, the corpus never enters the task.
+    # PRECONDITION (both paths): every edge endpoint appears in
+    # ``nodes`` (the dedup-graph contract q57 satisfies).
+    go_local = (
+        local
+        if local is not None
+        else _estimate_edge_bytes(
+            und.select(
+                F.col("src").alias("cc_src"), F.col("dst").alias("cc_dst")
+            )
+        )
+        <= local_threshold_bytes
+    )
+    if go_local:
+        n_val = int(n_df.first()["n"])
+        d_py = float(damping)
+        rest_py = float(rest)
+        it_py = int(iterations)
+        id_t = und.schema["src"].dataType.simpleString()
+        schema = f"node {id_t}, r double"
+
+        def walk(batches):
+            import pandas as pd
+
+            deg: dict = {}
+            adj: dict = {}  # dst -> list of src
+            for b in batches:
+                for s, t in zip(b["src"], b["dst"]):
+                    deg[s] = deg.get(s, 0) + 1
+                    adj.setdefault(t, []).append(s)
+            nf = float(n_val)
+            r = {v: 1.0 / nf for v in deg}
+            for _ in range(it_py):
+                nxt = {}
+                for v in deg:
+                    srcs = adj.get(v)
+                    if srcs:
+                        acc = 0.0
+                        for u in sorted(srcs):
+                            acc += r[u] / float(deg[u])
+                    else:
+                        acc = 0.0
+                    nxt[v] = rest_py / nf + d_py * acc
+                r = nxt
+            if r:
+                ks = list(r)
+                yield pd.DataFrame({"node": ks, "r": [r[k] for k in ks]})
+
+        # repartition(1), NOT coalesce(1): coalesce collapses the
+        # upstream edge-derivation stage (sketch/banding) to one task;
+        # the explicit exchange keeps it parallel and ships only the
+        # gated-small edge list to the single walker task
+        # (_local_min_labels can coalesce because its input is already
+        # checkpointed — this one takes raw lineage).
+        ranked = und.repartition(1).mapInPandas(walk, schema)
+        iso_r = (
+            F.expr(f"CAST('{rest}' AS DOUBLE)") / F.col("n").cast("double")
+            + F.expr(f"CAST('{damping}' AS DOUBLE)") * F.lit(0.0)
+        )
+        isolated = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(ranked.select("node"), "node", "left_anti")
+            .crossJoin(F.broadcast(n_df))
+            .select("node", iso_r.alias("r"))
+        )
+        return ranked.unionByName(isolated)
+
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     from .cache import persist_tracked
 
     und_deg = persist_tracked(und.join(deg, "src"))
-    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
     nodes_n = nodes.select(F.col(node_col).alias("node")).crossJoin(
         F.broadcast(n_df)
     )

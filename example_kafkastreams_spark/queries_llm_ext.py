@@ -1991,8 +1991,14 @@ def _q57_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mined": _build_mined,
             "hard": _build_hard,
             "bfs": _build_bfs,
+            # local=True, not auto: the input is the star-contracted
+            # dedup skeleton, bounded by construction (the regime-known
+            # escape hatch — no estimate job, which would race the
+            # other sections into materializing the shared edge
+            # persist)
             "pr": lambda: pagerank(
-                edges, docs, node_col="doc_id", iterations=_PR_ITERS
+                edges, docs, node_col="doc_id", iterations=_PR_ITERS,
+                local=True,
             ),
         }
     )

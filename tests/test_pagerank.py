@@ -90,6 +90,27 @@ def test_isolated_node_keeps_teleport_floor(spark, frames):
     assert all(got[v] > floor for v in (1, 2, 3, 4, 5, 6, 7, 8))
 
 
+def test_local_matches_distributed_bitwise(spark, frames):
+    """The scale-gated single-task walk (local=True) must equal the
+    unrolled join/agg plan (local=False) to the last bit — same IEEE
+    sequence by construction (the connected_components local_fixpoint
+    pin, applied to pagerank)."""
+    e, n = frames
+    loc = sorted(
+        map(
+            tuple,
+            pagerank(e, n, node_col="doc_id", local=True).collect(),
+        )
+    )
+    dist = sorted(
+        map(
+            tuple,
+            pagerank(e, n, node_col="doc_id", local=False).collect(),
+        )
+    )
+    assert loc == dist
+
+
 def test_mass_conservation_approx(spark, frames):
     """No dangling redistribution: total mass = 1 minus the teleport
     share isolated nodes never re-emit — here just sanity-bound the
