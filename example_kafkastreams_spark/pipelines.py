@@ -66,6 +66,7 @@ def corpus_stages(
     decontam_bench: DataFrame | None = None,
     decontam_mode: str = "bloom",
     language_stage_hook=None,
+    persist_fn=persist_tracked,
 ) -> dict[str, DataFrame]:
     """Every intermediate of the funnel, keyed by stage name — all lazy.
 
@@ -207,7 +208,7 @@ def corpus_stages(
     # Persist the two fan-out stages — the in-session analog of the
     # stage-boundary parquet materialization a production 100 TB run
     # uses; release with operators.cache.release_sketch_caches.
-    language = persist_tracked(
+    language = persist_fn(
         with_pred.filter(F.col("pred_lang").isin(*languages)).drop(
             *[f"score_{lang}" for lang in scores]
         )
@@ -228,7 +229,7 @@ def corpus_stages(
 
         lo, hi = lm_range
         sc = lm_score(language)  # corpus-trained on this stage
-        lm_filtered = persist_tracked(
+        lm_filtered = persist_fn(
             language.join(
                 sc.select("doc_id", "lm_score"), "doc_id", "left"
             )
@@ -255,7 +256,7 @@ def corpus_stages(
             "__pos", F.col("quality_score") >= clf_seed
         )
         w = weights_vector(train_hashed_classifier(labeled, "__pos"))
-        clf_filtered = persist_tracked(
+        clf_filtered = persist_fn(
             score_inline(dedup_in, w)
             .filter(F.col("clf_keep"))
             .drop("clf_score", "clf_n_tokens", "clf_keep")
@@ -263,7 +264,7 @@ def corpus_stages(
         dedup_in = clf_filtered
 
     survivors = exact_text_dedup(dedup_in)
-    exact = persist_tracked(
+    exact = persist_fn(
         dedup_in.join(survivors.select("doc_id"), "doc_id", "semi")
     )
 
@@ -381,7 +382,7 @@ def corpus_stages(
         # chunks now fans out (its own consumer + the packer): persist
         # like the other fan-out stages so the explode + PII chain runs
         # once, not once per consumer.
-        stages["chunks"] = persist_tracked(chunks)
+        stages["chunks"] = persist_fn(chunks)
         stages["packs"] = pack_chunks(
             stages["chunks"], budget=pack_budget, canonical=True
         )
@@ -1301,6 +1302,7 @@ def corpus_stages_delta(
     substr_k: int | None = None,
     whash_index: DataFrame | None = None,
     normalize: bool = False,
+    persist_fn=persist_tracked,
 ) -> dict[str, DataFrame]:
     """The DAY-2 funnel: run a new delta through the same
     quality → language → exact-dedup → near-dup → scrub → chunks
@@ -1372,7 +1374,7 @@ def corpus_stages_delta(
             delta, whash_index, k=substr_k
         )
         substr_cleaned = remove_repeated_substrings(
-            delta, k=substr_k, spans=persist_tracked(spans)
+            delta, k=substr_k, spans=persist_fn(spans)
         )
         delta = substr_cleaned
 
@@ -1388,7 +1390,7 @@ def corpus_stages_delta(
         "pred_lang",
         F.expr(P.lang_predict({l: f"score_{l}" for l in P.LANG_MARKERS})),
     )
-    language = persist_tracked(
+    language = persist_fn(
         with_pred.filter(F.col("pred_lang").isin(*languages)).drop(
             *[f"score_{lang}" for lang in scores]
         )
@@ -1398,7 +1400,7 @@ def corpus_stages_delta(
         digest_new = exact_text_dedup(language)
     else:
         digest_new = incremental_exact_dedup(language, digest_index)
-    exact = persist_tracked(
+    exact = persist_fn(
         language.join(digest_new.select("doc_id"), "doc_id", "semi")
     )
 
@@ -1411,7 +1413,7 @@ def corpus_stages_delta(
     # evaluation — persist so day-2's most expensive stage pair
     # (admission + chunking) pays the banding once (r10's
     # delta_funnel_stages attribution: neardup_admitted dominates)
-    admitted = persist_tracked(admitted)
+    admitted = persist_fn(admitted)
     if scrub_pii:
         admitted = admitted.withColumn(
             "text", F.expr(P.pii_scrub("text", P.SPARK))
