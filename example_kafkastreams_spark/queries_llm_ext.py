@@ -2795,14 +2795,21 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(P.shingles("text", 3, P.SPARK))).alias("v"),
         )
     )
-    kmv = kmv_distinct(toks, "v", KMV_K).crossJoin(
-        toks.agg(F.count_distinct("v").alias("exact_distinct"))
+    # ONE distinct-token exchange feeds the KMV sketch, its exact
+    # companion, and the CMS probe pick (before: the probe distinct
+    # and the count_distinct each re-deduped the token stream).
+    # KMV is a function of the distinct hash set (_kmv_top_hashes
+    # dedupes), so the pre-distinct input is value-identical; the
+    # exact count is count(1) over the persisted distinct frame minus
+    # NULLs (count_distinct semantics) — a 32-row partial-count
+    # exchange instead of a vocabulary-grain one (guide §2.4).
+    dtoks = persist_pinned(toks.select("v").distinct())
+    kmv = kmv_distinct(dtoks, "v", KMV_K).crossJoin(
+        dtoks.filter(F.col("v").isNotNull()).agg(
+            F.count(F.lit(1)).alias("exact_distinct")
+        )
     )
-    probes = (
-        toks.select("v").distinct()
-        .orderBy(F.md5("v"), "v")
-        .limit(CMS_PROBES)
-    )
+    probes = dtoks.orderBy(F.md5("v"), "v").limit(CMS_PROBES)
     cms = count_min_estimates(
         toks, "v", probes, depth=CMS_DEPTH, width=CMS_WIDTH
     )
@@ -2811,13 +2818,6 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("register").alias("hll_register"),
         F.col("rho").alias("hll_rho"),
     )
-    hest = hll_estimate(
-        hregs.select(
-            F.col("hll_register").alias("register"),
-            F.col("hll_rho").alias("rho"),
-        ),
-        HLL_Q58_P,
-    ).crossJoin(sh.agg(F.count_distinct("v").alias("exact_distinct")))
     two_srcs = sorted(
         r[0]
         for r in docs_src.select("source").distinct().collect()
@@ -2826,20 +2826,46 @@ def _q58_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(two_srcs) < 2:
         raise ValueError("q58 kmvops needs >= 2 distinct sources")
 
-    def _src_shingles(s: str) -> DataFrame:
-        return sh2.filter(F.col("source") == s).select("v")
-
-    sh_a, sh_b = _src_shingles(two_srcs[0]), _src_shingles(two_srcs[1])
+    # ONE shingle-grain exchange (groupBy v with per-source membership
+    # flags) replaces the four the exact companions paid before: the
+    # hll exact count_distinct, the kmvops union count_distinct, and
+    # the two distincts feeding intersect (guide §2.4). Every
+    # companion is a filter+count(1) over the persisted membership
+    # frame, each a 32-row partial-count exchange; count_distinct's
+    # NULL exclusion is replayed explicitly (v IS NOT NULL) while the
+    # intersect companion keeps set semantics (NULL matches NULL), so
+    # every branch value is unchanged. KMV's source frames are the
+    # membership filters — per-source DISTINCT shingles, value-
+    # identical because _kmv_top_hashes dedupes.
+    mem = persist_pinned(
+        sh2.groupBy("v").agg(
+            F.max(F.col("source") == two_srcs[0]).alias("__in_a"),
+            F.max(F.col("source") == two_srcs[1]).alias("__in_b"),
+        )
+    )
+    hest = hll_estimate(
+        hregs.select(
+            F.col("hll_register").alias("register"),
+            F.col("hll_rho").alias("rho"),
+        ),
+        HLL_Q58_P,
+    ).crossJoin(
+        mem.filter(F.col("v").isNotNull()).agg(
+            F.count(F.lit(1)).alias("exact_distinct")
+        )
+    )
+    sh_a = mem.filter("__in_a").select("v")
+    sh_b = mem.filter("__in_b").select("v")
     kops = (
         kmv_set_ops(sh_a, sh_b, "v", KMV_OPS_K)
         .crossJoin(
-            sh_a.unionByName(sh_b).agg(
-                F.count_distinct("v").alias("exact_distinct")
-            )
+            mem.filter(
+                (F.col("__in_a") | F.col("__in_b"))
+                & F.col("v").isNotNull()
+            ).agg(F.count(F.lit(1)).alias("exact_distinct"))
         )
         .crossJoin(
-            sh_a.distinct()
-            .intersect(sh_b.distinct())
+            mem.filter(F.col("__in_a") & F.col("__in_b"))
             .agg(F.count(F.lit(1)).alias("exact_intersect"))
         )
         .select(
