@@ -456,17 +456,16 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pct_lang_pure", "double"),
         ("gini_chars", "double"),
     )
-    mix = mix_sources(docs, weights).select(
-        F.lit("mix").alias("mode"),
-        "doc_id",
-        "source",
-        *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
+    # ONE selectExpr per union child (the q58 pad convention): the
+    # per-column F.lit/.cast/.alias chains cost ~3 py4j round trips a
+    # column over 8 branches; SQL strings assemble for free and cross
+    # the gateway once, parsing to the identical plan.
+    pad_sql = [f"CAST(NULL AS {t}) AS {c}" for c, t in card_cols]
+    mix = mix_sources(docs, weights).selectExpr(
+        "'mix' AS mode", "doc_id", "source", *pad_sql
     )
-    temp = mix_sources_temperature(docs, alpha=0.5).select(
-        F.lit("temp").alias("mode"),
-        "doc_id",
-        "source",
-        *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
+    temp = mix_sources_temperature(docs, alpha=0.5).selectExpr(
+        "'temp' AS mode", "doc_id", "source", *pad_sql
     )
     # budget branch (round 10): water-fill an absolute TOKEN budget —
     # 97% of the corpus token mass, n^0.5 target shares — over the
@@ -494,23 +493,13 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = mix_sources_budget(
         docs, b, alpha=_BUDGET_ALPHA, weight_expr=tok_expr,
         counts=masses,
-    ).select(
-        F.lit("budget").alias("mode"),
-        "doc_id",
-        "source",
-        *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
+    ).selectExpr("'budget' AS mode", "doc_id", "source", *pad_sql)
+    card = corpus_report(docs).selectExpr(
+        "'card' AS mode", "CAST(NULL AS long) AS doc_id", "source",
+        *[c for c, _ in card_cols],
     )
-    card = corpus_report(docs).select(
-        F.lit("card").alias("mode"),
-        F.lit(None).cast("long").alias("doc_id"),
-        "source",
-        *[F.col(c) for c, _ in card_cols],
-    )
-    split = assign_split(docs, list(_SPLIT_RATIOS)).select(
-        F.concat(F.lit("split_"), F.col("split")).alias("mode"),
-        "doc_id",
-        "source",
-        *[F.lit(None).cast(t).alias(c) for c, t in card_cols],
+    split = assign_split(docs, list(_SPLIT_RATIOS)).selectExpr(
+        "concat('split_', split) AS mode", "doc_id", "source", *pad_sql
     )
     # drift branch (round 10): per-source length-distribution TVD vs a
     # derived re-release (operators.diffs.corpus_drift_report) — the
@@ -529,17 +518,17 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    drift = corpus_drift_report(src_docs, snap_new).select(
-        F.lit("drift").alias("mode"),
-        F.lit(None).cast("long").alias("doc_id"),
+    drift = corpus_drift_report(src_docs, snap_new).selectExpr(
+        "'drift' AS mode",
+        "CAST(NULL AS long) AS doc_id",
         "source",
-        F.col("n_old").alias("n_docs"),
-        F.col("n_new").alias("n_tokens"),
-        F.col("l1_num").alias("distinct_texts"),
-        F.col("tvd").alias("dup_rate"),
-        F.lit(None).cast("double").alias("mean_quality"),
-        F.lit(None).cast("double").alias("pct_lang_pure"),
-        F.lit(None).cast("double").alias("gini_chars"),
+        "n_old AS n_docs",
+        "n_new AS n_tokens",
+        "l1_num AS distinct_texts",
+        "tvd AS dup_rate",
+        "CAST(NULL AS double) AS mean_quality",
+        "CAST(NULL AS double) AS pct_lang_pure",
+        "CAST(NULL AS double) AS gini_chars",
     )
     # dsir branch (round 11): DSIR-style hashed-unigram importance
     # selection (operators.mixing.domain_relevance_scores/_select) —
@@ -556,21 +545,21 @@ def q61_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, srcs[0], buckets=_DSIR_B
     )
     dsel = domain_relevance_select(dscores, _DSIR_K)
-    dsir_w = dw_df.select(
-        F.lit("dsir").alias("mode"),
-        F.lit(None).cast("long").alias("doc_id"),
-        F.lit(None).cast("string").alias("source"),
-        F.col("bucket").cast("long").alias("n_docs"),
-        F.col("w").alias("n_tokens"),
-        *[F.lit(None).cast(t).alias(c) for c, t in card_cols[2:]],
+    dsir_w = dw_df.selectExpr(
+        "'dsir' AS mode",
+        "CAST(NULL AS long) AS doc_id",
+        "CAST(NULL AS string) AS source",
+        "CAST(bucket AS long) AS n_docs",
+        "w AS n_tokens",
+        *pad_sql[2:],
     )
-    dsir_s = dsel.select(
-        F.lit("dsir").alias("mode"),
+    dsir_s = dsel.selectExpr(
+        "'dsir' AS mode",
         "doc_id",
         "source",
-        F.col("rk").cast("long").alias("n_docs"),
-        F.col("score").alias("n_tokens"),
-        *[F.lit(None).cast(t).alias(c) for c, t in card_cols[2:]],
+        "CAST(rk AS long) AS n_docs",
+        "score AS n_tokens",
+        *pad_sql[2:],
     )
     return (
         mix.unionByName(temp).unionByName(budget)

@@ -46,6 +46,9 @@ def _attributed(self, *a, **k):
 GatewayClient.send_command = _attributed
 
 import importlib.util  # noqa: E402
+import os  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 spec = importlib.util.spec_from_file_location(
     "__spark_entry__", "/root/repo/__spark_entry__.py"
