@@ -1177,16 +1177,16 @@ def q26_interval_join_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def shape(df: DataFrame, mode: str) -> DataFrame:
+        # ONE selectExpr per union child (the q58 pad convention):
+        # the lit/cast/alias Column chain cost ~1,500 py4j round
+        # trips over 7 shapes x 11 columns; the SQL strings parse to
+        # the identical plan and cross the gateway once.
         have = set(df.columns)
-        return df.select(
+        return df.selectExpr(
             *[
-                F.lit(mode).alias("mode")
+                f"'{mode}' AS mode"
                 if c == "mode"
-                else (
-                    F.col(c)
-                    if c in have
-                    else F.lit(None).cast(t).alias(c)
-                )
+                else (c if c in have else f"CAST(NULL AS {t}) AS {c}")
                 for c, t in out_cols
             ]
         )
