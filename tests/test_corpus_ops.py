@@ -845,11 +845,14 @@ def test_profile_columns_nulls_and_single_pass(spark):
     assert rows["s"]["n_null"] == 2
     assert rows["s"]["min_str"] == "x" and rows["s"]["max_str"] == "yy"
     assert rows["s"]["avg_len"] == 1.5
-    # single aggregation job: exactly one Aggregate above the scan,
-    # no join/union of per-column passes
+    # TWO single-shape aggregation passes (plain + exact-distinct)
+    # joined on their 1-row results — the r11 split that avoids the
+    # mixed-aggregate Expand plan — and still no per-COLUMN fan-out:
+    # one Join total, no Union, and the Aggregate count is the two
+    # passes (+1 for the distinct rewrite), never O(columns)
     plan = profile_columns(df)._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Aggregate") <= 2  # partial+final at most
-    assert "Join" not in plan and "Union" not in plan
+    assert plan.count("Aggregate") <= 3
+    assert plan.count("Join") == 1 and "Union" not in plan
 
 
 def test_assign_split_grouped_never_spans_clusters(spark):
