@@ -74,12 +74,31 @@ def token_df(
     )
 
 
+def ranked_name_tokens(
+    records: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, tok, df) — every record's name tokens joined to their
+    global document frequency: the blocking input both num_keys
+    regimes rank over. Factored out so a caller running SEVERAL
+    blocking variants over the same records (q59's er/er2) can
+    persist ONE tokenize+df pass and share it; max_block pruning
+    stays per-variant because block sizes depend on num_keys."""
+    dfs = token_df(records, id_col, text_col)
+    return (
+        records.select(
+            F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
+        )
+        .join(F.broadcast(dfs), "tok")
+    )
+
+
 def rarest_token_blocks(
     records: DataFrame,
     id_col: str,
     text_col: str,
     max_block: int | None = None,
     num_keys: int = 1,
+    ranked_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, block) — each record keyed by its ``num_keys`` rarest name
     tokens (ties to the smaller token). One key is the cheap default;
@@ -92,12 +111,10 @@ def rarest_token_blocks(
     boilerplate and their candidates quadratic noise."""
     if num_keys < 1:
         raise ValueError("num_keys must be >= 1")
-    dfs = token_df(records, id_col, text_col)
     ranked = (
-        records.select(
-            F.col(id_col), F.explode(F.expr(_toks(text_col))).alias("tok")
-        )
-        .join(F.broadcast(dfs), "tok")
+        ranked_df
+        if ranked_df is not None
+        else ranked_name_tokens(records, id_col, text_col)
     )
     if num_keys == 1:
         blocks = ranked.groupBy(id_col).agg(
@@ -136,6 +153,7 @@ def blocked_er_matches(
     max_block: int | None = None,
     num_keys: int = 1,
     contract_exact: bool = False,
+    ranked_df: DataFrame | None = None,
 ) -> DataFrame:
     """Matched pairs (id_a < id_b) with their linkage score:
 
@@ -158,12 +176,18 @@ def blocked_er_matches(
         F.col(c) for c in exact_cols
     ]
     if contract_exact:
+        if ranked_df is not None:
+            raise ValueError(
+                "ranked_df must be built from the CONTRACTED records; "
+                "pass one or the other"
+            )
         records = records.groupBy(name_col, *exact_cols).agg(
             F.min(id_col).alias(id_col)
         )
     attrs = records.select(*cols)
     blocks = rarest_token_blocks(
-        records, id_col, name_col, max_block, num_keys
+        records, id_col, name_col, max_block, num_keys,
+        ranked_df=ranked_df,
     )
     # candidate ID pairs first, DISTINCT before scoring: multi-key
     # blocking surfaces the same pair through several blocks

@@ -405,8 +405,12 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     candidate_threshold: float = 0.25,
     threshold: float = 0.5,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard, evaluated only on LSH candidates.
+    ``shingle_df``: a pre-persisted ``with_shingles`` frame over the
+    rebalanced corpus — a caller running several shingle consumers
+    (q44's jac+contain) shares one tokenize pass.
 
     The two-stage shape is the 100 TB design: LSH prunes |docs|² down
     to collision pairs, exact set intersection confirms. Output
@@ -418,8 +422,12 @@ def ngram_jaccard_pairs(
     # runs once instead of once per downstream reference. At 100 TB
     # this stage is a parquet checkpoint; the in-memory persist is the
     # local analog.
-    base = with_shingles(
-        _rebalance(docs, id_col), id_col, text_col, shingle_n
+    base = (
+        shingle_df
+        if shingle_df is not None
+        else with_shingles(
+            _rebalance(docs, id_col), id_col, text_col, shingle_n
+        )
     )
     hv = base.select(
         id_col, "sh", F.expr(P.base_hash_array("sh", P.SPARK)).alias("hv")
@@ -463,6 +471,7 @@ def containment_pairs(
     max_df: int = 64,
     min_shared: int = 2,
     threshold: float = 0.8,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-duplicate detection by Broder CONTAINMENT
     C(A→B) = |A∩B| / |A| — the boilerplate-wrap / quote-inclusion
@@ -496,8 +505,14 @@ def containment_pairs(
     Output: (doc_a, doc_b, n_shared_sampled, cont_a_in_b, cont_b_in_a)
     with doc_a < doc_b.
     """
-    base = persist_tracked(
-        with_shingles(_rebalance(docs, id_col), id_col, text_col, shingle_n)
+    base = (
+        shingle_df
+        if shingle_df is not None
+        else persist_tracked(
+            with_shingles(
+                _rebalance(docs, id_col), id_col, text_col, shingle_n
+            )
+        )
     )
     post = (
         base.select(F.col(id_col), F.explode("sh").alias("shingle"))

@@ -578,10 +578,17 @@ def q44_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("cont_a_in_b"),
         F.lit(None).cast("double").alias("cont_b_in_a"),
     )
+    # ONE persisted tokenize+shingle pass feeds BOTH branches — each
+    # operator ran (and persisted) its own before (guide §2.4)
+    sh_base = ND.persist_tracked(
+        ND.with_shingles(
+            ND._rebalance(docs, "doc_id"), "doc_id", "text", SHINGLE_N
+        )
+    )
     jac = ND.ngram_jaccard_pairs(
         docs,
         num_hashes=NUM_HASHES, bands=BANDS, shingle_n=SHINGLE_N,
-        candidate_threshold=0.25, threshold=0.5,
+        candidate_threshold=0.25, threshold=0.5, shingle_df=sh_base,
     ).select(F.lit("jac").alias("mode"), "doc_a", "doc_b", "jaccard", *null_c)
     contain = ND.containment_pairs(
         docs,
@@ -590,6 +597,7 @@ def q44_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_CONT_MAX_DF,
         min_shared=_CONT_MIN_SHARED,
         threshold=_CONT_THRESHOLD,
+        shingle_df=sh_base,
     ).select(
         F.lit("contain").alias("mode"),
         "doc_a",

@@ -2312,7 +2312,8 @@ def _q59_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT before scoring (a pair can now meet through several
     blocks); cross-name matches that disagree on the single rarest
     token still meet (the recall case tests/test_entity.py pins)."""
-    from .operators.entity import blocked_er_matches
+    from .operators.cache import persist_pinned
+    from .operators.entity import blocked_er_matches, ranked_name_tokens
     from .operators.neardup import edit_distance_pairs
 
     edit = edit_distance_pairs(
@@ -2327,6 +2328,14 @@ def _q59_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part")
 
+    # ONE tokenize+df pass feeds both blocking variants (er rank-1,
+    # er2 rank-2) — each call re-ran it before; max_block pruning
+    # stays inside each variant because block sizes depend on
+    # num_keys. PINNED: the frame lives inside the memoized build.
+    ranked = persist_pinned(
+        ranked_name_tokens(part, "p_partkey", "p_name")
+    )
+
     def _er_matches(num_keys: int) -> DataFrame:
         return blocked_er_matches(
             part,
@@ -2337,6 +2346,7 @@ def _q59_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.7,
             max_block=_ER_MAX_BLOCK,
             num_keys=num_keys,
+            ranked_df=ranked,
         )
 
     def _tag(m: DataFrame, tag: str) -> DataFrame:
