@@ -446,10 +446,15 @@ def test_chunking_is_shuffle_free(spark):
     the packmask branch's pack_assignments doc-keyed repartition + the
     masks-assignments join, and (round 11) the lbatch branch's ONE
     bucket-keyed window exchange (the per-batch groupBy reuses the
-    window's partitioning, so it adds no exchange of its own) —
-    fourteen exchanges total, none carrying document text except the
-    rebuild join's per-doc span lists and the pack repartitions' chunk
-    rows, all structural to their operators."""
+    window's partitioning, so it adds no exchange of its own), and the
+    shard branch's pack-level aggregation of the SHARED persisted
+    assignment table (round 11: it replaced the second canonical
+    packing pass — the old pass's repartition rode a ReusedExchange,
+    the new group-bounded agg has its own pack_id exchange of ids/ords
+    only, and the full second Arrow pass + pack-text materialization
+    are gone) — fifteen exchanges total, none carrying document text
+    except the rebuild join's per-doc span lists and the pack
+    repartitions' chunk rows, all structural to their operators."""
     from example_kafkastreams_spark.catalog import load_table
     from example_kafkastreams_spark.operators.text_chunks import (
         chunk_documents,
@@ -460,7 +465,7 @@ def test_chunking_is_shuffle_free(spark):
 
     docs = load_table(spark, SMOKE, "documents")
     assert count_exchanges(chunk_documents(docs)) == 0
-    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 14
+    assert count_exchanges(QUERIES["q54_chunk_documents"](spark, SMOKE)) == 15
 
 
 def test_unnest_stats_single_exchange(spark):
