@@ -209,51 +209,79 @@ def pack_assignments(
     ``pack_chunks(canonical=True)``: a pack closes when the next chunk
     would exceed ``budget``, an oversized chunk ships alone.
 
-    Scale shape: one hash exchange on the doc id, then a single
-    embarrassingly-parallel Arrow pass — identical to the packer it
-    mirrors."""
+    Scale shape: one group-bounded hash exchange on the doc id carrying
+    only (id, order, tokens) — never the chunk text — then the greedy
+    fold runs as a JVM ``aggregate`` over each doc's sorted size array
+    (bounded by chunks-per-document, not corpus size). No Python
+    boundary: the fold is exact integer arithmetic, so built-in
+    higher-order functions replace the former Arrow pass outright
+    (guide §4.1) — same rows, no worker init, no text serialization.
+    """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    n = chunks.sparkSession.sparkContext.defaultParallelism
-    ordered = chunks.repartition(n, F.col(id_col)).sortWithinPartitions(
-        id_col, order_col
+    b = F.lit(int(budget)).cast("long")
+    grouped = chunks.groupBy(F.col(id_col)).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).cast("int").alias("i"),
+                    F.col(tokens_col).cast("long").alias("n"),
+                )
+            )
+        ).alias("__cs")
+    )
+    init = F.struct(
+        F.lit(0).alias("seq"),
+        F.lit(0).cast("long").alias("cur"),
+        F.array().cast(
+            "array<struct<i:int,s:int,o:bigint,n:bigint>>"
+        ).alias("out"),
     )
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seq = 0
-        cur_tokens = 0
-        cur_doc = None
+    def step(acc, x):
+        # close the open pack when the chunk would overflow it
+        closed = (acc["cur"] > F.lit(0).cast("long")) & (
+            (acc["cur"] + x["n"]) > b
+        )
+        seq1 = F.when(closed, acc["seq"] + F.lit(1)).otherwise(acc["seq"])
+        off = F.when(closed, F.lit(0).cast("long")).otherwise(acc["cur"])
+        cur1 = off + x["n"]
+        full = cur1 >= b  # full (or oversized singleton)
+        return F.struct(
+            F.when(full, seq1 + F.lit(1)).otherwise(seq1).alias("seq"),
+            F.when(full, F.lit(0).cast("long")).otherwise(cur1).alias(
+                "cur"
+            ),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["i"].alias("i"),
+                        seq1.alias("s"),
+                        off.alias("o"),
+                        x["n"].alias("n"),
+                    )
+                ),
+            ).alias("out"),
+        )
 
-        for pdf in batches:
-            rows: list[dict] = []
-            for doc, idx, n_tok in zip(
-                pdf[id_col], pdf[order_col], pdf[tokens_col]
-            ):
-                n_tok = int(n_tok)
-                if doc != cur_doc:
-                    cur_doc = doc
-                    seq = 0
-                    cur_tokens = 0
-                elif cur_tokens and cur_tokens + n_tok > budget:
-                    seq += 1
-                    cur_tokens = 0
-                rows.append(
-                    {
-                        "pack_id": f"{doc}-{seq}",
-                        "doc_id": int(doc),
-                        "chunk_idx": int(idx),
-                        "pack_offset": cur_tokens,
-                        "n_tokens": n_tok,
-                    }
-                )
-                cur_tokens += n_tok
-                if cur_tokens >= budget:  # full (or oversized singleton)
-                    seq += 1
-                    cur_tokens = 0
-            if rows:
-                yield pd.DataFrame(rows)
-
-    return ordered.mapInPandas(assign, ASSIGNMENT_SCHEMA)
+    folded = grouped.select(
+        F.col(id_col),
+        F.explode(
+            F.aggregate(F.col("__cs"), init, step, lambda acc: acc["out"])
+        ).alias("__a"),
+    )
+    return folded.select(
+        F.concat(
+            F.col(id_col).cast("string"),
+            F.lit("-"),
+            F.col("__a.s").cast("string"),
+        ).alias("pack_id"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col("__a.i").alias("chunk_idx"),
+        F.col("__a.o").alias("pack_offset"),
+        F.col("__a.n").alias("n_tokens"),
+    )
 
 
 def shard_assignment(
