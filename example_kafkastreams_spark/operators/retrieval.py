@@ -115,13 +115,14 @@ def bm25_top_docs(
     spark = docs.sparkSession
     qt = _query_terms_frame(spark, queries)
     terms = sorted({t for q in queries for t in q.split()})
-    # candidate pruning happens BELOW the tf aggregate: the query
-    # term set is a driver-known literal, so the exploded postings
-    # filter with a plain In(term) predicate BEFORE any exchange —
-    # the (doc, term) tf shuffle carries only the query terms'
-    # postings, never the corpus's. (A broadcast-join prune above
-    # the aggregate would leave the aggregate itself corpus-sized —
-    # Catalyst does not push joins below aggregates.)
+    # candidate pruning happens BELOW the tf fold: the query term set
+    # is a driver-known literal, so each doc's token array filters to
+    # the query terms MAP-SIDE and the run-length fold
+    # (text_chunks.term_counts) counts the survivors — the (doc, term)
+    # tf table is born already-unique with no exchange at all; the
+    # first shuffle in the plan is the candidate-sized score fold.
+    from .text_chunks import term_counts
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("toks"),
@@ -130,15 +131,16 @@ def bm25_top_docs(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks")).alias("tot_dl"),
     )
-    qtf = (
-        toks.select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            F.explode("toks").alias("term"),
-        )
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    qtf = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(
+            term_counts(F.filter("toks", lambda t: t.isin(terms)))
+        ).alias("__tc"),
+    ).select(
+        "doc_id", "dl",
+        F.col("__tc.term").alias("term"),
+        F.col("__tc.tf").alias("tf"),
     )
     dfq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     scored = (
@@ -154,7 +156,13 @@ def bm25_top_docs(
 
 def _bm25_postings(docs: DataFrame, id_col: str, text_col: str):
     """((doc_id, dl, term, tf) postings, 1-row (n_docs, tot_dl) stats)
-    — shared by the in-session scorer and the index builder."""
+    — shared by the in-session scorer and the index builder. The per-
+    doc term counts fold MAP-SIDE (``text_chunks.term_counts`` — a
+    run-length aggregate over the sorted token array), so the corpus-
+    sized (doc, term) table is born already-unique instead of crossing
+    a hash exchange just to be counted (guide §2.3/§2.4)."""
+    from .text_chunks import term_counts
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("toks"),
@@ -163,14 +171,14 @@ def _bm25_postings(docs: DataFrame, id_col: str, text_col: str):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks")).alias("tot_dl"),
     )
-    tf = (
-        toks.select(
-            "doc_id",
-            F.size("toks").alias("dl"),
-            F.explode("toks").alias("term"),
-        )
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(term_counts("toks")).alias("__tc"),
+    ).select(
+        "doc_id", "dl",
+        F.col("__tc.term").alias("term"),
+        F.col("__tc.tf").alias("tf"),
     )
     return tf, stats
 
@@ -604,14 +612,29 @@ def term_overlap_top_docs(
     in the document (ties → lower doc id). Same inverted-index shape
     as BM25 minus the statistics; exists mostly as the second voice
     for ``rrf_fuse`` and as an exact-arithmetic cross-check."""
+    # the query term set is a driver literal, so each doc's token
+    # array filters to it MAP-SIDE and the run-length fold
+    # (text_chunks.term_counts) counts the survivors — the corpus-
+    # sized (doc, term) table never crosses an exchange; the first
+    # shuffle is the candidate-sized per-(query, doc) sum.
+    from .text_chunks import term_counts
+
     spark = docs.sparkSession
-    tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("term"),
-        )
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    terms = sorted({t for q in queries for t in q.split()})
+    tf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            term_counts(
+                F.filter(
+                    F.split(F.col(text_col), " "),
+                    lambda t: t.isin(terms),
+                )
+            )
+        ).alias("__tc"),
+    ).select(
+        "doc_id",
+        F.col("__tc.term").alias("term"),
+        F.col("__tc.tf").alias("tf"),
     )
     qt = _query_terms_frame(spark, queries)
     agg = (
@@ -685,34 +708,37 @@ def all_terms_qrels(
     """(query, doc_id) binary relevance labels: a document is relevant
     to a query iff it contains EVERY distinct query term — the
     deterministic boolean-AND oracle retrieval evals use when no human
-    judgments exist. Same inverted shape as the scorers: the corpus
-    explodes once, the broadcast query-term join keeps only matching
-    postings, and the HAVING count(DISTINCT term) = |query terms|
-    closes the AND."""
-    spark = docs.sparkSession
-    qt = _query_terms_frame(spark, queries)
-    qsizes = qt.groupBy("query").agg(
-        F.count_distinct("term").alias("__nt")
-    )
-    hits = (
+    judgments exist. The query term sets are driver literals, so the
+    AND closes ENTIRELY MAP-SIDE: one corpus scan computes every
+    query's matched-distinct-term count against its literal term array
+    (array_intersect over the doc's distinct tokens), a literal
+    explode stacks the per-query rows, and the equality filter prunes
+    — zero exchanges, no join, no aggregation."""
+    dtoks = F.array_distinct(F.split(F.col(text_col), " "))
+    arms = [
+        F.struct(
+            F.lit(q).alias("query"),
+            (
+                F.size(
+                    F.array_intersect(
+                        dtoks,
+                        F.array(
+                            *[F.lit(t) for t in sorted(set(q.split()))]
+                        ),
+                    )
+                )
+                == F.lit(len(set(q.split())))
+            ).alias("__all"),
+        )
+        for q in dict.fromkeys(queries)
+    ]
+    return (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.array_distinct(F.split(F.col(text_col), " "))
-            ).alias("term"),
+            F.explode(F.array(*arms)).alias("__q"),
         )
-        .join(F.broadcast(qt), "term")
-        # (doc, term) pairs are unique after array_distinct and qt has
-        # unique (query, term) rows, so a plain count IS the distinct
-        # term count — no two-phase distinct aggregation on the one
-        # corpus-sized stage
-        .groupBy("query", "doc_id")
-        .agg(F.count(F.lit(1)).alias("__matched"))
-    )
-    return (
-        hits.join(F.broadcast(qsizes), "query")
-        .filter(F.col("__matched") == F.col("__nt"))
-        .select("query", "doc_id")
+        .filter(F.col("__q.__all"))
+        .select(F.col("__q.query").alias("query"), "doc_id")
     )
 
 

@@ -90,6 +90,65 @@ def chunk_token_arrays(
     )
 
 
+def term_counts(tokens_col):
+    """array<struct<term string, tf bigint>> — per-row term frequencies
+    as a pure JVM expression: run-length encode the SORTED token array
+    with one ``aggregate`` fold. Exactly the multiset the old
+    explode → groupBy(id, term) pipeline produced, but computed
+    MAP-SIDE, so the corpus-sized (doc, term) table never has to cross
+    an exchange just to be counted (guide §2.3/§2.4): downstream
+    term/doc aggregations over the exploded result partial-combine to
+    per-partition distinct terms / docs before any shuffle."""
+    toks = F.array_sort(
+        tokens_col if not isinstance(tokens_col, str) else F.col(tokens_col)
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.array().cast("array<struct<term:string,tf:bigint>>").alias("out"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["cnt"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cnt"),
+            F.when(same, acc["out"])
+            .otherwise(
+                F.when(
+                    acc["prev"].isNull(), acc["out"]
+                ).otherwise(
+                    F.concat(
+                        acc["out"],
+                        F.array(
+                            F.struct(
+                                acc["prev"].alias("term"),
+                                acc["cnt"].alias("tf"),
+                            )
+                        ),
+                    )
+                )
+            )
+            .alias("out"),
+        )
+
+    def finish(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        acc["prev"].alias("term"), acc["cnt"].alias("tf")
+                    )
+                ),
+            )
+        )
+
+    return F.aggregate(toks, init, step, finish)
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -98,22 +157,32 @@ def tfidf_top_terms(
     """(id, top_term, tf_count, tfidf) — each document's highest-tf-idf
     term, ties broken lexicographically.
 
-    Shape: token explode → (doc, term) hash agg (tf) → term hash agg
-    (document frequency) → join + per-doc argmax. The tf table is the
-    big intermediate; both aggs partial-combine map-side. The final
-    rank partitions by doc_id — bounded by tokens-per-doc, never by
-    corpus size. idf = ln((N+1)/(df+1)), one IEEE op sequence shared
-    with the oracle.
+    Shape: per-doc term counts fold MAP-SIDE (``term_counts`` — no
+    corpus-sized exchange to count tf), document frequency as one
+    term-keyed hash agg over the already-unique (doc, term) pairs
+    (partial-combines to per-partition distinct terms), broadcast back,
+    then the per-doc argmax as a ``min_by`` hash agg — partial
+    aggregation reduces each map partition to one candidate row per doc
+    before the exchange, where the former row_number window shuffled
+    every (doc, term) score row. idf = ln((N+1)/(df+1)), one IEEE op
+    sequence shared with the oracle; the argmax ordering
+    (-tfidf, term) is the window's (tfidf DESC, term ASC) exactly
+    (IEEE negation is bit-exact and scores are finite).
     """
-    tok = docs.select(
+    tf = docs.select(
         F.col(id_col),
-        F.explode(F.expr(P.split_ws(text_col, P.SPARK))).alias("term"),
+        F.explode(
+            term_counts(F.expr(P.split_ws(text_col, P.SPARK)))
+        ).alias("__tc"),
+    ).select(
+        id_col,
+        F.col("__tc.term").alias("term"),
+        F.col("__tc.tf").alias("tf_count"),
     )
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_count"))
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_count"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfq, "term")
+        tf.join(F.broadcast(dfq), "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf_raw",
@@ -123,17 +192,22 @@ def tfidf_top_terms(
             ),
         )
     )
-    w = W.partitionBy(id_col).orderBy(
-        F.col("tfidf_raw").desc(), F.col("term")
-    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("term", "tf_count", "tfidf_raw"),
+                F.struct(
+                    (-F.col("tfidf_raw")).alias("neg"),
+                    F.col("term"),
+                ),
+            ).alias("__w")
+        )
         .select(
             id_col,
-            F.col("term").alias("top_term"),
-            "tf_count",
-            F.round(F.col("tfidf_raw"), 6).alias("tfidf"),
+            F.col("__w.term").alias("top_term"),
+            F.col("__w.tf_count").alias("tf_count"),
+            F.round(F.col("__w.tfidf_raw"), 6).alias("tfidf"),
         )
     )
 
