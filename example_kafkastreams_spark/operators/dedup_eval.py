@@ -88,11 +88,21 @@ def candidate_eval(
             sample, id_col=id_col, text_col=text_col, shingle_n=shingle_n
         )
     )
-    post = sdocs.select(F.col(id_col), F.explode("sh").alias("tok"))
+    # __sz rides the explode map-side (post rows per doc = |sh| by
+    # construction) instead of a count window that would re-shuffle
+    # the postings by doc just to count them.
+    post = sdocs.select(
+        F.col(id_col),
+        F.size("sh").alias("__sz"),
+        F.explode("sh").alias("tok"),
+    )
     # Prefix filtering: rank each doc's shingles by ascending global
     # frequency (ties by token) and keep only the first
     # |d| − ceil(t'·|d|) + 1 — every pair with round(J,6) ≥ t shares
     # its smallest common token within both prefixes (see module doc).
+    # freq is sample-bounded (distinct sample shingles) — the module's
+    # stated cost regime — so it broadcasts explicitly; without the
+    # hint the postings re-shuffle by token for a sort-merge join.
     freq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
     t_relaxed = float(threshold) - 1e-6
     prefix_len = (
@@ -100,9 +110,12 @@ def candidate_eval(
         - F.ceil(F.round(F.lit(t_relaxed) * F.col("__sz"), 9))
         + F.lit(1)
     )
-    pref = (
-        post.join(freq, "tok")
-        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    # persisted: pref feeds BOTH sides of the pair-generating self-join
+    # below — unpersisted, the join+window tree executes once per side
+    # (measured: the two duplicated 92k/120k-record stages in q41's
+    # eval branch).
+    pref = persist_tracked(
+        post.join(F.broadcast(freq), "tok")
         .withColumn(
             "__r",
             F.row_number().over(
