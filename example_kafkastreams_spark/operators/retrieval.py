@@ -1298,6 +1298,7 @@ def maxsim_rerank(
     id_col: str = "doc_id",
     text_col: str = "text",
     candidates: DataFrame | None = None,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieve-then-rerank — THE production retrieval
     shape: a cheap high-recall stage-1 (BM25 top-``k1``) shortlists
@@ -1318,22 +1319,39 @@ def maxsim_rerank(
 
     ``candidates``: pass a precomputed stage-1 ranking (query, doc_id,
     …) to rerank an existing shortlist instead of running BM25 here.
+
+    ``vectors``: an already-featurized ``maxsim_chunk_vectors`` frame
+    for the SAME (docs, dim, n_hashes, chunk_size, stride) — callers
+    that also serve corpus-wide MaxSim in-session (q55) pass their
+    persisted frame, and stage-2 becomes a candidate semi join over it
+    instead of a second featurization (featurization is strictly
+    per-document, so filtering the featurized corpus to the candidate
+    ids IS featurizing the candidate docs — row-identical). Also the
+    plan-hygiene fix: re-featurizing candidates stacks the spliced
+    hash-expression layers on top of the stage-1 subtree, and each
+    layer's eager analysis re-walks everything below it (measured
+    ~6 s of pure py4j/analysis per construction at q55's parameters).
     """
     if candidates is None:
         candidates = bm25_top_docs(docs, queries, top_k=k1)
     cand = candidates.select("query", "doc_id")
-    cand_docs = docs.join(
-        cand.select("doc_id").distinct().withColumnRenamed(
-            "doc_id", id_col
-        ),
-        id_col,
-        "left_semi",
-    )
-    ch = maxsim_chunk_vectors(
-        cand_docs, dim=dim, n_hashes=n_hashes,
-        chunk_size=chunk_size, stride=stride,
-        id_col=id_col, text_col=text_col,
-    )
+    if vectors is not None:
+        ch = vectors.join(
+            cand.select("doc_id").distinct(), "doc_id", "left_semi"
+        )
+    else:
+        cand_docs = docs.join(
+            cand.select("doc_id").distinct().withColumnRenamed(
+                "doc_id", id_col
+            ),
+            id_col,
+            "left_semi",
+        )
+        ch = maxsim_chunk_vectors(
+            cand_docs, dim=dim, n_hashes=n_hashes,
+            chunk_size=chunk_size, stride=stride,
+            id_col=id_col, text_col=text_col,
+        )
     scores = _maxsim_score(ch, queries, None, n_hashes, dim)
     pool = cand.join(scores, ["query", "doc_id"], "left").select(
         "query",

@@ -1048,8 +1048,18 @@ def _q55_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, ms_dir, dim=MAXSIM_DIM, n_hashes=MAXSIM_HASHES,
             chunk_size=CHUNK_SIZE, stride=STRIDE, vectors=ch,
         )
+    # mmr's eager greedy rounds are the build's only OTHER
+    # driver-synchronized section, and their first job materializes
+    # the pinned bmr_k1 (the full BM25 postings pass, ~4.5 s at
+    # sf0.1) — a third overlapped thread, so the scoring pass
+    # back-fills the executor slots the index writes leave idle
+    # (guide §2.6) instead of running after them.
+    from .operators.retrieval import mmr_diversify
+
+    sections: dict = dict(writes)
+    sections["mmr"] = lambda: mmr_diversify(bmr, docs, k=MMR_K)
+    built = build_overlapped(sections)
     if writes:
-        build_overlapped(writes)
         _Q55_IDX_CACHE[sf_dir] = idx_dir
         _Q55_MS_IDX_CACHE[sf_dir] = ms_dir
     idx = bm25_index_query(
@@ -1122,19 +1132,19 @@ def _q55_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, list(BM25_QUERIES), k1=RERANK_K1, top_k=BM25_TOP_K,
             dim=MAXSIM_DIM, n_hashes=MAXSIM_HASHES,
             chunk_size=CHUNK_SIZE, stride=STRIDE, candidates=bmr_k1,
+            vectors=ch,
         ),
         "rerank",
     )
     # mmr (round 11): greedy MMR diversification of the bm25 shortlist
     # (operators.retrieval.mmr_diversify) — rel and the token-set
     # Jaccard enter every argmax via the tie-safe rounder, so the
-    # oracle's unrolled greedy rounds reproduce the picks exactly
-    from .operators.retrieval import mmr_diversify
-
+    # oracle's unrolled greedy rounds reproduce the picks exactly.
     # local single-task greedy (the shortlist is serve-page-constant
     # sized); the unrolled distributed twin stays available under
-    # local=False and is pinned equal by tests/test_retrieval.py
-    mmr = mmr_diversify(bmr, docs, k=MMR_K).select(
+    # local=False and is pinned equal by tests/test_retrieval.py.
+    # Built in the overlapped section above.
+    mmr = built["mmr"].select(
         F.lit("mmr").alias("mode"),
         "doc_id",
         F.col("query").alias("top_term"),
