@@ -229,20 +229,40 @@ def _rebalance(docs: DataFrame, id_col: str) -> DataFrame:
     shuffle the full text corpus to COALESCE it, the exact opposite of
     the intent.
 
-    Caveat (ADVICE r4): `rdd.getNumPartitions` is job-free only for
-    scan-shaped or persisted inputs. Under AQE (the session default),
-    taking `.rdd` of a shuffle-bearing, non-persisted plan MATERIALIZES
-    its upstream query stages — real Spark jobs, silently re-run when
-    the caller later executes the frame. Every call site here passes a
-    parquet scan or a persisted frame; keep it that way (or persist
-    first) when adding callers."""
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    # JVM-side Dataset.rdd: same physical-plan partition count as the
-    # Python .rdd property but ~4x cheaper per call — the Python path
-    # additionally builds the javaToPython conversion pipeline and a
-    # Python RDD wrapper just to read one int (measured 0.46 s vs
-    # 0.10 s per call; _rebalance sits on several query build paths).
-    if docs._jdf.rdd().getNumPartitions() >= n:
+    Probe cost (ADVICE r4, closed this round): `rdd.getNumPartitions`
+    is job-free only for exchange-free plans. Under AQE (the session
+    default), taking `.rdd` of a shuffle-bearing plan MATERIALIZES its
+    upstream query stages — real Spark jobs whose work is thrown away
+    and silently re-run when the caller later executes the frame
+    (measured: five ~0.6-2 s single-task probe jobs inside one q63
+    funnel build). The plan shape is detectable job-free — AQE only
+    wraps plans that contain exchanges — so: exchange-free plans keep
+    the exact partition-count probe (still job-free, and it never
+    re-shuffles an already-wide scan), and shuffle-bearing plans
+    decide from Catalyst's size ESTIMATE instead (also job-free): an
+    input of at least slots × maxPartitionBytes arrives wide from any
+    scan or AQE-coalesced exchange, anything smaller is worth one
+    bounded spread pass. The estimate errs toward "big" (Filter keeps
+    its child's size without CBO stats), i.e. toward NOT adding an
+    exchange — the safe side at 100 TB."""
+    spark = docs.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    qe = docs._jdf.queryExecution()
+    if qe.executedPlan().getClass().getSimpleName() != "AdaptiveSparkPlanExec":
+        # JVM-side Dataset.rdd: same physical-plan partition count as
+        # the Python .rdd property but ~4x cheaper per call — the
+        # Python path additionally builds the javaToPython conversion
+        # pipeline and a Python RDD wrapper just to read one int
+        # (measured 0.46 s vs 0.10 s per call; _rebalance sits on
+        # several query build paths).
+        if docs._jdf.rdd().getNumPartitions() >= n:
+            return docs
+        return docs.repartition(n, id_col)
+    est = int(qe.optimizedPlan().stats().sizeInBytes())
+    split = spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    if est >= n * split:
         return docs
     return docs.repartition(n, id_col)
 
