@@ -43,9 +43,33 @@ def build_overlapped(
     """
     if len(builders) <= 1:
         return {k: fn() for k, fn in builders.items()}
+
+    def labeled(name: str, fn: Callable[[], Any]) -> Callable[[], Any]:
+        # job descriptions are thread-local (guide §1.5), so each
+        # section's eager jobs carry its name in the UI/REST metrics —
+        # free attribution for the job-level profilers
+        def run():
+            sc = None
+            try:
+                from pyspark.sql import SparkSession
+
+                session = SparkSession.getActiveSession()
+                sc = session.sparkContext if session else None
+            except Exception:
+                sc = None
+            if sc is not None:
+                sc.setJobDescription(f"build:{name}")
+            try:
+                return fn()
+            finally:
+                if sc is not None:
+                    sc.setJobDescription(None)
+
+        return run
+
     with ThreadPoolExecutor(max_workers=max_workers or len(builders)) as pool:
         futures = {
-            k: pool.submit(inheritable_thread_target(fn))
+            k: pool.submit(inheritable_thread_target(labeled(k, fn)))
             for k, fn in builders.items()
         }
         return {k: f.result() for k, f in futures.items()}
