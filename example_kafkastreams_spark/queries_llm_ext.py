@@ -2368,7 +2368,14 @@ def _q59_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _tag(m: DataFrame, tag: str) -> DataFrame:
         return m.select(F.lit(tag).alias("mode"), "id_a", "id_b", "score")
 
-    m2 = _er_matches(2)
+    # PINNED: m2 fans out into the er2 branch AND six references
+    # inside the gold branch's survivorship plan (edges both
+    # directions for the component closure's checkpoint, the node
+    # set, the vote join) — unpersisted, the blocked scoring tree
+    # re-executed per reference (measured: the gold branch's noop
+    # shuffled 960k records, 6x the er2 branch's 160k; pinned it pays
+    # the 160k once).
+    m2 = persist_pinned(_er_matches(2))
     # gold branch (round 11): survivorship — the er2 match pairs
     # closed into entity clusters, a golden id elected per cluster
     # (min member), and p_brand fused by majority vote
