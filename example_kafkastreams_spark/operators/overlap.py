@@ -49,12 +49,12 @@ def build_overlapped(
         # section's eager jobs carry its name in the UI/REST metrics —
         # free attribution for the job-level profilers
         def run():
-            sc = None
+            # NOT getActiveSession(): the active session is
+            # thread-local and a fresh pool thread has none
             try:
-                from pyspark.sql import SparkSession
+                from pyspark import SparkContext
 
-                session = SparkSession.getActiveSession()
-                sc = session.sparkContext if session else None
+                sc = SparkContext._active_spark_context
             except Exception:
                 sc = None
             if sc is not None:
