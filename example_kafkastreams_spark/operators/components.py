@@ -111,7 +111,9 @@ def _local_min_labels(und: DataFrame, reliable: bool) -> DataFrame:
 
         seen: set = set()
         for b in batches:
-            for a, c in zip(b["cc_src"], b["cc_dst"]):
+            # .tolist() first: iterating a pandas Series yields boxed
+            # numpy scalars (~4x slower per element than plain ints)
+            for a, c in zip(b["cc_src"].tolist(), b["cc_dst"].tolist()):
                 seen.add(a)
                 seen.add(c)
                 ra, rc = find(a), find(c)
@@ -599,7 +601,8 @@ def pagerank(
             deg: dict = {}
             adj: dict = {}  # dst -> list of src
             for b in batches:
-                for s, t in zip(b["src"], b["dst"]):
+                # .tolist() first — the _local_min_labels rationale
+                for s, t in zip(b["src"].tolist(), b["dst"].tolist()):
                     deg[s] = deg.get(s, 0) + 1
                     adj.setdefault(t, []).append(s)
             nf = float(n_val)

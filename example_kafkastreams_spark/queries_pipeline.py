@@ -949,14 +949,18 @@ def _q63_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_h = language_df.filter(F.col("doc_id") % 3 != 0)
 
         def _build_delta():
-            return corpus_stages_delta(
-                delta,
-                exact_text_dedup(lang_h),
-                simhash_band_index(lang_h),
-                sketch="simhash",
-                persist_fn=persist_pinned,
-                **kw,
-            )
+            spark.sparkContext.setJobDescription("build:q63_delta")
+            try:
+                return corpus_stages_delta(
+                    delta,
+                    exact_text_dedup(lang_h),
+                    simhash_band_index(lang_h),
+                    sketch="simhash",
+                    persist_fn=persist_pinned,
+                    **kw,
+                )
+            finally:
+                spark.sparkContext.setJobDescription(None)
 
         delta_future.append(
             pool.submit(inheritable_thread_target(_build_delta))
@@ -968,18 +972,22 @@ def _q63_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-serve and every later branch re-runs the whole funnel (the
     # q55 memo lesson; measured: the delta branch re-paid ~7 s per
     # timing).
-    stages = corpus_stages(
-        docs,
-        min_quality=_FUNNEL_MIN_QUALITY,
-        languages=(_FUNNEL_LANG,),
-        max_hamming=_FUNNEL_MAX_HAMMING,
-        chunk_size=_FUNNEL_CHUNK,
-        stride=_FUNNEL_STRIDE,
-        scrub_pii=True,
-        pack_budget=_FUNNEL_PACK_BUDGET,
-        language_stage_hook=_kickoff_delta,
-        persist_fn=persist_pinned,
-    )
+    spark.sparkContext.setJobDescription("build:q63_full")
+    try:
+        stages = corpus_stages(
+            docs,
+            min_quality=_FUNNEL_MIN_QUALITY,
+            languages=(_FUNNEL_LANG,),
+            max_hamming=_FUNNEL_MAX_HAMMING,
+            chunk_size=_FUNNEL_CHUNK,
+            stride=_FUNNEL_STRIDE,
+            scrub_pii=True,
+            pack_budget=_FUNNEL_PACK_BUDGET,
+            language_stage_hook=_kickoff_delta,
+            persist_fn=persist_pinned,
+        )
+    finally:
+        spark.sparkContext.setJobDescription(None)
     full_row = corpus_funnel_counts(stages).select(
         F.lit("full").alias("mode"), "*"
     )
