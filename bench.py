@@ -290,6 +290,16 @@ def main() -> None:
             # store evicts early stages mid-run and the diffs go
             # negative — keep every stage of the bench resident
             "spark.ui.retainedStages": "100000",
+            # ... but only the stage-level AGGREGATES are read. Task
+            # rows (default 100000 retained per stage) and SQL-tab
+            # execution snapshots (default 1000, each holding the full
+            # physicalPlanDescription string — MEGABYTES for the
+            # spliced-literal quantizer plans) are never queried, and
+            # by the 40th slot their retained heap measurably drags
+            # every later timed region via GC (guide §5: driver-side
+            # state). Keep the store stage-grain only.
+            "spark.ui.retainedTasks": "1",
+            "spark.sql.ui.retainedExecutions": "2",
         },
     )
     # warmup: JVM + codegen, then one tiny read per table so parquet

@@ -44,7 +44,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = ONE JVM holding driver AND all executor slots:
+        # 32 concurrent task working sets + the session-lifetime pinned
+        # build caches + (in bench) the status store all share this
+        # heap. 8g measurably GC-throttled the back half of the bench
+        # (q64's main row read 10.8 s at 8g, 2.2 s at 16g — same code,
+        # same shuffle); 16g leaves headroom without crowding the
+        # 128 GiB host. A real cluster sizes executor memory instead
+        # (guide §5) — this knob only exists for the single-JVM profile.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata parquet carries TIMESTAMP(NANOS) which the vectorized
